@@ -1,0 +1,352 @@
+"""Engine — the library API surface (the reference's embedded
+``Operations`` trait, crates/modelardb_embedded/src/operations/mod.rs:66-148,
+and the SQL entry point of ``modelardb_storage::execute_statement``,
+crates/modelardb_storage/src/lib.rs:143-155).
+
+A user of the reference maps almost 1:1:
+
+    Operations::create(table, kind)   -> Engine.create_table / create_time_series_table / read_sql(DDL)
+    Operations::tables/schema         -> Engine.tables / Engine.schema
+    Operations::write(table, batch)   -> Engine.write(table, df)
+    Operations::read(sql)             -> Engine.read_sql(sql)
+    Operations::read_time_series_table(...) -> Engine.read_time_series_table(...)
+    Operations::copy/move             -> Engine.copy / Engine.move
+    truncate/drop/vacuum              -> Engine.truncate / drop / vacuum (also as SQL)
+
+Query semantics for time series tables: ``read_sql`` registers each
+table as a temp view — normal tables directly, time series tables as the
+*gridded* reconstruction view (operators/grid.py) — then delegates to
+``spark.sql`` (the full inherited SQL surface, like the reference
+inherits DataFusion's). Before delegating, the model-based aggregate
+rewrite (operators/aggregates.py) intercepts un-filtered simple
+aggregates over one time series table, mirroring the reference's
+``ModelSimpleAggregates`` physical rule — implemented as an API-level
+query rewrite because pure PySpark cannot register Catalyst physical
+rules (SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modelardb_rs_spark.catalog import Catalog
+from modelardb_rs_spark.operators import aggregates as agg_ops
+from modelardb_rs_spark.operators import compress as compress_ops
+from modelardb_rs_spark.operators import grid as grid_ops
+from modelardb_rs_spark.parser import ModelarStatement, parse_statement
+from modelardb_rs_spark.sources.datafolder import DataFolder
+from modelardb_rs_spark.types import TableKind, TimeSeriesTableMetadata
+
+
+def _to_us(t) -> int | None:
+    """Accept epoch-µs ints, datetimes, or ISO strings."""
+    if t is None:
+        return None
+    if isinstance(t, (int,)):
+        return t
+    if isinstance(t, str):
+        t = datetime.datetime.fromisoformat(t)
+    if isinstance(t, datetime.datetime):
+        if t.tzinfo is None:
+            t = t.replace(tzinfo=datetime.timezone.utc)
+        return int(t.timestamp() * 1_000_000)
+    raise TypeError(f"cannot interpret {t!r} as a timestamp")
+
+
+# SELECT agg(col)[ AS alias][, ...] FROM table [GROUP BY c[, ...]] — the
+# shape eligible for the model-based aggregate rewrite.
+_AGG_ITEM = re.compile(
+    r"^(?P<func>count|min|max|sum|avg)\s*\(\s*(?P<arg>\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)"
+    r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?$",
+    re.IGNORECASE,
+)
+_SIMPLE_AGG_SQL = re.compile(
+    r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>[A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+class Engine:
+    """A PySpark-native ModelarDB-style engine over one data folder."""
+
+    def __init__(self, spark: SparkSession, data_folder: str) -> None:
+        from modelardb_rs_spark.shipping import ensure_shipped
+
+        self.spark = spark
+        ensure_shipped(spark)
+        self.folder = DataFolder(spark, data_folder)
+        self.catalog = Catalog(self.folder.metadata_dir)
+
+    # ------------------------------------------------------------- catalog
+
+    def tables(self) -> dict[str, str]:
+        return {name: kind.value for name, kind in self.catalog.tables().items()}
+
+    def schema(self, name: str):
+        kind = self.catalog.kind(name)
+        if kind == TableKind.NORMAL:
+            return self.catalog.normal_table_schema(name)
+        return self.catalog.time_series_metadata(name).query_schema()
+
+    # ----------------------------------------------------------------- DDL
+
+    def create_table(self, name: str, schema) -> None:
+        """Create a normal table. ``schema`` is a StructType or DDL string
+        ("a INT, b STRING"). Timestamps are µs-precision (the reference
+        coerces to µs for the same reason, parser.rs:848-860)."""
+        from pyspark.sql import types as T
+
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        self.catalog.add_normal_table(name, schema)
+
+    def create_time_series_table(self, meta: TimeSeriesTableMetadata) -> None:
+        self.catalog.add_time_series_table(meta)
+
+    def truncate(self, name: str) -> None:
+        self.catalog.kind(name)  # raises if missing
+        self.folder.truncate(name)
+
+    def drop(self, name: str) -> None:
+        self.catalog.kind(name)
+        self.folder.drop(name)
+        self.catalog.drop(name)
+
+    def vacuum(self, tables: list[str] | None = None, retain_seconds: int | None = None) -> None:
+        names = tables or list(self.catalog.tables())
+        for n in names:
+            self.folder.vacuum(n, retain_seconds)
+
+    # --------------------------------------------------------------- write
+
+    def write(self, name: str, df: DataFrame) -> None:
+        """Append a DataFrame. Time series tables are compressed inline
+        (reference Operations::write → try_compress_multivariate_time_series,
+        modelardb_embedded/src/data_folder.rs:191-238)."""
+        kind = self.catalog.kind(name)
+        if kind == TableKind.NORMAL:
+            schema = self.catalog.normal_table_schema(name)
+            cast = df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
+            self.folder.write_normal(name, cast)
+            return
+        meta = self.catalog.time_series_metadata(name)
+        insert_schema = meta.insert_schema()
+        cast = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in insert_schema.fields]
+        )
+        segments = compress_ops.compress(cast, meta)
+        self.folder.write_segments(meta, segments)
+
+    # ---------------------------------------------------------------- read
+
+    def segments(self, name: str) -> DataFrame:
+        """The raw physical segments DataFrame of a time series table."""
+        return self.folder.read_segments(self.catalog.time_series_metadata(name))
+
+    def table(
+        self,
+        name: str,
+        fields: list[str] | None = None,
+        start=None,
+        end=None,
+    ) -> DataFrame:
+        """The logical DataFrame of a table (time series tables gridded,
+        with optional projection + time-range segment pruning)."""
+        kind = self.catalog.kind(name)
+        if kind == TableKind.NORMAL:
+            df = self.folder.read_normal(name, self.catalog.normal_table_schema(name))
+            return df.select(*fields) if fields else df
+        meta = self.catalog.time_series_metadata(name)
+        return grid_ops.grid(
+            self.segments(name), meta, fields=fields, start_us=_to_us(start), end_us=_to_us(end)
+        )
+
+    def register_views(self) -> None:
+        """Register every catalog table as a Spark temp view (time series
+        tables as their gridded reconstruction)."""
+        for name, kind in self.catalog.tables().items():
+            self.table(name).createOrReplaceTempView(name)
+
+    def read_sql(self, sql: str) -> DataFrame | None:
+        """Execute one statement of the extended SQL dialect.
+
+        DDL/utility statements return None; queries return a DataFrame.
+        """
+        stmt = parse_statement(sql)
+        if stmt.kind == "create_time_series":
+            self.create_time_series_table(stmt.ts_metadata)
+            return None
+        if stmt.kind == "truncate":
+            for t in stmt.tables:
+                self.truncate(t)
+            return None
+        if stmt.kind == "drop":
+            self.drop(stmt.tables[0])
+            return None
+        if stmt.kind == "vacuum":
+            self.vacuum(stmt.tables or None, stmt.retain_seconds)
+            return None
+        if stmt.kind == "include":
+            return self._include_select(stmt)
+        if stmt.kind == "insert":
+            self._insert(stmt)
+            return None
+        rewritten = self._try_aggregate_pushdown(sql)
+        if rewritten is not None:
+            return rewritten
+        self.register_views()
+        return self.spark.sql(sql)
+
+    def _insert(self, stmt: ModelarStatement) -> None:
+        """INSERT INTO t [(cols)] SELECT ... | VALUES ... — routed through
+        the write path (reference: DataFusion DML → DataSinkExec →
+        TimeSeriesTableDataSink, data_sinks.rs:38-212)."""
+        table = stmt.tables[0]
+        kind = self.catalog.kind(table)
+        if kind == TableKind.NORMAL:
+            declared = [f.name for f in self.catalog.normal_table_schema(table).fields]
+        else:
+            declared = [f.name for f in self.catalog.time_series_metadata(table).insert_schema().fields]
+        cols = stmt.insert_columns or declared
+        query = stmt.select_sql
+        if query.lstrip().upper().startswith("VALUES"):
+            query = f"SELECT * FROM ({query}) AS __v({', '.join(cols)})"
+        else:
+            self.register_views()
+        df = self.spark.sql(query).toDF(*cols)
+        self.write(table, df)
+
+    # ----------------------------------------------- model-based aggregates
+
+    def _try_aggregate_pushdown(self, sql: str) -> DataFrame | None:
+        """API-level equivalent of the reference's ModelSimpleAggregates
+        physical rule (model_simple_aggregates.rs:175-334): un-filtered
+        COUNT/MIN/MAX/SUM/AVG over stored fields of one time series table
+        → pure Column aggregation over segment statistics. Extended past
+        the reference: GROUP BY over tag columns is also eligible (tags
+        are segment-row columns, so grouped results stay exact)."""
+        m = _SIMPLE_AGG_SQL.match(sql)
+        if not m:
+            return None
+        table = m["table"]
+        try:
+            if self.catalog.kind(table) != TableKind.TIME_SERIES:
+                return None
+        except KeyError:
+            return None
+        meta = self.catalog.time_series_metadata(table)
+        field_index = meta.field_index_of
+        group_cols = [g.strip() for g in m["group"].split(",")] if m["group"] else []
+        if not all(g in meta.tag_columns for g in group_cols):
+            return None
+        items = [i.strip() for i in re.split(r",(?![^()]*\))", m["items"])]
+        aggs: list[tuple[str, int | None, str]] = []
+        for i, item in enumerate(items):
+            if item.strip() in meta.tag_columns and item.strip() in group_cols:
+                continue  # plain group key in the projection
+            am = _AGG_ITEM.match(item)
+            if not am:
+                return None
+            func, arg = am["func"].lower(), am["arg"]
+            if arg == "*":
+                if func != "count":
+                    return None
+                idx = 0  # every point exists in every field partition
+            elif arg in field_index:
+                idx = field_index[arg]
+            else:
+                return None
+            alias = am["alias"] or f"{func}({arg})"
+            aggs.append((func, idx, alias))
+        if not aggs:
+            return None
+        segments = self.segments(table)
+        out = agg_ops.segment_aggregates(segments, aggs, group_cols or None)
+        keep = group_cols + [a[2] for a in aggs]
+        return out.select(*keep)
+
+    # ------------------------------------------------------------- include
+
+    def _include_select(self, stmt: ModelarStatement) -> DataFrame:
+        """INCLUDE 'folder'[, 'folder']+ SELECT ... — run the SELECT
+        against this engine and every included data folder, returning the
+        unordered union (reference parser.rs:465-492, remote.rs:91-119;
+        addresses here are data-folder paths rather than Flight URLs)."""
+        result = self.read_sql(stmt.select_sql)
+        for addr in stmt.include_addresses:
+            other = Engine(self.spark, addr)
+            result = result.unionByName(other.read_sql(stmt.select_sql))
+        return result
+
+    # ---------------------------------------------------- convenience reads
+
+    def read_time_series_table(
+        self,
+        name: str,
+        columns: dict[str, str | None] | None = None,
+        group_by: list[str] | None = None,
+        start=None,
+        end=None,
+        tags: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Structured read (reference Operations::read_time_series_table,
+        modelardb_embedded/src/operations/mod.rs:190-255): per-column
+        aggregate selection (None|count|min|max|sum|avg), tag filters,
+        GROUP BY, and a time range.
+
+        Aggregates with only tag constraints run on segment statistics;
+        a time range forces the gridded path (segment boundaries don't
+        align with arbitrary ranges, so stats would be inexact)."""
+        meta = self.catalog.time_series_metadata(name)
+        field_index = meta.field_index_of
+        columns = columns or {f: None for f in meta.field_names}
+        agg_items = {c: a for c, a in columns.items() if a is not None}
+        start_us, end_us = _to_us(start), _to_us(end)
+
+        if agg_items and not start_us and not end_us:
+            segments = self.segments(name)
+            for t, v in (tags or {}).items():
+                segments = segments.where(F.col(t) == F.lit(v))
+            aggs = [
+                (a.lower(), field_index[c], f"{a.lower()}_{c}") for c, a in agg_items.items()
+            ]
+            return agg_ops.segment_aggregates(segments, aggs, group_by or None)
+
+        df = self.table(name, start=start, end=end)
+        for t, v in (tags or {}).items():
+            df = df.where(F.col(t) == F.lit(v))
+        if not agg_items:
+            return df.select(meta.timestamp_column, *columns.keys(), *meta.tag_columns)
+        exprs = [
+            getattr(F, a.lower())(F.col(c)).alias(f"{a.lower()}_{c}") for c, a in agg_items.items()
+        ]
+        if group_by:
+            return df.groupBy(*group_by).agg(*exprs)
+        return df.agg(*exprs)
+
+    # ----------------------------------------------------------------- copy
+
+    def copy(self, sql: str, target: "Engine", table: str) -> None:
+        """Run a query here and append the result to a table in another
+        data folder (reference Operations::copy)."""
+        target.write(table, self.read_sql(sql))
+
+    def copy_time_series_table(self, name: str, target: "Engine") -> None:
+        """Segment-level copy without re-compression
+        (reference Operations::copy_time_series_table)."""
+        meta = self.catalog.time_series_metadata(name)
+        if not target.catalog.exists(name):
+            target.create_time_series_table(meta)
+        target.folder.write_segments(meta, self.segments(name))
+
+    def move(self, name: str, target: "Engine") -> None:
+        self.copy_time_series_table(name, target)
+        self.drop(name)

@@ -1,0 +1,75 @@
+"""Model-based (segment-pushdown) simple aggregates.
+
+Reference semantics: the ``ModelSimpleAggregates`` physical optimizer
+rule rewrites un-grouped, un-filtered COUNT/MIN/MAX/SUM/AVG over one
+field column to run directly on segment metadata without reconstruction
+(crates/modelardb_storage/src/optimizer/model_simple_aggregates.rs:175-618;
+segment math crates/modelardb_compression/src/models/mod.rs:98-184).
+
+Spark-first translation: the segments table stores ``value_count`` and
+``seg_sum`` as plain columns (see types.segment_schema — the closed-form
+per-model length/sum math runs once at compression time instead of once
+per query), so every pushed-down aggregate is pure JVM-side Column
+aggregation over four narrow columns:
+
+    COUNT(f) -> SUM(value_count)        MIN(f) -> MIN(min_value)
+    SUM(f)   -> SUM(seg_sum)            MAX(f) -> MAX(max_value)
+    AVG(f)   -> SUM(seg_sum) / SUM(value_count)
+
+At 100 TB this reads only the stats columns of the segment Parquet files
+(column pruning) — no binary payloads, no decode, no Python. GROUP BY
+tag columns IS supported here (a strict superset of the reference rule,
+which bails on any GROUP BY): tags are segment-row columns, so grouped
+aggregates are equally exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SIMPLE_AGGS = ("count", "min", "max", "sum", "avg")
+
+
+def pushdown_agg_column(func: str, field_index: int | None = None) -> Column:
+    """The segment-level Column expression for one simple aggregate.
+
+    ``field_index`` restricts to one field_column partition when the
+    segments DataFrame holds several fields (conditional aggregation).
+    """
+    func = func.lower()
+    if func not in SIMPLE_AGGS:
+        raise ValueError(f"not a pushdown-able aggregate: {func}")
+    cond = (F.col("field_column") == F.lit(field_index)) if field_index is not None else F.lit(True)
+
+    def only(c: Column) -> Column:
+        return F.when(cond, c)
+
+    if func == "count":
+        return F.coalesce(F.sum(only(F.col("value_count"))), F.lit(0)).cast("long")
+    if func == "min":
+        return F.min(only(F.col("min_value")))
+    if func == "max":
+        return F.max(only(F.col("max_value")))
+    if func == "sum":
+        # Spark SUM(float) accumulates in double; seg_sum is the f64 sum of
+        # reconstructed values, so the result matches gridded SUM(value)
+        # modulo f64 addition order.
+        return F.sum(only(F.col("seg_sum")))
+    # avg
+    return (F.sum(only(F.col("seg_sum"))) / F.sum(only(F.col("value_count")))).cast("double")
+
+
+def segment_aggregates(
+    segments: DataFrame,
+    aggs: list[tuple[str, int | None, str]],
+    group_by_tags: list[str] | None = None,
+) -> DataFrame:
+    """Run simple aggregates directly on a segments DataFrame.
+
+    ``aggs``: list of (func, field_index|None, output_alias).
+    """
+    cols = [pushdown_agg_column(func, idx).alias(alias) for func, idx, alias in aggs]
+    if group_by_tags:
+        return segments.groupBy(*group_by_tags).agg(*cols)
+    return segments.agg(*cols)

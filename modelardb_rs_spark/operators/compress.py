@@ -1,0 +1,114 @@
+"""DataFrame → segments compression operator.
+
+Spark-first reimplementation of the reference ingest path
+(crates/modelardb_server/src/storage/uncompressed_data_manager.rs:130-600:
+per-series buffering + greedy compression): the multivariate input is
+shuffled so each univariate series (one tag combination) lands in one
+group, sorted by time, and fitted with the vectorized greedy fitter.
+
+Two physical strategies, chosen by table shape:
+
+- **tagged tables**: ``groupBy(tags).applyInPandas`` — one Arrow batch
+  per series; scales horizontally with the number of series, which is the
+  natural parallelism axis of this workload (the reference parallelizes
+  the same way, one buffer per tag-hash).
+- **untagged tables** (a single global series): ``repartitionByRange``
+  on the timestamp + ``mapInPandas`` per partition. Segments may split at
+  partition boundaries, which the data model explicitly allows (mirrors
+  buffer-capacity splits, reference storage/mod.rs:53-58) — this keeps a
+  single series scalable instead of serializing it through one task.
+
+Out-of-order data: each batch is sorted before compression; cross-batch
+overlap is permitted and resolved at read time by decoding all segments
+(reference compression.rs:109-141 has the same relaxed semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from modelardb_rs_spark.compression.fitter import fit_series
+from modelardb_rs_spark.types import ErrorBound, TimeSeriesTableMetadata, segment_schema
+
+
+def _fit_group(
+    pdf: pd.DataFrame,
+    ts_col: str,
+    field_names: list[str],
+    bounds: list[ErrorBound],
+    tag_columns: list[str],
+) -> pd.DataFrame:
+    """Compress one pandas chunk holding one (or part of one) series."""
+    pdf = pdf.sort_values(ts_col, kind="stable")
+    ts_us = pdf[ts_col].to_numpy()
+    if np.issubdtype(ts_us.dtype, np.datetime64):
+        ts_us = ts_us.astype("datetime64[us]").astype(np.int64)
+    else:
+        ts_us = ts_us.astype(np.int64)
+    tag_values = {t: (pdf[t].iloc[0] if len(pdf) else None) for t in tag_columns}
+    frames = []
+    for idx, (fname, bound) in enumerate(zip(field_names, bounds)):
+        values = pdf[fname].to_numpy(dtype=np.float32)
+        cols = fit_series(ts_us, values, bound)
+        seg = pd.DataFrame(cols)
+        seg["model_type_id"] = seg["model_type_id"].astype(np.int8)
+        seg["min_value"] = seg["min_value"].astype(np.float32)
+        seg["max_value"] = seg["max_value"].astype(np.float32)
+        seg["error"] = seg["error"].astype(np.float32)
+        seg["value_count"] = seg["value_count"].astype(np.int32)
+        seg["field_column"] = np.int16(idx)
+        for t in tag_columns:
+            seg[t] = tag_values[t]
+        frames.append(seg)
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True)
+
+
+def compress(
+    df: DataFrame,
+    meta: TimeSeriesTableMetadata,
+    range_partitions: int | None = None,
+) -> DataFrame:
+    """Compress a multivariate DataFrame (insert schema) into segments.
+
+    Returns a DataFrame with ``types.segment_schema(meta.tag_columns)``.
+    """
+    ts_col = meta.timestamp_column
+    field_names = meta.field_names
+    bounds = [meta.field_columns[f] for f in field_names]
+    tags = list(meta.tag_columns)
+    out_schema = segment_schema(tags)
+
+    # Normalize the timestamp to µs epoch longs before it crosses to pandas.
+    df = df.withColumn(
+        ts_col,
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        if dict(df.dtypes)[ts_col] != "bigint"
+        else F.col(ts_col),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _fit_group(pdf, ts_col, field_names, bounds, tags)
+
+    if tags:
+        return df.groupBy(*tags).applyInPandas(fit, schema=out_schema)
+
+    # Untagged: range-partition the single series by time so compression
+    # parallelizes; segments split at partition boundaries (allowed).
+    if range_partitions is None:
+        range_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+
+    def fit_iter(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield _fit_group(pdf, ts_col, field_names, bounds, tags)
+
+    return (
+        df.repartitionByRange(range_partitions, ts_col)
+        .sortWithinPartitions(ts_col)
+        .mapInPandas(fit_iter, schema=out_schema)
+    )

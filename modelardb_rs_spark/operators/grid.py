@@ -1,0 +1,155 @@
+"""Segments → data-points gridding operator (the reference's GridExec +
+SortedJoinExec + GeneratedAsExec pipeline as one DataFrame view).
+
+Reference semantics: GridExec reconstructs per-field univariate points
+(crates/modelardb_storage/src/query/grid_exec.rs:261-391), SortedJoinExec
+zips the per-field streams into multivariate rows
+(sorted_join_exec.rs:278-310), GeneratedAsExec evaluates generated
+columns (generated_as_exec.rs:262-320).
+
+Spark-first translation — deliberately NOT a positional zip: the
+reference relies on single-partition, globally-sorted streams (its
+scalability ceiling, see SURVEY.md §4.2); here reassembly is a keyed
+``groupBy(tags, timestamp).pivot(field_column)``-style aggregation,
+which shuffles by series key and therefore parallelizes *within* a field
+column across the whole cluster. Single-field reads skip the shuffle
+entirely (decode is map-only). Generated columns are plain
+``F.expr(sql)`` projections.
+
+Time-range pruning: ``start`` / ``end`` bounds are rewritten to segment
+interval predicates (``end_time >= start AND start_time <= end`` —
+reference time_series_table.rs:269-373) which Catalyst pushes into the
+Parquet scan; the exact point-level predicate is re-applied after decode.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from modelardb_rs_spark.compression.decode import decode_segments
+from modelardb_rs_spark.types import TimeSeriesTableMetadata, grid_schema
+
+
+def prune_segments(
+    segments: DataFrame,
+    start_us: int | None = None,
+    end_us: int | None = None,
+) -> DataFrame:
+    """Segment-interval rewrite of a point-level time range
+    (reference time_series_table.rs:269-373): a segment can contain a
+    point in [start, end] iff end_time >= start AND start_time <= end."""
+    if start_us is not None:
+        segments = segments.where(F.col("end_time") >= F.lit(int(start_us)))
+    if end_us is not None:
+        segments = segments.where(F.col("start_time") <= F.lit(int(end_us)))
+    return segments
+
+
+def grid_univariate(
+    segments: DataFrame,
+    tag_columns: list[str],
+    start_us: int | None = None,
+    end_us: int | None = None,
+) -> DataFrame:
+    """Decode one field's segments into points (timestamp µs, value, tags).
+
+    Map-only: no shuffle. The exact point-level time predicate is
+    re-applied after decode because segment pruning is inexact
+    (reference grid_exec.rs re-filters the same way).
+    """
+    segments = prune_segments(segments, start_us, end_us)
+    out_schema = grid_schema(tag_columns)
+
+    def decode(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf):
+                yield decode_segments(pdf, tag_columns)
+
+    points = segments.mapInPandas(decode, schema=out_schema)
+    if start_us is not None:
+        points = points.where(F.col("timestamp") >= F.lit(int(start_us)))
+    if end_us is not None:
+        points = points.where(F.col("timestamp") <= F.lit(int(end_us)))
+    return points
+
+
+def grid(
+    segments: DataFrame,
+    meta: TimeSeriesTableMetadata,
+    fields: list[str] | None = None,
+    start_us: int | None = None,
+    end_us: int | None = None,
+    with_generated: bool = True,
+) -> DataFrame:
+    """Reconstruct the logical (query-schema) DataFrame from segments.
+
+    Output columns: timestamp (TimestampType, µs), requested stored
+    fields (float), tags (string), generated columns (float, via F.expr).
+    """
+    field_index = meta.field_index_of
+    stored = list(meta.field_columns)
+    requested = (
+        fields if fields is not None else stored + [g.name for g in meta.generated_columns]
+    )
+    gen_by_name = {g.name: g for g in meta.generated_columns}
+
+    # Generated columns pull in their source stored fields implicitly: the
+    # reference adds then truncates them (time_series_table.rs:535-595);
+    # here we simply grid all stored fields the expressions may reference.
+    need_generated = [g for g in meta.generated_columns if with_generated and (fields is None or g.name in requested)]
+    stored_requested = [f for f in requested if f in field_index]
+    decode_fields = stored if need_generated else (stored_requested or stored[:1])
+
+    tags = list(meta.tag_columns)
+    wanted = segments.where(
+        F.col("field_column").isin([field_index[f] for f in decode_fields])
+    )
+    # Decode all wanted fields in one map-only pass, carrying field_column
+    # through as a decode "tag" so one shuffle reassembles all fields.
+    carried = tags + ["__field__"]
+    wanted = wanted.withColumn("__field__", F.col("field_column").cast("string"))
+    univariate = grid_univariate(wanted, carried, start_us, end_us)
+
+    if len(decode_fields) == 1:
+        # Fast path: no reassembly shuffle needed.
+        out = univariate.withColumnRenamed("value", decode_fields[0]).drop("__field__")
+    else:
+        # One shuffle on (timestamp, tags): collect each field's values as a
+        # list, then zip+explode. Unlike groupBy+first, this preserves the
+        # multiplicity of duplicate points from overlapping segment writes
+        # (the reference's positional SortedJoinExec also emits one output
+        # row per per-field input row, sorted_join_exec.rs:278-310);
+        # arrays_zip pads a missing field with NULL.
+        index_to_name = {str(field_index[f]): f for f in decode_fields}
+        aggs = [
+            F.collect_list(
+                F.when(F.col("__field__") == F.lit(idx), F.col("value"))
+            ).alias(name)
+            for idx, name in index_to_name.items()
+        ]
+        names = list(index_to_name.values())
+        grouped = univariate.groupBy(*(["timestamp"] + tags)).agg(*aggs)
+        zipped = grouped.select(
+            "timestamp", *tags, F.explode(F.arrays_zip(*names)).alias("__z__")
+        )
+        out = zipped.select(
+            "timestamp",
+            *[F.col(f"__z__.{n}").alias(n) for n in names],
+            *tags,
+        )
+
+    out = out.withColumn("timestamp", F.timestamp_micros(F.col("timestamp")))
+    for g in need_generated:
+        out = out.withColumn(g.name, F.expr(g.expr_sql).cast("float"))
+
+    # Final projection in query-schema order.
+    cols = ["timestamp"] + [c for c in requested if c in field_index or c in gen_by_name] + tags
+    seen: list[str] = []
+    for c in cols:
+        if c not in seen:
+            seen.append(c)
+    return out.select(*seen)

@@ -1,0 +1,157 @@
+"""SQL dialect extensions — a thin pre-parser over ``spark.sql``.
+
+Reference: the custom ``ModelarDbDialect`` intercepts
+``CREATE TIME SERIES TABLE`` / ``INCLUDE`` / ``TRUNCATE`` / ``VACUUM``
+and passes every other statement through to the inherited SQL engine
+(crates/modelardb_storage/src/parser.rs:58-160,226-312,465-632,695-707).
+This module does the same with regexes: it classifies one statement into
+a ``ModelarStatement`` the Engine executes; unrecognized statements fall
+through to Spark SQL unchanged. One statement per call, as in the
+reference (parser.rs:87-90).
+
+Grammar accepted for time series DDL (parser.rs:226-312):
+
+    CREATE TIME SERIES TABLE name(
+        col TIMESTAMP,
+        col FIELD | col FIELD(0.5) | col FIELD(5.0%) | col FIELD AS (expr),
+        col TAG, ...
+    )
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from modelardb_rs_spark.types import ErrorBound, GeneratedColumn, TimeSeriesTableMetadata
+
+_CREATE_TS = re.compile(
+    r"^\s*CREATE\s+TIME\s+SERIES\s+TABLE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*\((?P<cols>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_TRUNCATE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<tables>[A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM = re.compile(
+    r"^\s*VACUUM(?:\s+(?P<tables>[A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*))?"
+    r"(?:\s+RETAIN\s+(?P<retain>\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_INCLUDE = re.compile(
+    r"^\s*INCLUDE\s+(?P<addrs>'[^']+'(?:\s*,\s*'[^']+')*)\s+(?P<select>SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?(?P<query>(?:SELECT|VALUES)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+@dataclass
+class ModelarStatement:
+    kind: str  # create_time_series | truncate | drop | vacuum | include | passthrough
+    sql: str
+    tables: list[str] = field(default_factory=list)
+    ts_metadata: TimeSeriesTableMetadata | None = None
+    retain_seconds: int | None = None
+    include_addresses: list[str] = field(default_factory=list)
+    select_sql: str | None = None
+    insert_columns: list[str] = field(default_factory=list)
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    """Split on commas not nested inside parentheses (needed because
+    FIELD AS (expr) expressions may contain commas)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+_COL_TS = re.compile(r"^(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP$", re.IGNORECASE)
+_COL_TAG = re.compile(r"^(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+TAG$", re.IGNORECASE)
+_COL_FIELD = re.compile(
+    r"^(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+FIELD"
+    r"(?:\s*\(\s*(?P<bound>\d+(?:\.\d+)?)\s*(?P<pct>%)?\s*\))?$",
+    re.IGNORECASE,
+)
+_COL_GENERATED = re.compile(
+    r"^(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+FIELD\s+AS\s*\((?P<expr>.+)\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_create_time_series(name: str, cols_src: str) -> TimeSeriesTableMetadata:
+    timestamp_column: str | None = None
+    fields: dict[str, ErrorBound] = {}
+    tags: list[str] = []
+    generated: list[GeneratedColumn] = []
+    for col_src in _split_top_level_commas(cols_src):
+        if m := _COL_TS.match(col_src):
+            if timestamp_column is not None:
+                raise ValueError("exactly one TIMESTAMP column is required")
+            timestamp_column = m["name"]
+        elif m := _COL_TAG.match(col_src):
+            tags.append(m["name"])
+        elif m := _COL_GENERATED.match(col_src):
+            generated.append(GeneratedColumn(m["name"], m["expr"].strip()))
+        elif m := _COL_FIELD.match(col_src):
+            if m["bound"] is None:
+                bound = ErrorBound.lossless()
+            elif m["pct"]:
+                bound = ErrorBound.relative(float(m["bound"]))
+            else:
+                value = float(m["bound"])
+                bound = ErrorBound.lossless() if value == 0.0 else ErrorBound.absolute(value)
+            fields[m["name"]] = bound
+        else:
+            raise ValueError(f"cannot parse column definition: {col_src!r}")
+    if timestamp_column is None:
+        raise ValueError("a time series table requires a TIMESTAMP column")
+    return TimeSeriesTableMetadata(
+        name=name,
+        timestamp_column=timestamp_column,
+        field_columns=fields,
+        tag_columns=tags,
+        generated_columns=generated,
+    )
+
+
+def parse_statement(sql: str) -> ModelarStatement:
+    if m := _CREATE_TS.match(sql):
+        meta = parse_create_time_series(m["name"], m["cols"])
+        return ModelarStatement(kind="create_time_series", sql=sql, tables=[m["name"]], ts_metadata=meta)
+    if m := _INCLUDE.match(sql):
+        addrs = [a.strip().strip("'") for a in m["addrs"].split(",")]
+        return ModelarStatement(kind="include", sql=sql, include_addresses=addrs, select_sql=m["select"])
+    if m := _INSERT.match(sql):
+        cols = [c.strip() for c in m["cols"].split(",")] if m["cols"] else []
+        return ModelarStatement(
+            kind="insert", sql=sql, tables=[m["name"]], select_sql=m["query"], insert_columns=cols
+        )
+    if m := _TRUNCATE.match(sql):
+        tables = [t.strip() for t in m["tables"].split(",")]
+        return ModelarStatement(kind="truncate", sql=sql, tables=tables)
+    if m := _DROP.match(sql):
+        return ModelarStatement(kind="drop", sql=sql, tables=[m["name"]])
+    if m := _VACUUM.match(sql):
+        tables = [t.strip() for t in m["tables"].split(",")] if m["tables"] else []
+        retain = int(m["retain"]) if m["retain"] else None
+        return ModelarStatement(kind="vacuum", sql=sql, tables=tables, retain_seconds=retain)
+    return ModelarStatement(kind="passthrough", sql=sql)

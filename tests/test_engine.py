@@ -1,0 +1,151 @@
+"""Engine end-to-end tests: DDL lifecycle, write→grid round-trip, SQL,
+generated columns, DDL utilities — modeled on the reference integration
+tests (crates/modelardb_server/tests/integration_test.rs:486-1058)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from modelardb_rs_spark.types import ErrorBound
+
+
+TS0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+
+def make_points(spark, n=100, tags=("a", "b")):
+    rows = [
+        Row(
+            timestamp=TS0 + datetime.timedelta(seconds=i),
+            field_1=float(i % 10),
+            field_2=float(i) * 0.5,
+            tag=tags[i % len(tags)],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture()
+def ts_engine(engine, spark):
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE ts(timestamp TIMESTAMP, field_1 FIELD, "
+        "field_2 FIELD(1.0), tag TAG)"
+    )
+    engine.write("ts", make_points(spark))
+    return engine
+
+
+def test_ddl_lifecycle(engine):
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE t1(timestamp TIMESTAMP, f FIELD(5.0%), tag TAG)"
+    )
+    engine.create_table("n1", "a INT, b STRING")
+    assert engine.tables() == {"t1": "time_series", "n1": "normal"}
+    meta = engine.catalog.time_series_metadata("t1")
+    assert meta.field_columns["f"] == ErrorBound.relative(5.0)
+    engine.read_sql("DROP TABLE t1")
+    assert engine.tables() == {"n1": "normal"}
+
+
+def test_write_then_grid_roundtrip(ts_engine, spark):
+    df = ts_engine.table("ts")
+    rows = df.orderBy("timestamp", "tag").collect()
+    assert len(rows) == 100
+    assert df.columns == ["timestamp", "field_1", "field_2", "tag"]
+    # field_1 is lossless: exact values back
+    got = {(r.timestamp, r.tag): r.field_1 for r in rows}
+    for i in range(100):
+        t = TS0 + datetime.timedelta(seconds=i)
+        assert got[(t.replace(tzinfo=None), ("a", "b")[i % 2])] == float(i % 10)
+    # field_2 has absolute bound 1.0
+    for r in rows:
+        i = int((r.timestamp - TS0.replace(tzinfo=None)).total_seconds())
+        assert abs(r.field_2 - i * 0.5) <= 1.0
+
+
+def test_sql_over_gridded_view(ts_engine):
+    out = ts_engine.read_sql(
+        "SELECT tag, count(field_1) AS n FROM ts WHERE field_1 >= 5 GROUP BY tag ORDER BY tag"
+    )
+    rows = out.collect()
+    assert [r.tag for r in rows] == ["a", "b"]
+    assert sum(r.n for r in rows) == 50
+
+
+def test_time_range_pruning(ts_engine):
+    start = TS0 + datetime.timedelta(seconds=30)
+    end = TS0 + datetime.timedelta(seconds=59)
+    df = ts_engine.table("ts", start=start, end=end)
+    assert df.count() == 30
+
+
+def test_generated_column(engine, spark):
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE g(timestamp TIMESTAMP, field_1 FIELD, "
+        "generated FIELD AS (field_1 + 37.0), tag TAG)"
+    )
+    engine.write("g", make_points(spark).select("timestamp", "field_1", "tag"))
+    rows = engine.table("g").collect()
+    assert engine.table("g").columns == ["timestamp", "field_1", "generated", "tag"]
+    for r in rows:
+        assert r.generated == pytest.approx(r.field_1 + 37.0)
+
+
+def test_normal_table_insert_and_select(engine):
+    engine.create_table("normal_table", "ts TIMESTAMP, vals FLOAT, metadata FLOAT")
+    engine.read_sql(
+        "INSERT INTO normal_table VALUES "
+        "(timestamp '2024-01-01 00:00:00', CAST(1.0 AS FLOAT), CAST(6.0 AS FLOAT)), "
+        "(timestamp '2024-01-01 00:00:01', CAST(2.0 AS FLOAT), CAST(7.0 AS FLOAT))"
+    )
+    out = engine.read_sql("SELECT sum(vals) AS s, count(*) AS n FROM normal_table").collect()[0]
+    assert out.s == 3.0 and out.n == 2
+
+
+def test_insert_into_time_series(ts_engine):
+    ts_engine.read_sql(
+        "INSERT INTO ts VALUES (timestamp '2024-02-01 00:00:00', "
+        "CAST(99.0 AS FLOAT), CAST(1.0 AS FLOAT), 'c')"
+    )
+    df = ts_engine.table("ts")
+    assert df.count() == 101
+    assert df.where(F.col("tag") == "c").collect()[0].field_1 == 99.0
+
+
+def test_truncate(ts_engine):
+    ts_engine.read_sql("TRUNCATE ts")
+    assert ts_engine.table("ts").count() == 0
+    assert "ts" in ts_engine.tables()
+
+
+def test_vacuum_runs(ts_engine):
+    ts_engine.read_sql("VACUUM")
+    assert ts_engine.table("ts").count() == 100
+
+
+def test_include_union(ts_engine, spark, tmp_path):
+    from modelardb_rs_spark.engine import Engine
+
+    other = Engine(spark, str(tmp_path / "other_folder"))
+    other.read_sql(
+        "CREATE TIME SERIES TABLE ts(timestamp TIMESTAMP, field_1 FIELD, "
+        "field_2 FIELD(1.0), tag TAG)"
+    )
+    other.write("ts", make_points(spark, n=10))
+    out = ts_engine.read_sql(
+        f"INCLUDE '{other.folder.root}' SELECT count(field_1) AS n FROM ts"
+    )
+    assert sorted(r.n for r in out.collect()) == [10, 100]
+
+
+def test_copy_and_move(ts_engine, spark, tmp_path):
+    from modelardb_rs_spark.engine import Engine
+
+    target = Engine(spark, str(tmp_path / "target_folder"))
+    ts_engine.copy_time_series_table("ts", target)
+    assert target.table("ts").count() == 100
+    ts_engine.move("ts", target)
+    assert "ts" not in ts_engine.tables()
+    assert target.table("ts").count() == 200
