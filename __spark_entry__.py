@@ -1,38 +1,792 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus
+the LLM-data-pipeline operator family) to a (spark, sf_dir) -> DataFrame
+callable; ``oracle_sql()`` provides the DuckDB-equivalent ANSI SQL for
+the correctness gate. Column names and rounding are aligned on both
+sides so the driver's order-insensitive value hash matches.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modelardb_rs_spark.engine import Engine
+from modelardb_rs_spark.operators import dedup as dedup_ops
+from modelardb_rs_spark.operators import multimodal as mm_ops
+from modelardb_rs_spark.operators import similarity as sim_ops
+from modelardb_rs_spark.operators import text as text_ops
+from modelardb_rs_spark.sources.testdata import load_table
+
+
+def _prep(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    """Load driver tables with UTC semantics (so formatted timestamps are
+    engine-independent)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+# ---------------------------------------------------------------------------
+# Time series engine state: events ingested into a compressed time series
+# table once per (process, sf_dir), cached under /tmp.
+# ---------------------------------------------------------------------------
+
+_TS_TABLE_DDL = (
+    "CREATE TIME SERIES TABLE ts_events(timestamp TIMESTAMP, value FIELD, "
+    "scaled FIELD(0.5), doubled FIELD AS (value + value), etype TAG)"
+)
+
+
+def _ts_engine(spark: SparkSession, sf_dir: str) -> Engine:
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_entry", key)
+    eng = Engine(spark, root)
+    if "ts_events" not in eng.tables():
+        eng.read_sql(_TS_TABLE_DDL)
+        (events,) = _prep(spark, sf_dir, "events")
+        pts = events.select(
+            F.col("ts").alias("timestamp"),
+            F.col("value").cast("float").alias("value"),
+            (F.col("value") * 3.0).cast("float").alias("scaled"),
+            F.col("event_type").alias("etype"),
+        )
+        eng.write("ts_events", pts)
+    return eng
+
+
+# ---------------------------------------------------------------------------
+# Relational queries (the inherited SQL operator surface)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + groupBy + 6 aggregates."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + group + top-10 by revenue (deterministic tie-break)."""
+    cust, orders, li = _prep(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way join through region/nation with broadcast-able dims."""
+    region, nation, cust, orders, li, supp = _prep(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem", "supplier"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective filter + single-row aggregate (predicate pushdown path)."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join + group + order + limit."""
+    cust, orders = _prep(spark, sf_dir, "customer", "orders")
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"), F.count("*").alias("n_orders"))
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS (left-semi join) + group + count."""
+    orders, li = _prep(spark, sf_dir, "orders", "lineitem")
+    return (
+        orders.join(li.select("l_orderkey").distinct(), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window aggregation: per-customer running order total."""
+    from pyspark.sql import Window
+
+    (orders,) = _prep(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        orders.withColumn("running_total", F.round(F.sum("o_totalprice").over(w), 2))
+        .where(F.col("o_custkey") <= 100)
+        .select("o_custkey", "o_orderkey", "running_total")
+    )
+
+
+def q_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregation per group."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer key sets."""
+    (cust,) = _prep(spark, sf_dir, "customer")
+    auto = cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    rich = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    return spark.createDataFrame(
+        [], "set_op string, n long"
+    ).unionByName(
+        auto.union(rich).distinct().agg(F.lit("union").alias("set_op"), F.count("*").alias("n"))
+    ).unionByName(
+        auto.intersect(rich).agg(F.lit("intersect").alias("set_op"), F.count("*").alias("n"))
+    ).unionByName(
+        auto.exceptAll(rich).distinct().agg(F.lit("except").alias("set_op"), F.count("*").alias("n"))
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window (hourly rollup) as strings for
+    engine-independent comparison."""
+    (ev,) = _prep(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag(): count 30-minute-gap sessions per user."""
+    from pyspark.sql import Window
+
+    (ev,) = _prep(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    starts = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("session_start", starts)
+        .groupBy("user_id")
+        .agg(F.sum("session_start").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time series engine queries (the ModelarDB-specific operator surface)
+# ---------------------------------------------------------------------------
+
+
+def ts_grid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compress → store → grid → SQL group-by: lossless round-trip."""
+    eng = _ts_engine(spark, sf_dir)
+    return eng.read_sql(
+        "SELECT etype, count(value) AS n, round(sum(value), 2) AS total "
+        "FROM ts_events WHERE timestamp >= timestamp '1970-01-01' GROUP BY etype"
+    )
+
+
+def ts_pushdown_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based aggregate rewrite: COUNT/MIN/MAX/SUM/AVG straight off
+    segment statistics (no decode)."""
+    eng = _ts_engine(spark, sf_dir)
+    out = eng.read_sql(
+        "SELECT count(value) AS cnt, min(value) AS mn, max(value) AS mx, "
+        "sum(value) AS sm, avg(value) AS av FROM ts_events"
+    )
+    return out.select(
+        "cnt", "mn", "mx", F.round("sm", 2).alias("sm"), F.round("av", 4).alias("av")
+    )
+
+
+def ts_pushdown_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-by-tag segment aggregates (superset of the reference rule)."""
+    eng = _ts_engine(spark, sf_dir)
+    out = eng.read_sql(
+        "SELECT etype, count(value) AS n, min(value) AS mn, max(value) AS mx "
+        "FROM ts_events GROUP BY etype"
+    )
+    return out
+
+
+def ts_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-pruned time-range read (timestamp predicate rewrite)."""
+    eng = _ts_engine(spark, sf_dir)
+    df = eng.table("ts_events", fields=["value"], start="2024-01-05", end="2024-01-15")
+    return df.groupBy("etype").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+def ts_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated column (FIELD AS expr) evaluated at query time."""
+    eng = _ts_engine(spark, sf_dir)
+    return eng.read_sql(
+        "SELECT etype, round(sum(doubled), 2) AS sum_doubled, count(doubled) AS n "
+        "FROM ts_events WHERE timestamp >= timestamp '1970-01-01' GROUP BY etype"
+    )
+
+
+def ts_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate reassembly of two stored fields + lossy-bound field."""
+    eng = _ts_engine(spark, sf_dir)
+    df = eng.table("ts_events", fields=["value", "scaled"])
+    return df.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(F.abs(F.col("scaled") - 3.0 * F.col("value"))), 0).alias("scaled_err_x"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _prep(spark, sf_dir, "documents")
+    fp = text_ops.fingerprint_documents(docs)
+    return fp.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_distinct"),
+        F.min("fingerprint").alias("min_fp"),
+        F.max("fingerprint").alias("max_fp"),
+    )
+
+
+def doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _prep(spark, sf_dir, "documents")
+    groups = dedup_ops.exact_duplicate_groups(docs)
+    return groups.agg(
+        F.coalesce(F.count("*"), F.lit(0)).alias("n_groups"),
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_dup_docs"),
+    )
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", text_ops.token_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _prep(spark, sf_dir, "documents")
+    q = text_ops.quality_features(docs)
+    return q.groupBy("source").agg(
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        F.round(F.avg("punct_ratio"), 4).alias("avg_punct"),
+        F.round(F.avg("stopword_ratio"), 4).alias("avg_stop"),
+    )
+
+
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return (
+        text_ops.language_id(docs)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _prep(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, threshold=0.10, n=3)
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.coalesce(F.sum("jaccard"), F.lit(0.0)), 4).alias("sum_jaccard"),
+        F.round(F.coalesce(F.max("jaccard"), F.lit(0.0)), 6).alias("max_jaccard"),
+    )
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _prep(spark, sf_dir, "documents")
+    sigs = dedup_ops.minhash_signatures(docs, k=8, n=3)
+    checksum = F.md5(F.concat_ws("|", *[f"h{i}" for i in range(8)]))
+    return sigs.select(F.col("doc_id"), checksum.alias("sig")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("sig").alias("n_distinct_sigs"),
+        F.min("sig").alias("min_sig"),
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _prep(spark, sf_dir, "documents")
+    sh = dedup_ops.simhash(docs)
+    return sh.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("simhash").alias("n_distinct"),
+        F.sum("simhash").cast("long").alias("sum_simhash"),
+    )
+
+
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline (approximate candidate recall;
+    rows-only driver check)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_dedup_pairs(docs, threshold=0.10, k=16, bands=8, n=3)
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.coalesce(F.max("jaccard"), F.lit(0.0)), 6).alias("max_jaccard"),
+    )
+
+
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim_ops.brute_force_topk(emb, queries, k=5)
+
+
+def sim_threshold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") < 100)
+    pairs = sim_ops.cosine_threshold_pairs(a, emb, threshold=0.8)
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.coalesce(F.sum("cos"), F.lit(0.0)), 4).alias("sum_cos"),
+    )
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (rows-only driver check; recall is
+    validated against brute force in tests/)."""
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim_ops.ivf_topk(emb, queries, k=5, nprobe=2)
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _prep(spark, sf_dir, "documents")
+    media = mm_ops.attach_fake_media(docs)
+    return media.agg(
+        F.count("*").alias("n_media"),
+        F.sum(F.col("width").cast("long")).alias("sum_width"),
+        F.sum(F.col("height").cast("long")).alias("sum_height"),
+        F.sum(F.octet_length("payload").cast("long")).alias("sum_bytes"),
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (fake codec;
+    rows-only driver check)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    media = mm_ops.attach_fake_media(docs)
+    feats = mm_ops.extract_features(media, fake_codec=True)
+    return feats.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("mean_byte"), 4).alias("avg_mean_byte"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: compress events into the model store, grid it back, and
+    aggregate — the engine's signature round trip."""
+    return ts_grid_roundtrip(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_revenue_forecast": q6_revenue_forecast,
+        "q_top_customers": q_top_customers,
+        "q_order_priority": q_order_priority,
+        "q_window_running_total": q_window_running_total,
+        "q_distinct_parts": q_distinct_parts,
+        "q_set_ops": q_set_ops,
+        "q_events_hourly": q_events_hourly,
+        "q_events_sessions": q_events_sessions,
+        "ts_grid_roundtrip": ts_grid_roundtrip,
+        "ts_pushdown_aggs": ts_pushdown_aggs,
+        "ts_pushdown_grouped": ts_pushdown_grouped,
+        "ts_time_range": ts_time_range,
+        "ts_generated_column": ts_generated_column,
+        "ts_multifield": ts_multifield,
+        "doc_fingerprints": doc_fingerprints,
+        "doc_exact_dups": doc_exact_dups,
+        "doc_token_stats": doc_token_stats,
+        "doc_quality": doc_quality,
+        "doc_langid": doc_langid,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+        "sim_bruteforce_topk": sim_bruteforce_topk,
+        "sim_threshold_count": sim_threshold_count,
+        "sim_ivf_topk": sim_ivf_topk,
+        "multimodal_metadata": multimodal_metadata,
+        "multimodal_features": multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB oracle SQL. Tables are pre-registered views. The events view has
+# nanosecond timestamps: CAST(ts AS TIMESTAMP) truncates to µs, matching
+# the Spark loader's µs normalization.
+
+_SHINGLE_CTE = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_transform(range(0, len(t) - 3 + 1),
+                                 i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+        END)) AS shingle
+    FROM toks
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_counts = {
+        lang: f"len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN {tuple(words)!r}))".replace(
+            "',)", "')"
+        )
+        for lang, words in sorted(text_ops.LANG_STOPWORDS.items())
+    }
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in sorted(text_ops.LANG_STOPWORDS)) + ")"
+    pred = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in sorted(text_ops.LANG_STOPWORDS):
+        pred += f"WHEN c_{lang} = {best} THEN '{lang}' "
+    pred += "END"
+
+    simhash_bitsum = ", ".join(
+        f"sum(CASE WHEN (hv & {1 << b}) > 0 THEN 1 ELSE -1 END) AS b{b}" for b in range(16)
+    )
+    simhash_sig = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN supplier ON l_suppkey = s_suppkey
+                          JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON s_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "q6_revenue_forecast": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q_top_customers": """
+            SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS total_spent,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY total_spent DESC, c_custkey LIMIT 20
+        """,
+        "q_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+            GROUP BY o_orderpriority
+        """,
+        "q_window_running_total": """
+            SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+            FROM orders QUALIFY o_custkey <= 100
+        """,
+        "q_distinct_parts": """
+            SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_set_ops": """
+            WITH auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+                 rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+            SELECT 'union' AS set_op, count(*) AS n FROM (SELECT DISTINCT c_custkey FROM (SELECT * FROM auto UNION ALL SELECT * FROM rich))
+            UNION ALL
+            SELECT 'intersect', count(*) FROM (SELECT c_custkey FROM auto INTERSECT SELECT c_custkey FROM rich)
+            UNION ALL
+            SELECT 'except', count(*) FROM (SELECT DISTINCT c_custkey FROM auto EXCEPT SELECT DISTINCT c_custkey FROM rich)
+        """,
+        "q_events_hourly": """
+            SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
+                   event_type, count(*) AS n, round(sum(value), 2) AS total
+            FROM events GROUP BY 1, 2
+        """,
+        "q_events_sessions": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) > 1800
+                            THEN 1 ELSE 0 END AS session_start
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, sum(session_start) AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "ts_grid_roundtrip": """
+            SELECT event_type AS etype, count(*) AS n,
+                   round(sum(CAST(CAST(value AS FLOAT) AS DOUBLE)), 2) AS total
+            FROM events GROUP BY event_type
+        """,
+        "ts_pushdown_aggs": """
+            SELECT count(*) AS cnt,
+                   min(CAST(value AS FLOAT)) AS mn,
+                   max(CAST(value AS FLOAT)) AS mx,
+                   round(sum(CAST(CAST(value AS FLOAT) AS DOUBLE)), 2) AS sm,
+                   round(sum(CAST(CAST(value AS FLOAT) AS DOUBLE)) / count(*), 4) AS av
+            FROM events
+        """,
+        "ts_pushdown_grouped": """
+            SELECT event_type AS etype, count(*) AS n,
+                   min(CAST(value AS FLOAT)) AS mn,
+                   max(CAST(value AS FLOAT)) AS mx
+            FROM events GROUP BY event_type
+        """,
+        "ts_time_range": """
+            SELECT event_type AS etype, count(*) AS n,
+                   round(sum(CAST(CAST(value AS FLOAT) AS DOUBLE)), 2) AS total
+            FROM events
+            WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05'
+              AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15'
+            GROUP BY event_type
+        """,
+        "ts_generated_column": """
+            SELECT event_type AS etype,
+                   round(sum(CAST(CAST(value AS FLOAT) AS DOUBLE)
+                             + CAST(CAST(value AS FLOAT) AS DOUBLE)), 2) AS sum_doubled,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "doc_fingerprints": """
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS n_distinct,
+                   min(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS min_fp,
+                   max(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS max_fp
+            FROM documents
+        """,
+        "doc_exact_dups": """
+            WITH fp AS (SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+                        FROM documents),
+                 g AS (SELECT f, count(*) AS n FROM fp GROUP BY f HAVING count(*) > 1)
+            SELECT count(*) AS n_groups, coalesce(sum(n), 0) AS n_dup_docs FROM g
+        """,
+        "doc_token_stats": """
+            WITH t AS (SELECT lang,
+                              CASE WHEN trim(text) = '' THEN 0
+                                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+                       FROM documents)
+            SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(avg(n_tokens), 4) AS avg_tokens,
+                   max(n_tokens) AS max_tokens
+            FROM t GROUP BY lang
+        """,
+        "doc_quality": """
+            WITH f AS (
+                SELECT source,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                       length(text) AS n_char,
+                       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     t -> t IN ('the','a','and','of','to','is','in','that'))) END AS stop
+                FROM documents
+            ), r AS (
+                SELECT source,
+                       CASE WHEN n_char > 0 THEN round(CAST(punct AS DOUBLE) / n_char, 4) ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN n_tokens > 0 THEN round(CAST(stop AS DOUBLE) / n_tokens, 4) ELSE 0.0 END AS stopword_ratio,
+                       n_tokens
+                FROM f
+            ), s AS (
+                SELECT source, punct_ratio, stopword_ratio,
+                       round(least(n_tokens / 100.0, 1.0) * 0.4
+                             + least(stopword_ratio * 5.0, 1.0) * 0.4
+                             + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 4) AS quality_score
+                FROM r
+            )
+            SELECT source, round(avg(quality_score), 4) AS avg_quality,
+                   round(avg(punct_ratio), 4) AS avg_punct,
+                   round(avg(stopword_ratio), 4) AS avg_stop
+            FROM s GROUP BY source
+        """,
+        "doc_langid": f"""
+            WITH c AS (SELECT lang,
+                {', '.join(f"{expr} AS c_{lang}" for lang, expr in lang_counts.items())}
+                FROM documents)
+            SELECT lang, {pred} AS predicted_lang, count(*) AS n
+            FROM c GROUP BY 1, 2
+        """,
+        "dedup_ngram_jaccard": _SHINGLE_CTE
+        + """
+            , sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.ns + sb.ns - i), 6) AS jac
+                FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                           JOIN sizes sb ON sb.doc_id = id_b
+            )
+            SELECT count(*) AS n_pairs,
+                   round(coalesce(sum(jac), 0.0), 4) AS sum_jaccard,
+                   round(coalesce(max(jac), 0.0), 6) AS max_jaccard
+            FROM j WHERE jac >= 0.10
+        """,
+        "dedup_minhash": _SHINGLE_CTE
+        + """
+            , sig AS (
+                SELECT doc_id,
+                """
+        + ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8))
+        + """
+                FROM sh GROUP BY doc_id
+            ),
+            s AS (SELECT doc_id, md5(concat_ws('|', h0, h1, h2, h3, h4, h5, h6, h7)) AS sigc FROM sig)
+            SELECT count(*) AS n_docs, count(DISTINCT sigc) AS n_distinct_sigs,
+                   min(sigc) AS min_sig
+            FROM s
+        """,
+        "dedup_simhash": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tk
+                FROM documents WHERE trim(text) <> ''
+            ),
+            h AS (SELECT doc_id, CAST(('0x' || substr(md5(tk), 1, 4)) AS BIGINT) AS hv FROM tok),
+            bits AS (SELECT doc_id, {simhash_bitsum} FROM h GROUP BY doc_id),
+            sig AS (SELECT doc_id, {simhash_sig} AS simhash FROM bits)
+            SELECT count(*) AS n_docs, count(DISTINCT simhash) AS n_distinct,
+                   CAST(sum(simhash) AS BIGINT) AS sum_simhash
+            FROM sig
+        """,
+        "sim_bruteforce_topk": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                  FROM embeddings),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       round(list_dot_product(qv, cv) /
+                             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+                FROM q CROSS JOIN c WHERE neighbor_id <> query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "sim_threshold_count": """
+            WITH a AS (SELECT vec_id AS id_a,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS av
+                       FROM embeddings WHERE vec_id < 100),
+            b AS (SELECT vec_id AS id_b,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS bv
+                  FROM embeddings),
+            p AS (
+                SELECT id_a, id_b,
+                       round(list_dot_product(av, bv) /
+                             (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv))), 6) AS cos
+                FROM a CROSS JOIN b WHERE id_a < id_b
+            )
+            SELECT count(*) AS n_pairs, round(coalesce(sum(cos), 0.0), 4) AS sum_cos
+            FROM p WHERE cos >= 0.8
+        """,
+        "multimodal_metadata": """
+            SELECT count(*) AS n_media,
+                   CAST(sum(CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) + 1) AS BIGINT) AS sum_width,
+                   CAST(sum(CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) + 1) AS BIGINT) AS sum_height,
+                   CAST(sum(octet_length(unhex(md5(text)))) AS BIGINT) AS sum_bytes
+            FROM documents
+        """,
+        # rows-only checks (non-SQL-expressible or approximate):
+        # ts_multifield (multivariate zip semantics), dedup_minhash_lsh_pairs
+        # (LSH candidate recall), sim_ivf_topk (approximate), and
+        # multimodal_features (binary decode in Python).
+    }

@@ -1,0 +1,88 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+``ts_ingest`` measures the compression write path (fresh data folder
+each run); the ts_* queries then measure the model-store read paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from modelardb_rs_spark.session import make_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q_window_running_total",
+    "q_events_hourly",
+    "q_events_sessions",
+    "ts_grid_roundtrip",
+    "ts_pushdown_aggs",
+    "ts_time_range",
+    "ts_multifield",
+    "doc_fingerprints",
+    "doc_token_stats",
+    "doc_langid",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "sim_bruteforce_topk",
+    "sim_threshold_count",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = 0.0
+
+    # Fresh ts-table cache so ingest cost is measured, not skipped.
+    cache = os.path.join(tempfile.gettempdir(), "sparkmodelar_entry", sf_name)
+    shutil.rmtree(cache, ignore_errors=True)
+
+    spark = make_spark(app_name="sparkmodelar-bench")
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    eng = entry._ts_engine(spark, sf_dir)  # compression ingest path
+    timings["ts_ingest"] = round(time.time() - t0, 3)
+
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time (ingest + query set)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,252 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Designed for 100 TB corpora:
+
+- **exact**: hash-groupBy on a normalized fingerprint — one shuffle on a
+  16-byte key; the canonical first pass of every dedup pipeline.
+- **n-gram Jaccard**: exact pairwise similarity via a shingle-inverted
+  index self-join. Quadratic in the worst case — correct gold standard
+  at validation scale; at corpus scale run MinHash+LSH first and use
+  this only to verify candidate pairs (which is exactly how
+  ``minhash_dedup_pairs`` composes below).
+- **MinHash + LSH**: k md5-derived min-hashes per document
+  (shuffle: one groupBy over exploded shingles), banded into b buckets;
+  candidate pairs = docs sharing a band bucket (equi-join on the band
+  key — no all-pairs comparison anywhere). All hashing is md5-based and
+  therefore reproducible in any SQL engine for oracle checks.
+- **SimHash**: 16-bit signature from per-token hashes; near-duplicates =
+  small Hamming distance. Map-only signature computation + one groupBy.
+
+Every function returns a DataFrame and is pure Column algebra (no
+Python UDFs), so Catalyst can push filters/prune columns and AQE can
+handle skewed shingle keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from modelardb_rs_spark.operators.text import fingerprint, tokens
+
+
+# --------------------------------------------------------------- exact
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (after whitespace/case normalization)
+    documents: (fingerprint, n_docs, doc_ids sorted) for groups with >1 doc."""
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def distinct_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per fingerprint."""
+    fp = df.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    return fp.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") == 1).drop("__rn__")
+
+
+# ------------------------------------------------------------- shingles
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (sorted for
+    determinism)."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    # A doc with fewer than n tokens gets its whole text as one shingle.
+    grams = F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(grams)
+    return F.array_sort(F.array_distinct(grams))
+
+
+def explode_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via a shingle inverted index:
+    explode distinct shingles, self-join on shingle (id_a < id_b),
+    count the intersection, and compute |A∩B| / (|A|+|B|-|A∩B|).
+
+    Output: (id_a, id_b, jaccard rounded to 6) with jaccard >= threshold.
+    """
+    ex = explode_shingles(df, text_col, id_col, n).alias("l")
+    sizes = (
+        explode_shingles(df, text_col, id_col, n)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shingles"))
+    )
+    pairs = (
+        ex.join(ex.alias("r"), F.col("l.shingle") == F.col("r.shingle"))
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_shingles", "na")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_shingles", "nb")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------------- MinHash
+
+
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    Permutation i is simulated by ``md5(i || ':' || shingle)`` and the
+    signature element is the lexicographic minimum — md5 is uniform
+    enough for Jaccard estimation and identical in every engine, so the
+    signatures are oracle-reproducible (unlike seeded murmur3).
+    One explode + one groupBy; no pairwise work.
+    """
+    ex = explode_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded LSH over MinHash signatures: documents sharing any band's
+    concatenated hash become a candidate pair. Equi-join on the band
+    key — the only shuffle keys are (band, band_hash), so the work is
+    proportional to bucket sizes, never all-pairs."""
+    sig_cols = [c for c in signatures.columns if c != id_col]
+    rows_per_band = len(sig_cols) // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *[F.col(sig_cols[b * rows_per_band + r]) for r in range(rows_per_band)]).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = signatures.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash")
+    )
+    l, r = exploded.alias("l"), exploded.alias("r")
+    return (
+        l.join(r, ["band", "band_hash"])
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The scale pipeline: MinHash → banded LSH candidates → exact
+    Jaccard verification of candidates only."""
+    sigs = minhash_signatures(df, k, n, text_col, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, id_col)
+    exact = ngram_jaccard_pairs(df, threshold=0.0, n=n, text_col=text_col, id_col=id_col)
+    return (
+        cands.join(exact, ["id_a", "id_b"])
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 16
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash per document: each token votes ±1 on every bit of
+    its 16-bit md5-derived hash; the signature sets bits with a positive
+    vote sum. Map + one groupBy; md5-based so SQL oracles reproduce it."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    hv = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+    tok = tok.withColumn("hv", hv)
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("hv").bitwiseAND(F.lit(1 << b)) > 0, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return bit_sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance. The pair join
+    is blocked on the high byte of the signature (near-duplicates almost
+    always share it at distance <= 3), keeping the join keyed rather
+    than all-pairs; a full-recall variant would OR several byte blocks."""
+    sh = simhash(df, text_col, id_col)
+    blocked = sh.withColumn("block", F.shiftright(F.col("simhash"), 8))
+    l, r = blocked.alias("l"), blocked.alias("r")
+    return (
+        l.join(r, "block")
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            "hamming",
+        )
+    )

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- **Brute-force cosine top-k** — the exact baseline: broadcast the query
+  set, score every (query, corpus) pair with JVM-side ``zip_with`` /
+  ``aggregate`` column algebra (no Python), rank per query. Cost is
+  |Q|·|C| dot products, map-only over the corpus with the queries
+  broadcast — at 100 TB this is the right shape for small query sets,
+  and the component every ANN variant verifies against.
+- **IVF (inverted-file) top-k** — the scale path: k-means-style coarse
+  quantization using per-label centroids (the embeddings table carries a
+  cluster ``label``; a production pipeline would learn centroids with
+  Spark MLlib KMeans). Queries probe only the ``nprobe`` nearest
+  centroids' buckets, cutting the scored pairs by |buckets|/nprobe while
+  the bucket join stays a keyed equi-join (shuffle on label, skew
+  handled by AQE).
+- **Threshold pair counting** — cosine >= t pair enumeration for dedup
+  pipelines (embedding-cosine near-dup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two float array columns (f64 accumulate)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for each query row, the k nearest corpus rows
+    (self-matches excluded). Ties broken by corpus id for determinism;
+    cosine rounded to 6 before ranking so float noise can't flip ranks
+    across engines. Output: (query_id, neighbor_id, cos, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("__qv__"), F.col("__cv__")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """Approximate top-k via inverted-file probing.
+
+    1. centroid per bucket = element-wise mean of its vectors
+       (one groupBy; with learned KMeans centroids this input is tiny),
+    2. each query scores all centroids (broadcast — there are few) and
+       keeps its ``nprobe`` nearest buckets,
+    3. the (query, bucket) pairs equi-join the corpus on the bucket key
+       and exact cosine ranks within the probed subset.
+
+    Recall < 1 by construction; callers validate against
+    ``brute_force_topk`` (see tests).
+    """
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    exploded = corpus.select(
+        F.col(bucket_col), F.posexplode(F.col(vec_col)).alias("__i__", "__x__")
+    )
+    centroids = (
+        exploded.groupBy(bucket_col, "__i__")
+        .agg(F.avg("__x__").alias("__m__"))
+        .groupBy(bucket_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__i__", "__m__"))).alias("__s__"))
+        .select(
+            F.col(bucket_col).alias("__bucket__"),
+            F.transform(F.col("__s__"), lambda s: s["__m__"].cast("float")).alias("__centroid__"),
+        )
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__ccos__").desc(), F.col("__bucket__")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__ccos__", cosine(F.col("__qv__"), F.col("__centroid__")))
+        .withColumn("__pr__", F.row_number().over(probe_w))
+        .where(F.col("__pr__") <= nprobe)
+        .select("query_id", "__qv__", F.col("__bucket__"))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv__"),
+        F.col(bucket_col).alias("__bucket__"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), "__bucket__")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("__qv__"), F.col("__cv__")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def cosine_threshold_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (a, b) pairs with cosine >= threshold, a < b. Broadcast the
+    smaller side; for corpus-x-corpus near-dup at scale, pre-block with
+    LSH/IVF buckets and feed the blocked pairs here."""
+    a = left.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__av__"))
+    b = right.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__bv__"))
+    return (
+        b.crossJoin(F.broadcast(a))
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("__av__"), F.col("__bv__")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

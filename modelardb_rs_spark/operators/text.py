@@ -1,0 +1,107 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure Column algebra (JVM-side, whole-stage-codegen'd,
+no Python in the hot path) and deterministic, so each has an exact ANSI
+SQL oracle. They scale trivially: map-only over the documents table, no
+shuffle except for explicit aggregations.
+
+Operators: tokenization stats, quality scoring, n-gram-free language
+identification (stopword voting), document fingerprinting (normalized
+md5 — the rolling-hash analog that is reproducible across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword inventories for the heuristic language
+# identifier. Token-exact matching (not substring), so Spark and any SQL
+# oracle agree bit-for-bit.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "and", "of", "to", "is", "in", "that"),
+    "es": ("el", "los", "y", "las", "es", "una", "por", "como"),
+    "fr": ("le", "la", "et", "les", "est", "une", "dans", "pour"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (empty text -> empty array)."""
+    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(col), r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_count(col: Column, words: tuple[str, ...]) -> Column:
+    """Exact-token stopword occurrences (array filter, no regex)."""
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(wordset, t)))
+
+
+def punct_count(col: Column) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, r"[.,!?;:]", ""))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: char/token counts, mean token
+    length, punctuation ratio, stopword ratio, and a composite score in
+    [0, 1] (rounded for cross-engine stability)."""
+    c = F.col(text_col)
+    n_tok = token_count(c)
+    n_char = F.length(c)
+    stop = stopword_count(c, LANG_STOPWORDS["en"])
+    out = df.withColumn("n_tokens", n_tok).withColumn("n_chars_m", n_char)
+    out = out.withColumn(
+        "mean_token_len",
+        F.round(F.when(F.col("n_tokens") > 0, n_char / F.col("n_tokens")).otherwise(F.lit(0.0)), 4),
+    )
+    out = out.withColumn(
+        "punct_ratio",
+        F.round(F.when(n_char > 0, punct_count(c) / n_char).otherwise(F.lit(0.0)), 4),
+    )
+    out = out.withColumn(
+        "stopword_ratio",
+        F.round(F.when(F.col("n_tokens") > 0, stop / F.col("n_tokens")).otherwise(F.lit(0.0)), 4),
+    )
+    # Composite score: enough tokens, some stopwords, not punctuation soup.
+    score = (
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(F.col("punct_ratio") * 10.0, F.lit(1.0))) * 0.2
+    )
+    return out.withColumn("quality_score", F.round(score, 4))
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "predicted_lang") -> DataFrame:
+    """Heuristic language identification by stopword voting.
+
+    argmax over per-language exact-token stopword counts; deterministic
+    alphabetical tie-break (first language wins ties), 'und'
+    (undetermined) when no stopword of any language occurs.
+    """
+    c = F.col(text_col)
+    counts = {lang: stopword_count(c, words) for lang, words in sorted(LANG_STOPWORDS.items())}
+    best_count = F.greatest(*counts.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = F.when(counts[lang] == best_count, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_count == 0, F.lit("und")).otherwise(pred)
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lower-cased text. Cross-engine reproducible
+    (md5 is standardized; the rolling-hash variant in streaming dedup
+    literature has no portable SQL form)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))
+
+
+def fingerprint_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint(F.col(text_col)))
