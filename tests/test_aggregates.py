@@ -1,0 +1,113 @@
+"""Segment-pushdown vs forced-grid aggregate equivalence — the
+reference's critical correctness oracle (integration_test.rs:1129-1248):
+for each of COUNT/MIN/MAX/SUM/AVG the model-rewritten path must match
+the gridded path (exactly for COUNT/MIN/MAX, within f64 accumulation
+noise for SUM/AVG), including under lossy bounds."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+TS0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+
+@pytest.fixture()
+def lossy_engine(engine, spark):
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE m(timestamp TIMESTAMP, f FIELD(0.5), tag TAG)"
+    )
+    rows = [
+        Row(
+            timestamp=TS0 + datetime.timedelta(seconds=i),
+            f=float(i % 37) * 0.25 + (1.0 if i % 11 == 0 else 0.0),
+            tag=f"t{i % 3}",
+        )
+        for i in range(3000)
+    ]
+    engine.write("m", spark.createDataFrame(rows))
+    return engine
+
+
+FORCED_GRID = " FROM m WHERE timestamp >= timestamp '1970-01-01'"
+
+
+@pytest.mark.parametrize(
+    "agg,exact",
+    [("count", True), ("min", True), ("max", True), ("sum", False), ("avg", False)],
+)
+def test_pushdown_equals_grid(lossy_engine, agg, exact):
+    push = lossy_engine.read_sql(f"SELECT {agg}(f) AS x FROM m").collect()[0].x
+    grid = lossy_engine.read_sql(f"SELECT {agg}(f) AS x{FORCED_GRID}").collect()[0].x
+    if exact:
+        assert push == grid
+    else:
+        assert push == pytest.approx(grid, rel=1e-9)
+
+
+def test_pushdown_grouped_by_tag(lossy_engine):
+    push = {
+        r.tag: (r.n, r.mn, r.mx)
+        for r in lossy_engine.read_sql(
+            "SELECT tag, count(f) AS n, min(f) AS mn, max(f) AS mx FROM m GROUP BY tag"
+        ).collect()
+    }
+    grid = {
+        r.tag: (r.n, r.mn, r.mx)
+        for r in lossy_engine.read_sql(
+            f"SELECT tag, count(f) AS n, min(f) AS mn, max(f) AS mx{FORCED_GRID} GROUP BY tag"
+        ).collect()
+    }
+    assert push == grid
+
+
+def test_pushdown_count_star(lossy_engine):
+    push = lossy_engine.read_sql("SELECT count(*) AS n FROM m").collect()[0].n
+    assert push == 3000
+
+
+def test_pushdown_respects_error_bound(lossy_engine, spark):
+    """Lossy SUM must stay within n_points * bound of the true sum."""
+    true_sum = sum(
+        float(i % 37) * 0.25 + (1.0 if i % 11 == 0 else 0.0) for i in range(3000)
+    )
+    push = lossy_engine.read_sql("SELECT sum(f) AS s FROM m").collect()[0].s
+    assert abs(push - true_sum) <= 3000 * 0.5
+
+
+def test_multiple_fields_in_one_select(engine, spark):
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE mf(timestamp TIMESTAMP, a FIELD, b FIELD, tag TAG)"
+    )
+    rows = [
+        Row(
+            timestamp=TS0 + datetime.timedelta(seconds=i),
+            a=float(i),
+            b=float(-i),
+            tag="x",
+        )
+        for i in range(100)
+    ]
+    engine.write("mf", spark.createDataFrame(rows))
+    out = engine.read_sql(
+        "SELECT count(a) AS ca, sum(a) AS sa, min(b) AS mb, max(a) AS xa FROM mf"
+    ).collect()[0]
+    assert out.ca == 100
+    assert out.sa == pytest.approx(sum(range(100)))
+    assert out.mb == -99.0
+    assert out.xa == 99.0
+
+
+def test_read_time_series_table_api(lossy_engine):
+    out = lossy_engine.read_time_series_table(
+        "m", columns={"f": "count"}, group_by=["tag"]
+    ).collect()
+    assert {r.tag: r.count_f for r in out} == {"t0": 1000, "t1": 1000, "t2": 1000}
+    sliced = lossy_engine.read_time_series_table(
+        "m",
+        columns={"f": "count"},
+        start=TS0,
+        end=TS0 + datetime.timedelta(seconds=99),
+    ).collect()[0]
+    assert sliced.count_f == 100

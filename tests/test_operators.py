@@ -1,0 +1,138 @@
+"""LLM-pipeline operator tests: dedup recall, similarity recall, text
+analysis determinism, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from modelardb_rs_spark.operators import dedup as dedup_ops
+from modelardb_rs_spark.operators import multimodal as mm_ops
+from modelardb_rs_spark.operators import similarity as sim_ops
+from modelardb_rs_spark.operators import text as text_ops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base),  # exact dup of 0
+        Row(doc_id=2, text=base + " with a tiny suffix"),  # near dup
+        Row(doc_id=3, text="completely different words about spark engines"),
+        Row(doc_id=4, text="der hund und die katze und das haus und der baum"),
+        Row(doc_id=5, text="  the   quick brown fox jumps over the lazy dog again and again  "),  # ws dup of 0
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(docs):
+    groups = dedup_ops.exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 3
+    assert groups[0].doc_ids == [0, 1, 5]
+    kept = dedup_ops.distinct_documents(docs).select("doc_id").collect()
+    assert sorted(r.doc_id for r in kept) == [0, 2, 3, 4]
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in dedup_ops.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 5) in pairs and pairs[(0, 5)] == 1.0
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+    assert not any({a, b} == {0, 3} for a, b in pairs)
+
+
+def test_minhash_lsh_recall(docs):
+    """LSH candidates must cover every truly similar pair (identical docs
+    always share every band)."""
+    found = {
+        (r.id_a, r.id_b)
+        for r in dedup_ops.minhash_dedup_pairs(docs, threshold=0.9, k=16, bands=8).collect()
+    }
+    assert {(0, 1), (0, 5), (1, 5)} <= found
+
+
+def test_simhash_near_pairs(docs):
+    sh = {r.doc_id: r.simhash for r in dedup_ops.simhash(docs).collect()}
+    assert sh[0] == sh[1] == sh[5]  # identical token multisets
+    near = {(r.id_a, r.id_b) for r in dedup_ops.simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert (0, 1) in near and (0, 5) in near
+
+
+def test_language_id(docs):
+    pred = {r.doc_id: r.predicted_lang for r in text_ops.language_id(docs).collect()}
+    assert pred[0] == "en"
+    assert pred[4] == "de"
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=""), Row(doc_id=1, text="   "), Row(doc_id=2, text=" one  two ")]
+    )
+    out = {r.doc_id: r.n for r in df.select("doc_id", text_ops.token_count(F.col("text")).alias("n")).collect()}
+    assert out == {0: 0, 1: 0, 2: 2}
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for label in range(4):
+        center = rng.normal(0, 1, 16)
+        for i in range(25):
+            v = center + rng.normal(0, 0.1, 16)
+            rows.append(
+                Row(vec_id=label * 25 + i, embedding=[float(x) for x in v.astype(np.float32)], label=label)
+            )
+    return spark.createDataFrame(rows)
+
+
+def test_brute_force_topk_is_exact(vectors):
+    out = sim_ops.brute_force_topk(vectors, vectors.where(F.col("vec_id") == 0), k=3).collect()
+    assert len(out) == 3
+    assert all(r.query_id == 0 for r in out)
+    # same-cluster neighbors (ids < 25) dominate for tight clusters
+    assert all(r.neighbor_id < 25 for r in out)
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].cos >= out[1].cos >= out[2].cos
+
+
+def test_ivf_recall_vs_brute_force(vectors):
+    queries = vectors.where(F.col("vec_id") % 25 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_ops.brute_force_topk(vectors, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_ops.ivf_topk(vectors, queries, k=5, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall}"
+
+
+def test_cosine_threshold_pairs(vectors):
+    pairs = sim_ops.cosine_threshold_pairs(
+        vectors.where(F.col("vec_id") < 25), vectors, threshold=0.99
+    ).collect()
+    assert all(r.id_a < r.id_b for r in pairs)
+    assert all(r.cos >= 0.99 for r in pairs)
+
+
+def test_multimodal_plumbing(docs):
+    media = mm_ops.attach_fake_media(docs)
+    feats = mm_ops.extract_features(media, fake_codec=True).collect()
+    assert len(feats) == docs.count()
+    assert all(f.n_bytes == 16 for f in feats)  # md5 payload
+    assert all(len(f.byte_histogram) == 16 for f in feats)
+    frames = mm_ops.sample_frames(media, every_nth=2).collect()
+    assert all(f.frame_idx % 2 == 0 for f in frames)
+    # identical texts -> identical features (deterministic fake codec)
+    by_id = {f.media_id: (f.mean_byte, f.std_byte) for f in feats}
+    assert by_id[0] == by_id[1]
+
+
+def test_decode_media_stub_raises():
+    with pytest.raises(NotImplementedError):
+        mm_ops.decode_media(b"\x00\x01", "image", fake=False)
