@@ -191,6 +191,34 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP over (returnflag, linestatus) with grand
+    total (NULL markers replaced for stable hashing)."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "qty",
+        )
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS (left-anti join): customers with no high-value orders,
+    by segment."""
+    cust, orders = _prep(spark, sf_dir, "customer", "orders")
+    big = orders.where(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling window (hourly rollup) as strings for
     engine-independent comparison."""
@@ -454,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_running_total": q_window_running_total,
         "q_distinct_parts": q_distinct_parts,
         "q_set_ops": q_set_ops,
+        "q_rollup": q_rollup,
+        "q_anti_join": q_anti_join,
         "q_events_hourly": q_events_hourly,
         "q_events_sessions": q_events_sessions,
         "ts_grid_roundtrip": ts_grid_roundtrip,
@@ -587,6 +617,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'intersect', count(*) FROM (SELECT c_custkey FROM auto INTERSECT SELECT c_custkey FROM rich)
             UNION ALL
             SELECT 'except', count(*) FROM (SELECT DISTINCT c_custkey FROM auto EXCEPT SELECT DISTINCT c_custkey FROM rich)
+        """,
+        "q_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   count(*) AS n, round(sum(l_quantity), 2) AS qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q_anti_join": """
+            SELECT c_mktsegment, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+            GROUP BY c_mktsegment
         """,
         "q_events_hourly": """
             SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,

@@ -332,6 +332,27 @@ class Engine:
             return df.groupBy(*group_by).agg(*exprs)
         return df.agg(*exprs)
 
+    def stats(self, name: str) -> DataFrame:
+        """Per-field segment statistics (the EXPLAIN ANALYZE metrics the
+        reference's GridExec reports, grid_exec.rs:439-518): segment and
+        point counts by model type, bytes, and time span — answered
+        entirely from segment metadata columns."""
+        meta = self.catalog.time_series_metadata(name)
+        return (
+            self.segments(name)
+            .groupBy("field_column", "model_type_id")
+            .agg(
+                F.count("*").alias("n_segments"),
+                F.sum(F.col("value_count").cast("long")).alias("n_points"),
+                F.sum(
+                    (F.octet_length("timestamps") + F.octet_length("values")).cast("long")
+                ).alias("payload_bytes"),
+                F.min("start_time").alias("min_start_time"),
+                F.max("end_time").alias("max_end_time"),
+            )
+            .orderBy("field_column", "model_type_id")
+        )
+
     # ----------------------------------------------------------------- copy
 
     def copy(self, sql: str, target: "Engine", table: str) -> None:

@@ -69,6 +69,12 @@ def segment_aggregates(
 
     ``aggs``: list of (func, field_index|None, output_alias).
     """
+    # Restrict the scan to the referenced field partitions up front so
+    # Delta/Parquet partition pruning applies (the per-agg CASE WHEN alone
+    # would force a full scan of every field_column directory).
+    indexes = {idx for _, idx, _ in aggs if idx is not None}
+    if indexes:
+        segments = segments.where(F.col("field_column").isin(sorted(indexes)))
     cols = [pushdown_agg_column(func, idx).alias(alias) for func, idx, alias in aggs]
     if group_by_tags:
         return segments.groupBy(*group_by_tags).agg(*cols)
