@@ -26,9 +26,19 @@ from modelardb_rs_spark.sources.testdata import load_table
 
 def _prep(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     """Load driver tables with UTC semantics (so formatted timestamps are
-    engine-independent)."""
+    engine-independent). documents/embeddings arrive as one unsplittable
+    Parquet row group, so expression-heavy operators over them are
+    repartitioned up front to use every core."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return [load_table(spark, sf_dir, n) for n in names]
+    out = []
+    for n in names:
+        df = load_table(spark, sf_dir, n)
+        if n in ("documents", "embeddings"):
+            # 8-way: enough to unpin the single row group without paying
+            # 32 Python-worker spin-ups for the Arrow UDF operators.
+            df = df.repartition(min(8, spark.sparkContext.defaultParallelism))
+        out.append(df)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -68,7 +68,12 @@ def shingles(col: Column, n: int = 3) -> Column:
 
 
 def explode_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    return df.select(
+    # Shingling is interpreted expression work (regexp split + array HOFs),
+    # so spread the docs across cores first: corpora often arrive as a few
+    # large unsplittable Parquet row groups that would otherwise pin the
+    # whole explode (and both sides of a dedup self-join) to one task.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parallelism, F.col(id_col)).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
     )
 
@@ -90,13 +95,19 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard rounded to 6) with jaccard >= threshold.
     """
     ex = explode_shingles(df, text_col, id_col, n).alias("l")
-    sizes = (
-        explode_shingles(df, text_col, id_col, n)
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_shingles"))
+    # Per-doc shingle counts straight from the array length — no second
+    # explode+groupBy pass (and small enough to broadcast into the join).
+    sizes = df.select(
+        F.col(id_col), F.size(shingles(F.col(text_col), n)).alias("n_shingles")
     )
+    # Broadcast-hash the self-join: the distinct-shingle index is ~tens of
+    # bytes per gram, so at verification scale it fits an executor easily
+    # and skips shuffling both exploded sides. (At full-corpus scale this
+    # operator is the *verifier* behind minhash_dedup_pairs, which blocks
+    # candidates first — the exact all-pairs join is never the scale path.)
     pairs = (
-        ex.join(ex.alias("r"), F.col("l.shingle") == F.col("r.shingle"))
+        ex.join(F.broadcast(explode_shingles(df, text_col, id_col, n).alias("r")),
+                F.col("l.shingle") == F.col("r.shingle"))
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("inter"))
@@ -205,7 +216,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """16-bit SimHash per document: each token votes ±1 on every bit of
     its 16-bit md5-derived hash; the signature sets bits with a positive
     vote sum. Map + one groupBy; md5-based so SQL oracles reproduce it."""
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    tok = df.repartition(parallelism, F.col(id_col)).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     hv = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
     tok = tok.withColumn("hv", hv)
     bit_sums = tok.groupBy(id_col).agg(

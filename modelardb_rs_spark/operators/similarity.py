@@ -51,14 +51,27 @@ def brute_force_topk(
     (self-matches excluded). Ties broken by corpus id for determinism;
     cosine rounded to 6 before ranking so float noise can't flip ranks
     across engines. Output: (query_id, neighbor_id, cos, rank)."""
+    # Norms are computed once per row before the pair join (a per-pair
+    # cosine() would recompute both norms |Q|·|C| times).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv__"),
+        norm(F.col(vec_col)).alias("__qn__"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv__"),
+        norm(F.col(vec_col)).alias("__cn__"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("__qv__"), F.col("__cv__")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("__qv__"), F.col("__cv__")) / (F.col("__qn__") * F.col("__cn__")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -103,7 +116,11 @@ def ivf_topk(
             F.transform(F.col("__s__"), lambda s: s["__m__"].cast("float")).alias("__centroid__"),
         )
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv__"),
+        norm(F.col(vec_col)).alias("__qn__"),
+    )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("__ccos__").desc(), F.col("__bucket__")
     )
@@ -112,17 +129,23 @@ def ivf_topk(
         .withColumn("__ccos__", cosine(F.col("__qv__"), F.col("__centroid__")))
         .withColumn("__pr__", F.row_number().over(probe_w))
         .where(F.col("__pr__") <= nprobe)
-        .select("query_id", "__qv__", F.col("__bucket__"))
+        .select("query_id", "__qv__", "__qn__", F.col("__bucket__"))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv__"),
+        norm(F.col(vec_col)).alias("__cn__"),
         F.col(bucket_col).alias("__bucket__"),
     )
     scored = (
         c.join(F.broadcast(probes), "__bucket__")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("__qv__"), F.col("__cv__")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("__qv__"), F.col("__cv__")) / (F.col("__qn__") * F.col("__cn__")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -142,12 +165,25 @@ def cosine_threshold_pairs(
     """All (a, b) pairs with cosine >= threshold, a < b. Broadcast the
     smaller side; for corpus-x-corpus near-dup at scale, pre-block with
     LSH/IVF buckets and feed the blocked pairs here."""
-    a = left.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__av__"))
-    b = right.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__bv__"))
+    a = left.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__av__"),
+        norm(F.col(vec_col)).alias("__an__"),
+    )
+    b = right.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__bv__"),
+        norm(F.col(vec_col)).alias("__bn__"),
+    )
     return (
         b.crossJoin(F.broadcast(a))
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("__av__"), F.col("__bv__")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("__av__"), F.col("__bv__")) / (F.col("__an__") * F.col("__bn__")), 6
+            ),
+        )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

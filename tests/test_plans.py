@@ -1,0 +1,78 @@
+"""Physical-plan shape assertions — the Spark analog of the reference's
+TypeId-tree plan tests (model_simple_aggregates.rs:637-786): the
+aggregate rewrite must produce a metadata-only scan (no Python decode
+stage, narrow ReadSchema, pruned partitions), while the forced-grid path
+must decode."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+
+TS0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+
+@pytest.fixture()
+def planned(engine, spark):
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE p(timestamp TIMESTAMP, a FIELD, b FIELD, tag TAG)"
+    )
+    rows = [
+        Row(
+            timestamp=TS0 + datetime.timedelta(seconds=i),
+            a=float(i),
+            b=float(i) * 2,
+            tag="t",
+        )
+        for i in range(500)
+    ]
+    engine.write("p", spark.createDataFrame(rows))
+    return engine
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pushdown_plan_has_no_python_stage(planned):
+    plan = plan_of(planned.read_sql("SELECT count(a) AS c, sum(a) AS s FROM p"))
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    # narrow projection: only the stats columns are read
+    assert "ReadSchema: struct<value_count:int,seg_sum:double>" in plan
+    # partition pruning on the referenced field
+    assert "field_column" in plan.split("PartitionFilters")[1][:80]
+
+
+def test_forced_grid_plan_decodes(planned):
+    plan = plan_of(
+        planned.read_sql(
+            "SELECT count(a) AS c FROM p WHERE timestamp >= timestamp '1970-01-01'"
+        )
+    )
+    assert "MapInPandas" in plan
+
+
+def test_time_range_filters_reach_parquet(planned):
+    df = planned.table("p", fields=["a"], start=TS0, end=TS0 + datetime.timedelta(seconds=10))
+    plan = plan_of(df)
+    pushed = plan.split("PushedFilters")[1][:200]
+    # Spark elides long filter lists in toString ("LessT..."), so assert
+    # the interval rewrite's leading filters and the truncated remainder.
+    assert "GreaterThanOrEqual(end_time" in pushed
+    assert "IsNotNull(start_time)" in pushed
+    assert "LessT" in pushed
+
+
+def test_single_field_grid_has_no_shuffle(planned):
+    """Univariate reads must stay map-only (no Exchange before decode)."""
+    df = planned.table("p", fields=["a"])
+    plan = plan_of(df)
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+
+def test_multifield_grid_single_shuffle(planned):
+    df = planned.table("p", fields=["a", "b"])
+    plan = plan_of(df)
+    # exactly one exchange: the keyed reassembly on (timestamp, tags)
+    assert plan.count("Exchange") == 1
