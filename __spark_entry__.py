@@ -323,6 +323,74 @@ def ts_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_many_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user series (100+ tag combinations): compression parallelism
+    across many series + grouped segment-pushdown aggregates."""
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_entry", key + "_users")
+    eng = Engine(spark, root)
+    if "user_series" not in eng.tables():
+        eng.read_sql(
+            "CREATE TIME SERIES TABLE user_series(timestamp TIMESTAMP, value FIELD, uid TAG)"
+        )
+        (events,) = _prep(spark, sf_dir, "events")
+        eng.write(
+            "user_series",
+            events.select(
+                F.col("ts").alias("timestamp"),
+                F.col("value").cast("float").alias("value"),
+                F.col("user_id").cast("string").alias("uid"),
+            ),
+        )
+    out = eng.read_sql(
+        "SELECT uid, count(value) AS n, min(value) AS mn, max(value) AS mx "
+        "FROM user_series GROUP BY uid"
+    )
+    return out
+
+
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-style scalar subquery: orders above the global average
+    price, counted per priority."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM __orders_sq
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM __orders_sq)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts, one column per event type."""
+    (ev,) = _prep(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types]
+        )
+    )
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (every 2nd 4-byte frame)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    media = mm_ops.attach_fake_media(docs)
+    frames = mm_ops.sample_frames(media, every_nth=2)
+    return frames.agg(
+        F.count("*").alias("n_frames"),
+        F.countDistinct("media_id").alias("n_media"),
+        F.sum("frame_idx").cast("long").alias("sum_idx"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators
 # ---------------------------------------------------------------------------
@@ -502,6 +570,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_time_range": ts_time_range,
         "ts_generated_column": ts_generated_column,
         "ts_multifield": ts_multifield,
+        "ts_many_series": ts_many_series,
+        "q_subquery_scalar": q_subquery_scalar,
+        "q_pivot": q_pivot,
+        "multimodal_frames": multimodal_frames,
         "doc_fingerprints": doc_fingerprints,
         "doc_exact_dups": doc_exact_dups,
         "doc_token_stats": doc_token_stats,
@@ -691,6 +763,34 @@ def oracle_sql() -> dict[str, str]:
                              + CAST(CAST(value AS FLOAT) AS DOUBLE)), 2) AS sum_doubled,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "ts_many_series": """
+            SELECT CAST(user_id AS VARCHAR) AS uid, count(*) AS n,
+                   min(CAST(value AS FLOAT)) AS mn,
+                   max(CAST(value AS FLOAT)) AS mx
+            FROM events GROUP BY user_id
+        """,
+        "q_subquery_scalar": """
+            SELECT o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+            GROUP BY o_orderpriority
+        """,
+        "q_pivot": """
+            SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'view') AS n_view,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'error') AS n_error
+            FROM events GROUP BY 1
+        """,
+        "multimodal_frames": """
+            WITH f AS (SELECT doc_id, unnest(range(0, 2)) * 2 AS frame_idx FROM documents)
+            SELECT count(*) AS n_frames, count(DISTINCT doc_id) AS n_media,
+                   CAST(sum(frame_idx) AS BIGINT) AS sum_idx
+            FROM f
         """,
         "doc_fingerprints": """
             SELECT count(*) AS n_docs,
