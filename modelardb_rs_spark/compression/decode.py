@@ -57,7 +57,9 @@ def decode_segments(pdf: pd.DataFrame, tag_columns: list[str]) -> pd.DataFrame:
     payloads = pdf["timestamps"].to_numpy()
     model_ids = pdf["model_type_id"].to_numpy()
     counts, intervals = _counts_and_intervals(pdf)
-    irregular = np.array([len(p) > 0 and p[:1] == b"I" for p in payloads], dtype=bool)
+    irregular = np.array(
+        [len(p) > 0 and p[:1] in (b"I", b"V") for p in payloads], dtype=bool
+    )
 
     n_rows = len(pdf)
     total = int(counts.sum())

@@ -12,7 +12,13 @@ Timestamp payloads (reference timestamps.rs semantics):
 - 1 point  -> b""            (start_time == end_time)
 - 2 points -> b""            (start_time != end_time)
 - regular  -> b"R" + uint32 count  (timestamps are an arithmetic sequence)
-- irregular-> b"I" + int64 deltas[count-1]
+- irregular-> b"V" + uint32 count + zigzag-varint delta-of-deltas
+              (byte-aligned analog of the reference's bit-packed
+              delta-of-delta stream, timestamps.rs:16-260; the first
+              delta's predecessor is implicitly 0, matching the
+              reference. Near-regular series encode ~1 byte per point
+              instead of 8.)
+- b"I" + int64 deltas[count-1] remains readable (legacy v0 layout).
 
 Value payloads:
 - PMC-Mean -> float32 mean (the single reconstructed value)
@@ -29,6 +35,53 @@ import numpy as np
 _U32 = struct.Struct("<I")
 
 
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def _unzigzag(u: np.ndarray) -> np.ndarray:
+    return ((u >> 1).astype(np.int64)) ^ -(u & 1).astype(np.int64)
+
+
+def _varint_encode(z: np.ndarray) -> bytes:
+    """LEB128-style varints for a uint64 array, fully vectorized: byte
+    counts via threshold comparisons, then one scatter per byte slot."""
+    n = len(z)
+    if n == 0:
+        return b""
+    nbytes = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):
+        nbytes += (z >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=offsets[1:])
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    for j in range(10):
+        live = nbytes > j
+        if not live.any():
+            break
+        chunk = ((z[live] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[live] - 1 > j).astype(np.uint8) << 7
+        out[offsets[live] + j] = chunk | cont
+    return out.tobytes()
+
+
+def _varint_decode(buf: bytes) -> np.ndarray:
+    """Inverse of _varint_encode, vectorized: terminator bytes mark value
+    boundaries; each byte's 7-bit chunk accumulates into its value slot."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.int64)
+    terminator = (b & 0x80) == 0
+    value_id = np.zeros(len(b), dtype=np.int64)
+    np.cumsum(terminator[:-1], out=value_id[1:])
+    starts = np.zeros(int(terminator.sum()), dtype=np.int64)
+    starts[1:] = np.flatnonzero(terminator)[:-1] + 1
+    byte_pos = np.arange(len(b)) - starts[value_id]
+    acc = np.zeros(int(terminator.sum()), dtype=np.uint64)
+    np.add.at(acc, value_id, (b & np.uint8(0x7F)).astype(np.uint64) << (7 * byte_pos).astype(np.uint64))
+    return acc
+
+
 def encode_timestamps(ts_us: np.ndarray) -> tuple[bytes, bool]:
     """Encode a sorted int64 µs timestamp array; returns (payload, regular)."""
     n = len(ts_us)
@@ -37,7 +90,10 @@ def encode_timestamps(ts_us: np.ndarray) -> tuple[bytes, bool]:
     deltas = np.diff(ts_us)
     if (deltas == deltas[0]).all():
         return b"R" + _U32.pack(n), True
-    return b"I" + deltas.astype("<i8").tobytes(), False
+    dod = np.empty(len(deltas), dtype=np.int64)
+    dod[0] = deltas[0]  # first delta's predecessor is implicitly 0
+    np.subtract(deltas[1:], deltas[:-1], out=dod[1:])
+    return b"V" + _U32.pack(n) + _varint_encode(_zigzag(dod)), False
 
 
 def decode_timestamps(payload: bytes, start: int, end: int) -> np.ndarray:
@@ -51,6 +107,14 @@ def decode_timestamps(payload: bytes, start: int, end: int) -> np.ndarray:
         n = _U32.unpack(payload[1:5])[0]
         step = (end - start) // (n - 1)
         return start + step * np.arange(n, dtype=np.int64)
+    if flag == b"V":
+        dod = _unzigzag(_varint_decode(payload[5:]))
+        deltas = np.cumsum(dod)
+        out = np.empty(len(deltas) + 1, dtype=np.int64)
+        out[0] = start
+        np.cumsum(deltas, out=out[1:])
+        out[1:] += start
+        return out
     deltas = np.frombuffer(payload[1:], dtype="<i8")
     out = np.empty(len(deltas) + 1, dtype=np.int64)
     out[0] = start
@@ -62,7 +126,7 @@ def decode_timestamps(payload: bytes, start: int, end: int) -> np.ndarray:
 def timestamps_count(payload: bytes, start: int, end: int) -> int:
     if len(payload) == 0:
         return 1 if start == end else 2
-    if payload[:1] == b"R":
+    if payload[:1] in (b"R", b"V"):
         return _U32.unpack(payload[1:5])[0]
     return (len(payload) - 1) // 8 + 1
 
