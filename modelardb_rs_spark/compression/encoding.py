@@ -23,7 +23,13 @@ Timestamp payloads (reference timestamps.rs semantics):
 Value payloads:
 - PMC-Mean -> float32 mean (the single reconstructed value)
 - Swing    -> float32 v0 + float64 slope; value(t) = f32(v0 + slope*(t-t0))
-- Gorilla  -> float32 raw values[count]
+- Gorilla  -> XOR-compressed stream (byte-aligned analog of the
+  reference's MacaqueV bitstream, macaque_v.rs:17-310):
+      b"G" + uint32 count + 2-bit-tag array (4 tags/byte) + payload
+  where value i is XORed with value i-1 and stored in its lowest
+  {0,1,2,4} significant bytes (tag) — identical values cost 2 bits.
+  Falls back to b"W" + raw float32[count] when XOR would be larger
+  (e.g. fully random data), so the codec never loses to raw.
 """
 
 from __future__ import annotations
@@ -149,9 +155,68 @@ def decode_swing(payload: bytes) -> tuple[np.float64, np.float64]:
     return np.float64(v0), slope
 
 
+_TAG_TO_NBYTES = np.array([0, 1, 2, 4], dtype=np.int64)
+
+
 def encode_gorilla(values_f32: np.ndarray) -> bytes:
-    return values_f32.astype("<f4").tobytes()
+    v = np.ascontiguousarray(values_f32, dtype="<f4")
+    n = len(v)
+    if n == 0:
+        return b"W"
+    u = v.view("<u4").astype(np.uint32)
+    x = np.empty(n, dtype=np.uint32)
+    x[0] = u[0]
+    np.bitwise_xor(u[1:], u[:-1], out=x[1:])
+    # bytes needed for each XOR residue, snapped to {0,1,2,4}
+    nbytes = np.full(n, 4, dtype=np.int64)
+    nbytes[x == 0] = 0
+    nbytes[(x > 0) & (x < (1 << 8))] = 1
+    nbytes[(x >= (1 << 8)) & (x < (1 << 16))] = 2
+    total = 5 + (n + 3) // 4 + int(nbytes.sum())
+    if total >= 1 + 4 * n:
+        return b"W" + v.tobytes()
+    tags = np.zeros(n, dtype=np.uint8)
+    tags[nbytes == 1] = 1
+    tags[nbytes == 2] = 2
+    tags[nbytes == 4] = 3
+    padded = np.zeros(((n + 3) // 4) * 4, dtype=np.uint8)
+    padded[:n] = tags
+    packed = (
+        padded[0::4] | (padded[1::4] << 2) | (padded[2::4] << 4) | (padded[3::4] << 6)
+    )
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=offsets[1:])
+    data = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    for j in range(4):
+        live = nbytes > j
+        if not live.any():
+            break
+        data[offsets[live] + j] = ((x[live] >> np.uint32(8 * j)) & np.uint32(0xFF)).astype(np.uint8)
+    return b"G" + _U32.pack(n) + packed.tobytes() + data.tobytes()
 
 
 def decode_gorilla(payload: bytes) -> np.ndarray:
-    return np.frombuffer(payload, dtype="<f4")
+    flag = payload[:1]
+    if flag == b"W":
+        return np.frombuffer(payload, dtype="<f4", offset=1)
+    if flag != b"G":  # legacy unflagged raw float32 layout
+        return np.frombuffer(payload, dtype="<f4")
+    n = _U32.unpack(payload[1:5])[0]
+    tag_bytes = np.frombuffer(payload, dtype=np.uint8, count=(n + 3) // 4, offset=5)
+    tags = np.empty(((n + 3) // 4) * 4, dtype=np.uint8)
+    tags[0::4] = tag_bytes & 3
+    tags[1::4] = (tag_bytes >> 2) & 3
+    tags[2::4] = (tag_bytes >> 4) & 3
+    tags[3::4] = (tag_bytes >> 6) & 3
+    nbytes = _TAG_TO_NBYTES[tags[:n]]
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=offsets[1:])
+    data = np.frombuffer(payload, dtype=np.uint8, offset=5 + (n + 3) // 4)
+    x = np.zeros(n, dtype=np.uint32)
+    for j in range(4):
+        live = nbytes > j
+        if not live.any():
+            break
+        x[live] |= data[offsets[live] + j].astype(np.uint32) << np.uint32(8 * j)
+    u = np.bitwise_xor.accumulate(x)
+    return u.astype("<u4").view("<f4")

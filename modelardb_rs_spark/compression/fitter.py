@@ -135,7 +135,9 @@ def _pmc_run(lo: np.ndarray, hi: np.ndarray, i: int, win_end: int) -> tuple[int,
     while length >= 1:
         m = (lo_acc[length - 1] + hi_acc[length - 1]) / 2.0
         m32 = np.float64(np.float32(m))
-        viol = np.flatnonzero((m32 < lo[i : i + length]) | (m32 > hi[i : i + length]))
+        # negated-inside form: a NaN reconstruction (e.g. from inf
+        # arithmetic) must count as a violation, not slip past < / >
+        viol = np.flatnonzero(~((m32 >= lo[i : i + length]) & (m32 <= hi[i : i + length])))
         if len(viol) == 0:
             return length, float(m)
         length = int(viol[0])
@@ -150,7 +152,10 @@ def _swing_run(
     (length, slope, recon_f32)."""
     t0 = ts[i]
     v0 = v64[i]
-    if np.float64(np.float32(v0)) < lo[i] or np.float64(np.float32(v0)) > hi[i]:
+    v0_32 = np.float64(np.float32(v0))
+    if not (lo[i] <= v0_32 <= hi[i]) or not np.isfinite(v0):
+        # non-finite anchors (inf arithmetic yields NaN lines) and
+        # out-of-interval anchors can never seed a valid line
         return 0, 0.0, np.empty(0, np.float32)
     if i + 1 >= win_end or ts[i + 1] <= t0:
         return 1, 0.0, np.empty(0, np.float32)
@@ -172,9 +177,12 @@ def _swing_run(
             break
     while npts >= 1:
         slope = (slo[npts - 1] + shi[npts - 1]) / 2.0
-        recon = (v0 + slope * dt[:npts]).astype(np.float32)
+        with np.errstate(invalid="ignore"):
+            recon = (v0 + slope * dt[:npts]).astype(np.float32)
         r64 = recon.astype(np.float64)
-        viol = np.flatnonzero((r64 < lo[i + 1 : i + 1 + npts]) | (r64 > hi[i + 1 : i + 1 + npts]))
+        viol = np.flatnonzero(
+            ~((r64 >= lo[i + 1 : i + 1 + npts]) & (r64 <= hi[i + 1 : i + 1 + npts]))
+        )
         if len(viol) == 0:
             full = np.empty(npts + 1, np.float32)
             full[0] = np.float32(v0)
@@ -228,14 +236,31 @@ def fit_series(
     else:
         min_pmc = min_swing = _MIN_LOSSY_MODEL_LEN
 
+    def quantize_gorilla(chunk32: np.ndarray, s: int, e: int) -> np.ndarray:
+        """Lossy Gorilla quantization (reference macaque_v.rs lossy mode
+        zeroes mantissa bits / reuses values within the bound): under an
+        absolute bound, snap values to a 2e grid so nearby values share a
+        bit pattern and XOR residues collapse. Any point the f32 cast
+        would push outside its interval keeps its exact value."""
+        if bound.kind != ErrorBoundKind.ABSOLUTE:
+            return chunk32
+        step = 2.0 * bound.value
+        q = np.rint(chunk32.astype(np.float64) / step) * step
+        q32 = q.astype(np.float32)
+        q64 = q32.astype(np.float64)
+        bad = ~((q64 >= lo[s:e]) & (q64 <= hi[s:e]))  # NaN/inf compare False
+        q32[bad] = chunk32[bad]
+        return q32
+
     def flush_gorilla(s: int, e: int) -> None:
         for cs in range(s, e, max_segment_len):
             ce = min(cs + max_segment_len, e)
+            recon = quantize_gorilla(v32[cs:ce], cs, ce)
             sink.emit(
                 GORILLA_ID,
                 ts[cs:ce],
-                v32[cs:ce],
-                encoding.encode_gorilla(v32[cs:ce]),
+                recon,
+                encoding.encode_gorilla(recon),
                 v64[cs:ce],
             )
 

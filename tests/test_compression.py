@@ -95,11 +95,19 @@ def test_seg_stats_match_reconstruction():
     assert np.float32(max(cols["max_value"])) == np.float32(r.max())
 
 
-def test_nan_and_inf_are_lossless():
+def test_nan_and_inf_survive_lossy_bounds():
+    """Special values must round-trip bit-exactly even under a lossy
+    bound (quantization only snaps finite values, and only within it)."""
     ts = np.arange(10, dtype=np.int64) * 1_000_000
     v = np.array([1.0, np.nan, np.inf, -np.inf, 0.0, np.nan, 5.0, 5.0, 5.0, 2.0], np.float32)
     r, cols = roundtrip(ts, v, ErrorBound.absolute(1.0))
-    assert np.array_equal(r, v, equal_nan=True)
+    special = ~np.isfinite(v)
+    assert np.array_equal(r[special], v[special], equal_nan=True)
+    finite = np.isfinite(v)
+    assert (np.abs(r[finite].astype(np.float64) - v[finite].astype(np.float64)) <= 1.0).all()
+    # and fully exact when lossless
+    r2, _ = roundtrip(ts, v, ErrorBound.lossless())
+    assert np.array_equal(r2, v, equal_nan=True)
 
 
 def test_single_and_two_point_series():
