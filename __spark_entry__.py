@@ -391,6 +391,28 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark lacks one): each purchase
+    picks up the user's most recent preceding click."""
+    from modelardb_rs_spark.operators.asof import asof_join
+
+    (ev,) = _prep(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("ts").alias("click_ts"))
+    )
+    joined = asof_join(purchases, clicks, on="ts", by=["user_id"], right_value_cols=["click_ts"])
+    gap_us = F.unix_micros("ts") - F.unix_micros("click_ts_right")
+    # exact integer sum / count instead of avg(): engines' incremental
+    # avg accumulators differ in the last float digits
+    return joined.agg(
+        F.count("*").alias("n_purchases"),
+        F.count("click_ts_right").alias("n_with_click"),
+        F.round(F.sum(gap_us) / F.count("click_ts_right"), 2).alias("avg_gap_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators
 # ---------------------------------------------------------------------------
@@ -573,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_many_series": ts_many_series,
         "q_subquery_scalar": q_subquery_scalar,
         "q_pivot": q_pivot,
+        "q_asof_join": q_asof_join,
         "multimodal_frames": multimodal_frames,
         "doc_fingerprints": doc_fingerprints,
         "doc_exact_dups": doc_exact_dups,
@@ -785,6 +808,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (event_type = 'signup') AS n_signup,
                    count(*) FILTER (event_type = 'error') AS n_error
             FROM events GROUP BY 1
+        """,
+        "q_asof_join": """
+            -- epoch_ns // 1000 matches Spark's truncating ns->us load
+            -- (DuckDB's TIMESTAMP_NS->TIMESTAMP cast rounds instead)
+            WITH p AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id AS cu, epoch_ns(ts) // 1000 AS c_us
+                       FROM events WHERE event_type = 'click')
+            SELECT count(*) AS n_purchases,
+                   count(c_us) AS n_with_click,
+                   round(CAST(sum(p.ts_us - c_us) AS DOUBLE)
+                         / count(c_us), 2) AS avg_gap_us
+            FROM p ASOF LEFT JOIN c ON p.user_id = c.cu AND p.ts_us >= c.c_us
         """,
         "multimodal_frames": """
             WITH f AS (SELECT doc_id, unnest(range(0, 2)) * 2 AS frame_idx FROM documents)

@@ -133,6 +133,27 @@ def test_multimodal_plumbing(docs):
     assert by_id[0] == by_id[1]
 
 
+def test_asof_join_semantics(spark):
+    from modelardb_rs_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k="a", t=10, x=1.0), Row(k="a", t=20, x=2.0), Row(k="a", t=5, x=0.0), Row(k="b", t=10, x=9.0)]
+    ).select("k", F.col("t").alias("ts"), "x")
+    right = spark.createDataFrame(
+        [Row(k="a", t=10, y=100.0), Row(k="a", t=15, y=150.0), Row(k="c", t=1, y=-1.0)]
+    ).select("k", F.col("t").alias("ts"), "y")
+    out = {
+        (r.k, r.ts): r.y_right
+        for r in asof_join(left, right, on="ts", by=["k"], right_value_cols=["y"]).collect()
+    }
+    assert out == {
+        ("a", 5): None,      # no right row at or before 5
+        ("a", 10): 100.0,    # equal timestamp counts (<=)
+        ("a", 20): 150.0,    # latest preceding
+        ("b", 10): None,     # key without right rows
+    }
+
+
 def test_decode_media_stub_raises():
     with pytest.raises(NotImplementedError):
         mm_ops.decode_media(b"\x00\x01", "image", fake=False)
