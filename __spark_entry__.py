@@ -536,6 +536,14 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ivf_topk(emb, queries, k=5, nprobe=2)
 
 
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k (rows-only driver check;
+    bucket recall is validated against brute force in tests/)."""
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sim_ops.lsh_topk(emb, queries, k=5, planes=6)
+
+
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _prep(spark, sf_dir, "documents")
     media = mm_ops.attach_fake_media(docs)
@@ -609,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bruteforce_topk": sim_bruteforce_topk,
         "sim_threshold_count": sim_threshold_count,
         "sim_ivf_topk": sim_ivf_topk,
+        "sim_lsh_topk": sim_lsh_topk,
         "multimodal_metadata": multimodal_metadata,
         "multimodal_features": multimodal_features,
     }

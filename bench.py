@@ -59,6 +59,13 @@ def main() -> None:
     qs = entry.queries()
     timings: dict[str, float] = {}
 
+    # Warm the JVM/codegen/Python-worker pools so the first timed entry
+    # doesn't absorb one-time session costs.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.createDataFrame([(1.0,)], "x double").mapInPandas(
+        lambda it: it, schema="x double"
+    ).collect()
+
     t0 = time.time()
     eng = entry._ts_engine(spark, sf_dir)  # compression ingest path
     timings["ts_ingest"] = round(time.time() - t0, 3)

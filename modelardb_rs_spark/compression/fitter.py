@@ -118,7 +118,7 @@ def _pmc_run(lo: np.ndarray, hi: np.ndarray, i: int, win_end: int) -> tuple[int,
 
     Scans with a doubling window so short runs cost O(run), not O(window).
     """
-    w = 256
+    w = 32
     while True:
         e = min(i + w, win_end)
         lo_acc = np.maximum.accumulate(lo[i:e])
@@ -159,7 +159,7 @@ def _swing_run(
         return 0, 0.0, np.empty(0, np.float32)
     if i + 1 >= win_end or ts[i + 1] <= t0:
         return 1, 0.0, np.empty(0, np.float32)
-    w = 256
+    w = 32
     while True:
         e = min(i + 1 + w, win_end)
         dt = (ts[i + 1 : e] - t0).astype(np.float64)
@@ -282,10 +282,13 @@ def fit_series(
         if not (use_swing or use_pmc):
             if gorilla_start < 0:
                 gorilla_start = i
-            # Too short to be worth a model row; greedily skip past half the
-            # best run (a longer run cannot start strictly inside a region
-            # whose joint interval already collapsed much earlier).
-            i += max(1, max(lp, ls) // 2)
+            # Too short to be worth a model row: skip the whole failed run.
+            # A ≥min-length run can in principle start inside it, but data
+            # dense with sub-minimum runs would otherwise cost one scan per
+            # point or two (this trades marginal compression for O(n/run)
+            # fitter iterations — the bound guarantee is unaffected since
+            # skipped points go to the Gorilla path).
+            i += max(1, lp, ls)
             continue
         if gorilla_start >= 0:
             flush_gorilla(gorilla_start, i)

@@ -155,6 +155,70 @@ def ivf_topk(
     )
 
 
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane (sign) LSH.
+
+    Each vector gets a ``planes``-bit signature (sign of the dot product
+    with fixed pseudo-random hyperplanes, generated deterministically
+    from ``seed`` and shipped as plan literals); candidates are corpus
+    rows sharing the query's bucket, exact-cosine-ranked within it. The
+    bucket join is a keyed equi-join — the all-pairs product never
+    materializes. Complements ``ivf_topk`` when no cluster structure
+    (bucket column / trained centroids) exists.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    hyperplanes = rng.normal(0.0, 1.0, (planes, dim))
+
+    def signature(col: Column) -> Column:
+        bits = None
+        for p in range(planes):
+            plane = F.array(*[F.lit(float(x)) for x in hyperplanes[p]])
+            d = dot(col, plane)
+            bit = F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        return bits.cast("int")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv__"),
+        norm(F.col(vec_col)).alias("__qn__"),
+        signature(F.col(vec_col)).alias("__sig__"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv__"),
+        norm(F.col(vec_col)).alias("__cn__"),
+        signature(F.col(vec_col)).alias("__sig__"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__sig__")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("__qv__"), F.col("__cv__")) / (F.col("__qn__") * F.col("__cn__")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def cosine_threshold_pairs(
     left: DataFrame,
     right: DataFrame,

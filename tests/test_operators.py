@@ -112,6 +112,20 @@ def test_ivf_recall_vs_brute_force(vectors):
     assert recall >= 0.9, f"IVF recall {recall}"
 
 
+def test_lsh_topk_finds_cluster_neighbors(vectors):
+    queries = vectors.where(F.col("vec_id") % 25 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_ops.brute_force_topk(vectors, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_ops.lsh_topk(vectors, queries, k=5, planes=4, dim=16).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall}"  # few planes, tight clusters
+
+
 def test_cosine_threshold_pairs(vectors):
     pairs = sim_ops.cosine_threshold_pairs(
         vectors.where(F.col("vec_id") < 25), vectors, threshold=0.99
