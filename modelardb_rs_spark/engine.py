@@ -67,8 +67,13 @@ _AGG_ITEM = re.compile(
 )
 _SIMPLE_AGG_SQL = re.compile(
     r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>[A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+# tag = 'value' conjunctions — the only WHERE shape the rewrite accepts
+_TAG_EQ = re.compile(
+    r"^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*=\s*'(?P<val>[^']*)'\s*$"
 )
 
 
@@ -231,8 +236,9 @@ class Engine:
         physical rule (model_simple_aggregates.rs:175-334): un-filtered
         COUNT/MIN/MAX/SUM/AVG over stored fields of one time series table
         → pure Column aggregation over segment statistics. Extended past
-        the reference: GROUP BY over tag columns is also eligible (tags
-        are segment-row columns, so grouped results stay exact)."""
+        the reference: GROUP BY over tag columns and WHERE clauses made
+        of tag-equality conjunctions are also eligible (tags are
+        segment-row columns, so both stay exact)."""
         m = _SIMPLE_AGG_SQL.match(sql)
         if not m:
             return None
@@ -247,6 +253,13 @@ class Engine:
         group_cols = [g.strip() for g in m["group"].split(",")] if m["group"] else []
         if not all(g in meta.tag_columns for g in group_cols):
             return None
+        tag_filters: list[tuple[str, str]] = []
+        if m["where"]:
+            for cond in re.split(r"\s+AND\s+", m["where"], flags=re.IGNORECASE):
+                tm = _TAG_EQ.match(cond)
+                if not tm or tm["col"] not in meta.tag_columns:
+                    return None  # not a tag-only predicate: gridded path
+                tag_filters.append((tm["col"], tm["val"]))
         items = [i.strip() for i in re.split(r",(?![^()]*\))", m["items"])]
         aggs: list[tuple[str, int | None, str]] = []
         for i, item in enumerate(items):
@@ -269,6 +282,8 @@ class Engine:
         if not aggs:
             return None
         segments = self.segments(table)
+        for col, val in tag_filters:
+            segments = segments.where(F.col(col) == F.lit(val))
         out = agg_ops.segment_aggregates(segments, aggs, group_cols or None)
         keep = group_cols + [a[2] for a in aggs]
         return out.select(*keep)
@@ -302,23 +317,30 @@ class Engine:
         aggregate selection (None|count|min|max|sum|avg), tag filters,
         GROUP BY, and a time range.
 
-        Aggregates with only tag constraints run on segment statistics;
-        a time range forces the gridded path (segment boundaries don't
-        align with arbitrary ranges, so stats would be inexact)."""
+        Aggregates with tag constraints run purely on segment statistics;
+        aggregates with a time range use partial pushdown (stats for
+        segments fully inside the range, decode only for boundary
+        segments — operators/aggregates.py::time_range_aggregates)."""
         meta = self.catalog.time_series_metadata(name)
         field_index = meta.field_index_of
         columns = columns or {f: None for f in meta.field_names}
         agg_items = {c: a for c, a in columns.items() if a is not None}
         start_us, end_us = _to_us(start), _to_us(end)
 
-        if agg_items and not start_us and not end_us:
+        if agg_items:
             segments = self.segments(name)
             for t, v in (tags or {}).items():
                 segments = segments.where(F.col(t) == F.lit(v))
             aggs = [
                 (a.lower(), field_index[c], f"{a.lower()}_{c}") for c, a in agg_items.items()
             ]
-            return agg_ops.segment_aggregates(segments, aggs, group_by or None)
+            if not start_us and not end_us:
+                return agg_ops.segment_aggregates(segments, aggs, group_by or None)
+            lo = start_us if start_us is not None else -(2**62)
+            hi = end_us if end_us is not None else 2**62
+            return agg_ops.time_range_aggregates(
+                segments, meta.tag_columns, aggs, lo, hi, group_by or None
+            )
 
         df = self.table(name, start=start, end=end)
         for t, v in (tags or {}).items():

@@ -79,3 +79,85 @@ def segment_aggregates(
     if group_by_tags:
         return segments.groupBy(*group_by_tags).agg(*cols)
     return segments.agg(*cols)
+
+
+def time_range_aggregates(
+    segments: DataFrame,
+    tag_columns: list[str],
+    aggs: list[tuple[str, int | None, str]],
+    start_us: int,
+    end_us: int,
+    group_by_tags: list[str] | None = None,
+) -> DataFrame:
+    """Simple aggregates under a time-range predicate, answered mostly
+    from segment statistics: segments fully inside [start, end]
+    contribute their stats columns directly; only segments *straddling* a
+    boundary are decoded and filtered point-wise. The reference's rule
+    bails on any predicate (model_simple_aggregates.rs fires only with no
+    pushed filters) — this is a strict superset, and the dominant-cost
+    shape at scale: a month-long query over a year of data decodes only
+    the two boundary segments per series.
+
+    Exactness: stats describe the reconstructed values (types.py), so
+    interior-stats + decoded-boundary equals the fully-gridded aggregate.
+    """
+    from modelardb_rs_spark.operators.grid import grid_univariate
+
+    pruned = segments.where(
+        (F.col("end_time") >= F.lit(int(start_us))) & (F.col("start_time") <= F.lit(int(end_us)))
+    )
+    inside = pruned.where(
+        (F.col("start_time") >= F.lit(int(start_us))) & (F.col("end_time") <= F.lit(int(end_us)))
+    )
+    boundary = pruned.where(
+        (F.col("start_time") < F.lit(int(start_us))) | (F.col("end_time") > F.lit(int(end_us)))
+    )
+
+    group = list(group_by_tags or [])
+
+    def per_field(df: DataFrame, idx: int | None) -> DataFrame:
+        return df if idx is None else df.where(F.col("field_column") == idx)
+
+    pieces = []
+    for func, idx, alias in aggs:
+        stats = per_field(inside, idx)
+        pts = grid_univariate(
+            per_field(boundary, idx).withColumn("__field__", F.col("field_column").cast("string")),
+            tag_columns + ["__field__"],
+            start_us,
+            end_us,
+        )
+        if func == "count":
+            s = stats.groupBy(*group).agg(F.sum("value_count").cast("long").alias("__v__")) if group else stats.agg(F.sum("value_count").cast("long").alias("__v__"))
+            p = pts.groupBy(*group).agg(F.count("value").alias("__v__")) if group else pts.agg(F.count("value").alias("__v__"))
+            combine = F.coalesce(F.sum(F.coalesce(F.col("__v__"), F.lit(0))), F.lit(0)).cast("long")
+        elif func == "sum":
+            s = stats.groupBy(*group).agg(F.sum("seg_sum").alias("__v__")) if group else stats.agg(F.sum("seg_sum").alias("__v__"))
+            p = pts.groupBy(*group).agg(F.sum(F.col("value").cast("double")).alias("__v__")) if group else pts.agg(F.sum(F.col("value").cast("double")).alias("__v__"))
+            combine = F.sum("__v__")
+        elif func == "min":
+            s = stats.groupBy(*group).agg(F.min("min_value").alias("__v__")) if group else stats.agg(F.min("min_value").alias("__v__"))
+            p = pts.groupBy(*group).agg(F.min("value").alias("__v__")) if group else pts.agg(F.min("value").alias("__v__"))
+            combine = F.min("__v__")
+        elif func == "max":
+            s = stats.groupBy(*group).agg(F.max("max_value").alias("__v__")) if group else stats.agg(F.max("max_value").alias("__v__"))
+            p = pts.groupBy(*group).agg(F.max("value").alias("__v__")) if group else pts.agg(F.max("value").alias("__v__"))
+            combine = F.max("__v__")
+        elif func == "avg":
+            s = stats.groupBy(*group).agg(F.sum("seg_sum").alias("__s__"), F.sum("value_count").cast("long").alias("__c__")) if group else stats.agg(F.sum("seg_sum").alias("__s__"), F.sum("value_count").cast("long").alias("__c__"))
+            p = pts.groupBy(*group).agg(F.sum(F.col("value").cast("double")).alias("__s__"), F.count("value").alias("__c__")) if group else pts.agg(F.sum(F.col("value").cast("double")).alias("__s__"), F.count("value").alias("__c__"))
+            u = s.unionByName(p)
+            agg_exprs = (F.sum("__s__") / F.sum(F.coalesce(F.col("__c__"), F.lit(0)))).alias(alias)
+            piece = u.groupBy(*group).agg(agg_exprs) if group else u.agg(agg_exprs)
+            pieces.append(piece)
+            continue
+        else:
+            raise ValueError(f"not a pushdown-able aggregate: {func}")
+        u = s.unionByName(p)
+        piece = u.groupBy(*group).agg(combine.alias(alias)) if group else u.agg(combine.alias(alias))
+        pieces.append(piece)
+
+    out = pieces[0]
+    for piece in pieces[1:]:
+        out = out.join(piece, on=group) if group else out.crossJoin(piece)
+    return out

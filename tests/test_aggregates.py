@@ -99,6 +99,61 @@ def test_multiple_fields_in_one_select(engine, spark):
     assert out.xa == 99.0
 
 
+def test_tag_filter_pushdown_equals_grid(lossy_engine):
+    push = lossy_engine.read_sql(
+        "SELECT count(f) AS n, min(f) AS mn, max(f) AS mx FROM m WHERE tag = 't1'"
+    ).collect()[0]
+    grid = lossy_engine.read_sql(
+        "SELECT count(f) AS n, min(f) AS mn, max(f) AS mx FROM m "
+        "WHERE tag = 't1' AND timestamp >= timestamp '1970-01-01'"
+    ).collect()[0]
+    assert (push.n, push.mn, push.mx) == (grid.n, grid.mn, grid.mx)
+    assert push.n == 1000
+    # plan check: the tag-filtered rewrite must stay metadata-only
+    plan = (
+        lossy_engine.read_sql("SELECT count(f) AS n FROM m WHERE tag = 't1'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" not in plan
+
+
+@pytest.mark.parametrize(
+    "agg", ["count", "sum", "min", "max", "avg"]
+)
+def test_time_range_partial_pushdown_equals_grid(lossy_engine, agg):
+    """Time-ranged aggregates answered from interior-segment stats plus
+    decoded boundary segments must equal the fully gridded result."""
+    start = TS0 + datetime.timedelta(seconds=317)
+    end = TS0 + datetime.timedelta(seconds=2203)
+    fast = lossy_engine.read_time_series_table(
+        "m", columns={"f": agg}, start=start, end=end
+    ).collect()[0][0]
+    df = lossy_engine.table("m", start=start, end=end)
+    import pyspark.sql.functions as SF
+
+    slow = df.agg(getattr(SF, agg)("f")).collect()[0][0]
+    if agg in ("count", "min", "max"):
+        assert fast == slow
+    else:
+        assert fast == pytest.approx(slow, rel=1e-9)
+
+
+def test_time_range_partial_pushdown_grouped(lossy_engine):
+    start = TS0 + datetime.timedelta(seconds=100)
+    end = TS0 + datetime.timedelta(seconds=2500)
+    fast = {
+        r.tag: r.count_f
+        for r in lossy_engine.read_time_series_table(
+            "m", columns={"f": "count"}, group_by=["tag"], start=start, end=end
+        ).collect()
+    }
+    df = lossy_engine.table("m", start=start, end=end)
+    slow = {r.tag: r.n for r in df.groupBy("tag").agg(F.count("f").alias("n")).collect()}
+    assert fast == slow
+
+
 def test_read_time_series_table_api(lossy_engine):
     out = lossy_engine.read_time_series_table(
         "m", columns={"f": "count"}, group_by=["tag"]
