@@ -53,8 +53,13 @@ _TS_TABLE_DDL = (
 
 
 def _ts_engine(spark: SparkSession, sf_dir: str) -> Engine:
+    import hashlib
+
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_entry", key)
+    # version the cache by the DDL so schema changes across rounds never
+    # read a stale /tmp data folder
+    ver = hashlib.md5(_TS_TABLE_DDL.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_entry", f"{key}_{ver}")
     eng = Engine(spark, root)
     if "ts_events" not in eng.tables():
         eng.read_sql(_TS_TABLE_DDL)
@@ -301,6 +306,30 @@ def ts_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("etype").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
     )
+
+
+def ts_tag_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-equality WHERE handled by the metadata-only aggregate rewrite
+    (a superset of the reference's rule, which bails on any filter)."""
+    eng = _ts_engine(spark, sf_dir)
+    return eng.read_sql(
+        "SELECT count(value) AS n, min(value) AS mn, max(value) AS mx "
+        "FROM ts_events WHERE etype = 'click'"
+    )
+
+
+def ts_range_partial_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-ranged aggregates from interior-segment stats + decoded
+    boundary segments (operators/aggregates.py::time_range_aggregates)."""
+    eng = _ts_engine(spark, sf_dir)
+    out = eng.read_time_series_table(
+        "ts_events",
+        columns={"value": "sum"},
+        group_by=["etype"],
+        start="2024-01-05",
+        end="2024-01-15",
+    )
+    return out.select("etype", F.round("sum_value", 2).alias("sum_value"))
 
 
 def ts_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,6 +628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_pushdown_grouped": ts_pushdown_grouped,
         "ts_time_range": ts_time_range,
         "ts_generated_column": ts_generated_column,
+        "ts_tag_filter_pushdown": ts_tag_filter_pushdown,
+        "ts_range_partial_pushdown": ts_range_partial_pushdown,
         "ts_multifield": ts_multifield,
         "ts_many_series": ts_many_series,
         "q_subquery_scalar": q_subquery_scalar,
@@ -787,6 +818,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05'
               AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15'
+            GROUP BY event_type
+        """,
+        "ts_tag_filter_pushdown": """
+            SELECT count(*) AS n,
+                   min(CAST(value AS FLOAT)) AS mn,
+                   max(CAST(value AS FLOAT)) AS mx
+            FROM events WHERE event_type = 'click'
+        """,
+        "ts_range_partial_pushdown": """
+            SELECT event_type AS etype,
+                   round(sum(CAST(CAST(value AS FLOAT) AS DOUBLE)), 2) AS sum_value
+            FROM events
+            WHERE epoch_ns(ts) // 1000 >= epoch_us(TIMESTAMP '2024-01-05')
+              AND epoch_ns(ts) // 1000 <= epoch_us(TIMESTAMP '2024-01-15')
             GROUP BY event_type
         """,
         "ts_generated_column": """
