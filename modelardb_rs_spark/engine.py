@@ -90,6 +90,12 @@ class Engine:
 
     # ------------------------------------------------------------- catalog
 
+    def modelardb_type(self) -> str:
+        """Deployment kind (reference Operations::modelardb_type,
+        modelardb_embedded/src/operations/mod.rs): this engine is the
+        embedded library over a data folder."""
+        return "embedded"
+
     def tables(self) -> dict[str, str]:
         return {name: kind.value for name, kind in self.catalog.tables().items()}
 
