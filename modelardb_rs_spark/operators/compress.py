@@ -8,15 +8,20 @@ group, sorted by time, and fitted with the vectorized greedy fitter.
 
 Two physical strategies, chosen by table shape:
 
-- **tagged tables**: ``groupBy(tags).applyInPandas`` — one Arrow batch
-  per series; scales horizontally with the number of series, which is the
-  natural parallelism axis of this workload (the reference parallelizes
-  the same way, one buffer per tag-hash).
+- **tagged tables**: ``repartition(tags)`` + ``sortWithinPartitions
+  (tags, ts)`` + ``mapInPandas`` with a pandas groupby inside each Arrow
+  batch. Every series lands wholly in one partition (hash partitioning),
+  so batches arrive series-contiguous and time-sorted; a series split
+  across Arrow-batch boundaries just yields boundary-split segments,
+  which the data model explicitly allows (mirrors buffer-capacity
+  splits, reference storage/mod.rs:53-58). Compared to
+  ``groupBy().applyInPandas`` this amortizes the per-group Python/Arrow
+  round trip (one UDF call per ~batch instead of per series) and keeps
+  task parallelism at the partition count even when there are millions
+  of tiny series — or only a handful of huge ones.
 - **untagged tables** (a single global series): ``repartitionByRange``
-  on the timestamp + ``mapInPandas`` per partition. Segments may split at
-  partition boundaries, which the data model explicitly allows (mirrors
-  buffer-capacity splits, reference storage/mod.rs:53-58) — this keeps a
-  single series scalable instead of serializing it through one task.
+  on the timestamp + the same ``mapInPandas`` — the single series is
+  spread over time ranges instead of serializing through one task.
 
 Out-of-order data: each batch is sorted before compression; cross-batch
 overlap is permitted and resolved at read time by decoding all segments
@@ -68,6 +73,27 @@ def _fit_group(
     return pd.concat(frames, ignore_index=True)
 
 
+def _fit_batch(
+    pdf: pd.DataFrame,
+    ts_col: str,
+    field_names: list[str],
+    bounds: list[ErrorBound],
+    tag_columns: list[str],
+) -> pd.DataFrame:
+    """Compress one Arrow batch holding many (chunks of) series: group by
+    tags in pandas and fit each series chunk."""
+    if not tag_columns:
+        return _fit_group(pdf, ts_col, field_names, bounds, tag_columns)
+    frames = [
+        _fit_group(g, ts_col, field_names, bounds, tag_columns)
+        for _, g in pdf.groupby(tag_columns, sort=False)
+    ]
+    frames = [f for f in frames if len(f)]
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True)
+
+
 def compress(
     df: DataFrame,
     meta: TimeSeriesTableMetadata,
@@ -91,24 +117,23 @@ def compress(
         else F.col(ts_col),
     )
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _fit_group(pdf, ts_col, field_names, bounds, tags)
-
-    if tags:
-        return df.groupBy(*tags).applyInPandas(fit, schema=out_schema)
-
-    # Untagged: range-partition the single series by time so compression
-    # parallelizes; segments split at partition boundaries (allowed).
-    if range_partitions is None:
-        range_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-
     def fit_iter(batches):
         for pdf in batches:
             if len(pdf):
-                yield _fit_group(pdf, ts_col, field_names, bounds, tags)
+                out = _fit_batch(pdf, ts_col, field_names, bounds, tags)
+                if len(out):
+                    yield out
 
-    return (
-        df.repartitionByRange(range_partitions, ts_col)
-        .sortWithinPartitions(ts_col)
-        .mapInPandas(fit_iter, schema=out_schema)
-    )
+    parallelism = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    if tags:
+        # Hash-partition by series key: each series lives in exactly one
+        # partition; sort makes batches series-contiguous and time-sorted.
+        shaped = df.repartition(parallelism, *tags).sortWithinPartitions(*tags, ts_col)
+    else:
+        # Untagged: range-partition the single series by time so
+        # compression parallelizes; segments split at partition
+        # boundaries (allowed).
+        shaped = df.repartitionByRange(
+            range_partitions or parallelism, ts_col
+        ).sortWithinPartitions(ts_col)
+    return shaped.mapInPandas(fit_iter, schema=out_schema)
