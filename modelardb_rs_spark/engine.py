@@ -143,6 +143,7 @@ class Engine:
         kind = self.catalog.kind(name)
         if kind == TableKind.NORMAL:
             schema = self.catalog.normal_table_schema(name)
+            self._check_columns(name, df, [f.name for f in schema.fields])
             cast = df.select(
                 *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
             )
@@ -150,11 +151,21 @@ class Engine:
             return
         meta = self.catalog.time_series_metadata(name)
         insert_schema = meta.insert_schema()
+        self._check_columns(name, df, [f.name for f in insert_schema.fields])
         cast = df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in insert_schema.fields]
         )
         segments = compress_ops.compress(cast, meta)
         self.folder.write_segments(meta, segments)
+
+    @staticmethod
+    def _check_columns(table: str, df: DataFrame, required: list[str]) -> None:
+        missing = [c for c in required if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"write to {table!r}: input is missing column(s) {missing}; "
+                f"expected {required}, got {df.columns}"
+            )
 
     # ---------------------------------------------------------------- read
 

@@ -53,7 +53,10 @@ def _fit_group(
         ts_us = ts_us.astype("datetime64[us]").astype(np.int64)
     else:
         ts_us = ts_us.astype(np.int64)
-    tag_values = {t: (pdf[t].iloc[0] if len(pdf) else None) for t in tag_columns}
+    tag_values = {}
+    for t in tag_columns:
+        v = pdf[t].iloc[0] if len(pdf) else None
+        tag_values[t] = None if v is None or (isinstance(v, float) and np.isnan(v)) else v
     frames = []
     for idx, (fname, bound) in enumerate(zip(field_names, bounds)):
         values = pdf[fname].to_numpy(dtype=np.float32)
@@ -86,7 +89,9 @@ def _fit_batch(
         return _fit_group(pdf, ts_col, field_names, bounds, tag_columns)
     frames = [
         _fit_group(g, ts_col, field_names, bounds, tag_columns)
-        for _, g in pdf.groupby(tag_columns, sort=False)
+        # dropna=False: a null tag is still a series key — silently
+        # dropping those rows (pandas' default) would lose data
+        for _, g in pdf.groupby(tag_columns, sort=False, dropna=False)
     ]
     frames = [f for f in frames if len(f)]
     if not frames:

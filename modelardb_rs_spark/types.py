@@ -203,7 +203,9 @@ def segment_schema(tag_columns: list[str]) -> T.StructType:
         T.StructField("seg_sum", T.DoubleType(), False),
         T.StructField("field_column", T.ShortType(), False),
     ]
-    fields += [T.StructField(t, T.StringType(), False) for t in tag_columns]
+    # nullable: a null tag value is an unusual but legal series key and
+    # must not poison JVM-side string ops
+    fields += [T.StructField(t, T.StringType(), True) for t in tag_columns]
     return T.StructType(fields)
 
 
@@ -214,5 +216,5 @@ def grid_schema(tag_columns: list[str]) -> T.StructType:
         T.StructField("timestamp", T.LongType(), False),
         T.StructField("value", T.FloatType(), False),
     ]
-    fields += [T.StructField(t, T.StringType(), False) for t in tag_columns]
+    fields += [T.StructField(t, T.StringType(), True) for t in tag_columns]
     return T.StructType(fields)
