@@ -238,17 +238,30 @@ def fit_series(
 
     def quantize_gorilla(chunk32: np.ndarray, s: int, e: int) -> np.ndarray:
         """Lossy Gorilla quantization (reference macaque_v.rs lossy mode
-        zeroes mantissa bits / reuses values within the bound): under an
-        absolute bound, snap values to a 2e grid so nearby values share a
-        bit pattern and XOR residues collapse. Any point the f32 cast
-        would push outside its interval keeps its exact value."""
-        if bound.kind != ErrorBoundKind.ABSOLUTE:
+        zeroes mantissa bits / reuses values within the bound): snap
+        values to a coarse grid so nearby values share a bit pattern and
+        XOR residues collapse — a linear 2e grid under an absolute bound,
+        a sign-preserving log grid under a relative bound. Any point the
+        f32 cast would push outside its interval keeps its exact value.
+        """
+        if bound.kind == ErrorBoundKind.ABSOLUTE:
+            step = 2.0 * bound.value
+            q = np.rint(chunk32.astype(np.float64) / step) * step
+        elif bound.kind == ErrorBoundKind.RELATIVE:
+            r = bound.value / 100.0
+            # grid pitch in log space: nearest grid point is within a
+            # (1±r) factor when consecutive points are (1+r)/(1-r) apart
+            h = np.log((1.0 + r) / (1.0 - r)) if r < 1.0 else 1.0
+            c64 = chunk32.astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                q = np.sign(c64) * np.exp(np.rint(np.log(np.abs(c64)) / h) * h)
+            q[c64 == 0.0] = 0.0
+        else:
             return chunk32
-        step = 2.0 * bound.value
-        q = np.rint(chunk32.astype(np.float64) / step) * step
         q32 = q.astype(np.float32)
         q64 = q32.astype(np.float64)
         bad = ~((q64 >= lo[s:e]) & (q64 <= hi[s:e]))  # NaN/inf compare False
+        q32 = q32.copy()
         q32[bad] = chunk32[bad]
         return q32
 
