@@ -10,8 +10,13 @@ sides so the driver's order-insensitive value hash matches.
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
 from collections.abc import Callable
+
+# Make the sibling package importable no matter how the driver loaded
+# this module (cwd-independent).
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
