@@ -514,6 +514,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: jaccard pairs → connected components
+    (iterative label propagation, join-only)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, threshold=0.10, n=3)
+    clusters = dedup_ops.duplicate_clusters(pairs)
+    return clusters.agg(
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.count("*").alias("n_clustered_docs"),
+        F.sum("cluster_id").cast("long").alias("sum_cluster_ids"),
+    )
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _prep(spark, sf_dir, "documents")
     sigs = dedup_ops.minhash_signatures(docs, k=8, n=3)
@@ -647,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "doc_langid": doc_langid,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_clusters": dedup_clusters,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
@@ -963,6 +977,35 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(sum(jac), 0.0), 4) AS sum_jaccard,
                    round(coalesce(max(jac), 0.0), 6) AS max_jaccard
             FROM j WHERE jac >= 0.10
+        """,
+        "dedup_clusters": _SHINGLE_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + """
+            , sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                           JOIN sizes sb ON sb.doc_id = id_b
+                WHERE round(CAST(i AS DOUBLE) / (sa.ns + sb.ns - i), 6) >= 0.10
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+                SELECT DISTINCT src AS id, src AS r FROM edges
+                UNION
+                SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+            ),
+            labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+            SELECT count(DISTINCT cluster_id) AS n_clusters,
+                   count(*) AS n_clustered_docs,
+                   CAST(sum(cluster_id) AS BIGINT) AS sum_cluster_ids
+            FROM labels
         """,
         "dedup_minhash": _SHINGLE_CTE
         + """

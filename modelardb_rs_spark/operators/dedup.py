@@ -207,6 +207,59 @@ def minhash_dedup_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Group duplicate pairs (id_a, id_b) into clusters: each node gets
+    the minimum id reachable through the pair graph (connected
+    components by iterative label propagation).
+
+    Pure join/groupBy rounds — no driver-side collect loop over data;
+    the driver only iterates until the label assignment reaches a
+    fixpoint, which takes O(log(diameter)) rounds because labels hop
+    through neighbors each round (dedup graphs are near-cliques, so
+    2-3 rounds in practice). Output: (doc_id, cluster_id).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # truncate the growing lineage each round and check for fixpoint
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 # -------------------------------------------------------------- SimHash
 
 SIMHASH_BITS = 16

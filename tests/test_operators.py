@@ -60,6 +60,15 @@ def test_simhash_near_pairs(docs):
     assert (0, 1) in near and (0, 5) in near
 
 
+def test_duplicate_clusters(spark):
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=5, id_b=6),
+         Row(id_a=3, id_b=4), Row(id_a=8, id_b=9)]
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup_ops.duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8}
+
+
 def test_language_id(docs):
     pred = {r.doc_id: r.predicted_lang for r in text_ops.language_id(docs).collect()}
     assert pred[0] == "en"
