@@ -58,6 +58,7 @@ _TS_TABLE_DDL = (
 
 
 def _ts_engine(spark: SparkSession, sf_dir: str) -> Engine:
+    import fcntl
     import hashlib
 
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
@@ -65,17 +66,21 @@ def _ts_engine(spark: SparkSession, sf_dir: str) -> Engine:
     # read a stale /tmp data folder
     ver = hashlib.md5(_TS_TABLE_DDL.encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), "sparkmodelar_entry", f"{key}_{ver}")
-    eng = Engine(spark, root)
-    if "ts_events" not in eng.tables():
-        eng.read_sql(_TS_TABLE_DDL)
-        (events,) = _prep(spark, sf_dir, "events")
-        pts = events.select(
-            F.col("ts").alias("timestamp"),
-            F.col("value").cast("float").alias("value"),
-            (F.col("value") * 3.0).cast("float").alias("scaled"),
-            F.col("event_type").alias("etype"),
-        )
-        eng.write("ts_events", pts)
+    os.makedirs(root, exist_ok=True)
+    # serialize the one-time build across concurrent query invocations
+    with open(os.path.join(root, ".build_lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        eng = Engine(spark, root)
+        if "ts_events" not in eng.tables():
+            eng.read_sql(_TS_TABLE_DDL)
+            (events,) = _prep(spark, sf_dir, "events")
+            pts = events.select(
+                F.col("ts").alias("timestamp"),
+                F.col("value").cast("float").alias("value"),
+                (F.col("value") * 3.0).cast("float").alias("scaled"),
+                F.col("event_type").alias("etype"),
+            )
+            eng.write("ts_events", pts)
     return eng
 
 
@@ -360,22 +365,27 @@ def ts_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_many_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user series (100+ tag combinations): compression parallelism
     across many series + grouped segment-pushdown aggregates."""
+    import fcntl
+
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = os.path.join(tempfile.gettempdir(), "sparkmodelar_entry", key + "_users")
-    eng = Engine(spark, root)
-    if "user_series" not in eng.tables():
-        eng.read_sql(
-            "CREATE TIME SERIES TABLE user_series(timestamp TIMESTAMP, value FIELD, uid TAG)"
-        )
-        (events,) = _prep(spark, sf_dir, "events")
-        eng.write(
-            "user_series",
-            events.select(
-                F.col("ts").alias("timestamp"),
-                F.col("value").cast("float").alias("value"),
-                F.col("user_id").cast("string").alias("uid"),
-            ),
-        )
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, ".build_lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        eng = Engine(spark, root)
+        if "user_series" not in eng.tables():
+            eng.read_sql(
+                "CREATE TIME SERIES TABLE user_series(timestamp TIMESTAMP, value FIELD, uid TAG)"
+            )
+            (events,) = _prep(spark, sf_dir, "events")
+            eng.write(
+                "user_series",
+                events.select(
+                    F.col("ts").alias("timestamp"),
+                    F.col("value").cast("float").alias("value"),
+                    F.col("user_id").cast("string").alias("uid"),
+                ),
+            )
     out = eng.read_sql(
         "SELECT uid, count(value) AS n, min(value) AS mn, max(value) AS mx "
         "FROM user_series GROUP BY uid"
