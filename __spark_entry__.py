@@ -244,6 +244,31 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment (window row_number)."""
+    from pyspark.sql import Window
+
+    cust, orders = _prep(spark, sf_dir, "customer", "orders")
+    joined = orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("c_mktsegment", "rk", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling window (hourly rollup) as strings for
     engine-independent comparison."""
@@ -663,6 +688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_subquery_scalar": q_subquery_scalar,
         "q_pivot": q_pivot,
         "q_asof_join": q_asof_join,
+        "q_topk_per_group": q_topk_per_group,
+        "q_percentiles": q_percentiles,
         "multimodal_frames": multimodal_frames,
         "doc_fingerprints": doc_fingerprints,
         "doc_exact_dups": doc_exact_dups,
@@ -805,6 +832,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey AND o_totalprice > 400000)
             GROUP BY c_mktsegment
+        """,
+        "q_topk_per_group": """
+            SELECT c_mktsegment, CAST(rk AS INTEGER) AS rk, o_orderkey,
+                   round(o_totalprice, 2) AS price
+            FROM (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ) WHERE rk <= 3
+        """,
+        "q_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+            FROM lineitem GROUP BY l_returnflag
         """,
         "q_events_hourly": """
             SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
