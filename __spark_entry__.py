@@ -520,6 +520,19 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token counting (GPT-2 pre-tokenizer regex)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_bpe", text_ops.bpe_token_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_bpe").cast("long").alias("total_bpe"),
+            F.round(F.avg("n_bpe"), 4).alias("avg_bpe"),
+        )
+    )
+
+
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _prep(spark, sf_dir, "documents")
     q = text_ops.quality_features(docs)
@@ -618,6 +631,15 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ivf_topk(emb, queries, k=5, nprobe=2)
 
 
+def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with an MLlib-KMeans-trained coarse quantizer (index build +
+    probe; rows-only driver check)."""
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    bucketed = sim_ops.kmeans_buckets(emb, k=8)
+    queries = bucketed.where(F.col("vec_id") < 10)
+    return sim_ops.ivf_topk(bucketed, queries, k=5, nprobe=2, bucket_col="ivf_bucket")
+
+
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-k (rows-only driver check;
     bucket recall is validated against brute force in tests/)."""
@@ -705,6 +727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_threshold_count": sim_threshold_count,
         "sim_ivf_topk": sim_ivf_topk,
         "sim_lsh_topk": sim_lsh_topk,
+        "sim_ivf_trained": sim_ivf_trained,
+        "doc_bpe_tokens": doc_bpe_tokens,
         "multimodal_metadata": multimodal_metadata,
         "multimodal_features": multimodal_features,
     }
@@ -975,6 +999,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    round(avg(n_tokens), 4) AS avg_tokens,
                    max(n_tokens) AS max_tokens
+            FROM t GROUP BY lang
+        """,
+        "doc_bpe_tokens": f"""
+            WITH t AS (SELECT lang,
+                              len(regexp_extract_all(text, '{text_ops.BPE_TOKEN_PATTERN.replace("'", "''")}')) AS n
+                       FROM documents)
+            SELECT lang, CAST(sum(n) AS BIGINT) AS total_bpe,
+                   round(avg(n), 4) AS avg_bpe
             FROM t GROUP BY lang
         """,
         "doc_quality": """

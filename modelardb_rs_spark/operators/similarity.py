@@ -155,6 +155,29 @@ def ivf_topk(
     )
 
 
+def kmeans_buckets(
+    corpus: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Train an IVF coarse quantizer with Spark MLlib KMeans and assign
+    every vector its bucket — the index-build step for ``ivf_topk`` when
+    no natural cluster column exists. Returns the corpus plus an
+    ``ivf_bucket`` int column; training runs on a sample-sized driver fit
+    (MLlib distributes the iterations), assignment is a map-only
+    transform."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = corpus.withColumn("__mlvec__", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=k, seed=seed, featuresCol="__mlvec__", predictionCol="ivf_bucket").fit(
+        with_vec
+    )
+    return model.transform(with_vec).drop("__mlvec__")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -44,6 +44,18 @@ def stopword_count(col: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens(col), lambda t: F.array_contains(wordset, t)))
 
 
+# GPT-2-style pre-tokenizer shape: contraction suffixes, letter runs,
+# digit runs, punctuation runs, whitespace runs. Restricted to RE2-safe
+# syntax (no lookarounds) so SQL oracles can reproduce it exactly.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: the number of GPT-2-pre-tokenizer-style
+    pieces (a practical LLM-cost proxy that needs no vocabulary)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_PATTERN))
+
+
 def punct_count(col: Column) -> Column:
     return F.length(col) - F.length(F.regexp_replace(col, r"[.,!?;:]", ""))
 

@@ -135,6 +135,28 @@ def test_lsh_topk_finds_cluster_neighbors(vectors):
     assert recall >= 0.5, f"LSH recall {recall}"  # few planes, tight clusters
 
 
+def test_kmeans_trained_ivf_recall(vectors):
+    bucketed = sim_ops.kmeans_buckets(vectors, k=4, vec_col="embedding")
+    queries = bucketed.where(F.col("vec_id") % 25 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_ops.brute_force_topk(vectors, vectors.where(F.col("vec_id") % 25 == 0), k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_ops.ivf_topk(bucketed, queries, k=5, nprobe=2, bucket_col="ivf_bucket").collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"trained-IVF recall {recall}"
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="it's well-known: 123 tokens!"), Row(doc_id=1, text="")])
+    out = {r.doc_id: r.n for r in df.select("doc_id", text_ops.bpe_token_count(F.col("text")).alias("n")).collect()}
+    assert out[1] == 0
+    assert out[0] == 9  # it|'s|well|-|known|:|123|tokens|!
+
+
 def test_cosine_threshold_pairs(vectors):
     pairs = sim_ops.cosine_threshold_pairs(
         vectors.where(F.col("vec_id") < 25), vectors, threshold=0.99
