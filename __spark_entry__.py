@@ -288,8 +288,10 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (ev,) = _prep(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    starts = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # µs-exact gap math: unix_timestamp() is second-precision and can
+    # disagree with the oracle on gaps of exactly the threshold.
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    starts = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     return (
         ev.withColumn("session_start", starts)
         .groupBy("user_id")
@@ -879,14 +881,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "q_events_sessions": """
-            WITH g AS (
+            -- gap math in µs on both sides (epoch_ns // 1000 matches Spark's
+            -- truncating ns->us load); bare sum(int) is HUGEINT in DuckDB, so
+            -- cast to BIGINT to hash-match Spark's LongType.
+            WITH e AS (
+                SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+            ), g AS (
                 SELECT user_id,
-                       CASE WHEN lag(ts) OVER w IS NULL
-                                 OR date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) > 1800
+                       CASE WHEN lag(ts_us) OVER w IS NULL
+                                 OR ts_us - lag(ts_us) OVER w > 1800000000
                             THEN 1 ELSE 0 END AS session_start
-                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
             )
-            SELECT user_id, sum(session_start) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(session_start) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM g GROUP BY user_id
         """,
         "ts_grid_roundtrip": """
@@ -989,7 +997,8 @@ def oracle_sql() -> dict[str, str]:
             WITH fp AS (SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
                         FROM documents),
                  g AS (SELECT f, count(*) AS n FROM fp GROUP BY f HAVING count(*) > 1)
-            SELECT count(*) AS n_groups, coalesce(sum(n), 0) AS n_dup_docs FROM g
+            SELECT count(*) AS n_groups,
+                   CAST(coalesce(sum(n), 0) AS BIGINT) AS n_dup_docs FROM g
         """,
         "doc_token_stats": """
             WITH t AS (SELECT lang,

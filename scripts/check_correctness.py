@@ -20,6 +20,46 @@ from modelardb_rs_spark.session import make_spark
 from modelardb_rs_spark.sources.testdata import TABLES
 
 
+_SPARK_KIND = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float", "string": "str", "boolean": "bool",
+    "timestamp": "ts", "timestamp_ntz": "ts", "date": "date", "binary": "bytes",
+}
+
+_DUCK_KIND = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "HUGEINT": "hugeint", "UTINYINT": "int", "USMALLINT": "int",
+    "UINTEGER": "int", "UBIGINT": "int", "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool", "TIMESTAMP": "ts",
+    "TIMESTAMP_NS": "ts", "DATE": "date", "BLOB": "bytes", "NUMBER": "float",
+}
+
+
+def type_kinds(spark_dtypes, oracle_cols, oracle_types) -> list[str]:
+    """Driver-grade type check: the driver hashes typed values (HUGEINT and
+    DECIMAL surface differently from BIGINT/DOUBLE), so flag any column whose
+    Spark kind differs from its oracle kind, by matching column name."""
+    spark_by_name = {n.lower(): _SPARK_KIND.get(t, t) for n, t in spark_dtypes}
+    problems = []
+    for name, duck_t in zip(oracle_cols, oracle_types):
+        name, duck_t = name.lower(), str(duck_t)
+        kind = _DUCK_KIND.get(duck_t, duck_t)
+        if duck_t.startswith("DECIMAL"):
+            kind = "decimal"
+        sk = spark_by_name.get(name)
+        if sk is None:
+            continue
+        if kind == "hugeint":
+            problems.append(f"col {name}: oracle HUGEINT (bare sum(int)?) vs spark {sk} — CAST AS BIGINT")
+        elif kind == "decimal":
+            problems.append(f"col {name}: oracle DECIMAL vs spark {sk} — cast to DOUBLE/BIGINT")
+        elif {kind, sk} == {"int", "float"}:
+            problems.append(f"col {name}: int-vs-float mismatch: spark {sk}, oracle {kind}")
+        elif kind != sk:
+            problems.append(f"col {name}: kind {sk} (spark) vs {kind} (oracle)")
+    return problems
+
+
 def normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
     """Sort columns by name, normalize value types, sort rows."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
@@ -68,9 +108,10 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            oracle_cols = [d[0] for d in cur.description]
-            oracle_rows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            oracle_cols = list(rel.columns)
+            oracle_types = [str(t) for t in rel.types]
+            oracle_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
@@ -80,6 +121,7 @@ def main() -> int:
             problems.append(f"rowcount {len(spark_rows)} vs {len(oracle_rows)}")
         if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in oracle_cols):
             problems.append(f"schema {sorted(spark_cols)} vs {sorted(oracle_cols)}")
+        problems.extend(type_kinds(df.dtypes, oracle_cols, oracle_types))
         if not problems:
             a = normalize(spark_rows, spark_cols)
             b = normalize(oracle_rows, oracle_cols)
