@@ -599,14 +599,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash→LSH→verify pipeline (approximate candidate recall;
-    rows-only driver check)."""
+    """Full MinHash→LSH→verify pipeline, aggregate view (exact-oracle:
+    DuckDB reproduces the md5 minhash bands and candidate verification)."""
     (docs,) = _prep(spark, sf_dir, "documents")
     pairs = dedup_ops.minhash_dedup_pairs(docs, threshold=0.10, k=16, bands=8, n=3)
     return pairs.agg(
         F.count("*").alias("n_pairs"),
         F.round(F.coalesce(F.max("jaccard"), F.lit(0.0)), 6).alias("max_jaccard"),
     )
+
+
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-blocked verified pairs themselves: every (id_a, id_b,
+    jaccard) the scale pipeline emits, hash-checked row-by-row against
+    DuckDB's exact Jaccard restricted to the same LSH candidate set."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return dedup_ops.minhash_dedup_pairs(docs, threshold=0.10, k=16, bands=8, n=3)
 
 
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+        "dedup_minhash_verified": dedup_minhash_verified,
         "sim_bruteforce_topk": sim_bruteforce_topk,
         "sim_threshold_count": sim_threshold_count,
         "sim_ivf_topk": sim_ivf_topk,
@@ -752,6 +761,38 @@ WITH toks AS (
     FROM toks
 )
 """
+
+# MinHash(k=16) → 8 bands of 2 → LSH candidates → exact Jaccard on the
+# candidate pairs only — the DuckDB mirror of dedup.minhash_dedup_pairs.
+_MINHASH_VERIFY_CTE = (
+    _SHINGLE_CTE
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16))
+    + " FROM sh GROUP BY doc_id),\n    bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('|', h{2 * b}, h{2 * b + 1}) AS bh FROM sig"
+        for b in range(8)
+    )
+    + """),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS i
+        FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                    JOIN sh sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sza.ns + szb.ns - i), 6) AS jaccard
+        FROM inter JOIN sizes sza ON sza.doc_id = id_a
+                   JOIN sizes szb ON szb.doc_id = id_b
+    )
+"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1114,6 +1155,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_docs, count(DISTINCT sigc) AS n_distinct_sigs,
                    min(sigc) AS min_sig
             FROM s
+        """,
+        "dedup_minhash_lsh_pairs": _MINHASH_VERIFY_CTE
+        + """
+            SELECT count(*) AS n_pairs,
+                   round(coalesce(max(jaccard), 0.0), 6) AS max_jaccard
+            FROM j WHERE jaccard >= 0.10
+        """,
+        "dedup_minhash_verified": _MINHASH_VERIFY_CTE
+        + """
+            SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.10
         """,
         "dedup_simhash": f"""
             WITH tok AS (

@@ -81,16 +81,41 @@ def explode_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # ------------------------------------------------------- n-gram Jaccard
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a plan (driver-side, no job)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # stats unavailable on some plan shapes
+        return 1 << 62
+
+
+# An exploded shingle index is roughly an order of magnitude larger than
+# its source text; only hint a broadcast when the *source* is well under
+# the executor-memory comfort zone, otherwise let AQE pick the strategy
+# from real shuffle statistics at runtime.
+_BROADCAST_SOURCE_LIMIT = 32 << 20
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_index: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via a shingle inverted index:
     explode distinct shingles, self-join on shingle (id_a < id_b),
     count the intersection, and compute |A∩B| / (|A|+|B|-|A∩B|).
+
+    Quadratic in co-shingled pairs by nature — this is the gold-standard
+    verifier, not the scale path; ``minhash_dedup_pairs`` blocks with LSH
+    and verifies candidates in O(|candidates|) instead.
+
+    ``broadcast_index``: True forces a broadcast-hash self-join (skips
+    shuffling both exploded sides), False forces shuffle+AQE, and None
+    (default) broadcasts only when Catalyst's size estimate of the source
+    is small enough that the exploded index safely fits an executor.
 
     Output: (id_a, id_b, jaccard rounded to 6) with jaccard >= threshold.
     """
@@ -100,14 +125,13 @@ def ngram_jaccard_pairs(
     sizes = df.select(
         F.col(id_col), F.size(shingles(F.col(text_col), n)).alias("n_shingles")
     )
-    # Broadcast-hash the self-join: the distinct-shingle index is ~tens of
-    # bytes per gram, so at verification scale it fits an executor easily
-    # and skips shuffling both exploded sides. (At full-corpus scale this
-    # operator is the *verifier* behind minhash_dedup_pairs, which blocks
-    # candidates first — the exact all-pairs join is never the scale path.)
+    if broadcast_index is None:
+        broadcast_index = _plan_size_bytes(df) < _BROADCAST_SOURCE_LIMIT
+    rhs = explode_shingles(df, text_col, id_col, n).alias("r")
+    if broadcast_index:
+        rhs = F.broadcast(rhs)
     pairs = (
-        ex.join(F.broadcast(explode_shingles(df, text_col, id_col, n).alias("r")),
-                F.col("l.shingle") == F.col("r.shingle"))
+        ex.join(rhs, F.col("l.shingle") == F.col("r.shingle"))
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("inter"))
@@ -186,6 +210,40 @@ def lsh_candidate_pairs(
     )
 
 
+def verify_candidate_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard for a pre-blocked candidate set, in O(|candidates|).
+
+    Joins the (id_a, id_b) candidates to each side's *shingle array* and
+    intersects the two arrays per pair — no inverted-index self-join, so
+    the cost is two equi-joins on doc id plus per-pair array math. This is
+    the verifier the blocking stage (LSH/SimHash) feeds at corpus scale.
+
+    Output: (id_a, id_b, jaccard rounded to 6) with jaccard >= threshold.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(parallelism, F.col(id_col)).select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("__sh__")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh__").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh__").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -196,15 +254,10 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """The scale pipeline: MinHash → banded LSH candidates → exact
-    Jaccard verification of candidates only."""
+    Jaccard verification of the candidates only (never all-pairs)."""
     sigs = minhash_signatures(df, k, n, text_col, id_col)
     cands = lsh_candidate_pairs(sigs, bands, id_col)
-    exact = ngram_jaccard_pairs(df, threshold=0.0, n=n, text_col=text_col, id_col=id_col)
-    return (
-        cands.join(exact, ["id_a", "id_b"])
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return verify_candidate_pairs(df, cands, threshold, n, text_col, id_col)
 
 
 def duplicate_clusters(

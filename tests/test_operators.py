@@ -53,6 +53,37 @@ def test_minhash_lsh_recall(docs):
     assert {(0, 1), (0, 5), (1, 5)} <= found
 
 
+def test_verify_candidates_matches_exact(docs):
+    """verify_candidate_pairs fed every pair must reproduce the exact
+    inverted-index Jaccard operator bit-for-bit."""
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    spark = docs.sparkSession
+    all_pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a in ids for b in ids if a < b]
+    )
+    via_verify = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup_ops.verify_candidate_pairs(docs, all_pairs, threshold=0.1).collect()
+    }
+    via_exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup_ops.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert via_verify == via_exact
+
+
+def test_minhash_pipeline_plan_has_no_allpairs_join(docs):
+    """The scale pipeline's verifier must be per-pair array math, not the
+    quadratic shingle inverted-index self-join."""
+    import re
+
+    plan = dedup_ops.minhash_dedup_pairs(docs, threshold=0.5)._jdf.queryExecution().analyzed().toString()
+    assert "array_intersect" in plan
+    # the signature stage explodes shingles (linear), but nothing may
+    # equi-join two exploded shingle columns (quadratic in co-shingles)
+    assert not re.search(r"shingle#\d+ = shingle#\d+", plan)
+
+
 def test_simhash_near_pairs(docs):
     sh = {r.doc_id: r.simhash for r in dedup_ops.simhash(docs).collect()}
     assert sh[0] == sh[1] == sh[5]  # identical token multisets
