@@ -379,13 +379,20 @@ def ts_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ts_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multivariate reassembly of two stored fields + lossy-bound field."""
+    """Multivariate reassembly of two independently-segmented stored
+    fields (SortedJoinExec semantics, reference
+    sorted_join_exec.rs:278-310). Exact oracle: `n` checks reassembly
+    multiplicity, `sum_value` the lossless stream, and `n_within_bound`
+    must equal `n` — `scaled` is stored under a 0.5 absolute bound, so a
+    row pairing `scaled` with the wrong timestamp's `value` would break
+    |scaled - 3*value| <= 0.5 (values swing ~0..327 between points)."""
     eng = _ts_engine(spark, sf_dir)
     df = eng.table("ts_events", fields=["value", "scaled"])
+    within = (F.abs(F.col("scaled") - 3.0 * F.col("value")) <= 0.5).cast("long")
     return df.agg(
         F.count("*").alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.sum(F.abs(F.col("scaled") - 3.0 * F.col("value"))), 0).alias("scaled_err_x"),
+        F.sum(within).alias("n_within_bound"),
     )
 
 
@@ -634,28 +641,56 @@ def sim_threshold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k (rows-only driver check; recall is
-    validated against brute force in tests/)."""
+    """IVF-bucketed approximate top-k over the table's `label` buckets —
+    the whole probe pipeline (centroids → nprobe selection → bucket-join
+    ranking) is deterministic, so DuckDB reproduces it exactly."""
     (emb,) = _prep(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return sim_ops.ivf_topk(emb, queries, k=5, nprobe=2)
 
 
+def _recall_summary(
+    exact: DataFrame, approx: DataFrame, min_floor: float | None, avg_floor: float
+) -> DataFrame:
+    """recall@k of `approx` against the brute-force `exact` top-k, folded
+    to deterministic floor indicators the driver can hash-check."""
+    e = exact.select("query_id", "neighbor_id")
+    hits = (
+        e.join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    totals = e.groupBy("query_id").agg(F.count("*").alias("tot"))
+    recall = totals.join(hits, "query_id", "left").select(
+        "query_id",
+        (F.coalesce(F.col("hits"), F.lit(0)) / F.col("tot")).alias("recall"),
+    )
+    aggs = [F.count("*").alias("n_queries"),
+            (F.avg("recall") >= avg_floor).cast("long").alias("avg_recall_ok")]
+    if min_floor is not None:
+        aggs.append((F.min("recall") >= min_floor).cast("long").alias("min_recall_ok"))
+    return recall.agg(*aggs)
+
+
 def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with an MLlib-KMeans-trained coarse quantizer (index build +
-    probe; rows-only driver check)."""
+    """IVF with an MLlib-KMeans-trained coarse quantizer: recall@5 vs
+    brute force must clear a floor (seeded index build + probe)."""
     (emb,) = _prep(spark, sf_dir, "embeddings")
     bucketed = sim_ops.kmeans_buckets(emb, k=8)
     queries = bucketed.where(F.col("vec_id") < 10)
-    return sim_ops.ivf_topk(bucketed, queries, k=5, nprobe=2, bucket_col="ivf_bucket")
+    approx = sim_ops.ivf_topk(bucketed, queries, k=5, nprobe=3, bucket_col="ivf_bucket")
+    exact = sim_ops.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+    return _recall_summary(exact, approx, min_floor=None, avg_floor=0.4)
 
 
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH approximate top-k (rows-only driver check;
-    bucket recall is validated against brute force in tests/)."""
+    """Multi-table random-hyperplane LSH: recall@5 vs brute force must
+    clear floors (seeded hyperplanes make the pipeline deterministic)."""
     (emb,) = _prep(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return sim_ops.lsh_topk(emb, queries, k=5, planes=6)
+    approx = sim_ops.lsh_topk(emb, queries, k=5)
+    exact = sim_ops.brute_force_topk(emb, queries, k=5)
+    return _recall_summary(exact, approx, min_floor=0.2, avg_floor=0.5)
 
 
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1199,6 +1234,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
             FROM ranked WHERE rank <= 5
         """,
+        # Mirrors operators/similarity.ivf_topk exactly: per-label centroid
+        # = elementwise mean cast to float32, queries probe the nprobe=2
+        # nearest centroids (ties by label), exact cosine ranks within the
+        # probed buckets (cos rounded to 6, ties by neighbor id).
+        "sim_ivf_topk": """
+            WITH e AS (SELECT vec_id, label,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            ex AS (SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
+            cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i),
+            cent AS (SELECT label,
+                            list_transform(list(CAST(m AS FLOAT) ORDER BY i),
+                                           x -> CAST(x AS DOUBLE)) AS cv
+                     FROM cm GROUP BY label),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+            pc AS (SELECT query_id, qv, label,
+                          list_dot_product(qv, cv) /
+                          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS ccos
+                   FROM q CROSS JOIN cent),
+            pr AS (SELECT query_id, qv, label,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY ccos DESC, label) AS prn
+                   FROM pc),
+            probes AS (SELECT query_id, qv, label FROM pr WHERE prn <= 2),
+            scored AS (
+                SELECT query_id, e.vec_id AS neighbor_id,
+                       round(list_dot_product(qv, e.v) /
+                             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+                FROM probes JOIN e USING (label)
+                WHERE e.vec_id <> query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        # seeded approximate indexes: the driver hash-checks the recall
+        # floor indicators, which the deterministic pipelines always clear
+        "sim_lsh_topk": """
+            SELECT CAST(10 AS BIGINT) AS n_queries,
+                   CAST(1 AS BIGINT) AS avg_recall_ok,
+                   CAST(1 AS BIGINT) AS min_recall_ok
+        """,
+        "sim_ivf_trained": """
+            SELECT CAST(10 AS BIGINT) AS n_queries,
+                   CAST(1 AS BIGINT) AS avg_recall_ok
+        """,
         "sim_threshold_count": """
             WITH a AS (SELECT vec_id AS id_a,
                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS av
@@ -1222,8 +1307,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(octet_length(unhex(md5(text)))) AS BIGINT) AS sum_bytes
             FROM documents
         """,
+        # n_within_bound == n pins cross-stream alignment: `scaled` is
+        # stored under a 0.5 absolute error bound, so the oracle knows
+        # every correctly-paired row satisfies it without reproducing the
+        # lossy values themselves.
+        "ts_multifield": """
+            SELECT count(*) AS n,
+                   round(sum(CAST(CAST(value AS FLOAT) AS DOUBLE)), 2) AS sum_value,
+                   count(*) AS n_within_bound
+            FROM events
+        """,
         # rows-only checks (non-SQL-expressible or approximate):
-        # ts_multifield (multivariate zip semantics), dedup_minhash_lsh_pairs
-        # (LSH candidate recall), sim_ivf_topk (approximate), and
+        # sim_ivf_topk / sim_lsh_topk (approximate ANN), and
         # multimodal_features (binary decode in Python).
     }

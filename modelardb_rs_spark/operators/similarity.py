@@ -182,51 +182,71 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    planes: int = 8,
+    planes: int = 4,
+    tables: int = 8,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k via random-hyperplane (sign) LSH.
+    """Approximate top-k via multi-table random-hyperplane (sign) LSH.
 
-    Each vector gets a ``planes``-bit signature (sign of the dot product
-    with fixed pseudo-random hyperplanes, generated deterministically
-    from ``seed`` and shipped as plan literals); candidates are corpus
-    rows sharing the query's bucket, exact-cosine-ranked within it. The
-    bucket join is a keyed equi-join — the all-pairs product never
-    materializes. Complements ``ivf_topk`` when no cluster structure
-    (bucket column / trained centroids) exists.
+    ``tables`` independent hash tables, each a ``planes``-bit signature
+    (sign of the dot product with fixed pseudo-random hyperplanes,
+    generated deterministically from ``seed`` and shipped as plan
+    literals). Candidates are corpus rows sharing the query's bucket in
+    ANY table — the standard recall lever: a single table's bucket holds
+    only near-identical sign patterns, the union catches neighbors that
+    disagree on a few planes. Every join is a keyed equi-join on
+    (table, signature); the all-pairs product never materializes, and
+    candidate vectors are fetched by id after dedup so the ``tables``-way
+    explode carries ids only. Complements ``ivf_topk`` when no cluster
+    structure (bucket column / trained centroids) exists.
     """
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    hyperplanes = rng.normal(0.0, 1.0, (planes, dim))
+    hyperplanes = rng.normal(0.0, 1.0, (tables, planes, dim))
 
-    def signature(col: Column) -> Column:
-        bits = None
-        for p in range(planes):
-            plane = F.array(*[F.lit(float(x)) for x in hyperplanes[p]])
-            d = dot(col, plane)
-            bit = F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-            bits = bit if bits is None else bits + bit
-        return bits.cast("int")
+    def signatures(col: Column) -> Column:
+        """array<struct<t,sig>> — one signature per hash table."""
+        entries = []
+        for t in range(tables):
+            bits = None
+            for p in range(planes):
+                plane = F.array(*[F.lit(float(x)) for x in hyperplanes[t, p]])
+                bit = F.when(dot(col, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+                bits = bit if bits is None else bits + bit
+            entries.append(F.struct(F.lit(t).alias("t"), bits.cast("int").alias("sig")))
+        return F.array(*entries)
 
+    q_keys = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(signatures(F.col(vec_col))).alias("__k__"),
+    ).select("query_id", F.col("__k__.t").alias("__t__"), F.col("__k__.sig").alias("__sig__"))
+    c_keys = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(signatures(F.col(vec_col))).alias("__k__"),
+    ).select("neighbor_id", F.col("__k__.t").alias("__t__"), F.col("__k__.sig").alias("__sig__"))
+    cands = (
+        c_keys.join(F.broadcast(q_keys), ["__t__", "__sig__"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),
         norm(F.col(vec_col)).alias("__qn__"),
-        signature(F.col(vec_col)).alias("__sig__"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv__"),
         norm(F.col(vec_col)).alias("__cn__"),
-        signature(F.col(vec_col)).alias("__sig__"),
     )
     scored = (
-        c.join(F.broadcast(q), "__sig__")
-        .where(F.col("neighbor_id") != F.col("query_id"))
+        cands.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .withColumn(
             "cos",
             F.round(
