@@ -92,6 +92,11 @@ def encode_timestamps(ts_us: np.ndarray) -> tuple[bytes, bool]:
     """Encode a sorted int64 µs timestamp array; returns (payload, regular)."""
     n = len(ts_us)
     if n <= 2:
+        # two equal timestamps must carry an explicit count: the empty
+        # payload with start==end decodes to ONE point, silently dropping
+        # a row ("R" with step 0 round-trips both)
+        if n == 2 and ts_us[0] == ts_us[1]:
+            return b"R" + _U32.pack(2), True
         return b"", True
     deltas = np.diff(ts_us)
     if (deltas == deltas[0]).all():

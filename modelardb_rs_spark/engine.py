@@ -124,7 +124,9 @@ class Engine:
         self.catalog.kind(name)  # raises if missing
         self.folder.truncate(name)
 
-    def drop(self, name: str) -> None:
+    def drop(self, name: str, if_exists: bool = False) -> None:
+        if if_exists and name not in self.catalog.tables():
+            return
         self.catalog.kind(name)
         self.folder.drop(name)
         self.catalog.drop(name)
@@ -211,7 +213,7 @@ class Engine:
                 self.truncate(t)
             return None
         if stmt.kind == "drop":
-            self.drop(stmt.tables[0])
+            self.drop(stmt.tables[0], if_exists=stmt.if_exists)
             return None
         if stmt.kind == "vacuum":
             self.vacuum(stmt.tables or None, stmt.retain_seconds)
@@ -351,7 +353,8 @@ class Engine:
             aggs = [
                 (a.lower(), field_index[c], f"{a.lower()}_{c}") for c, a in agg_items.items()
             ]
-            if not start_us and not end_us:
+            # identity check, not truthiness: epoch 0 is a valid boundary
+            if start_us is None and end_us is None:
                 return agg_ops.segment_aggregates(segments, aggs, group_by or None)
             lo = start_us if start_us is not None else -(2**62)
             hi = end_us if end_us is not None else 2**62

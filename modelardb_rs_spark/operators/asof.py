@@ -65,9 +65,13 @@ def asof_join(
         *[c for c in left.columns], "__side__", *carried
     ).where(F.col("__side__") == 1)
     if tolerance_us is not None:
-        age = F.unix_micros(F.col(on).cast("timestamp")) - F.unix_micros(
-            F.col("__right_ts__").cast("timestamp")
-        )
+        # numeric `on` columns already hold µs — casting a long to
+        # timestamp would reinterpret it as SECONDS and inflate the age
+        # by 1e6, nulling out nearly every match
+        if dict(left.dtypes)[on].startswith("timestamp"):
+            age = F.unix_micros(F.col(on)) - F.unix_micros(F.col("__right_ts__"))
+        else:
+            age = F.col(on) - F.col("__right_ts__")
         keep = F.col("__right_ts__").isNotNull() & (age <= F.lit(int(tolerance_us)))
         out = out.select(
             *[c for c in left.columns],

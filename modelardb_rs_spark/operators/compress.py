@@ -122,6 +122,18 @@ def compress(
         else F.col(ts_col),
     )
 
+    # Enforce the non-nullable insert schema in the data path (the cast
+    # alone would smuggle NULLs across to pandas as NaN, silently turning
+    # declared-non-null points into values SQL treats as present).
+    def _non_null(name: str):
+        return F.when(F.col(name).isNotNull(), F.col(name)).otherwise(
+            F.raise_error(F.lit(f"NULL {name!r} in INSERT into non-nullable column"))
+        )
+
+    df = df.withColumn(ts_col, _non_null(ts_col))
+    for fname in field_names:
+        df = df.withColumn(fname, _non_null(fname))
+
     def fit_iter(batches):
         for pdf in batches:
             if len(pdf):

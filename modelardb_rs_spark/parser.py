@@ -34,7 +34,7 @@ _TRUNCATE = re.compile(
     re.IGNORECASE,
 )
 _DROP = re.compile(
-    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    r"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
     re.IGNORECASE,
 )
 _VACUUM = re.compile(
@@ -63,6 +63,7 @@ class ModelarStatement:
     include_addresses: list[str] = field(default_factory=list)
     select_sql: str | None = None
     insert_columns: list[str] = field(default_factory=list)
+    if_exists: bool = False
 
 
 def _split_top_level_commas(s: str) -> list[str]:
@@ -149,7 +150,9 @@ def parse_statement(sql: str) -> ModelarStatement:
         tables = [t.strip() for t in m["tables"].split(",")]
         return ModelarStatement(kind="truncate", sql=sql, tables=tables)
     if m := _DROP.match(sql):
-        return ModelarStatement(kind="drop", sql=sql, tables=[m["name"]])
+        return ModelarStatement(
+            kind="drop", sql=sql, tables=[m["name"]], if_exists=bool(m["ifex"])
+        )
     if m := _VACUUM.match(sql):
         tables = [t.strip() for t in m["tables"].split(",")] if m["tables"] else []
         retain = int(m["retain"]) if m["retain"] else None

@@ -8,9 +8,29 @@ from hypothesis import strategies as st
 from modelardb_rs_spark.compression import encoding as e
 
 
+def test_duplicate_timestamp_pair_roundtrips():
+    """Two equal timestamps must decode to two points (an empty payload
+    with start==end means ONE point), and fit_series must agree."""
+    ts = np.array([1000, 1000], dtype=np.int64)
+    payload, _ = e.encode_timestamps(ts)
+    back = e.decode_timestamps(payload, 1000, 1000)
+    assert np.array_equal(back, ts)
+    assert e.timestamps_count(payload, 1000, 1000) == 2
+
+    from modelardb_rs_spark.compression.fitter import fit_series
+    from modelardb_rs_spark.types import ErrorBound
+
+    cols = fit_series(ts, np.array([1.0, 1.0], dtype=np.float32), ErrorBound.lossless())
+    n_decoded = sum(
+        len(e.decode_timestamps(p, s, t))
+        for p, s, t in zip(cols["timestamps"], cols["start_time"], cols["end_time"])
+    )
+    assert n_decoded == sum(cols["value_count"]) == 2
+
+
 @settings(max_examples=200, deadline=None)
 @given(
-    deltas=st.lists(st.integers(min_value=1, max_value=2**40), min_size=1, max_size=500)
+    deltas=st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=500)
 )
 def test_timestamps_roundtrip(deltas):
     ts = np.cumsum(np.array([0] + deltas, dtype=np.int64)) + 1_000_000

@@ -120,6 +120,37 @@ def test_truncate(ts_engine):
     assert "ts" in ts_engine.tables()
 
 
+def test_drop_if_exists_is_noop(engine):
+    engine.read_sql("DROP TABLE IF EXISTS never_created")  # no error
+    with pytest.raises(KeyError):
+        engine.read_sql("DROP TABLE never_created")
+
+
+def test_null_field_rejected_at_write(engine, spark):
+    engine.read_sql("CREATE TIME SERIES TABLE nn(timestamp TIMESTAMP, f FIELD, tag TAG)")
+    pts = spark.createDataFrame(
+        [Row(timestamp=TS0, f=1.0, tag="a"), Row(timestamp=TS0, f=None, tag="a")],
+        "timestamp timestamp, f double, tag string",
+    )
+    with pytest.raises(Exception, match="NULL 'f'"):
+        engine.write("nn", pts)
+
+
+def test_epoch_zero_is_a_real_boundary(engine, spark):
+    """start=1970-01-01 must bound the aggregate, not be treated as
+    'no range' — tables can hold pre-1970 (negative-µs) points."""
+    engine.read_sql("CREATE TIME SERIES TABLE ez(timestamp TIMESTAMP, f FIELD, tag TAG)")
+    t_neg = datetime.datetime(1969, 12, 31, 23, 0, tzinfo=datetime.timezone.utc)
+    rows = [Row(timestamp=t_neg + datetime.timedelta(minutes=i), f=100.0, tag="a") for i in range(30)]
+    rows += [Row(timestamp=TS0 + datetime.timedelta(seconds=i), f=1.0, tag="a") for i in range(10)]
+    engine.write("ez", spark.createDataFrame(rows))
+    epoch0 = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+    bounded = engine.read_time_series_table("ez", columns={"f": "count"}, start=epoch0).collect()
+    assert bounded[0][0] == 10
+    unbounded = engine.read_time_series_table("ez", columns={"f": "count"}).collect()
+    assert unbounded[0][0] == 40
+
+
 def test_vacuum_runs(ts_engine):
     ts_engine.read_sql("VACUUM")
     assert ts_engine.table("ts").count() == 100

@@ -230,6 +230,24 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_numeric_tolerance(spark):
+    """Numeric (µs long) `on` columns must use plain subtraction for the
+    tolerance age — casting a long to timestamp reads it as seconds."""
+    from modelardb_rs_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k="a", ts=1_000_000), Row(k="a", ts=10_000_000)]
+    )
+    right = spark.createDataFrame([Row(k="a", ts=500_000, y=1.0)])
+    out = {
+        r.ts: r.y_right
+        for r in asof_join(
+            left, right, on="ts", by=["k"], right_value_cols=["y"], tolerance_us=1_000_000
+        ).collect()
+    }
+    assert out == {1_000_000: 1.0, 10_000_000: None}
+
+
 def test_decode_media_stub_raises():
     with pytest.raises(NotImplementedError):
         mm_ops.decode_media(b"\x00\x01", "image", fake=False)
