@@ -51,9 +51,13 @@ def main() -> None:
     except ValueError:
         sf = 0.0
 
-    # Fresh ts-table cache so ingest cost is measured, not skipped.
-    cache = os.path.join(tempfile.gettempdir(), "sparkmodelar_entry", sf_name)
-    shutil.rmtree(cache, ignore_errors=True)
+    # Fresh ts-table cache so ingest cost is measured, not skipped
+    # (cache dirs are versioned by DDL hash: sf0.1, sf0.1_<hash>, ...).
+    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_entry")
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if d.startswith(sf_name):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
     spark = make_spark(app_name="sparkmodelar-bench")
     qs = entry.queries()

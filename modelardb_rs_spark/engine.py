@@ -31,6 +31,7 @@ import datetime
 import os
 import re
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,8 +40,13 @@ from modelardb_rs_spark.operators import aggregates as agg_ops
 from modelardb_rs_spark.operators import compress as compress_ops
 from modelardb_rs_spark.operators import grid as grid_ops
 from modelardb_rs_spark.parser import ModelarStatement, parse_statement
+from modelardb_rs_spark.plans.stats import plan_size_bytes
 from modelardb_rs_spark.sources.datafolder import DataFolder
 from modelardb_rs_spark.types import TableKind, TimeSeriesTableMetadata
+
+# Inputs whose Catalyst size estimate is under this are cached across the
+# compressor's range-partition sample pass + main pass (see write()).
+_CACHE_WRITE_INPUT_LIMIT = 4 << 30
 
 
 def _to_us(t) -> int | None:
@@ -157,8 +163,20 @@ class Engine:
         cast = df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in insert_schema.fields]
         )
-        segments = compress_ops.compress(cast, meta)
-        self.folder.write_segments(meta, segments)
+        # The compressor range-partitions on (tags, time), which samples
+        # the input in a separate pass. Cache small inputs so the sample
+        # hits memory instead of re-running the source scan; at real
+        # scale (estimate above the limit) the extra parallel scan is the
+        # standard total-order-sort cost and caching would be wrong.
+        cache_input = plan_size_bytes(cast) < _CACHE_WRITE_INPUT_LIMIT
+        if cache_input:
+            cast = cast.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            segments = compress_ops.compress(cast, meta)
+            self.folder.write_segments(meta, segments)
+        finally:
+            if cache_input:
+                cast.unpersist()
 
     @staticmethod
     def _check_columns(table: str, df: DataFrame, required: list[str]) -> None:

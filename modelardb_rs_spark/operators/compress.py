@@ -143,9 +143,17 @@ def compress(
 
     parallelism = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     if tags:
-        # Hash-partition by series key: each series lives in exactly one
-        # partition; sort makes batches series-contiguous and time-sorted.
-        shaped = df.repartition(parallelism, *tags).sortWithinPartitions(*tags, ts_col)
+        # Range-partition on (series key, time): partition count tracks
+        # data VOLUME, not tag cardinality — hash-on-tags would cap the
+        # active tasks at the number of distinct series (a 5-value tag
+        # serializes a cluster). A series crossing a range boundary just
+        # yields boundary-split segments, which the data model allows
+        # (mirrors buffer-capacity splits, reference storage/mod.rs:53-58),
+        # while sparse series stay contiguous — no per-bucket segment
+        # fragmentation like fixed time-bucket hashing would cause.
+        shaped = df.repartitionByRange(
+            range_partitions or parallelism, *tags, F.col(ts_col)
+        ).sortWithinPartitions(*tags, ts_col)
     else:
         # Untagged: range-partition the single series by time so
         # compression parallelizes; segments split at partition

@@ -81,13 +81,7 @@ def explode_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # ------------------------------------------------------- n-gram Jaccard
 
 
-def _plan_size_bytes(df: DataFrame) -> int:
-    """Catalyst's size estimate for a plan (driver-side, no job)."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # stats unavailable on some plan shapes
-        return 1 << 62
-
+from modelardb_rs_spark.plans.stats import plan_size_bytes as _plan_size_bytes
 
 # An exploded shingle index is roughly an order of magnitude larger than
 # its source text; only hint a broadcast when the *source* is well under

@@ -120,6 +120,29 @@ def test_truncate(ts_engine):
     assert "ts" in ts_engine.tables()
 
 
+def test_ingest_parallelism_not_capped_by_tag_cardinality(engine, spark):
+    """A single-tag-value table must still compress across many tasks —
+    partitioning follows data volume (range on tags+time), not the
+    number of distinct series."""
+    from modelardb_rs_spark.operators import compress as compress_ops
+
+    engine.read_sql("CREATE TIME SERIES TABLE one_tag(timestamp TIMESTAMP, f FIELD, tag TAG)")
+    meta = engine.catalog.time_series_metadata("one_tag")
+    pts = spark.range(200_000).select(
+        (F.lit(1_700_000_000_000_000) + F.col("id") * 1_000_000).alias("timestamp"),
+        (F.col("id") % 17).cast("float").alias("f"),
+        F.lit("only").alias("tag"),
+    )
+    segments = compress_ops.compress(pts, meta)
+    n_active = (
+        segments.withColumn("pid", F.spark_partition_id())
+        .select(F.countDistinct("pid").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert n_active >= 8, f"compression ran in only {n_active} partitions"
+
+
 def test_drop_if_exists_is_noop(engine):
     engine.read_sql("DROP TABLE IF EXISTS never_created")  # no error
     with pytest.raises(KeyError):
