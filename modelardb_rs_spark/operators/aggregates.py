@@ -106,6 +106,11 @@ def time_range_aggregates(
     pruned = segments.where(
         (F.col("end_time") >= F.lit(int(start_us))) & (F.col("start_time") <= F.lit(int(end_us)))
     )
+    # Restrict both passes to the referenced field partitions up front
+    # (partition pruning on field_column).
+    indexes = {idx for _, idx, _ in aggs}
+    if None not in indexes:
+        pruned = pruned.where(F.col("field_column").isin(sorted(indexes)))
     inside = pruned.where(
         (F.col("start_time") >= F.lit(int(start_us))) & (F.col("end_time") <= F.lit(int(end_us)))
     )
@@ -115,49 +120,52 @@ def time_range_aggregates(
 
     group = list(group_by_tags or [])
 
-    def per_field(df: DataFrame, idx: int | None) -> DataFrame:
-        return df if idx is None else df.where(F.col("field_column") == idx)
+    # ONE stats projection + ONE boundary decode feed a single final
+    # aggregation: every requested aggregate becomes a pair of partial
+    # columns (null where the row's field doesn't match), so a 5-aggregate
+    # query still scans the stats columns once and decodes each boundary
+    # segment once — instead of one job per aggregate.
+    def match(idx: int | None, field_col: Column) -> Column:
+        return F.lit(True) if idx is None else field_col == F.lit(idx)
 
-    pieces = []
+    stat_cols, point_cols, final_cols = [], [], []
     for func, idx, alias in aggs:
-        stats = per_field(inside, idx)
-        pts = grid_univariate(
-            per_field(boundary, idx).withColumn("__field__", F.col("field_column").cast("string")),
-            tag_columns + ["__field__"],
-            start_us,
-            end_us,
-        )
+        seg_m = match(idx, F.col("field_column"))
+        pt_m = match(idx, F.col("__field__").cast("int"))
         if func == "count":
-            s = stats.groupBy(*group).agg(F.sum("value_count").cast("long").alias("__v__")) if group else stats.agg(F.sum("value_count").cast("long").alias("__v__"))
-            p = pts.groupBy(*group).agg(F.count("value").alias("__v__")) if group else pts.agg(F.count("value").alias("__v__"))
-            combine = F.coalesce(F.sum(F.coalesce(F.col("__v__"), F.lit(0))), F.lit(0)).cast("long")
+            stat_cols.append(F.when(seg_m, F.col("value_count").cast("long")).alias(f"c_{alias}"))
+            point_cols.append(F.when(pt_m, F.lit(1).cast("long")).alias(f"c_{alias}"))
+            final_cols.append(F.coalesce(F.sum(f"c_{alias}"), F.lit(0)).cast("long").alias(alias))
         elif func == "sum":
-            s = stats.groupBy(*group).agg(F.sum("seg_sum").alias("__v__")) if group else stats.agg(F.sum("seg_sum").alias("__v__"))
-            p = pts.groupBy(*group).agg(F.sum(F.col("value").cast("double")).alias("__v__")) if group else pts.agg(F.sum(F.col("value").cast("double")).alias("__v__"))
-            combine = F.sum("__v__")
+            stat_cols.append(F.when(seg_m, F.col("seg_sum")).alias(f"s_{alias}"))
+            point_cols.append(F.when(pt_m, F.col("value").cast("double")).alias(f"s_{alias}"))
+            final_cols.append(F.sum(f"s_{alias}").alias(alias))
         elif func == "min":
-            s = stats.groupBy(*group).agg(F.min("min_value").alias("__v__")) if group else stats.agg(F.min("min_value").alias("__v__"))
-            p = pts.groupBy(*group).agg(F.min("value").alias("__v__")) if group else pts.agg(F.min("value").alias("__v__"))
-            combine = F.min("__v__")
+            stat_cols.append(F.when(seg_m, F.col("min_value")).alias(f"m_{alias}"))
+            point_cols.append(F.when(pt_m, F.col("value")).alias(f"m_{alias}"))
+            final_cols.append(F.min(f"m_{alias}").alias(alias))
         elif func == "max":
-            s = stats.groupBy(*group).agg(F.max("max_value").alias("__v__")) if group else stats.agg(F.max("max_value").alias("__v__"))
-            p = pts.groupBy(*group).agg(F.max("value").alias("__v__")) if group else pts.agg(F.max("value").alias("__v__"))
-            combine = F.max("__v__")
+            stat_cols.append(F.when(seg_m, F.col("max_value")).alias(f"x_{alias}"))
+            point_cols.append(F.when(pt_m, F.col("value")).alias(f"x_{alias}"))
+            final_cols.append(F.max(f"x_{alias}").alias(alias))
         elif func == "avg":
-            s = stats.groupBy(*group).agg(F.sum("seg_sum").alias("__s__"), F.sum("value_count").cast("long").alias("__c__")) if group else stats.agg(F.sum("seg_sum").alias("__s__"), F.sum("value_count").cast("long").alias("__c__"))
-            p = pts.groupBy(*group).agg(F.sum(F.col("value").cast("double")).alias("__s__"), F.count("value").alias("__c__")) if group else pts.agg(F.sum(F.col("value").cast("double")).alias("__s__"), F.count("value").alias("__c__"))
-            u = s.unionByName(p)
-            agg_exprs = (F.sum("__s__") / F.sum(F.coalesce(F.col("__c__"), F.lit(0)))).alias(alias)
-            piece = u.groupBy(*group).agg(agg_exprs) if group else u.agg(agg_exprs)
-            pieces.append(piece)
-            continue
+            stat_cols.append(F.when(seg_m, F.col("seg_sum")).alias(f"as_{alias}"))
+            stat_cols.append(F.when(seg_m, F.col("value_count").cast("long")).alias(f"ac_{alias}"))
+            point_cols.append(F.when(pt_m, F.col("value").cast("double")).alias(f"as_{alias}"))
+            point_cols.append(F.when(pt_m, F.lit(1).cast("long")).alias(f"ac_{alias}"))
+            final_cols.append(
+                (F.sum(f"as_{alias}") / F.sum(f"ac_{alias}")).cast("double").alias(alias)
+            )
         else:
             raise ValueError(f"not a pushdown-able aggregate: {func}")
-        u = s.unionByName(p)
-        piece = u.groupBy(*group).agg(combine.alias(alias)) if group else u.agg(combine.alias(alias))
-        pieces.append(piece)
 
-    out = pieces[0]
-    for piece in pieces[1:]:
-        out = out.join(piece, on=group) if group else out.crossJoin(piece)
-    return out
+    stats_part = inside.select(*group, *stat_cols)
+    points = grid_univariate(
+        boundary.withColumn("__field__", F.col("field_column").cast("string")),
+        tag_columns + ["__field__"],
+        start_us,
+        end_us,
+    )
+    points_part = points.select(*group, *point_cols)
+    u = stats_part.unionByName(points_part)
+    return u.groupBy(*group).agg(*final_cols) if group else u.agg(*final_cols)
