@@ -8,38 +8,37 @@ kind, query schema, per-field error bounds, and generated-column
 expressions. Stored as a single JSON document under
 ``<data folder>/metadata/tables.json`` — tiny, driver-side state; at
 cluster scale this lives on the shared object store next to the data and
-is read once per session.
+is read once per session. All I/O goes through the Hadoop FileSystem
+API so the metadata directory may be any URI the session can reach
+(``file://``, ``s3a://``, ...).
 """
 
 from __future__ import annotations
 
 import json
-import os
 import threading
 
 from pyspark.sql import types as T
 
+from modelardb_rs_spark.sources.hadoopfs import HadoopFS
 from modelardb_rs_spark.types import TableKind, TimeSeriesTableMetadata
 
 
 class Catalog:
-    def __init__(self, metadata_dir: str) -> None:
+    def __init__(self, metadata_dir: str, fs: HadoopFS) -> None:
+        self._fs = fs
         self._dir = metadata_dir
-        self._path = os.path.join(metadata_dir, "tables.json")
+        self._path = fs.join(metadata_dir, "tables.json")
         self._lock = threading.Lock()
-        os.makedirs(metadata_dir, exist_ok=True)
-        if not os.path.exists(self._path):
+        fs.mkdirs(metadata_dir)
+        if not fs.exists(self._path):
             self._save({"tables": {}})
 
     def _load(self) -> dict:
-        with open(self._path) as f:
-            return json.load(f)
+        return json.loads(self._fs.read_bytes(self._path).decode("utf-8"))
 
     def _save(self, doc: dict) -> None:
-        tmp = self._path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(doc, f, indent=1)
-        os.replace(tmp, self._path)
+        self._fs.write_bytes(self._path, json.dumps(doc, indent=1).encode("utf-8"))
 
     def tables(self) -> dict[str, TableKind]:
         doc = self._load()

@@ -92,7 +92,7 @@ class Engine:
         self.spark = spark
         ensure_shipped(spark)
         self.folder = DataFolder(spark, data_folder)
-        self.catalog = Catalog(self.folder.metadata_dir)
+        self.catalog = Catalog(self.folder.metadata_dir, self.folder.fs)
 
     # ------------------------------------------------------------- catalog
 

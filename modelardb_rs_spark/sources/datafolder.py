@@ -1,79 +1,134 @@
-"""Data-folder storage layer: Parquet read/write under one root.
+"""Data-folder storage layer: transactional Parquet under one root URI.
 
-Reference: the Delta Lake "data folder" (tables/ + metadata/ + wal/,
+Reference: the Delta Lake "data folder" (tables/ + metadata/,
 crates/modelardb_storage/src/data_folder/mod.rs:89-686 and
-delta_table_writer.rs:42-110). This engine keeps the same layout with
-plain Parquet datasets (the container has no Delta jars; swapping
-``format("parquet")`` for ``format("delta")`` on a cluster restores
-ACID commits + time travel + VACUUM retention — the call sites are
-isolated here on purpose):
+delta_table_writer.rs:42-110). The container has no Delta jars, so the
+same guarantees come from a per-table JSON transaction log
+(sources/txlog.py): atomic ACID appends, snapshot-isolated reads,
+transactional TRUNCATE, VACUUM with a retention window, and time-travel
+reads by version or timestamp.
 
-    <root>/metadata/tables.json      catalog (catalog.py)
-    <root>/tables/<name>/            one dataset per table
-        field_column=N/...parquet    ts tables: partitioned by field
+    <root>/metadata/tables.json          catalog (catalog.py)
+    <root>/tables/<name>/
+        _txn/<version>.json              commit log
+        txn=<uuid>/...                   one staged dir per committed write
+            field_column=N/...parquet    ts tables: partitioned by field
 
-Segment writes are sorted within partitions by (tags..., start_time)
+All path operations go through the Hadoop FileSystem API
+(sources/hadoopfs.py), so the root can be a local path, ``file://`` URI,
+or an object-store scheme (``s3a://`` etc.) configured on the session —
+reference open_s3/open_azure parity.
+
+Segment writes stay sorted within partitions by (tags..., start_time)
 exactly like the reference writer (delta_table_writer.rs:66-80), so
 Parquet row-group min/max statistics on start_time/end_time stay tight
-and time-range scans prune well.
+and time-range scans prune well. The staged directory is itself a
+``txn=<uuid>`` Hive-style level, which keeps ``field_column`` a real
+partition column for pruning while giving every commit a collision-free
+namespace.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from modelardb_rs_spark.sources.hadoopfs import HadoopFS
+from modelardb_rs_spark.sources.txlog import TransactionLog
 from modelardb_rs_spark.types import TimeSeriesTableMetadata, segment_schema
+
+# Reference VACUUM default: 7-day retention (data_folder/mod.rs:582-686).
+DEFAULT_RETENTION_SECONDS = 7 * 24 * 3600
 
 
 class DataFolder:
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
-        self.root = os.path.abspath(root)
-        self.tables_dir = os.path.join(self.root, "tables")
-        self.metadata_dir = os.path.join(self.root, "metadata")
-        os.makedirs(self.tables_dir, exist_ok=True)
-        os.makedirs(self.metadata_dir, exist_ok=True)
+        self.fs = HadoopFS(spark, root)
+        self.root = self.fs.base
+        self.tables_dir = self.fs.join(self.root, "tables")
+        self.metadata_dir = self.fs.join(self.root, "metadata")
+        self.fs.mkdirs(self.tables_dir)
+        self.fs.mkdirs(self.metadata_dir)
+        self._logs: dict[str, TransactionLog] = {}
 
     def table_path(self, name: str) -> str:
-        return os.path.join(self.tables_dir, name)
+        return self.fs.join(self.tables_dir, name)
+
+    def log(self, name: str) -> TransactionLog:
+        if name not in self._logs:
+            self._logs[name] = TransactionLog(self.fs, self.table_path(name))
+        return self._logs[name]
 
     def _has_data(self, name: str) -> bool:
-        path = self.table_path(name)
-        if not os.path.isdir(path):
-            return False
-        for _, _, files in os.walk(path):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+        return bool(self.log(name).snapshot().files)
+
+    # -------------------------------------------------------- write/commit
+
+    def _stage_and_commit(
+        self, name: str, write_staged, op: str = "append"
+    ) -> int:
+        """Run `write_staged(staged_uri)` into a fresh txn= directory,
+        then commit the produced parquet files atomically."""
+        table = self.table_path(name)
+        staged_rel = f"txn={uuid.uuid4().hex[:16]}"
+        staged = self.fs.join(table, staged_rel)
+        write_staged(staged)
+        add = []
+        for info in self.fs.list_files_recursive(staged):
+            if not info.path.endswith(".parquet"):
+                continue
+            rel = staged_rel + info.path.split(staged_rel, 1)[1]
+            add.append({"path": rel, "size": info.size})
+        return self.log(name).commit(lambda snap: (op, add, []))
+
+    # -------------------------------------------------------- read helpers
+
+    def _read_live(self, name: str, snapshot) -> DataFrame | None:
+        if not snapshot.files:
+            return None
+        table = self.table_path(name)
+        paths = [self.fs.join(table, p) for p in snapshot.paths]
+        return self.spark.read.option("basePath", table).parquet(*paths)
 
     # -- segments (time series tables) -------------------------------------
 
     def write_segments(self, meta: TimeSeriesTableMetadata, segments: DataFrame) -> None:
-        """Append segment rows, partitioned by field_column, sorted within
-        partitions by (tags..., start_time)."""
+        """Atomically append segment rows, partitioned by field_column,
+        sorted within partitions by (tags..., start_time)."""
         # No repartition: the compressor already co-located each series'
         # segments in one task; an extra shuffle here would double the
         # write cost. Sorting by (field_column, tags..., start_time) keeps
         # one open Parquet writer at a time per dynamic partition and tight
         # row-group stats within each file.
         sort_cols = ["field_column", *meta.tag_columns, "start_time"]
-        (
-            segments.sortWithinPartitions(*sort_cols)
-            .write.mode("append")
-            .partitionBy("field_column")
-            .parquet(self.table_path(meta.name))
-        )
 
-    def read_segments(self, meta: TimeSeriesTableMetadata) -> DataFrame:
+        def write_staged(staged: str) -> None:
+            (
+                segments.sortWithinPartitions(*sort_cols)
+                .write.partitionBy("field_column")
+                .parquet(staged)
+            )
+
+        self._stage_and_commit(meta.name, write_staged)
+
+    def read_segments(
+        self,
+        meta: TimeSeriesTableMetadata,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+    ) -> DataFrame:
+        """Snapshot-isolated segment read; `version`/`timestamp_ms` select
+        an older snapshot (time travel)."""
         schema = segment_schema(meta.tag_columns)
-        if not self._has_data(meta.name):
+        snap = self.log(meta.name).snapshot(version, timestamp_ms)
+        df = self._read_live(meta.name, snap)
+        if df is None:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(self.table_path(meta.name))
-        # Partition discovery types field_column as int; restore int16.
+        # partition discovery types field_column as int (and adds the
+        # txn staging column); restore int16 and the declared column set
         return df.withColumn("field_column", F.col("field_column").cast("short")).select(
             *[f.name for f in schema.fields]
         )
@@ -81,35 +136,58 @@ class DataFolder:
     # -- normal tables ------------------------------------------------------
 
     def write_normal(self, name: str, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self.table_path(name))
+        self._stage_and_commit(name, lambda staged: df.write.parquet(staged))
 
-    def read_normal(self, name: str, schema) -> DataFrame:
-        if not self._has_data(name):
+    def read_normal(
+        self,
+        name: str,
+        schema,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+    ) -> DataFrame:
+        snap = self.log(name).snapshot(version, timestamp_ms)
+        df = self._read_live(name, snap)
+        if df is None:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(self.table_path(name))
+        return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
 
     # -- maintenance ---------------------------------------------------------
 
     def truncate(self, name: str) -> None:
-        path = self.table_path(name)
-        if os.path.isdir(path):
-            shutil.rmtree(path)
+        """Transactional truncate: one commit removing every live file.
+        Data files stay on disk for time travel until vacuumed
+        (reference mod.rs:545-580 truncates the Delta table the same way)."""
+        log = self.log(name)
+        if not log.versions():
+            return
+        log.commit(lambda snap: ("truncate", [], snap.paths))
 
     def drop(self, name: str) -> None:
-        self.truncate(name)
-
-    def vacuum(self, name: str, retain_seconds: int | None = None) -> None:
-        """Physically delete stale files beyond the retention period
-        (reference data_folder/mod.rs:582-686). Plain Parquet datasets have
-        no version history, so only orphaned temporary files are removed;
-        with a Delta-backed folder this maps to DeltaTable.vacuum()."""
+        """Physically remove the table directory, history included."""
         path = self.table_path(name)
-        if not os.path.isdir(path):
-            return
-        for dirpath, _, files in os.walk(path):
-            for f in files:
-                if f.startswith("_temporary") or f.endswith(".crc") and f.startswith("."):
-                    try:
-                        os.remove(os.path.join(dirpath, f))
-                    except OSError:
-                        pass
+        if self.fs.exists(path):
+            self.fs.delete(path, recursive=True)
+        self._logs.pop(name, None)
+
+    def vacuum(self, name: str, retain_seconds: int | None = None) -> list[str]:
+        """Delete files that left the live set before the retention
+        horizon plus orphaned staging from crashed writes (reference
+        data_folder/mod.rs:582-686). Returns deleted URIs."""
+        if not self.fs.exists(self.table_path(name)):
+            return []
+        retain = DEFAULT_RETENTION_SECONDS if retain_seconds is None else retain_seconds
+        return self.log(name).vacuum(retain)
+
+    def history(self, name: str) -> list[dict]:
+        """The table's commit history (version, op, timestamp, file
+        counts) — the DESCRIBE HISTORY analog."""
+        return [
+            {
+                "version": c["version"],
+                "op": c["op"],
+                "timestamp_ms": c["timestamp_ms"],
+                "n_added": len(c.get("add", [])),
+                "n_removed": len(c.get("remove", [])),
+            }
+            for c in self.log(name).commits()
+        ]

@@ -1,0 +1,135 @@
+"""Hadoop FileSystem access from the driver (py4j, no extra jars).
+
+Every path operation the storage layer performs goes through Hadoop's
+``FileSystem`` API instead of ``os``/``shutil``, so a data folder root
+can be a plain local path, a ``file://`` URI, or any object-store scheme
+Spark itself can reach (``s3a://``, ``abfss://``, ``gs://`` — provide
+the usual Hadoop credentials/connector configuration on the session and
+the same code runs unchanged; reference open_s3/open_azure,
+crates/modelardb_storage/src/data_folder/mod.rs:89-260).
+
+The one primitive the transaction log leans on is
+``create_exclusive``: ``FileSystem.create(path, overwrite=false)``,
+which atomically fails if the file exists. On HDFS and local
+filesystems this is the same putIfAbsent primitive Delta Lake's
+HDFSLogStore uses for commit atomicity; plain S3 needs a
+conditional-put-capable connector for multi-writer commits (single
+writer is always safe).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class FileInfo:
+    path: str  # fully-qualified URI string
+    is_dir: bool
+    size: int
+    mtime_ms: int
+
+
+class HadoopFS:
+    """Thin py4j wrapper over org.apache.hadoop.fs.FileSystem for one
+    base URI's filesystem."""
+
+    def __init__(self, spark: SparkSession, base: str) -> None:
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        jpath = self._jvm.org.apache.hadoop.fs.Path(base)
+        self._fs = jpath.getFileSystem(self._conf)
+        # fully-qualified base (adds scheme/authority, e.g. file:/x)
+        self.base = str(self._fs.makeQualified(jpath).toString())
+
+    def path(self, uri: str):
+        return self._jvm.org.apache.hadoop.fs.Path(uri)
+
+    def join(self, *parts: str) -> str:
+        out = parts[0].rstrip("/")
+        for p in parts[1:]:
+            out += "/" + p.strip("/")
+        return out
+
+    def qualify(self, uri: str) -> str:
+        return str(self._fs.makeQualified(self.path(uri)).toString())
+
+    # ------------------------------------------------------------ queries
+
+    def exists(self, uri: str) -> bool:
+        return bool(self._fs.exists(self.path(uri)))
+
+    def list(self, uri: str) -> list[FileInfo]:
+        if not self.exists(uri):
+            return []
+        out = []
+        for st in self._fs.listStatus(self.path(uri)):
+            out.append(
+                FileInfo(
+                    path=str(st.getPath().toString()),
+                    is_dir=bool(st.isDirectory()),
+                    size=int(st.getLen()),
+                    mtime_ms=int(st.getModificationTime()),
+                )
+            )
+        return out
+
+    def list_files_recursive(self, uri: str) -> list[FileInfo]:
+        if not self.exists(uri):
+            return []
+        out = []
+        it = self._fs.listFiles(self.path(uri), True)
+        while it.hasNext():
+            st = it.next()
+            out.append(
+                FileInfo(
+                    path=str(st.getPath().toString()),
+                    is_dir=False,
+                    size=int(st.getLen()),
+                    mtime_ms=int(st.getModificationTime()),
+                )
+            )
+        return out
+
+    # ------------------------------------------------------------ actions
+
+    def mkdirs(self, uri: str) -> None:
+        self._fs.mkdirs(self.path(uri))
+
+    def delete(self, uri: str, recursive: bool = False) -> bool:
+        return bool(self._fs.delete(self.path(uri), recursive))
+
+    def read_bytes(self, uri: str) -> bytes:
+        stream = self._fs.open(self.path(uri))
+        try:
+            ioutils = self._jvm.org.apache.commons.io.IOUtils
+            data = ioutils.toByteArray(stream)
+            return bytes(data)
+        finally:
+            stream.close()
+
+    def _write_stream(self, stream, data: bytes) -> None:
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+
+    def create_exclusive(self, uri: str, data: bytes) -> bool:
+        """Atomically create `uri` with `data`; False if it already
+        exists (the optimistic-concurrency primitive)."""
+        try:
+            stream = self._fs.create(self.path(uri), False)
+        except Exception as exc:  # FileAlreadyExistsException via py4j
+            if "exist" in str(exc).lower():
+                return False
+            raise
+        self._write_stream(stream, data)
+        return True
+
+    def write_bytes(self, uri: str, data: bytes) -> None:
+        """Create or replace `uri` (used for driver-side metadata where
+        last-writer-wins is acceptable)."""
+        stream = self._fs.create(self.path(uri), True)
+        self._write_stream(stream, data)

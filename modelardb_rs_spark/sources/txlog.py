@@ -1,0 +1,169 @@
+"""Per-table JSON transaction log — ACID commits over Parquet files.
+
+The container ships no Delta jars, so this implements the same commit
+protocol Delta Lake uses on HDFS (reference tables are Delta:
+crates/modelardb_storage/src/data_folder/mod.rs:89-260, :582-686):
+
+- data files are staged under a unique ``txn=<uuid>/`` directory per
+  write — concurrent writers can never touch each other's files, and a
+  crashed write leaves only an orphaned directory no commit references,
+- a commit is ONE atomically-created JSON file ``_txn/<version>.json``
+  (``FileSystem.create(overwrite=false)`` = putIfAbsent). Losers of a
+  version race re-read the log and retry against the fresh snapshot —
+  optimistic concurrency, no locks,
+- readers replay the log to a snapshot: the live file set at a version
+  (or at a wall-clock timestamp → time travel),
+- TRUNCATE is a commit that removes every live file (the data stays on
+  disk for time travel until vacuum),
+- VACUUM physically deletes files whose remove-commit is older than the
+  retention window, plus staged directories no commit ever referenced.
+
+Commit schema::
+
+    {"version": N, "op": "append"|"truncate", "timestamp_ms": ...,
+     "add": [{"path": "txn=../field_column=0/part-...parquet", "size": S}],
+     "remove": ["relative/path", ...]}
+
+Paths are relative to the table's data directory so a table (or the
+whole folder) can be copied/moved wholesale.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+
+from modelardb_rs_spark.sources.hadoopfs import HadoopFS
+
+_LOG_DIR = "_txn"
+_MAX_COMMIT_ATTEMPTS = 100
+
+
+@dataclass
+class Snapshot:
+    version: int  # -1 for an empty log
+    files: list[dict] = field(default_factory=list)  # live add-entries
+
+    @property
+    def paths(self) -> list[str]:
+        return [f["path"] for f in self.files]
+
+
+class TransactionLog:
+    def __init__(self, fs: HadoopFS, table_uri: str) -> None:
+        self.fs = fs
+        self.table_uri = table_uri.rstrip("/")
+        self.log_uri = fs.join(self.table_uri, _LOG_DIR)
+
+    # ----------------------------------------------------------- reading
+
+    def _commit_uri(self, version: int) -> str:
+        return self.fs.join(self.log_uri, f"{version:020d}.json")
+
+    def versions(self) -> list[int]:
+        out = []
+        for info in self.fs.list(self.log_uri):
+            name = info.path.rsplit("/", 1)[-1]
+            if name.endswith(".json"):
+                try:
+                    out.append(int(name[: -len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def read_commit(self, version: int) -> dict:
+        return json.loads(self.fs.read_bytes(self._commit_uri(version)).decode("utf-8"))
+
+    def commits(self) -> list[dict]:
+        return [self.read_commit(v) for v in self.versions()]
+
+    def snapshot(
+        self, version: int | None = None, timestamp_ms: int | None = None
+    ) -> Snapshot:
+        """Replay the log up to `version` (inclusive) or the last commit
+        at-or-before `timestamp_ms`."""
+        commits = self.commits()
+        if version is not None:
+            known = [c["version"] for c in commits]
+            if version not in known:
+                raise ValueError(
+                    f"version {version} does not exist for {self.table_uri} (have {known})"
+                )
+            commits = [c for c in commits if c["version"] <= version]
+        elif timestamp_ms is not None:
+            commits = [c for c in commits if c["timestamp_ms"] <= timestamp_ms]
+        live: dict[str, dict] = {}
+        v = -1
+        for c in commits:
+            v = c["version"]
+            for entry in c.get("add", []):
+                live[entry["path"]] = entry
+            for path in c.get("remove", []):
+                live.pop(path, None)
+        return Snapshot(version=v, files=list(live.values()))
+
+    # ---------------------------------------------------------- writing
+
+    def commit(self, build) -> int:
+        """Atomically append a commit. `build(snapshot) -> (op, add,
+        remove)` is re-evaluated against a fresh snapshot on every
+        version-race retry, so remove-sets never reference stale state."""
+        for _ in range(_MAX_COMMIT_ATTEMPTS):
+            snap = self.snapshot()
+            op, add, remove = build(snap)
+            version = snap.version + 1
+            doc = {
+                "version": version,
+                "op": op,
+                "timestamp_ms": int(time.time() * 1000),
+                "add": add,
+                "remove": remove,
+            }
+            payload = json.dumps(doc, separators=(",", ":")).encode("utf-8")
+            if snap.version == -1:
+                self.fs.mkdirs(self.log_uri)
+            if self.fs.create_exclusive(self._commit_uri(version), payload):
+                return version
+        raise RuntimeError(
+            f"could not commit to {self.table_uri} after {_MAX_COMMIT_ATTEMPTS} attempts"
+        )
+
+    # ---------------------------------------------------------- vacuum
+
+    def vacuum(self, retain_seconds: float) -> list[str]:
+        """Delete files removed before the retention horizon, plus staged
+        directories no commit references (crashed writes). Returns the
+        deleted URIs. Time travel to versions older than the horizon
+        stops working — same contract as Delta VACUUM."""
+        horizon_ms = int((time.time() - retain_seconds) * 1000)
+        commits = self.commits()
+        live = set(self.snapshot().paths)
+        referenced: set[str] = set()
+        removed_at: dict[str, int] = {}
+        for c in commits:
+            for entry in c.get("add", []):
+                referenced.add(entry["path"])
+            for path in c.get("remove", []):
+                removed_at[path] = c["timestamp_ms"]
+        deleted = []
+        # 1) files removed from the live set before the horizon
+        for path, ts in removed_at.items():
+            if path not in live and ts <= horizon_ms:
+                uri = self.fs.join(self.table_uri, path)
+                if self.fs.exists(uri):
+                    self.fs.delete(uri)
+                    deleted.append(uri)
+        # 2) staged dirs never referenced by any commit and old enough
+        # (mtime check keeps in-flight writes safe)
+        for info in self.fs.list(self.table_uri):
+            name = info.path.rsplit("/", 1)[-1]
+            if not info.is_dir or not name.startswith("txn="):
+                continue
+            rel_prefix = name + "/"
+            if any(p.startswith(rel_prefix) for p in referenced):
+                continue
+            if info.mtime_ms <= horizon_ms:
+                self.fs.delete(info.path, recursive=True)
+                deleted.append(info.path)
+        return deleted
