@@ -98,6 +98,30 @@ _COL_GENERATED = re.compile(
 )
 
 
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+# non-column words that legally appear in generated expressions
+_EXPR_KEYWORDS = {
+    "and", "or", "not", "case", "when", "then", "else", "end", "cast", "as",
+    "is", "in", "between", "like", "div", "true", "false", "null", "interval",
+    "tinyint", "smallint", "int", "integer", "bigint", "float", "real",
+    "double", "decimal", "string", "boolean", "date", "timestamp",
+}
+
+
+def _expr_identifiers(expr: str) -> list[str]:
+    """Column identifiers referenced by a generated expression: bare
+    words that are not string literals, function calls, or keywords."""
+    s = re.sub(r"'[^']*'", "", expr)
+    out = []
+    for m in _IDENT.finditer(s):
+        if s[m.end():].lstrip().startswith("("):
+            continue  # function call
+        if m.group(0).lower() in _EXPR_KEYWORDS:
+            continue
+        out.append(m.group(0))
+    return out
+
+
 def parse_create_time_series(name: str, cols_src: str) -> TimeSeriesTableMetadata:
     timestamp_column: str | None = None
     fields: dict[str, ErrorBound] = {}
@@ -125,6 +149,27 @@ def parse_create_time_series(name: str, cols_src: str) -> TimeSeriesTableMetadat
             raise ValueError(f"cannot parse column definition: {col_src!r}")
     if timestamp_column is None:
         raise ValueError("a time series table requires a TIMESTAMP column")
+    all_names = [timestamp_column, *fields, *tags, *[g.name for g in generated]]
+    dupes = {n for n in all_names if all_names.count(n) > 1}
+    if dupes:
+        raise ValueError(f"duplicate column name(s): {sorted(dupes)}")
+    # Generated columns may reference only STORED columns — a generated
+    # expression over another generated column is rejected at CREATE
+    # time like the reference (parser.rs:274-289, types.rs:339-360),
+    # instead of silently depending on declaration order at read time.
+    stored = {timestamp_column, *fields, *tags}
+    gen_names = {g.name for g in generated}
+    for g in generated:
+        for ref in _expr_identifiers(g.expr_sql):
+            if ref in gen_names:
+                raise ValueError(
+                    f"generated column {g.name!r} references generated column "
+                    f"{ref!r}; only stored columns may be referenced"
+                )
+            if ref not in stored:
+                raise ValueError(
+                    f"generated column {g.name!r} references unknown column {ref!r}"
+                )
     return TimeSeriesTableMetadata(
         name=name,
         timestamp_column=timestamp_column,

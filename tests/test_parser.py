@@ -1,0 +1,56 @@
+"""SQL-dialect parser tests (pure, no Spark session): DDL accept/reject
+pairs, modeled on the reference parser tests (parser.rs:274-289 for
+generated-column validation)."""
+
+import pytest
+
+from modelardb_rs_spark.parser import parse_statement
+from modelardb_rs_spark.types import ErrorBound
+
+DDL = "CREATE TIME SERIES TABLE t(timestamp TIMESTAMP, {})"
+
+
+def parse(cols: str):
+    return parse_statement(DDL.format(cols)).ts_metadata
+
+
+def test_generated_may_reference_stored_columns():
+    meta = parse("a FIELD, b FIELD(1.0), g FIELD AS (a + b * 2), tag TAG")
+    assert [g.name for g in meta.generated_columns] == ["g"]
+    assert meta.field_columns["b"] == ErrorBound.absolute(1.0)
+
+
+def test_generated_with_functions_and_literals():
+    meta = parse("a FIELD, g FIELD AS (round(abs(a), 2) + CAST('1' AS DOUBLE))")
+    assert meta.generated_columns[0].expr_sql == "round(abs(a), 2) + CAST('1' AS DOUBLE)"
+
+
+def test_generated_referencing_generated_rejected():
+    with pytest.raises(ValueError, match="references generated column"):
+        parse("a FIELD, g1 FIELD AS (a + 1), g2 FIELD AS (g1 * 2)")
+
+
+def test_generated_referencing_generated_rejected_any_order():
+    with pytest.raises(ValueError, match="references generated column"):
+        parse("a FIELD, g2 FIELD AS (g1 * 2), g1 FIELD AS (a + 1)")
+
+
+def test_generated_referencing_unknown_rejected():
+    with pytest.raises(ValueError, match="unknown column 'nope'"):
+        parse("a FIELD, g FIELD AS (a + nope)")
+
+
+def test_duplicate_column_names_rejected():
+    with pytest.raises(ValueError, match="duplicate column"):
+        parse("a FIELD, a TAG")
+
+
+def test_drop_if_exists_flag_captured():
+    assert parse_statement("DROP TABLE IF EXISTS x").if_exists is True
+    assert parse_statement("DROP TABLE x").if_exists is False
+
+
+def test_vacuum_retain():
+    stmt = parse_statement("VACUUM t1, t2 RETAIN 3600")
+    assert stmt.kind == "vacuum" and stmt.tables == ["t1", "t2"]
+    assert stmt.retain_seconds == 3600
