@@ -10,30 +10,59 @@ Mirrors the reference ``modelardbd`` Flight interface
 - ``get_schema(table)``              → query schema
 - ``list_flights``                   → one FlightInfo per table
 
-Spark-first notes: results move Spark→Arrow via ``DataFrame.toArrow()``
-(Arrow-native collection, no pandas hop) and ingest Arrow→Spark via
-``createDataFrame`` on the Arrow table. In local mode the server collects
-the full result before streaming; on a cluster this surface would sit on
-the driver, with ``toLocalIterator`` for very large results — the
-protocol shape is identical.
+Spark-first notes: results stream Spark→Arrow incrementally — small
+results take the fast ``DataFrame.toArrow()`` path (one Arrow-native
+collection), large ones iterate ``toLocalIterator`` partition-by-
+partition into bounded Arrow batches, mirroring the reference's
+channel-backed batch stream (remote.rs:729-743) instead of
+materializing the whole result on the driver. Ingest moves Arrow→Spark
+via ``createDataFrame`` on the Arrow table.
 """
 
 from __future__ import annotations
 
+import json
 import threading
 
 import pyarrow as pa
 import pyarrow.flight as flight
 
 from modelardb_rs_spark.engine import Engine
+from modelardb_rs_spark.plans.stats import plan_size_bytes
+
+# Results estimated under this collect in one Arrow table (cheapest
+# path); larger ones stream through toLocalIterator with bounded memory.
+_COLLECT_RESULT_LIMIT = 64 << 20
 
 
 class ModelarFlightServer(flight.FlightServerBase):
-    def __init__(self, engine: Engine, location: str = "grpc://127.0.0.1:0") -> None:
+    def __init__(
+        self,
+        engine: Engine,
+        location: str = "grpc://127.0.0.1:0",
+        stream_batch_rows: int = 8192,
+    ) -> None:
         super().__init__(location)
         self.engine = engine
+        self.stream_batch_rows = stream_batch_rows
 
     # -- queries -----------------------------------------------------------
+
+    def _stream_batches(self, df):
+        """Yield Arrow batches from a partition-at-a-time row iterator —
+        driver memory stays bounded by one partition + one batch."""
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        schema = to_arrow_schema(df.schema)
+        names = df.columns
+        buf: list[dict] = []
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            buf.append({n: row[i] for i, n in enumerate(names)})
+            if len(buf) >= self.stream_batch_rows:
+                yield pa.RecordBatch.from_pylist(buf, schema=schema)
+                buf = []
+        if buf:
+            yield pa.RecordBatch.from_pylist(buf, schema=schema)
 
     def do_get(self, context, ticket: flight.Ticket):
         sql = ticket.ticket.decode("utf-8")
@@ -41,7 +70,11 @@ class ModelarFlightServer(flight.FlightServerBase):
         if df is None:  # DDL/utility statement: empty result stream
             empty = pa.table({"ok": pa.array([True])})
             return flight.RecordBatchStream(empty)
-        return flight.RecordBatchStream(df.toArrow())
+        if plan_size_bytes(df) <= _COLLECT_RESULT_LIMIT:
+            return flight.RecordBatchStream(df.toArrow())
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return flight.GeneratorStream(to_arrow_schema(df.schema), self._stream_batches(df))
 
     # -- ingest ------------------------------------------------------------
 
@@ -53,6 +86,16 @@ class ModelarFlightServer(flight.FlightServerBase):
 
     # -- actions -----------------------------------------------------------
 
+    # Runtime-settable session knobs exposed over the wire (the analog of
+    # the reference's multivariate_reserved_memory_in_bytes etc. —
+    # remote.rs:888-999 GetConfiguration/UpdateConfiguration).
+    _CONFIG_KEYS = (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.files.maxPartitionBytes",
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+    )
+
     def do_action(self, context, action: flight.Action):
         body = action.body.to_pybytes().decode("utf-8") if action.body else ""
         if action.type == "CreateTable":
@@ -63,8 +106,29 @@ class ModelarFlightServer(flight.FlightServerBase):
             self.engine.drop(body)
         elif action.type == "VacuumTable":
             self.engine.vacuum([body] if body else None)
-        elif action.type == "FlushMemory":
+        elif action.type in ("FlushMemory", "FlushNode"):
             pass  # batch engine: writes are durable on return
+        elif action.type == "NodeType":
+            return [flight.Result(self.engine.modelardb_type().encode("utf-8"))]
+        elif action.type == "GetConfiguration":
+            conf = {}
+            for k in self._CONFIG_KEYS:
+                try:
+                    conf[k] = self.engine.spark.conf.get(k)
+                except Exception:
+                    conf[k] = None
+            return [flight.Result(json.dumps(conf).encode("utf-8"))]
+        elif action.type == "UpdateConfiguration":
+            key, _, value = body.partition("=")
+            key = key.strip()
+            if key not in self._CONFIG_KEYS:
+                raise flight.FlightServerError(f"setting {key!r} is not updatable")
+            self.engine.spark.conf.set(key, value.strip())
+        elif action.type == "KillNode":
+            # reference Kill terminates the process (remote.rs:857-866);
+            # here: stop serving. shutdown() must not run on the handler
+            # thread, so hand it to a timer.
+            threading.Timer(0.2, self.shutdown).start()
         else:
             raise flight.FlightServerError(f"unknown action {action.type!r}")
         return [flight.Result(b"ok")]
@@ -76,6 +140,11 @@ class ModelarFlightServer(flight.FlightServerBase):
             ("DropTable", "Drop a table"),
             ("VacuumTable", "Vacuum one table (or all, empty body)"),
             ("FlushMemory", "No-op: batch writes are durable on return"),
+            ("FlushNode", "No-op: batch writes are durable on return"),
+            ("NodeType", "Return the deployment kind (embedded)"),
+            ("GetConfiguration", "Return updatable settings as JSON"),
+            ("UpdateConfiguration", "Set one setting: key=value"),
+            ("KillNode", "Stop serving Flight requests"),
         ]
 
     # -- metadata ----------------------------------------------------------
@@ -93,10 +162,12 @@ class ModelarFlightServer(flight.FlightServerBase):
             )
 
 
-def start_server(engine: Engine, port: int = 0) -> ModelarFlightServer:
+def start_server(
+    engine: Engine, port: int = 0, stream_batch_rows: int = 8192
+) -> ModelarFlightServer:
     """Start a Flight server on a background thread; returns the server
     (``server.port`` for the bound port, ``server.shutdown()`` to stop)."""
-    server = ModelarFlightServer(engine, f"grpc://127.0.0.1:{port}")
+    server = ModelarFlightServer(engine, f"grpc://127.0.0.1:{port}", stream_batch_rows)
     threading.Thread(target=server.serve, daemon=True).start()
     return server
 
@@ -110,6 +181,16 @@ class ModelarFlightClient:
 
     def read(self, sql: str) -> pa.Table:
         return self.inner.do_get(flight.Ticket(sql.encode("utf-8"))).read_all()
+
+    def read_batches(self, sql: str):
+        """Iterate result record batches as they stream in."""
+        reader = self.inner.do_get(flight.Ticket(sql.encode("utf-8")))
+        while True:
+            try:
+                chunk = reader.read_chunk()
+            except StopIteration:
+                return
+            yield chunk.data
 
     def write(self, table: str, data: pa.Table) -> None:
         descriptor = flight.FlightDescriptor.for_path(table.encode("utf-8"))
@@ -134,5 +215,17 @@ class ModelarFlightClient:
             f.descriptor.path[0].decode("utf-8") for f in self.inner.list_flights()
         ]
 
-    def _action(self, name: str, body: str) -> None:
-        list(self.inner.do_action(flight.Action(name, body.encode("utf-8"))))
+    def node_type(self) -> str:
+        return self._action("NodeType")[0].body.to_pybytes().decode("utf-8")
+
+    def get_configuration(self) -> dict:
+        return json.loads(self._action("GetConfiguration")[0].body.to_pybytes())
+
+    def update_configuration(self, key: str, value: str) -> None:
+        self._action("UpdateConfiguration", f"{key}={value}")
+
+    def kill(self) -> None:
+        self._action("KillNode")
+
+    def _action(self, name: str, body: str = "") -> list:
+        return list(self.inner.do_action(flight.Action(name, body.encode("utf-8"))))

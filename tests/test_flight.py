@@ -4,6 +4,7 @@ list_flights — modeled on the reference integration tests
 Flight there too)."""
 
 import datetime
+import time
 
 import pyarrow as pa
 import pytest
@@ -51,3 +52,60 @@ def test_flight_lifecycle(client):
     assert client.read("SELECT count(*) AS n FROM ft")["n"].to_pylist() == [0]
     client.drop("ft")
     assert client.tables() == []
+
+
+def test_streamed_result_spans_many_batches(engine):
+    """Results over the collect threshold must arrive as multiple
+    incrementally-produced batches (bounded driver memory), not one
+    collected table."""
+    import modelardb_rs_spark.flight as fl
+
+    server = start_server(engine, stream_batch_rows=100)
+    old = fl._COLLECT_RESULT_LIMIT
+    fl._COLLECT_RESULT_LIMIT = 0  # force the streaming path
+    try:
+        client = ModelarFlightClient(f"grpc://127.0.0.1:{server.port}")
+        engine.create_table("big", "id BIGINT, v DOUBLE")
+        engine.spark.range(1000).selectExpr("id", "id * 0.5 AS v").createOrReplaceTempView(
+            "big_src"
+        )
+        engine.read_sql("INSERT INTO big SELECT id, v FROM big_src")
+        batches = list(client.read_batches("SELECT id, v FROM big ORDER BY id"))
+        assert len(batches) >= 10
+        ids = [i for b in batches for i in b.column("id").to_pylist()]
+        assert ids == list(range(1000))
+    finally:
+        fl._COLLECT_RESULT_LIMIT = old
+        server.shutdown()
+
+
+def test_config_and_node_actions(client):
+    assert client.node_type() == "embedded"
+    conf = client.get_configuration()
+    assert "spark.sql.shuffle.partitions" in conf
+    client.update_configuration("spark.sql.shuffle.partitions", "7")
+    assert client.get_configuration()["spark.sql.shuffle.partitions"] == "7"
+    with pytest.raises(Exception, match="not updatable"):
+        client.update_configuration("spark.master", "evil")
+    names = {a.type for a in client.inner.list_actions()}
+    assert {"NodeType", "GetConfiguration", "UpdateConfiguration", "KillNode",
+            "FlushNode", "FlushMemory"} <= names
+
+
+def test_kill_action_stops_server(engine):
+    server = start_server(engine)
+    client = ModelarFlightClient(f"grpc://127.0.0.1:{server.port}")
+    assert client.node_type() == "embedded"
+    client.kill()
+    deadline = time.time() + 10
+    down = False
+    while time.time() < deadline:
+        try:
+            probe = ModelarFlightClient(f"grpc://127.0.0.1:{server.port}")
+            probe.inner.wait_for_available(timeout=1)
+            probe.node_type()
+            time.sleep(0.2)
+        except Exception:
+            down = True
+            break
+    assert down
