@@ -227,7 +227,11 @@ class Engine:
             self.create_time_series_table(stmt.ts_metadata)
             return None
         if stmt.kind == "truncate":
-            for t in stmt.tables:
+            # CLUSTER with no explicit tables = every table in this data
+            # folder (the embedded analog of the reference's cluster-wide
+            # TRUNCATE, parser.rs:512-632 — no other nodes to fan out to)
+            tables = stmt.tables or (list(self.catalog.tables()) if stmt.cluster else [])
+            for t in tables:
                 self.truncate(t)
             return None
         if stmt.kind == "drop":

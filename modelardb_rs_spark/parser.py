@@ -30,7 +30,8 @@ _CREATE_TS = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _TRUNCATE = re.compile(
-    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<tables>[A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*;?\s*$",
+    r"^\s*TRUNCATE\s+(?P<cluster>CLUSTER\s*)?(?:TABLE\s+)?"
+    r"(?P<tables>[A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)?\s*;?\s*$",
     re.IGNORECASE,
 )
 _DROP = re.compile(
@@ -38,10 +39,14 @@ _DROP = re.compile(
     re.IGNORECASE,
 )
 _VACUUM = re.compile(
-    r"^\s*VACUUM(?:\s+(?P<tables>[A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*))?"
+    r"^\s*VACUUM(?P<cluster>\s+CLUSTER)?"
+    r"(?:\s+(?P<tables>[A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*))?"
     r"(?:\s+RETAIN\s+(?P<retain>\d+))?\s*;?\s*$",
     re.IGNORECASE,
 )
+
+# reference cap (types.rs:66): i64::MAX milliseconds expressed in seconds
+MAX_RETENTION_PERIOD_IN_SECONDS = (2**63 - 1) // 1000
 _INCLUDE = re.compile(
     r"^\s*INCLUDE\s+(?P<addrs>'[^']+'(?:\s*,\s*'[^']+')*)\s+(?P<select>SELECT\b.*)$",
     re.IGNORECASE | re.DOTALL,
@@ -64,6 +69,7 @@ class ModelarStatement:
     select_sql: str | None = None
     insert_columns: list[str] = field(default_factory=list)
     if_exists: bool = False
+    cluster: bool = False
 
 
 def _split_top_level_commas(s: str) -> list[str]:
@@ -191,9 +197,11 @@ def parse_statement(sql: str) -> ModelarStatement:
         return ModelarStatement(
             kind="insert", sql=sql, tables=[m["name"]], select_sql=m["query"], insert_columns=cols
         )
-    if m := _TRUNCATE.match(sql):
-        tables = [t.strip() for t in m["tables"].split(",")]
-        return ModelarStatement(kind="truncate", sql=sql, tables=tables)
+    if (m := _TRUNCATE.match(sql)) and (m["tables"] or m["cluster"]):
+        tables = [t.strip() for t in m["tables"].split(",")] if m["tables"] else []
+        return ModelarStatement(
+            kind="truncate", sql=sql, tables=tables, cluster=bool(m["cluster"])
+        )
     if m := _DROP.match(sql):
         return ModelarStatement(
             kind="drop", sql=sql, tables=[m["name"]], if_exists=bool(m["ifex"])
@@ -201,5 +209,12 @@ def parse_statement(sql: str) -> ModelarStatement:
     if m := _VACUUM.match(sql):
         tables = [t.strip() for t in m["tables"].split(",")] if m["tables"] else []
         retain = int(m["retain"]) if m["retain"] else None
-        return ModelarStatement(kind="vacuum", sql=sql, tables=tables, retain_seconds=retain)
+        if retain is not None and retain > MAX_RETENTION_PERIOD_IN_SECONDS:
+            raise ValueError(
+                f"retention period cannot be more than {MAX_RETENTION_PERIOD_IN_SECONDS} seconds"
+            )
+        return ModelarStatement(
+            kind="vacuum", sql=sql, tables=tables, retain_seconds=retain,
+            cluster=bool(m["cluster"]),
+        )
     return ModelarStatement(kind="passthrough", sql=sql)

@@ -162,6 +162,15 @@ class DataFolder:
             return
         log.commit(lambda snap: ("truncate", [], snap.paths))
 
+    def remove_files(self, name: str, rel_paths: list[str]) -> None:
+        """Transactionally remove a specific set of files from the live
+        set (used by edge→cloud transfer: only the transferred snapshot
+        is dropped, so writes that landed mid-transfer survive)."""
+        wanted = set(rel_paths)
+        self.log(name).commit(
+            lambda snap: ("transfer", [], [p for p in snap.paths if p in wanted])
+        )
+
     def drop(self, name: str) -> None:
         """Physically remove the table directory, history included."""
         path = self.table_path(name)

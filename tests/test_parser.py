@@ -54,3 +54,18 @@ def test_vacuum_retain():
     stmt = parse_statement("VACUUM t1, t2 RETAIN 3600")
     assert stmt.kind == "vacuum" and stmt.tables == ["t1", "t2"]
     assert stmt.retain_seconds == 3600
+
+
+def test_cluster_variants():
+    t = parse_statement("TRUNCATE CLUSTER")
+    assert t.kind == "truncate" and t.cluster and t.tables == []
+    t2 = parse_statement("TRUNCATE CLUSTER a, b")
+    assert t2.cluster and t2.tables == ["a", "b"]
+    v = parse_statement("VACUUM CLUSTER RETAIN 60")
+    assert v.kind == "vacuum" and v.cluster and v.retain_seconds == 60
+    assert parse_statement("TRUNCATE").kind == "passthrough"  # no target
+
+
+def test_vacuum_retention_cap():
+    with pytest.raises(ValueError, match="cannot be more than"):
+        parse_statement(f"VACUUM t RETAIN {2**63}")

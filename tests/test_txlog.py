@@ -122,6 +122,45 @@ def test_vacuum_sweeps_orphaned_staging(ts_table, spark):
     assert ts_table.read_sql("SELECT count(f) AS n FROM acid").collect()[0].n == 5
 
 
+def test_truncate_cluster(ts_table, spark):
+    ts_table.read_sql("CREATE TIME SERIES TABLE acid2(timestamp TIMESTAMP, f FIELD, tag TAG)")
+    ts_table.write("acid", points(spark, 5))
+    ts_table.write("acid2", points(spark, 5))
+    ts_table.read_sql("TRUNCATE CLUSTER")
+    assert ts_table.read_sql("SELECT count(f) AS n FROM acid").collect()[0].n == 0
+    assert ts_table.read_sql("SELECT count(f) AS n FROM acid2").collect()[0].n == 0
+
+
+def test_edge_to_cloud_transfer(spark, tmp_path):
+    """Size-triggered transfer ships committed segments to the remote
+    folder and removes exactly the shipped snapshot locally."""
+    from modelardb_rs_spark.transfer import DataTransfer
+
+    edge = Engine(spark, str(tmp_path / "edge"))
+    cloud = Engine(spark, f"file://{tmp_path}/cloud")
+    edge.read_sql("CREATE TIME SERIES TABLE e2c(timestamp TIMESTAMP, f FIELD, tag TAG)")
+    edge.write("e2c", points(spark, 100))
+
+    xfer = DataTransfer(edge, cloud, transfer_batch_size_in_bytes=None)
+    assert xfer.table_size_in_bytes("e2c") > 0
+    shipped = xfer.transfer_data("e2c")
+    assert shipped > 0
+    # remote table created with identical metadata and holds the points
+    assert cloud.read_sql("SELECT count(f) AS n FROM e2c").collect()[0].n == 100
+    # local live set is empty but the table still accepts writes
+    assert edge.read_sql("SELECT count(f) AS n FROM e2c").collect()[0].n == 0
+    edge.write("e2c", points(spark, 10, offset=5000))
+    assert edge.read_sql("SELECT count(f) AS n FROM e2c").collect()[0].n == 10
+    # threshold trigger: crossing the batch size ships automatically
+    xfer.transfer_batch_size_in_bytes = 1
+    xfer.check_table("e2c")
+    assert cloud.read_sql("SELECT count(f) AS n FROM e2c").collect()[0].n == 110
+    # dropped tables are never transferred
+    xfer.mark_table_as_dropped("e2c")
+    edge.write("e2c", points(spark, 5, offset=9000))
+    assert xfer.transfer_data("e2c") == 0
+
+
 def test_file_uri_root(spark, tmp_path):
     """The data folder works against a URI-scheme root (the object-store
     API seam: s3a:// etc. differ only in scheme + session config)."""
