@@ -189,9 +189,15 @@ class Engine:
 
     # ---------------------------------------------------------------- read
 
-    def segments(self, name: str) -> DataFrame:
-        """The raw physical segments DataFrame of a time series table."""
-        return self.folder.read_segments(self.catalog.time_series_metadata(name))
+    def segments(
+        self, name: str, start_us: int | None = None, end_us: int | None = None
+    ) -> DataFrame:
+        """The raw physical segments DataFrame of a time series table.
+        A known time range prunes files driver-side from the commit log's
+        per-file stats (exact predicates are re-applied downstream)."""
+        return self.folder.read_segments(
+            self.catalog.time_series_metadata(name), start_us=start_us, end_us=end_us
+        )
 
     def table(
         self,
@@ -207,8 +213,13 @@ class Engine:
             df = self.folder.read_normal(name, self.catalog.normal_table_schema(name))
             return df.select(*fields) if fields else df
         meta = self.catalog.time_series_metadata(name)
+        start_us, end_us = _to_us(start), _to_us(end)
         return grid_ops.grid(
-            self.segments(name), meta, fields=fields, start_us=_to_us(start), end_us=_to_us(end)
+            self.segments(name, start_us, end_us),
+            meta,
+            fields=fields,
+            start_us=start_us,
+            end_us=end_us,
         )
 
     def register_views(self) -> None:
@@ -369,7 +380,7 @@ class Engine:
         start_us, end_us = _to_us(start), _to_us(end)
 
         if agg_items:
-            segments = self.segments(name)
+            segments = self.segments(name, start_us, end_us)
             for t, v in (tags or {}).items():
                 segments = segments.where(F.col(t) == F.lit(v))
             aggs = [

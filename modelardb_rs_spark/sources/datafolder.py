@@ -30,6 +30,7 @@ namespace.
 
 from __future__ import annotations
 
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,10 +69,16 @@ class DataFolder:
     # -------------------------------------------------------- write/commit
 
     def _stage_and_commit(
-        self, name: str, write_staged, op: str = "append"
+        self, name: str, write_staged, op: str = "append", segment_stats: bool = False
     ) -> int:
         """Run `write_staged(staged_uri)` into a fresh txn= directory,
-        then commit the produced parquet files atomically."""
+        then commit the produced parquet files atomically.
+
+        With ``segment_stats`` each add-entry also records the file's
+        field_column (from the partition path) and min/max time span (one
+        narrow 2-column job over the just-written files) — Delta-style
+        data skipping: readers prune files driver-side from the log
+        before Spark ever lists or opens them."""
         table = self.table_path(name)
         staged_rel = f"txn={uuid.uuid4().hex[:16]}"
         staged = self.fs.join(table, staged_rel)
@@ -81,7 +88,28 @@ class DataFolder:
             if not info.path.endswith(".parquet"):
                 continue
             rel = staged_rel + info.path.split(staged_rel, 1)[1]
-            add.append({"path": rel, "size": info.size})
+            entry = {"path": rel, "size": info.size}
+            m = re.search(r"field_column=(\d+)/", rel)
+            if m:
+                entry["field_column"] = int(m.group(1))
+            add.append(entry)
+        if segment_stats and add:
+            spans = {
+                # input_file_name() and the FS listing may qualify URIs
+                # differently; key on the txn=-relative suffix instead
+                r["__f__"][r["__f__"].index(staged_rel):]: (r["lo"], r["hi"])
+                for r in (
+                    self.spark.read.parquet(staged)
+                    .groupBy(F.input_file_name().alias("__f__"))
+                    .agg(F.min("start_time").alias("lo"), F.max("end_time").alias("hi"))
+                    .collect()
+                )
+                if staged_rel in r["__f__"]
+            }
+            for entry in add:
+                span = spans.get(entry["path"])
+                if span is not None:
+                    entry["min_start_time"], entry["max_end_time"] = int(span[0]), int(span[1])
         return self.log(name).commit(lambda snap: (op, add, []))
 
     # -------------------------------------------------------- read helpers
@@ -112,18 +140,44 @@ class DataFolder:
                 .parquet(staged)
             )
 
-        self._stage_and_commit(meta.name, write_staged)
+        self._stage_and_commit(meta.name, write_staged, segment_stats=True)
 
     def read_segments(
         self,
         meta: TimeSeriesTableMetadata,
         version: int | None = None,
         timestamp_ms: int | None = None,
+        start_us: int | None = None,
+        end_us: int | None = None,
+        field_indexes: list[int] | None = None,
     ) -> DataFrame:
         """Snapshot-isolated segment read; `version`/`timestamp_ms` select
-        an older snapshot (time travel)."""
+        an older snapshot (time travel). `start_us`/`end_us`/
+        `field_indexes` prune files driver-side from the per-file stats
+        recorded at commit time — at scale a narrow time range touches a
+        handful of files out of millions without a single LIST call.
+        Files lacking stats are conservatively kept, and the exact
+        predicates are re-applied by the caller, so skipping is always
+        semantics-preserving."""
         schema = segment_schema(meta.tag_columns)
         snap = self.log(meta.name).snapshot(version, timestamp_ms)
+        if start_us is not None or end_us is not None or field_indexes is not None:
+            fields = set(field_indexes) if field_indexes is not None else None
+
+            def keep(f: dict) -> bool:
+                if fields is not None and f.get("field_column") is not None:
+                    if f["field_column"] not in fields:
+                        return False
+                lo, hi = f.get("min_start_time"), f.get("max_end_time")
+                if lo is None or hi is None:
+                    return True
+                if start_us is not None and hi < start_us:
+                    return False
+                if end_us is not None and lo > end_us:
+                    return False
+                return True
+
+            snap.files = [f for f in snap.files if keep(f)]
         df = self._read_live(meta.name, snap)
         if df is None:
             return self.spark.createDataFrame([], schema)

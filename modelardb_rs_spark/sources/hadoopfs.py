@@ -118,7 +118,26 @@ class HadoopFS:
 
     def create_exclusive(self, uri: str, data: bytes) -> bool:
         """Atomically create `uri` with `data`; False if it already
-        exists (the optimistic-concurrency primitive)."""
+        exists (the optimistic-concurrency primitive).
+
+        Hadoop's LocalFileSystem implements create(overwrite=false) as a
+        non-atomic existence check, so for file: URIs this uses a real
+        O_CREAT|O_EXCL syscall instead; HDFS-like filesystems keep the
+        atomic create (Delta's HDFSLogStore relies on the same split)."""
+        qualified = self.qualify(uri)
+        if qualified.startswith("file:"):
+            import os
+            from urllib.parse import urlparse
+
+            local = urlparse(qualified).path
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            try:
+                fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            return True
         try:
             stream = self._fs.create(self.path(uri), False)
         except Exception as exc:  # FileAlreadyExistsException via py4j

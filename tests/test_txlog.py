@@ -122,6 +122,36 @@ def test_vacuum_sweeps_orphaned_staging(ts_table, spark):
     assert ts_table.read_sql("SELECT count(f) AS n FROM acid").collect()[0].n == 5
 
 
+def test_commit_log_file_skipping(ts_table, spark):
+    """Per-file time spans recorded at commit time prune files
+    driver-side: a range query over one write's span must plan only that
+    write's files, and results stay exact."""
+    meta = ts_table.catalog.time_series_metadata("acid")
+    ts_table.write("acid", points(spark, 50, offset=0))          # ~TS0
+    ts_table.write("acid", points(spark, 50, offset=1_000_000))  # ~TS0+11d
+    snap = ts_table.folder.log("acid").snapshot()
+    assert all("min_start_time" in f and "field_column" in f for f in snap.files)
+    n_all = len(snap.files)
+
+    lo = int(TS0.timestamp() * 1_000_000)
+    hi = int((TS0 + datetime.timedelta(seconds=100)).timestamp() * 1_000_000)
+    pruned = ts_table.folder.read_segments(meta, start_us=lo, end_us=hi)
+    n_pruned_files = len(pruned.inputFiles())
+    assert 0 < n_pruned_files < n_all
+
+    # exact result through the engine path (pruning + re-filter)
+    out = ts_table.read_time_series_table(
+        "acid", columns={"f": "count"}, start=TS0, end=TS0 + datetime.timedelta(seconds=100)
+    ).collect()
+    assert out[0][0] == 50
+
+    # field-index skipping keeps only the requested field's files
+    only_f = ts_table.folder.read_segments(meta, field_indexes=[0])
+    assert len(only_f.inputFiles()) == n_all
+    none_f = ts_table.folder.read_segments(meta, field_indexes=[99])
+    assert none_f.count() == 0
+
+
 def test_truncate_cluster(ts_table, spark):
     ts_table.read_sql("CREATE TIME SERIES TABLE acid2(timestamp TIMESTAMP, f FIELD, tag TAG)")
     ts_table.write("acid", points(spark, 5))
