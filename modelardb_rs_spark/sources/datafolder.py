@@ -44,6 +44,44 @@ from modelardb_rs_spark.types import TimeSeriesTableMetadata, segment_schema
 DEFAULT_RETENTION_SECONDS = 7 * 24 * 3600
 
 
+def _parquet_time_span(fs: HadoopFS, uri: str, size: int) -> tuple[int, int] | None:
+    """(min start_time, max end_time) from the file's Parquet footer
+    statistics — a few KB of ranged I/O, no Spark job. ``file:`` URIs
+    read via pyarrow directly; other schemes go through a seekable
+    Hadoop stream. Returns None when statistics are absent (the reader
+    then conservatively keeps the file)."""
+    import pyarrow.parquet as pq
+
+    try:
+        if uri.startswith("file:"):
+            from urllib.parse import urlparse
+
+            md = pq.read_metadata(urlparse(uri).path)
+        else:
+            f = fs.open_seekable(uri, size)
+            try:
+                md = pq.read_metadata(f)
+            finally:
+                f.close()
+    except Exception:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            if col.path_in_schema == "start_time":
+                lo = st.min if lo is None else min(lo, st.min)
+            elif col.path_in_schema == "end_time":
+                hi = st.max if hi is None else max(hi, st.max)
+    if lo is None or hi is None:
+        return None
+    return int(lo), int(hi)
+
+
 class DataFolder:
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
@@ -75,10 +113,12 @@ class DataFolder:
         then commit the produced parquet files atomically.
 
         With ``segment_stats`` each add-entry also records the file's
-        field_column (from the partition path) and min/max time span (one
-        narrow 2-column job over the just-written files) — Delta-style
-        data skipping: readers prune files driver-side from the log
-        before Spark ever lists or opens them."""
+        field_column (from the partition path) and min/max time span —
+        Delta-style data skipping: readers prune files driver-side from
+        the log before Spark ever lists or opens them. Spans come from
+        the Parquet FOOTERS (KB-sized ranged reads, threaded across
+        files), not a Spark job — commit latency stays flat no matter
+        how wide the table is."""
         table = self.table_path(name)
         staged_rel = f"txn={uuid.uuid4().hex[:16]}"
         staged = self.fs.join(table, staged_rel)
@@ -94,22 +134,21 @@ class DataFolder:
                 entry["field_column"] = int(m.group(1))
             add.append(entry)
         if segment_stats and add:
-            spans = {
-                # input_file_name() and the FS listing may qualify URIs
-                # differently; key on the txn=-relative suffix instead
-                r["__f__"][r["__f__"].index(staged_rel):]: (r["lo"], r["hi"])
-                for r in (
-                    self.spark.read.parquet(staged)
-                    .groupBy(F.input_file_name().alias("__f__"))
-                    .agg(F.min("start_time").alias("lo"), F.max("end_time").alias("hi"))
-                    .collect()
+            def span_of(entry: dict):
+                return _parquet_time_span(
+                    self.fs, self.fs.join(table, entry["path"]), entry["size"]
                 )
-                if staged_rel in r["__f__"]
-            }
-            for entry in add:
-                span = spans.get(entry["path"])
+
+            if len(add) == 1:
+                spans = [span_of(add[0])]
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(min(16, len(add))) as pool:
+                    spans = list(pool.map(span_of, add))
+            for entry, span in zip(add, spans):
                 if span is not None:
-                    entry["min_start_time"], entry["max_end_time"] = int(span[0]), int(span[1])
+                    entry["min_start_time"], entry["max_end_time"] = span
         return self.log(name).commit(lambda snap: (op, add, []))
 
     # -------------------------------------------------------- read helpers

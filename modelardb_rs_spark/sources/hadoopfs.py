@@ -152,3 +152,59 @@ class HadoopFS:
         last-writer-wins is acceptable)."""
         stream = self._fs.create(self.path(uri), True)
         self._write_stream(stream, data)
+
+    def open_seekable(self, uri: str, size: int) -> "SeekableFile":
+        """A Python file-like over FSDataInputStream (read/seek/tell), so
+        pyarrow can read a Parquet FOOTER from any scheme without pulling
+        the whole file — a few KB-sized ranged reads per file."""
+        return SeekableFile(self._jvm, self._fs.open(self.path(uri)), size)
+
+
+class SeekableFile:
+    """Minimal seekable read-only file over a Hadoop FSDataInputStream."""
+
+    def __init__(self, jvm, stream, size: int) -> None:
+        self._ioutils = jvm.org.apache.commons.io.IOUtils
+        self._stream = stream
+        self._size = size
+        self._pos = 0
+        self.closed = False
+
+    def size(self) -> int:
+        return self._size
+
+    def seekable(self) -> bool:
+        return True
+
+    def readable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        if whence == 1:
+            pos += self._pos
+        elif whence == 2:
+            pos += self._size
+        self._pos = max(0, pos)
+        self._stream.seek(self._pos)
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n < 0:
+            n = self._size - self._pos
+        n = min(n, self._size - self._pos)
+        if n <= 0:
+            return b""
+        data = bytes(self._ioutils.toByteArray(self._stream, n))
+        self._pos += len(data)
+        return data
+
+    def close(self) -> None:
+        if not self.closed:
+            self._stream.close()
+            self.closed = True

@@ -152,6 +152,35 @@ def test_commit_log_file_skipping(ts_table, spark):
     assert none_f.count() == 0
 
 
+def test_seekable_footer_read(ts_table, spark):
+    """The non-file:-scheme stats path (pyarrow over a seekable Hadoop
+    stream) must read the same footer statistics as the local fast
+    path."""
+    import pyarrow.parquet as pq
+
+    from modelardb_rs_spark.sources.datafolder import _parquet_time_span
+
+    ts_table.write("acid", points(spark, 50))
+    snap = ts_table.folder.log("acid").snapshot()
+    entry = snap.files[0]
+    uri = ts_table.folder.fs.join(ts_table.folder.table_path("acid"), entry["path"])
+    assert uri.startswith("file:")
+
+    fs = ts_table.folder.fs
+    f = fs.open_seekable(uri, entry["size"])
+    try:
+        md = pq.read_metadata(f)
+    finally:
+        f.close()
+    from urllib.parse import urlparse
+
+    local = pq.read_metadata(urlparse(uri).path)
+    assert md.num_rows == local.num_rows
+    assert (entry["min_start_time"], entry["max_end_time"]) == _parquet_time_span(
+        fs, uri, entry["size"]
+    )
+
+
 def test_truncate_cluster(ts_table, spark):
     ts_table.read_sql("CREATE TIME SERIES TABLE acid2(timestamp TIMESTAMP, f FIELD, tag TAG)")
     ts_table.write("acid", points(spark, 5))
