@@ -6,22 +6,27 @@ per-series buffering + greedy compression): the multivariate input is
 shuffled so each univariate series (one tag combination) lands in one
 group, sorted by time, and fitted with the vectorized greedy fitter.
 
-Two physical strategies, chosen by table shape:
+Partitioning: parallelism must track data VOLUME, not tag cardinality —
+hash-on-tags would cap active tasks at the number of distinct series (a
+5-value tag serializes a cluster). Instead the input is bucketed on
+(tags, time-bucket) where per-series bucket widths come from ONE narrow
+(tags, ts) statistics aggregate: Parquet column pruning makes that pass
+read two columns of the input, unlike ``repartitionByRange`` whose
+range-boundary sampling re-executes the full-width upstream plan — a
+second complete scan of a 100 TB insert. A series crossing a bucket
+boundary just yields boundary-split segments, which the data model
+explicitly allows (mirrors buffer-capacity splits, reference
+storage/mod.rs:53-58), and buckets are sized proportional to each
+series' row count so sparse series stay contiguous (usually 1 bucket)
+while dense ones spread over the cluster. When tag cardinality already
+exceeds the target parallelism the stats pass short-circuits (a capped
+``LIMIT`` on the aggregate) and plain hash-on-tags is used.
 
-- **tagged tables**: ``repartition(tags)`` + ``sortWithinPartitions
-  (tags, ts)`` + ``mapInPandas`` with a pandas groupby inside each Arrow
-  batch. Every series lands wholly in one partition (hash partitioning),
-  so batches arrive series-contiguous and time-sorted; a series split
-  across Arrow-batch boundaries just yields boundary-split segments,
-  which the data model explicitly allows (mirrors buffer-capacity
-  splits, reference storage/mod.rs:53-58). Compared to
-  ``groupBy().applyInPandas`` this amortizes the per-group Python/Arrow
-  round trip (one UDF call per ~batch instead of per series) and keeps
-  task parallelism at the partition count even when there are millions
-  of tiny series — or only a handful of huge ones.
-- **untagged tables** (a single global series): ``repartitionByRange``
-  on the timestamp + the same ``mapInPandas`` — the single series is
-  spread over time ranges instead of serializing through one task.
+``mapInPandas`` with a pandas groupby inside each Arrow batch then fits
+every series chunk: compared to ``groupBy().applyInPandas`` this
+amortizes the per-group Python/Arrow round trip (one UDF call per
+~batch instead of per series) even when there are millions of tiny
+series — or only a handful of huge ones.
 
 Out-of-order data: each batch is sorted before compression; cross-batch
 overlap is permitted and resolved at read time by decoding all segments
@@ -141,24 +146,84 @@ def compress(
                 if len(out):
                     yield out
 
-    parallelism = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    if tags:
-        # Range-partition on (series key, time): partition count tracks
-        # data VOLUME, not tag cardinality — hash-on-tags would cap the
-        # active tasks at the number of distinct series (a 5-value tag
-        # serializes a cluster). A series crossing a range boundary just
-        # yields boundary-split segments, which the data model allows
-        # (mirrors buffer-capacity splits, reference storage/mod.rs:53-58),
-        # while sparse series stay contiguous — no per-bucket segment
-        # fragmentation like fixed time-bucket hashing would cause.
-        shaped = df.repartitionByRange(
-            range_partitions or parallelism, *tags, F.col(ts_col)
-        ).sortWithinPartitions(*tags, ts_col)
-    else:
-        # Untagged: range-partition the single series by time so
-        # compression parallelizes; segments split at partition
-        # boundaries (allowed).
-        shaped = df.repartitionByRange(
-            range_partitions or parallelism, ts_col
-        ).sortWithinPartitions(ts_col)
+    parallelism = range_partitions or max(
+        df.sparkSession.sparkContext.defaultParallelism, 1
+    )
+    shaped = _bucket_by_volume(df, ts_col, tags, parallelism).sortWithinPartitions(
+        *tags, ts_col
+    )
     return shaped.mapInPandas(fit_iter, schema=out_schema)
+
+
+# Below this Catalyst size estimate, ``repartitionByRange``'s sampling
+# pass re-reads so little data that it beats a dedicated stats job.
+_SMALL_INPUT_BYTES = 1 << 30
+
+
+def _bucket_by_volume(df: DataFrame, ts_col: str, tags: list[str], parallelism: int):
+    """Shuffle the insert so partition count tracks row volume (see
+    module docstring): one narrow (tags, ts) stats pass sizes per-series
+    time buckets, then a single hash shuffle on (tags, bucket).
+
+    Small inputs (by Catalyst's driver-side size estimate — free, no
+    job) keep ``repartitionByRange`` instead: re-scanning a few MB for
+    range boundaries is cheaper than scheduling a separate aggregate,
+    and range partitioning preserves series contiguity exactly. Unknown
+    sizes are treated as large — the stats path is the scale-safe one."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = _SMALL_INPUT_BYTES + 1
+    if size <= _SMALL_INPUT_BYTES:
+        keys = [*tags, ts_col] if tags else [ts_col]
+        return df.repartitionByRange(parallelism, *keys)
+    spark = df.sparkSession
+    cap = 8 * parallelism
+    if tags:
+        stats = (
+            df.groupBy(*tags)
+            .agg(F.count("*").alias("__n__"), F.min(ts_col).alias("__lo__"), F.max(ts_col).alias("__hi__"))
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(stats) > cap:
+            # Cardinality already saturates the cluster: plain hash on
+            # the series key, no per-series stats to haul to the driver.
+            return df.repartition(parallelism, *tags)
+        total = sum(r["__n__"] for r in stats)
+        if total == 0:
+            return df.repartition(parallelism, *tags)
+        target = max(total // parallelism, 1)
+        plan_rows = []
+        for r in stats:
+            n_buckets = max(min(-(-r["__n__"] // target), parallelism), 1)
+            width = max((r["__hi__"] - r["__lo__"]) // n_buckets + 1, 1)
+            plan_rows.append(tuple(r[t] for t in tags) + (int(r["__lo__"]), int(width)))
+        plan = F.broadcast(
+            spark.createDataFrame(
+                plan_rows,
+                df.select(*tags).schema.add("__lo__", "long").add("__width__", "long"),
+            )
+        )
+        cond = None
+        for t in tags:
+            c = df[t].eqNullSafe(plan[t])  # null tags are still series keys
+            cond = c if cond is None else cond & c
+        joined = df.join(plan, cond, "left").select(
+            df["*"],
+            ((F.col(ts_col) - F.coalesce(plan["__lo__"], F.lit(0))) / F.coalesce(plan["__width__"], F.lit(1)))
+            .cast("long")
+            .alias("__bucket__"),
+        )
+        return joined.repartition(parallelism, *[joined[t] for t in tags], F.col("__bucket__")).drop(
+            "__bucket__"
+        )
+    # Untagged: one global series — bucket purely by time.
+    row = df.select(
+        F.count("*").alias("n"), F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+    ).first()
+    if not row["n"]:
+        return df.repartition(parallelism)
+    width = max((row["hi"] - row["lo"]) // parallelism + 1, 1)
+    bucket = ((F.col(ts_col) - F.lit(int(row["lo"]))) / F.lit(int(width))).cast("long")
+    return df.repartition(parallelism, bucket)
