@@ -427,6 +427,90 @@ def ts_many_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ts_lossy_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-compression contract vs the ORIGINAL input: `scaled` is
+    stored under a 0.5 absolute error bound (reference
+    crates/modelardb_compression/src/lib.rs error-bound guarantee), so
+    for every (timestamp, etype) group of raw points the stored group sum
+    must stay within 0.5*n of the raw sum (any per-point pairing bound
+    implies the group-sum bound). The oracle pins violations = 0 plus the
+    group/point counts — a broken fitter, quantizer, or grid
+    reconstruction shows up as a nonzero violation count and a hash
+    mismatch."""
+    eng = _ts_engine(spark, sf_dir)
+    stored = (
+        eng.table("ts_events", fields=["scaled"])
+        .groupBy("timestamp", "etype")
+        .agg(F.sum(F.col("scaled").cast("double")).alias("s_sum"), F.count("*").alias("s_n"))
+    )
+    (events,) = _prep(spark, sf_dir, "events")
+    raw = (
+        events.select(
+            F.col("ts").alias("timestamp"),
+            F.col("event_type").alias("etype"),
+            (F.col("value") * 3.0).cast("float").cast("double").alias("expected"),
+        )
+        .groupBy("timestamp", "etype")
+        .agg(F.sum("expected").alias("r_sum"), F.count("*").alias("r_n"))
+    )
+    joined = stored.join(raw, ["timestamp", "etype"], "full_outer")
+    bad = (
+        F.col("s_n").isNull()
+        | F.col("r_n").isNull()
+        | (F.col("s_n") != F.col("r_n"))
+        | (F.abs(F.col("s_sum") - F.col("r_sum")) > 0.5 * F.col("r_n") + 1e-3)
+    )
+    return joined.agg(
+        F.sum(bad.cast("long")).alias("violations"),
+        F.sum("r_n").alias("n_points"),
+        F.count("*").alias("n_groups"),
+    )
+
+
+def ts_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log time travel: events written in two commits split at
+    2024-01-16; reading snapshot version 0 (and the same snapshot by its
+    commit wall-clock) must see exactly the first half, while the current
+    snapshot sees everything (reference tables are Delta with the same
+    version/timestamp reads, data_folder/mod.rs:89-260)."""
+    import fcntl
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_entry", key + "_travel")
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, ".build_lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        eng = Engine(spark, root)
+        if "tt_events" not in eng.tables():
+            eng.read_sql(
+                "CREATE TIME SERIES TABLE tt_events(timestamp TIMESTAMP, value FIELD, etype TAG)"
+            )
+            (events,) = _prep(spark, sf_dir, "events")
+            pts = events.select(
+                F.col("ts").alias("timestamp"),
+                F.col("value").cast("float").alias("value"),
+                F.col("event_type").alias("etype"),
+            )
+            cut = F.lit("2024-01-16").cast("timestamp")
+            eng.write("tt_events", pts.where(F.col("timestamp") < cut))
+            eng.write("tt_events", pts.where(F.col("timestamp") >= cut))
+    hist = eng.folder.history("tt_events")
+
+    def agg(df: DataFrame, pfx: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias(f"{pfx}_n"), F.round(F.sum("value"), 2).alias(f"{pfx}_sum")
+        )
+
+    v0 = agg(eng.table("tt_events", version=hist[0]["version"]), "v0")
+    t0 = agg(eng.table("tt_events", timestamp_ms=hist[0]["timestamp_ms"]), "t0")
+    cur = agg(eng.table("tt_events"), "cur")
+    return (
+        v0.crossJoin(t0)
+        .crossJoin(cur)
+        .withColumn("n_commits", F.lit(len(hist)).cast("long"))
+    )
+
+
 def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-style scalar subquery: orders above the global average
     price, counted per priority."""
@@ -752,6 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_range_partial_pushdown": ts_range_partial_pushdown,
         "ts_multifield": ts_multifield,
         "ts_many_series": ts_many_series,
+        "ts_lossy_bound": ts_lossy_bound,
+        "ts_time_travel": ts_time_travel,
         "q_subquery_scalar": q_subquery_scalar,
         "q_pivot": q_pivot,
         "q_asof_join": q_asof_join,
@@ -1026,6 +1112,26 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(value AS FLOAT)) AS mn,
                    max(CAST(value AS FLOAT)) AS mx
             FROM events GROUP BY user_id
+        """,
+        "ts_lossy_bound": """
+            SELECT CAST(0 AS BIGINT) AS violations,
+                   (SELECT count(*) FROM events) AS n_points,
+                   (SELECT count(*) FROM
+                     (SELECT DISTINCT epoch_ns(ts) // 1000, event_type FROM events)) AS n_groups
+        """,
+        "ts_time_travel": """
+            SELECT
+              (SELECT count(*) FROM events
+               WHERE epoch_ns(ts) // 1000 < epoch_us(TIMESTAMP '2024-01-16')) AS v0_n,
+              (SELECT round(sum(CAST(CAST(value AS FLOAT) AS DOUBLE)), 2) FROM events
+               WHERE epoch_ns(ts) // 1000 < epoch_us(TIMESTAMP '2024-01-16')) AS v0_sum,
+              (SELECT count(*) FROM events
+               WHERE epoch_ns(ts) // 1000 < epoch_us(TIMESTAMP '2024-01-16')) AS t0_n,
+              (SELECT round(sum(CAST(CAST(value AS FLOAT) AS DOUBLE)), 2) FROM events
+               WHERE epoch_ns(ts) // 1000 < epoch_us(TIMESTAMP '2024-01-16')) AS t0_sum,
+              (SELECT count(*) FROM events) AS cur_n,
+              (SELECT round(sum(CAST(CAST(value AS FLOAT) AS DOUBLE)), 2) FROM events) AS cur_sum,
+              CAST(2 AS BIGINT) AS n_commits
         """,
         "q_subquery_scalar": """
             SELECT o_orderpriority, count(*) AS n,

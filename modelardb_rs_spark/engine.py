@@ -190,13 +190,23 @@ class Engine:
     # ---------------------------------------------------------------- read
 
     def segments(
-        self, name: str, start_us: int | None = None, end_us: int | None = None
+        self,
+        name: str,
+        start_us: int | None = None,
+        end_us: int | None = None,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
     ) -> DataFrame:
         """The raw physical segments DataFrame of a time series table.
         A known time range prunes files driver-side from the commit log's
-        per-file stats (exact predicates are re-applied downstream)."""
+        per-file stats (exact predicates are re-applied downstream).
+        `version`/`timestamp_ms` read an older snapshot (time travel)."""
         return self.folder.read_segments(
-            self.catalog.time_series_metadata(name), start_us=start_us, end_us=end_us
+            self.catalog.time_series_metadata(name),
+            version=version,
+            timestamp_ms=timestamp_ms,
+            start_us=start_us,
+            end_us=end_us,
         )
 
     def table(
@@ -205,17 +215,26 @@ class Engine:
         fields: list[str] | None = None,
         start=None,
         end=None,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
     ) -> DataFrame:
         """The logical DataFrame of a table (time series tables gridded,
-        with optional projection + time-range segment pruning)."""
+        with optional projection + time-range segment pruning).
+        `version`/`timestamp_ms` read an older commit-log snapshot (time
+        travel, both table kinds)."""
         kind = self.catalog.kind(name)
         if kind == TableKind.NORMAL:
-            df = self.folder.read_normal(name, self.catalog.normal_table_schema(name))
+            df = self.folder.read_normal(
+                name,
+                self.catalog.normal_table_schema(name),
+                version=version,
+                timestamp_ms=timestamp_ms,
+            )
             return df.select(*fields) if fields else df
         meta = self.catalog.time_series_metadata(name)
         start_us, end_us = _to_us(start), _to_us(end)
         return grid_ops.grid(
-            self.segments(name, start_us, end_us),
+            self.segments(name, start_us, end_us, version, timestamp_ms),
             meta,
             fields=fields,
             start_us=start_us,

@@ -203,3 +203,22 @@ def test_copy_and_move(ts_engine, spark, tmp_path):
     ts_engine.move("ts", target)
     assert "ts" not in ts_engine.tables()
     assert target.table("ts").count() == 200
+
+
+def test_engine_time_travel(ts_engine, spark):
+    """Engine.table(version=..., timestamp_ms=...) reads older snapshots
+    of both table kinds through the commit log."""
+    ts_engine.write("ts", make_points(spark, n=50))
+    hist = ts_engine.folder.history("ts")
+    assert [h["version"] for h in hist] == [0, 1]
+    assert ts_engine.table("ts", version=0).count() == 100
+    assert ts_engine.table("ts", timestamp_ms=hist[0]["timestamp_ms"]).count() == 100
+    assert ts_engine.table("ts").count() == 150
+    # normal tables travel too
+    from pyspark.sql import Row
+
+    ts_engine.create_table("plain", spark.createDataFrame([Row(a=1)]).schema)
+    ts_engine.write("plain", spark.createDataFrame([Row(a=1), Row(a=2)]))
+    ts_engine.write("plain", spark.createDataFrame([Row(a=3)]))
+    assert ts_engine.table("plain", version=0).count() == 2
+    assert ts_engine.table("plain").count() == 3
