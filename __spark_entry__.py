@@ -724,6 +724,27 @@ def sim_threshold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, corpus×corpus via
+    sign-LSH blocking + exact-cosine verification (no broadcast, no
+    all-pairs join — operators/similarity.py::embedding_near_dup_pairs).
+    The corpus is the embeddings table plus a deterministic near-dup for
+    every 10th vector (a positively-scaled copy: cosine exactly 1, and
+    scaling preserves every sign-LSH bit, so the TRUE pair set is known
+    in closed form and the oracle checks the exact pairs, not a recall
+    floor; the data's own max pairwise cosine is ~0.51, far below the
+    threshold)."""
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    dups = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.5)).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.unionByName(dups)
+    pairs = sim_ops.embedding_near_dup_pairs(corpus, threshold=0.999)
+    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k over the table's `label` buckets —
     the whole probe pipeline (centroids → nprobe selection → bucket-join
@@ -857,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_verified": dedup_minhash_verified,
         "sim_bruteforce_topk": sim_bruteforce_topk,
         "sim_threshold_count": sim_threshold_count,
+        "dedup_embedding": dedup_embedding,
         "sim_ivf_topk": sim_ivf_topk,
         "sim_lsh_topk": sim_lsh_topk,
         "sim_ivf_trained": sim_ivf_trained,
@@ -1389,6 +1411,11 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_trained": """
             SELECT CAST(10 AS BIGINT) AS n_queries,
                    CAST(1 AS BIGINT) AS avg_recall_ok
+        """,
+        "dedup_embedding": """
+            SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+            FROM embeddings WHERE vec_id % 10 = 0
+            ORDER BY id_a, id_b
         """,
         "sim_threshold_count": """
             WITH a AS (SELECT vec_id AS id_a,

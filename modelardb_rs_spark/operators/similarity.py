@@ -178,6 +178,86 @@ def kmeans_buckets(
     return model.transform(with_vec).drop("__mlvec__")
 
 
+def _hyperplane_signatures(tables: int, planes: int, dim: int, seed: int):
+    """Column builder: array<struct<t,sig>> — one sign-LSH signature per
+    hash table, from fixed pseudo-random hyperplanes (deterministic in
+    ``seed``, shipped as plan literals so executors need no side
+    channel)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    hyperplanes = rng.normal(0.0, 1.0, (tables, planes, dim))
+
+    def signatures(col: Column) -> Column:
+        entries = []
+        for t in range(tables):
+            bits = None
+            for p in range(planes):
+                plane = F.array(*[F.lit(float(x)) for x in hyperplanes[t, p]])
+                bit = F.when(dot(col, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+                bits = bit if bits is None else bits + bit
+            entries.append(F.struct(F.lit(t).alias("t"), bits.cast("int").alias("sig")))
+        return F.array(*entries)
+
+    return signatures
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    tables: int = 8,
+    planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos) over one
+    corpus — the embedding leg of the dedup family.
+
+    Corpus×corpus at scale, so no broadcast anywhere: rows are bucketed
+    by (hash table, sign signature) and candidates are pairs sharing a
+    bucket in ANY of the ``tables`` tables — a self equi-join on the
+    bucket key carrying ids only (the vectors are re-fetched by id after
+    candidate dedup). Exact cosine then verifies every candidate, so
+    precision is 1 by construction; recall is the standard multi-table
+    sign-LSH guarantee (near-identical vectors share all sign bits). A
+    pathologically dense bucket (m rows → m² candidate pairs) is the
+    skew risk; ``planes`` is the blocking-granularity lever and AQE's
+    skew-join handles residual imbalance."""
+    signatures = _hyperplane_signatures(tables, planes, dim, seed)
+    keys = corpus.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(signatures(F.col(vec_col))).alias("__k__"),
+    ).select("__id__", F.col("__k__.t").alias("__t__"), F.col("__k__.sig").alias("__sig__"))
+    a_keys = keys.select(F.col("__id__").alias("id_a"), "__t__", "__sig__")
+    b_keys = keys.select(F.col("__id__").alias("id_b"), "__t__", "__sig__")
+    cands = (
+        a_keys.join(b_keys, ["__t__", "__sig__"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid__"),
+        F.col(vec_col).alias("__v__"),
+        norm(F.col(vec_col)).alias("__n__"),
+    )
+    return (
+        cands.join(vecs.withColumnRenamed("__vid__", "id_a"), "id_a")
+        .withColumnsRenamed({"__v__": "__av__", "__n__": "__an__"})
+        .join(vecs.withColumnRenamed("__vid__", "id_b"), "id_b")
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("__av__"), F.col("__v__")) / (F.col("__an__") * F.col("__n__")), 6
+            ),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -203,22 +283,7 @@ def lsh_topk(
     explode carries ids only. Complements ``ivf_topk`` when no cluster
     structure (bucket column / trained centroids) exists.
     """
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    hyperplanes = rng.normal(0.0, 1.0, (tables, planes, dim))
-
-    def signatures(col: Column) -> Column:
-        """array<struct<t,sig>> — one signature per hash table."""
-        entries = []
-        for t in range(tables):
-            bits = None
-            for p in range(planes):
-                plane = F.array(*[F.lit(float(x)) for x in hyperplanes[t, p]])
-                bit = F.when(dot(col, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-                bits = bit if bits is None else bits + bit
-            entries.append(F.struct(F.lit(t).alias("t"), bits.cast("int").alias("sig")))
-        return F.array(*entries)
+    signatures = _hyperplane_signatures(tables, planes, dim, seed)
 
     q_keys = queries.select(
         F.col(id_col).alias("query_id"),

@@ -196,6 +196,22 @@ def test_cosine_threshold_pairs(vectors):
     assert all(r.cos >= 0.99 for r in pairs)
 
 
+def test_embedding_near_dup_pairs(vectors):
+    """Scaled copies are exact near-dups (cos 1.0) and positive scaling
+    preserves every sign-LSH bit, so blocking recall on them is 1."""
+    dups = vectors.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        "label",
+    )
+    corpus = vectors.unionByName(dups)
+    pairs = sim_ops.embedding_near_dup_pairs(corpus, threshold=0.999, dim=16).collect()
+    expected = {(i, i + 1000) for i in range(0, 100, 20)}
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert expected <= got  # recall 1 on the planted dups
+    assert all(r.cos >= 0.999 for r in pairs)  # exact-verify precision
+
+
 def test_multimodal_plumbing(docs):
     media = mm_ops.attach_fake_media(docs)
     feats = mm_ops.extract_features(media, fake_codec=True).collect()
