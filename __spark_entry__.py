@@ -685,8 +685,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("simhash").alias("n_distinct"),
-        F.sum("simhash").cast("long").alias("sum_simhash"),
+        # 60-bit signatures summed over a corpus overflow int64: checksum
+        # a small modulus instead
+        F.sum(F.col("simhash") % 1000003).cast("long").alias("sum_simhash"),
     )
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs. The banding is LOSSLESS at the
+    Hamming cutoff (pigeonhole over max_hamming+1 bands), so the blocked
+    plan must return exactly the pairs the oracle's all-pairs
+    bit_count(xor) scan finds — the approximate-plan-vs-forced-exact
+    oracle pattern (reference integration_test.rs:1129-1248)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    pairs = dedup_ops.simhash_near_pairs(docs, max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
 
 
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -874,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
         "dedup_minhash_verified": dedup_minhash_verified,
         "sim_bruteforce_topk": sim_bruteforce_topk,
@@ -952,9 +968,13 @@ def oracle_sql() -> dict[str, str]:
     pred += "END"
 
     simhash_bitsum = ", ".join(
-        f"sum(CASE WHEN (hv & {1 << b}) > 0 THEN 1 ELSE -1 END) AS b{b}" for b in range(16)
+        f"sum(CASE WHEN (hv & {1 << b}) > 0 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(dedup_ops.SIMHASH_BITS)
     )
-    simhash_sig = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    simhash_sig = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(dedup_ops.SIMHASH_BITS)
+    )
 
     return {
         "q1_pricing_summary": """
@@ -1334,12 +1354,26 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tk
                 FROM documents WHERE trim(text) <> ''
             ),
-            h AS (SELECT doc_id, CAST(('0x' || substr(md5(tk), 1, 4)) AS BIGINT) AS hv FROM tok),
+            h AS (SELECT doc_id, CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS hv FROM tok),
             bits AS (SELECT doc_id, {simhash_bitsum} FROM h GROUP BY doc_id),
             sig AS (SELECT doc_id, {simhash_sig} AS simhash FROM bits)
             SELECT count(*) AS n_docs, count(DISTINCT simhash) AS n_distinct,
-                   CAST(sum(simhash) AS BIGINT) AS sum_simhash
+                   CAST(sum(simhash % 1000003) AS BIGINT) AS sum_simhash
             FROM sig
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tk
+                FROM documents WHERE trim(text) <> ''
+            ),
+            h AS (SELECT doc_id, CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS hv FROM tok),
+            bits AS (SELECT doc_id, {simhash_bitsum} FROM h GROUP BY doc_id),
+            sig AS (SELECT doc_id, {simhash_sig} AS simhash FROM bits)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY id_a, id_b
         """,
         "sim_bruteforce_topk": """
             WITH q AS (SELECT vec_id AS query_id,

@@ -309,18 +309,19 @@ def duplicate_clusters(
 
 # -------------------------------------------------------------- SimHash
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 60
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash per document: each token votes ±1 on every bit of
-    its 16-bit md5-derived hash; the signature sets bits with a positive
-    vote sum. Map + one groupBy; md5-based so SQL oracles reproduce it."""
+    """60-bit SimHash per document: each token votes ±1 on every bit of
+    its 60-bit md5-derived hash (15 hex chars — the widest prefix that
+    stays in signed 64-bit for both Spark and ANSI-SQL oracles); the
+    signature sets bits with a positive vote sum. Map + one groupBy."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     tok = df.repartition(parallelism, F.col(id_col)).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    hv = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+    hv = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     tok = tok.withColumn("hv", hv)
     bit_sums = tok.groupBy(id_col).agg(
         *[
@@ -343,24 +344,38 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance. The pair join
-    is blocked on the high byte of the signature (near-duplicates almost
-    always share it at distance <= 3), keeping the join keyed rather
-    than all-pairs; a full-recall variant would OR several byte blocks."""
+    """Near-duplicate pairs by SimHash Hamming distance, with LOSSLESS
+    banded blocking: the signature is split into ``max_hamming + 1``
+    bands, and by pigeonhole any pair within ``max_hamming`` flipped
+    bits matches exactly on at least one band — so the banded equi-join
+    has full recall, not the "usually shares the high byte" heuristic.
+    Each band key is ~15 bits (32k buckets per band) and every join is
+    keyed on (band, key); the all-pairs product never materializes, and
+    the exact Hamming re-check on candidates makes precision 1."""
     sh = simhash(df, text_col, id_col)
-    blocked = sh.withColumn("block", F.shiftright(F.col("simhash"), 8))
-    l, r = blocked.alias("l"), blocked.alias("r")
+    n_bands = max_hamming + 1
+    width = SIMHASH_BITS // n_bands
+    entries = []
+    for i in range(n_bands):
+        # the last band absorbs the remainder bits
+        w = SIMHASH_BITS - i * width if i == n_bands - 1 else width
+        key = F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << w) - 1))
+        entries.append(F.struct(F.lit(i).alias("band"), key.alias("key")))
+    keys = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*entries)).alias("__bk__")
+    ).select(id_col, "simhash", F.col("__bk__.band").alias("band"), F.col("__bk__.key").alias("key"))
+    l = keys.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa__"), "band", "key"
+    )
+    r = keys.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb__"), "band", "key"
+    )
     return (
-        l.join(r, "block")
-        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))),
-        )
+        l.join(r, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa__", "__sb__")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("__sa__").bitwiseXOR(F.col("__sb__"))))
         .where(F.col("hamming") <= max_hamming)
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            "hamming",
-        )
+        .select("id_a", "id_b", "hamming")
     )
