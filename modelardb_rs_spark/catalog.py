@@ -5,17 +5,26 @@ Plays the role of the reference's metadata Delta tables
 ``time_series_table_field_columns``,
 crates/modelardb_storage/src/data_folder/mod.rs:415-520), holding table
 kind, query schema, per-field error bounds, and generated-column
-expressions. Stored as a single JSON document under
-``<data folder>/metadata/tables.json`` — tiny, driver-side state; at
-cluster scale this lives on the shared object store next to the data and
-is read once per session. All I/O goes through the Hadoop FileSystem
-API so the metadata directory may be any URI the session can reach
-(``file://``, ``s3a://``, ...).
+expressions.
+
+Stored as a VERSIONED JSON document ``tables.<version>.json`` under
+``<data folder>/metadata/``: every mutation re-reads the latest version,
+applies the change, and publishes the next version with an atomic
+create-exclusive — the same optimistic CAS the transaction log uses
+(sources/txlog.py), so two concurrent CREATE TABLEs from different
+processes can never silently drop each other (a plain overwrite of one
+shared file would be last-writer-wins). Readers just load the highest
+version; superseded versions are pruned best-effort after a commit.
+A legacy un-versioned ``tables.json`` (pre-CAS folders) is read as the
+base version. All I/O goes through the Hadoop FileSystem API so the
+metadata directory may be any URI the session can reach (``file://``,
+``s3a://``, ...).
 """
 
 from __future__ import annotations
 
 import json
+import re
 import threading
 
 from pyspark.sql import types as T
@@ -23,22 +32,68 @@ from pyspark.sql import types as T
 from modelardb_rs_spark.sources.hadoopfs import HadoopFS
 from modelardb_rs_spark.types import TableKind, TimeSeriesTableMetadata
 
+_VERSION_RE = re.compile(r"tables\.(\d{20})\.json$")
+_KEEP_VERSIONS = 8
+_MAX_COMMIT_ATTEMPTS = 100
+
 
 class Catalog:
     def __init__(self, metadata_dir: str, fs: HadoopFS) -> None:
         self._fs = fs
         self._dir = metadata_dir
-        self._path = fs.join(metadata_dir, "tables.json")
+        self._legacy_path = fs.join(metadata_dir, "tables.json")
         self._lock = threading.Lock()
         fs.mkdirs(metadata_dir)
-        if not fs.exists(self._path):
-            self._save({"tables": {}})
+
+    def _versioned(self, version: int) -> str:
+        return self._fs.join(self._dir, f"tables.{version:020d}.json")
+
+    def _latest(self) -> tuple[int, dict]:
+        """(version, doc) of the newest catalog version; -1 + legacy file
+        (or an empty catalog) when no versioned file exists yet."""
+        best = -1
+        for info in self._fs.list(self._dir):
+            m = _VERSION_RE.search(info.path.rsplit("/", 1)[-1])
+            if m:
+                best = max(best, int(m.group(1)))
+        if best >= 0:
+            return best, json.loads(
+                self._fs.read_bytes(self._versioned(best)).decode("utf-8")
+            )
+        if self._fs.exists(self._legacy_path):
+            return -1, json.loads(self._fs.read_bytes(self._legacy_path).decode("utf-8"))
+        return -1, {"tables": {}}
 
     def _load(self) -> dict:
-        return json.loads(self._fs.read_bytes(self._path).decode("utf-8"))
+        return self._latest()[1]
 
-    def _save(self, doc: dict) -> None:
-        self._fs.write_bytes(self._path, json.dumps(doc, indent=1).encode("utf-8"))
+    def _commit(self, mutate) -> None:
+        """Optimistic CAS: re-apply `mutate(doc)` to a fresh snapshot
+        until the next-version publish wins. `mutate` re-raises its
+        not-applicable errors (duplicate name, missing table) against the
+        CURRENT state, so losers of a race fail for the right reason."""
+        with self._lock:  # in-process serialization; CAS handles cross-process
+            for _ in range(_MAX_COMMIT_ATTEMPTS):
+                version, doc = self._latest()
+                mutate(doc)
+                payload = json.dumps(doc, indent=1).encode("utf-8")
+                if self._fs.create_exclusive(self._versioned(version + 1), payload):
+                    self._prune(version + 1)
+                    return
+            raise RuntimeError(
+                f"could not commit catalog update after {_MAX_COMMIT_ATTEMPTS} attempts"
+            )
+
+    def _prune(self, latest: int) -> None:
+        """Best-effort deletion of long-superseded versions (concurrent
+        readers of a recent version are protected by the keep window)."""
+        try:
+            for info in self._fs.list(self._dir):
+                m = _VERSION_RE.search(info.path.rsplit("/", 1)[-1])
+                if m and int(m.group(1)) <= latest - _KEEP_VERSIONS:
+                    self._fs.delete(info.path)
+        except Exception:
+            pass
 
     def tables(self) -> dict[str, TableKind]:
         doc = self._load()
@@ -54,31 +109,31 @@ class Catalog:
         return name in self._load()["tables"]
 
     def add_normal_table(self, name: str, schema: T.StructType) -> None:
-        with self._lock:
-            doc = self._load()
+        def mutate(doc: dict) -> None:
             if name in doc["tables"]:
                 raise ValueError(f"table {name!r} already exists")
             doc["tables"][name] = {"kind": TableKind.NORMAL.value, "schema": schema.json()}
-            self._save(doc)
+
+        self._commit(mutate)
 
     def add_time_series_table(self, meta: TimeSeriesTableMetadata) -> None:
-        with self._lock:
-            doc = self._load()
+        def mutate(doc: dict) -> None:
             if meta.name in doc["tables"]:
                 raise ValueError(f"table {meta.name!r} already exists")
             doc["tables"][meta.name] = {
                 "kind": TableKind.TIME_SERIES.value,
                 "metadata": meta.to_json(),
             }
-            self._save(doc)
+
+        self._commit(mutate)
 
     def drop(self, name: str) -> None:
-        with self._lock:
-            doc = self._load()
+        def mutate(doc: dict) -> None:
             if name not in doc["tables"]:
                 raise KeyError(f"table {name!r} does not exist")
             del doc["tables"][name]
-            self._save(doc)
+
+        self._commit(mutate)
 
     def normal_table_schema(self, name: str) -> T.StructType:
         doc = self._load()

@@ -44,6 +44,23 @@ from modelardb_rs_spark.compression.fitter import fit_series
 from modelardb_rs_spark.types import ErrorBound, TimeSeriesTableMetadata, segment_schema
 
 
+def segments_frame(
+    cols: dict, field_idx: int, tag_values: dict, tag_columns: list[str]
+) -> pd.DataFrame:
+    """Assemble fit_series output columns into a segment-schema pandas
+    frame for one field of one series."""
+    seg = pd.DataFrame(cols)
+    seg["model_type_id"] = seg["model_type_id"].astype(np.int8)
+    seg["min_value"] = seg["min_value"].astype(np.float32)
+    seg["max_value"] = seg["max_value"].astype(np.float32)
+    seg["error"] = seg["error"].astype(np.float32)
+    seg["value_count"] = seg["value_count"].astype(np.int32)
+    seg["field_column"] = np.int16(field_idx)
+    for t in tag_columns:
+        seg[t] = tag_values[t]
+    return seg
+
+
 def _fit_group(
     pdf: pd.DataFrame,
     ts_col: str,
@@ -66,16 +83,7 @@ def _fit_group(
     for idx, (fname, bound) in enumerate(zip(field_names, bounds)):
         values = pdf[fname].to_numpy(dtype=np.float32)
         cols = fit_series(ts_us, values, bound)
-        seg = pd.DataFrame(cols)
-        seg["model_type_id"] = seg["model_type_id"].astype(np.int8)
-        seg["min_value"] = seg["min_value"].astype(np.float32)
-        seg["max_value"] = seg["max_value"].astype(np.float32)
-        seg["error"] = seg["error"].astype(np.float32)
-        seg["value_count"] = seg["value_count"].astype(np.int32)
-        seg["field_column"] = np.int16(idx)
-        for t in tag_columns:
-            seg[t] = tag_values[t]
-        frames.append(seg)
+        frames.append(segments_frame(cols, idx, tag_values, tag_columns))
     if not frames:
         return pd.DataFrame()
     return pd.concat(frames, ignore_index=True)

@@ -55,6 +55,146 @@ def start_ingest(
     return writer.start()
 
 
+def start_stateful_ingest(
+    engine: Engine,
+    table: str,
+    stream: DataFrame,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+    flush_timeout_ms: int = 60_000,
+    max_tail_points: int = 4096,
+) -> StreamingQuery:
+    """Continuously compress a stream with CROSS-BATCH segment state.
+
+    ``start_ingest`` compresses each micro-batch independently, so a
+    slow-trigger stream fragments every series into at least one segment
+    per batch. This variant keeps, per series, the raw points of the
+    still-open trailing segment in ``applyInPandasWithState`` state and
+    re-fits them together with the next batch — segments close because
+    the DATA breaks the error bound (or the buffer cap / idle timeout
+    fires), not because a micro-batch boundary happened to fall there.
+    This is the reference's in-memory per-series buffer
+    (uncompressed_data_manager.rs:130-600: buffers persist across ingest
+    calls, finished buffers move to compression) in Spark's state-store
+    model; the streaming checkpoint doubles as the WAL.
+
+    - closed segments are emitted in append mode and committed atomically
+      per micro-batch through the transaction log,
+    - a series idle for ``flush_timeout_ms`` is flushed by a
+      processing-time timeout (FlushMemory semantics),
+    - a tail exceeding ``max_tail_points`` is force-closed — the
+      reference's buffer-capacity split (storage/mod.rs:53-58),
+    - late cross-batch points keep the relaxed out-of-order contract:
+      they fit into the held tail if they sort before it, otherwise they
+      form overlapping segments resolved at read time.
+    """
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from modelardb_rs_spark.compression.fitter import fit_series
+    from modelardb_rs_spark.operators.compress import segments_frame
+    from modelardb_rs_spark.types import segment_schema
+
+    meta = engine.catalog.time_series_metadata(table)
+    ts_col = meta.timestamp_column
+    field_names = list(meta.field_names)
+    bounds = [meta.field_columns[f] for f in field_names]
+    tags = list(meta.tag_columns)
+    out_schema = segment_schema(tags)
+    state_schema = T.StructType([T.StructField("tail", T.BinaryType())])
+
+    if dict(stream.dtypes)[ts_col] != "bigint":
+        stream = stream.withColumn(ts_col, F.unix_micros(F.col(ts_col).cast("timestamp")))
+
+    def fit_with_state(key, pdf_iter, state):
+        tag_values = dict(zip(tags, key)) if tags else {}
+        tail = (
+            pickle.loads(state.get[0])
+            if state.exists
+            else {f: (np.empty(0, np.int64), np.empty(0, np.float32)) for f in field_names}
+        )
+        if state.hasTimedOut:
+            # idle flush: close every held tail
+            frames = []
+            for idx, (fname, bound) in enumerate(zip(field_names, bounds)):
+                t_ts, t_v = tail[fname]
+                if len(t_ts):
+                    frames.append(
+                        segments_frame(fit_series(t_ts, t_v, bound), idx, tag_values, tags)
+                    )
+            state.remove()
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+            return
+
+        batches = [pdf for pdf in pdf_iter if len(pdf)]
+        new_ts = (
+            np.concatenate([b[ts_col].to_numpy(np.int64) for b in batches])
+            if batches
+            else np.empty(0, np.int64)
+        )
+        frames = []
+        new_tail: dict = {}
+        held = 0
+        for idx, (fname, bound) in enumerate(zip(field_names, bounds)):
+            t_ts, t_v = tail[fname]
+            f_v = (
+                np.concatenate([b[fname].to_numpy(np.float32) for b in batches])
+                if batches
+                else np.empty(0, np.float32)
+            )
+            ts_all = np.concatenate([t_ts, new_ts])
+            v_all = np.concatenate([t_v, f_v])
+            order = np.argsort(ts_all, kind="stable")
+            ts_all, v_all = ts_all[order], v_all[order]
+            if not len(ts_all):
+                new_tail[fname] = (ts_all, v_all)
+                continue
+            cols = fit_series(ts_all, v_all, bound)
+            n_seg = len(cols["value_count"])
+            if len(ts_all) > max_tail_points or n_seg == 0:
+                keep = 0  # buffer cap: force-close everything
+            else:
+                keep = int(cols["value_count"][-1])  # hold the open segment
+            if keep:
+                new_tail[fname] = (ts_all[-keep:], v_all[-keep:])
+                cols = {k: v[:-1] for k, v in cols.items()}
+            else:
+                new_tail[fname] = (np.empty(0, np.int64), np.empty(0, np.float32))
+            if len(cols["value_count"]):
+                frames.append(segments_frame(cols, idx, tag_values, tags))
+            held += len(new_tail[fname][0])
+        if held:
+            state.update((pickle.dumps(new_tail),))
+            state.setTimeoutDuration(flush_timeout_ms)
+        elif state.exists:
+            state.remove()
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    grouped = stream.groupBy(*[F.col(t) for t in tags]) if tags else stream.groupBy(F.lit(1))
+    segs = grouped.applyInPandasWithState(
+        fit_with_state,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        engine.folder.write_segments(meta, batch_df)
+
+    writer = segs.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def windowed_rollup(
     stream: DataFrame,
     ts_col: str,

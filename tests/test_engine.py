@@ -222,3 +222,54 @@ def test_engine_time_travel(ts_engine, spark):
     ts_engine.write("plain", spark.createDataFrame([Row(a=3)]))
     assert ts_engine.table("plain", version=0).count() == 2
     assert ts_engine.table("plain").count() == 3
+
+
+def test_catalog_cas_concurrent_writers(spark, tmp_path):
+    """Two catalog handles on the same folder (two processes): both
+    CREATEs survive — versioned CAS, not last-writer-wins — and a losing
+    duplicate create fails against the fresh snapshot."""
+    import pytest as _pytest
+
+    from modelardb_rs_spark.catalog import Catalog
+    from modelardb_rs_spark.sources.hadoopfs import HadoopFS
+    from pyspark.sql import types as T
+
+    fs = HadoopFS(spark, str(tmp_path / "meta"))
+    a = Catalog(fs.base, fs)
+    b = Catalog(fs.base, fs)
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    a.add_normal_table("t1", schema)
+    b.add_normal_table("t2", schema)  # b never saw a's write until CAS reload
+    assert set(a.tables()) == {"t1", "t2"}
+    assert set(b.tables()) == {"t1", "t2"}
+    with _pytest.raises(ValueError):
+        b.add_normal_table("t1", schema)
+    a.drop("t1")
+    assert set(b.tables()) == {"t2"}
+
+
+def test_catalog_reads_legacy_unversioned_file(spark, tmp_path):
+    """Pre-CAS folders (a bare tables.json) load as the base version and
+    the first mutation publishes version 0."""
+    import json
+
+    from modelardb_rs_spark.catalog import Catalog
+    from modelardb_rs_spark.sources.hadoopfs import HadoopFS
+    from pyspark.sql import types as T
+
+    fs = HadoopFS(spark, str(tmp_path / "meta_legacy"))
+    fs.mkdirs(fs.base)
+    legacy = {
+        "tables": {
+            "old": {
+                "kind": "normal",
+                "schema": T.StructType([T.StructField("x", T.LongType())]).json(),
+            }
+        }
+    }
+    fs.write_bytes(fs.join(fs.base, "tables.json"), json.dumps(legacy).encode())
+    cat = Catalog(fs.base, fs)
+    assert set(cat.tables()) == {"old"}
+    cat.add_normal_table("new", T.StructType([T.StructField("y", T.LongType())]))
+    assert set(cat.tables()) == {"old", "new"}
+    assert set(Catalog(fs.base, fs).tables()) == {"old", "new"}

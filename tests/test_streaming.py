@@ -10,7 +10,11 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from modelardb_rs_spark.streaming.ingest import start_ingest, windowed_rollup
+from modelardb_rs_spark.streaming.ingest import (
+    start_ingest,
+    start_stateful_ingest,
+    windowed_rollup,
+)
 
 TS0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
 
@@ -56,6 +60,63 @@ def test_streaming_ingest_incremental(engine, spark, tmp_path):
     # lossless round trip through the streamed segments
     total = engine.read_sql("SELECT sum(f) AS s FROM st").collect()[0].s
     assert total == sum(range(150))
+
+
+def constant_rows(spark, start, n, tag="a"):
+    return spark.createDataFrame(
+        [
+            Row(
+                timestamp=TS0 + datetime.timedelta(seconds=start + i),
+                f=1.0,
+                tag=tag,
+            )
+            for i in range(n)
+        ],
+        INPUT_SCHEMA,
+    )
+
+
+def test_stateful_ingest_no_batch_boundary_splits(engine, spark, tmp_path):
+    """Cross-batch state: a constant series split over two micro-batches
+    must land as ONE segment (per-batch compression would emit two), and
+    an idle processing-time timeout flushes the held tail."""
+    import time
+
+    engine.read_sql("CREATE TIME SERIES TABLE sst(timestamp TIMESTAMP, f FIELD, tag TAG)")
+    src = str(tmp_path / "sst_in")
+    os.makedirs(src)
+    constant_rows(spark, 0, 50).write.mode("append").parquet(src)
+    constant_rows(spark, 50, 50).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_stateful_ingest(
+        engine, "sst", stream, str(tmp_path / "sst_ckpt"), flush_timeout_ms=1
+    )
+    try:
+        q.processAllAvailable()
+        # both batches consumed; the open segment is still held in state
+        assert engine.table("sst").count() == 0
+        time.sleep(0.2)  # let the 1 ms processing-time timeout expire
+        # any further trigger fires the timeout flush for the idle series
+        constant_rows(spark, 100, 1, tag="other").write.mode("append").parquet(src)
+        q.processAllAvailable()
+        time.sleep(0.2)
+        constant_rows(spark, 101, 1, tag="other2").write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = engine.table("sst").where(F.col("tag") == "a")
+    assert got.count() == 100
+    # one PMC segment for 100 constant points spanning both micro-batches
+    segs = engine.segments("sst").where(F.col("tag") == "a").collect()
+    assert len(segs) == 1
+    assert segs[0].value_count == 100
+    # lossless reconstruction
+    assert engine.table("sst").where(F.col("tag") == "a").agg(F.sum("f")).first()[0] == 100.0
 
 
 def test_windowed_rollup(spark, tmp_path):
