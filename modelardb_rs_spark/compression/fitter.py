@@ -87,6 +87,9 @@ class _SegmentSink:
             "error": [],
             "value_count": [],
             "seg_sum": [],
+            "ts_kind": [],
+            "param0": [],
+            "param1": [],
         }
 
     def emit(
@@ -96,13 +99,19 @@ class _SegmentSink:
         recon_f32: np.ndarray,
         payload: bytes,
         v64: np.ndarray,
+        param0: float | None = None,
+        param1: float | None = None,
     ) -> None:
         c = self.cols
         recon64 = recon_f32.astype(np.float64)
+        ts_payload, regular = encoding.encode_timestamps(ts)
         c["model_type_id"].append(model_type_id)
         c["start_time"].append(int(ts[0]))
         c["end_time"].append(int(ts[-1]))
-        c["timestamps"].append(encoding.encode_timestamps(ts)[0])
+        c["timestamps"].append(ts_payload)
+        c["ts_kind"].append(0 if regular else 1)
+        c["param0"].append(None if param0 is None else float(np.float32(param0)))
+        c["param1"].append(param1)
         c["min_value"].append(np.float32(_spark_min(recon64)))
         c["max_value"].append(np.float32(_spark_max(recon64)))
         c["values"].append(payload)
@@ -313,6 +322,8 @@ def fit_series(
                 swing_recon,
                 encoding.encode_swing(v64[i], slope),
                 v64[i : i + ls],
+                param0=v64[i],
+                param1=float(slope),
             )
             i += ls
         else:
@@ -323,6 +334,8 @@ def fit_series(
                 recon,
                 encoding.encode_pmc(mean),
                 v64[i : i + lp],
+                param0=mean,
+                param1=0.0,
             )
             i += lp
     if gorilla_start >= 0:

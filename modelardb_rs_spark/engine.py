@@ -142,6 +142,19 @@ class Engine:
         for n in names:
             self.folder.vacuum(n, retain_seconds)
 
+    def optimize(self, name: str, target_file_bytes: int = 128 << 20) -> dict:
+        """Compact small files into ~target-sized ones (one transactional
+        commit; old files remain for time travel until VACUUM). The
+        Delta-OPTIMIZE analog of the reference's compaction-on-write —
+        ingest keeps commits small and OPTIMIZE amortizes them away."""
+        kind = self.catalog.kind(name)
+        meta = (
+            self.catalog.time_series_metadata(name)
+            if kind == TableKind.TIME_SERIES
+            else None
+        )
+        return self.folder.optimize(name, target_file_bytes, meta=meta)
+
     # --------------------------------------------------------------- write
 
     def write(self, name: str, df: DataFrame) -> None:
@@ -196,6 +209,7 @@ class Engine:
         end_us: int | None = None,
         version: int | None = None,
         timestamp_ms: int | None = None,
+        with_info: bool = False,
     ) -> DataFrame:
         """The raw physical segments DataFrame of a time series table.
         A known time range prunes files driver-side from the commit log's
@@ -207,6 +221,7 @@ class Engine:
             timestamp_ms=timestamp_ms,
             start_us=start_us,
             end_us=end_us,
+            with_info=with_info,
         )
 
     def table(
@@ -233,12 +248,16 @@ class Engine:
             return df.select(*fields) if fields else df
         meta = self.catalog.time_series_metadata(name)
         start_us, end_us = _to_us(start), _to_us(end)
+        segments, info = self.segments(
+            name, start_us, end_us, version, timestamp_ms, with_info=True
+        )
         return grid_ops.grid(
-            self.segments(name, start_us, end_us, version, timestamp_ms),
+            segments,
             meta,
             fields=fields,
             start_us=start_us,
             end_us=end_us,
+            may_have_slow=info["may_have_slow"],
         )
 
     def register_views(self) -> None:
@@ -269,6 +288,14 @@ class Engine:
             return None
         if stmt.kind == "vacuum":
             self.vacuum(stmt.tables or None, stmt.retain_seconds)
+            return None
+        if stmt.kind == "optimize":
+            kwargs = (
+                {"target_file_bytes": stmt.target_file_bytes}
+                if stmt.target_file_bytes
+                else {}
+            )
+            self.optimize(stmt.tables[0], **kwargs)
             return None
         if stmt.kind == "include":
             return self._include_select(stmt)

@@ -55,6 +55,11 @@ def segments_frame(
     seg["max_value"] = seg["max_value"].astype(np.float32)
     seg["error"] = seg["error"].astype(np.float32)
     seg["value_count"] = seg["value_count"].astype(np.int32)
+    seg["ts_kind"] = seg["ts_kind"].astype(np.int8)
+    # None (Gorilla) -> NaN under float astype; keep real nulls so the
+    # fast-path columns stay honestly absent for model-free segments
+    seg["param0"] = pd.array(seg["param0"], dtype=pd.Float32Dtype())
+    seg["param1"] = pd.array(seg["param1"], dtype=pd.Float64Dtype())
     seg["field_column"] = np.int16(field_idx)
     for t in tag_columns:
         seg[t] = tag_values[t]
@@ -97,14 +102,20 @@ def _fit_batch(
     tag_columns: list[str],
 ) -> pd.DataFrame:
     """Compress one Arrow batch holding many (chunks of) series: group by
-    tags in pandas and fit each series chunk."""
-    if not tag_columns:
+    (tags, time-bucket) in pandas and fit each series chunk. The bucket
+    key matters even within one task: hash collisions can land several
+    disjoint time buckets of one series in the same partition, and
+    fitting them as a single chunk would fuse across the holes —
+    producing irregular, other-bucket-overlapping segments where the
+    data is perfectly regular."""
+    group_cols = tag_columns + (["__bucket__"] if "__bucket__" in pdf.columns else [])
+    if not group_cols:
         return _fit_group(pdf, ts_col, field_names, bounds, tag_columns)
     frames = [
         _fit_group(g, ts_col, field_names, bounds, tag_columns)
         # dropna=False: a null tag is still a series key — silently
         # dropping those rows (pandas' default) would lose data
-        for _, g in pdf.groupby(tag_columns, sort=False, dropna=False)
+        for _, g in pdf.groupby(group_cols, sort=False, dropna=False)
     ]
     frames = [f for f in frames if len(f)]
     if not frames:
@@ -223,9 +234,9 @@ def _bucket_by_volume(df: DataFrame, ts_col: str, tags: list[str], parallelism: 
             .cast("long")
             .alias("__bucket__"),
         )
-        return joined.repartition(parallelism, *[joined[t] for t in tags], F.col("__bucket__")).drop(
-            "__bucket__"
-        )
+        # __bucket__ stays in the frame: the fitter groups on it so that
+        # hash-colliding buckets in one partition are fitted separately
+        return joined.repartition(parallelism, *[joined[t] for t in tags], F.col("__bucket__"))
     # Untagged: one global series — bucket purely by time.
     row = df.select(
         F.count("*").alias("n"), F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
@@ -234,4 +245,4 @@ def _bucket_by_volume(df: DataFrame, ts_col: str, tags: list[str], parallelism: 
         return df.repartition(parallelism)
     width = max((row["hi"] - row["lo"]) // parallelism + 1, 1)
     bucket = ((F.col(ts_col) - F.lit(int(row["lo"]))) / F.lit(int(width))).cast("long")
-    return df.repartition(parallelism, bucket)
+    return df.withColumn("__bucket__", bucket).repartition(parallelism, F.col("__bucket__"))

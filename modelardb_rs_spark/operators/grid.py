@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from modelardb_rs_spark.compression.decode import decode_segments
-from modelardb_rs_spark.types import TimeSeriesTableMetadata, grid_schema
+from modelardb_rs_spark.types import GORILLA_ID, PMC_MEAN_ID, TimeSeriesTableMetadata, grid_schema
 
 
 def prune_segments(
@@ -49,17 +49,58 @@ def prune_segments(
     return segments
 
 
+def _grid_jvm(segments: DataFrame, tag_columns: list[str]) -> DataFrame:
+    """Pure-Column reconstruction of PMC-Mean/Swing segments with regular
+    timestamps: ``explode(sequence(0, n-1))`` generates point positions
+    inside whole-stage codegen; timestamps are ``start + pos*step`` and
+    values come from the explicit model parameter columns (PMC: param0;
+    Swing: f32(param0 + param1·Δt), double math — bitwise identical to
+    the numpy decode in compression/decode.py). No Python worker runs.
+    """
+    step = F.expr(
+        "CASE WHEN value_count > 1 THEN (end_time - start_time) DIV (value_count - 1) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    pts = segments.select(
+        "model_type_id",
+        "start_time",
+        "param0",
+        "param1",
+        step.alias("__step__"),
+        F.explode(F.sequence(F.lit(0), F.col("value_count") - 1)).alias("__pos__"),
+        *tag_columns,
+    )
+    dt = F.col("__pos__").cast("long") * F.col("__step__")
+    return pts.select(
+        (F.col("start_time") + dt).alias("timestamp"),
+        F.when(F.col("model_type_id") == F.lit(PMC_MEAN_ID), F.col("param0"))
+        .otherwise(
+            (F.col("param0").cast("double") + F.col("param1") * dt.cast("double")).cast(
+                "float"
+            )
+        )
+        .alias("value"),
+        *tag_columns,
+    )
+
+
 def grid_univariate(
     segments: DataFrame,
     tag_columns: list[str],
     start_us: int | None = None,
     end_us: int | None = None,
+    may_have_slow: bool = True,
 ) -> DataFrame:
     """Decode one field's segments into points (timestamp µs, value, tags).
 
-    Map-only: no shuffle. The exact point-level time predicate is
-    re-applied after decode because segment pruning is inexact
-    (reference grid_exec.rs re-filters the same way).
+    Map-only: no shuffle. Segments that a model + regular timestamps can
+    reconstruct take the JVM fast path (_grid_jvm, no Python stage);
+    Gorilla / irregular-timestamp segments go through the vectorized
+    pandas decode. ``may_have_slow=False`` (proven from commit-log
+    per-file stats) drops the Python branch from the plan entirely.
+    The exact point-level time predicate is re-applied after decode
+    because segment pruning is inexact (reference grid_exec.rs
+    re-filters the same way).
     """
     segments = prune_segments(segments, start_us, end_us)
     out_schema = grid_schema(tag_columns)
@@ -69,7 +110,22 @@ def grid_univariate(
             if len(pdf):
                 yield decode_segments(pdf, tag_columns)
 
-    points = segments.mapInPandas(decode, schema=out_schema)
+    if "param0" in segments.columns:
+        # null ts_kind/params (rows written before the fast-path columns
+        # existed, read in a mixed snapshot) must fall to the slow branch
+        fast_cond = (
+            (F.col("model_type_id") != F.lit(GORILLA_ID))
+            & (F.coalesce(F.col("ts_kind"), F.lit(1)) == F.lit(0))
+            & F.col("param0").isNotNull()
+            & F.col("param1").isNotNull()
+        )
+        points = _grid_jvm(segments.where(fast_cond), tag_columns)
+        if may_have_slow:
+            slow = segments.where(~fast_cond).mapInPandas(decode, schema=out_schema)
+            points = points.unionByName(slow)
+    else:
+        # Legacy folder written before the parameter columns existed.
+        points = segments.mapInPandas(decode, schema=out_schema)
     if start_us is not None:
         points = points.where(F.col("timestamp") >= F.lit(int(start_us)))
     if end_us is not None:
@@ -84,6 +140,7 @@ def grid(
     start_us: int | None = None,
     end_us: int | None = None,
     with_generated: bool = True,
+    may_have_slow: bool = True,
 ) -> DataFrame:
     """Reconstruct the logical (query-schema) DataFrame from segments.
 
@@ -112,7 +169,7 @@ def grid(
     # through as a decode "tag" so one shuffle reassembles all fields.
     carried = tags + ["__field__"]
     wanted = wanted.withColumn("__field__", F.col("field_column").cast("string"))
-    univariate = grid_univariate(wanted, carried, start_us, end_us)
+    univariate = grid_univariate(wanted, carried, start_us, end_us, may_have_slow)
 
     if len(decode_fields) == 1:
         # Fast path: no reassembly shuffle needed.

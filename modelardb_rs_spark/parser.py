@@ -38,6 +38,11 @@ _DROP = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_OPTIMIZE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+TARGET\s+(?P<target>\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _VACUUM = re.compile(
     r"^\s*VACUUM(?P<cluster>\s+CLUSTER)?"
     r"(?:\s+(?P<tables>[A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*))?"
@@ -70,6 +75,7 @@ class ModelarStatement:
     insert_columns: list[str] = field(default_factory=list)
     if_exists: bool = False
     cluster: bool = False
+    target_file_bytes: int | None = None
 
 
 def _split_top_level_commas(s: str) -> list[str]:
@@ -205,6 +211,13 @@ def parse_statement(sql: str) -> ModelarStatement:
     if m := _DROP.match(sql):
         return ModelarStatement(
             kind="drop", sql=sql, tables=[m["name"]], if_exists=bool(m["ifex"])
+        )
+    if m := _OPTIMIZE.match(sql):
+        return ModelarStatement(
+            kind="optimize",
+            sql=sql,
+            tables=[m["name"]],
+            target_file_bytes=int(m["target"]) if m["target"] else None,
         )
     if m := _VACUUM.match(sql):
         tables = [t.strip() for t in m["tables"].split(",")] if m["tables"] else []

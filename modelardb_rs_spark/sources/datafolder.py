@@ -43,13 +43,26 @@ from modelardb_rs_spark.types import TimeSeriesTableMetadata, segment_schema
 # Reference VACUUM default: 7-day retention (data_folder/mod.rs:582-686).
 DEFAULT_RETENTION_SECONDS = 7 * 24 * 3600
 
+# Files at or above this fraction of the target are already "right-sized"
+# and never rewritten by OPTIMIZE (Delta uses the same idea: minFileSize).
+_OPTIMIZE_SMALL_FRACTION = 0.75
 
-def _parquet_time_span(fs: HadoopFS, uri: str, size: int) -> tuple[int, int] | None:
-    """(min start_time, max end_time) from the file's Parquet footer
-    statistics — a few KB of ranged I/O, no Spark job. ``file:`` URIs
-    read via pyarrow directly; other schemes go through a seekable
-    Hadoop stream. Returns None when statistics are absent (the reader
-    then conservatively keeps the file)."""
+
+class ConcurrentModificationError(RuntimeError):
+    """A transactional rewrite lost a race: files it read were removed
+    from the live set before it could commit. Retry against the new
+    snapshot."""
+
+
+def _parquet_segment_stats(fs: HadoopFS, uri: str, size: int) -> dict | None:
+    """Per-file stats from the Parquet FOOTER — a few KB of ranged I/O,
+    no Spark job. ``file:`` URIs read via pyarrow directly; other
+    schemes go through a seekable Hadoop stream. Returns
+    ``{"span": (min start_time, max end_time) | None,
+       "all_fast": bool | None}`` where ``all_fast`` means every segment
+    in the file is JVM-reconstructable (max model_type_id < GORILLA and
+    max ts_kind == 0) so readers can drop the Python decode branch.
+    Returns None (conservative) when the footer is unreadable."""
     import pyarrow.parquet as pq
 
     try:
@@ -66,6 +79,7 @@ def _parquet_time_span(fs: HadoopFS, uri: str, size: int) -> tuple[int, int] | N
     except Exception:
         return None
     lo = hi = None
+    max_model = max_ts_kind = None
     for rg in range(md.num_row_groups):
         group = md.row_group(rg)
         for ci in range(group.num_columns):
@@ -77,9 +91,19 @@ def _parquet_time_span(fs: HadoopFS, uri: str, size: int) -> tuple[int, int] | N
                 lo = st.min if lo is None else min(lo, st.min)
             elif col.path_in_schema == "end_time":
                 hi = st.max if hi is None else max(hi, st.max)
-    if lo is None or hi is None:
-        return None
-    return int(lo), int(hi)
+            elif col.path_in_schema == "model_type_id":
+                max_model = st.max if max_model is None else max(max_model, st.max)
+            elif col.path_in_schema == "ts_kind":
+                max_ts_kind = st.max if max_ts_kind is None else max(max_ts_kind, st.max)
+    from modelardb_rs_spark.types import GORILLA_ID
+
+    all_fast = None
+    if max_model is not None and max_ts_kind is not None:
+        all_fast = bool(int(max_model) < GORILLA_ID and int(max_ts_kind) == 0)
+    return {
+        "span": (int(lo), int(hi)) if lo is not None and hi is not None else None,
+        "all_fast": all_fast,
+    }
 
 
 class DataFolder:
@@ -107,7 +131,12 @@ class DataFolder:
     # -------------------------------------------------------- write/commit
 
     def _stage_and_commit(
-        self, name: str, write_staged, op: str = "append", segment_stats: bool = False
+        self,
+        name: str,
+        write_staged,
+        op: str = "append",
+        segment_stats: bool = False,
+        remove: list[str] | None = None,
     ) -> int:
         """Run `write_staged(staged_uri)` into a fresh txn= directory,
         then commit the produced parquet files atomically.
@@ -118,7 +147,12 @@ class DataFolder:
         the log before Spark ever lists or opens them. Spans come from
         the Parquet FOOTERS (KB-sized ranged reads, threaded across
         files), not a Spark job — commit latency stays flat no matter
-        how wide the table is."""
+        how wide the table is.
+
+        ``remove`` lists rel-paths this commit replaces (OPTIMIZE). The
+        commit aborts if any of them left the live set concurrently —
+        re-adding their data then would resurrect truncated/compacted
+        rows (Delta's ConcurrentDeleteReadException semantics)."""
         table = self.table_path(name)
         staged_rel = f"txn={uuid.uuid4().hex[:16]}"
         staged = self.fs.join(table, staged_rel)
@@ -134,22 +168,37 @@ class DataFolder:
                 entry["field_column"] = int(m.group(1))
             add.append(entry)
         if segment_stats and add:
-            def span_of(entry: dict):
-                return _parquet_time_span(
+            def stats_of(entry: dict):
+                return _parquet_segment_stats(
                     self.fs, self.fs.join(table, entry["path"]), entry["size"]
                 )
 
             if len(add) == 1:
-                spans = [span_of(add[0])]
+                stats = [stats_of(add[0])]
             else:
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(min(16, len(add))) as pool:
-                    spans = list(pool.map(span_of, add))
-            for entry, span in zip(add, spans):
-                if span is not None:
-                    entry["min_start_time"], entry["max_end_time"] = span
-        return self.log(name).commit(lambda snap: (op, add, []))
+                    stats = list(pool.map(stats_of, add))
+            for entry, st in zip(add, stats):
+                if st is None:
+                    continue
+                if st["span"] is not None:
+                    entry["min_start_time"], entry["max_end_time"] = st["span"]
+                if st["all_fast"] is not None:
+                    entry["all_fast"] = st["all_fast"]
+        remove_set = set(remove or [])
+
+        def build(snap):
+            gone = remove_set - set(snap.paths)
+            if gone:
+                raise ConcurrentModificationError(
+                    f"{name}: {len(gone)} input file(s) were removed concurrently "
+                    f"(e.g. {sorted(gone)[0]}); retry the operation"
+                )
+            return (op, add, sorted(remove_set))
+
+        return self.log(name).commit(build)
 
     # -------------------------------------------------------- read helpers
 
@@ -189,6 +238,7 @@ class DataFolder:
         start_us: int | None = None,
         end_us: int | None = None,
         field_indexes: list[int] | None = None,
+        with_info: bool = False,
     ) -> DataFrame:
         """Snapshot-isolated segment read; `version`/`timestamp_ms` select
         an older snapshot (time travel). `start_us`/`end_us`/
@@ -197,7 +247,13 @@ class DataFolder:
         handful of files out of millions without a single LIST call.
         Files lacking stats are conservatively kept, and the exact
         predicates are re-applied by the caller, so skipping is always
-        semantics-preserving."""
+        semantics-preserving.
+
+        ``with_info=True`` returns ``(df, info)`` where
+        ``info["may_have_slow"]`` is False only when every live file's
+        commit-log stats prove all segments are JVM-reconstructable
+        (model-typed, regular timestamps) — the grid view then omits the
+        Python decode branch from the plan entirely."""
         schema = segment_schema(meta.tag_columns)
         snap = self.log(meta.name).snapshot(version, timestamp_ms)
         if start_us is not None or end_us is not None or field_indexes is not None:
@@ -217,14 +273,21 @@ class DataFolder:
                 return True
 
             snap.files = [f for f in snap.files if keep(f)]
+        may_have_slow = any(not f.get("all_fast", False) for f in snap.files)
         df = self._read_live(meta.name, snap)
         if df is None:
-            return self.spark.createDataFrame([], schema)
-        # partition discovery types field_column as int (and adds the
-        # txn staging column); restore int16 and the declared column set
-        return df.withColumn("field_column", F.col("field_column").cast("short")).select(
-            *[f.name for f in schema.fields]
-        )
+            df = self.spark.createDataFrame([], schema)
+        else:
+            # partition discovery types field_column as int (and adds the
+            # txn staging column); restore int16, null-fill fast-path
+            # columns absent from pre-upgrade files, and restore the
+            # declared column set
+            df = df.withColumn("field_column", F.col("field_column").cast("short"))
+            for f in schema.fields:
+                if f.name not in df.columns:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            df = df.select(*[f.name for f in schema.fields])
+        return (df, {"may_have_slow": may_have_slow}) if with_info else df
 
     # -- normal tables ------------------------------------------------------
 
@@ -245,6 +308,65 @@ class DataFolder:
         return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
 
     # -- maintenance ---------------------------------------------------------
+
+    def optimize(
+        self,
+        name: str,
+        target_file_bytes: int = 128 << 20,
+        meta: TimeSeriesTableMetadata | None = None,
+    ) -> dict:
+        """Compact small live files into ~target-sized ones in ONE
+        transactional commit (Delta OPTIMIZE / bin-packing analog).
+        Streaming ingest necessarily writes many small commits; at scale
+        the resulting file count — not the byte count — dominates scan
+        planning and open() overhead, so compaction is what keeps a
+        frequently-appended table scannable. Old files stay on disk for
+        time travel until VACUUM, exactly like any other remove.
+
+        Pass ``meta`` for time series tables: the rewrite then keeps the
+        field_column partitioning and the (tags, start_time) sort order
+        so row-group stats stay as tight as the original writer's
+        (write_segments). Returns ``{"compacted", "produced", "version"}``.
+        """
+        snap = self.log(name).snapshot()
+        small = [
+            f
+            for f in snap.files
+            if f["size"] < target_file_bytes * _OPTIMIZE_SMALL_FRACTION
+        ]
+        if len(small) < 2:
+            return {"compacted": 0, "produced": 0, "version": snap.version}
+        table = self.table_path(name)
+        df = self.spark.read.option("basePath", table).parquet(
+            *[self.fs.join(table, f["path"]) for f in small]
+        )
+        n_out = max(1, -(-sum(f["size"] for f in small) // target_file_bytes))
+        if meta is not None:
+            sort_cols = ["field_column", *meta.tag_columns, "start_time"]
+
+            def write_staged(staged: str) -> None:
+                (
+                    df.repartition(n_out, "field_column", *meta.tag_columns)
+                    .sortWithinPartitions(*sort_cols)
+                    .write.partitionBy("field_column")
+                    .parquet(staged)
+                )
+
+        else:
+
+            def write_staged(staged: str) -> None:
+                df.repartition(n_out).write.parquet(staged)
+
+        removed = [f["path"] for f in small]
+        version = self._stage_and_commit(
+            name,
+            write_staged,
+            op="optimize",
+            segment_stats=meta is not None,
+            remove=removed,
+        )
+        produced = len(self.log(name).read_commit(version).get("add", []))
+        return {"compacted": len(small), "produced": produced, "version": version}
 
     def truncate(self, name: str) -> None:
         """Transactional truncate: one commit removing every live file.

@@ -185,6 +185,16 @@ def segment_schema(tag_columns: list[str]) -> T.StructType:
       ``seg_sum`` is the f64 sum of the *reconstructed* values, so
       segment-pushdown SUM/AVG equals gridded SUM/AVG exactly (modulo
       f64 addition order).
+    - ``ts_kind`` (0 = regular arithmetic sequence, 1 = irregular) and
+      the model parameters ``param0``/``param1`` (PMC: mean; Swing: v0 +
+      slope) are explicit numeric columns. They make PMC-Mean and Swing
+      segments with regular timestamps reconstructable by pure JVM
+      Column algebra — ``explode(sequence(...))`` + line arithmetic
+      inside whole-stage codegen, no Python worker — which is the grid
+      fast path for well-modeled (real sensor) data. Parquet footer
+      max-statistics on ``model_type_id``/``ts_kind`` additionally let
+      the commit log mark files as all-fast so reads skip the Python
+      decode branch entirely. Gorilla segments leave the params null.
     - ``timestamps``/``values`` binary payloads use simplified encodings
       (see compression/encoding.py) — query-visible semantics match the
       reference; byte layouts intentionally do not.
@@ -201,6 +211,9 @@ def segment_schema(tag_columns: list[str]) -> T.StructType:
         T.StructField("error", T.FloatType(), False),
         T.StructField("value_count", T.IntegerType(), False),
         T.StructField("seg_sum", T.DoubleType(), False),
+        T.StructField("ts_kind", T.ByteType(), False),
+        T.StructField("param0", T.FloatType(), True),
+        T.StructField("param1", T.DoubleType(), True),
         T.StructField("field_column", T.ShortType(), False),
     ]
     # nullable: a null tag value is an unusual but legal series key and

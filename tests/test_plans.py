@@ -49,26 +49,41 @@ def test_forced_grid_plan_decodes(planned):
             "SELECT count(a) AS c FROM p WHERE timestamp >= timestamp '1970-01-01'"
         )
     )
-    assert "MapInPandas" in plan
+    # the aggregate rewrite must NOT fire: the plan reconstructs points
+    # (JVM explode fast path for this all-model table) instead of
+    # aggregating stats columns
+    assert "Generate explode" in plan or "MapInPandas" in plan
+    assert "seg_sum" not in plan.split("ReadSchema")[-1]
 
 
 def test_time_range_filters_reach_parquet(planned):
     df = planned.table("p", fields=["a"], start=TS0, end=TS0 + datetime.timedelta(seconds=10))
     plan = plan_of(df)
     pushed = plan.split("PushedFilters")[1][:200]
-    # Spark elides long filter lists in toString ("LessT..."), so assert
-    # the interval rewrite's leading filters and the truncated remainder.
-    assert "GreaterThanOrEqual(end_time" in pushed
+    # Spark elides long filter lists in toString ("GreaterThanOrEqual(
+    # end_tim..."), so assert the interval rewrite's leading filters up
+    # to wherever the truncation falls.
+    assert "GreaterThanOrEqual(end_tim" in pushed
     assert "IsNotNull(start_time)" in pushed
-    assert "LessT" in pushed
 
 
 def test_single_field_grid_has_no_shuffle(planned):
     """Univariate reads must stay map-only (no Exchange before decode)."""
     df = planned.table("p", fields=["a"])
     plan = plan_of(df)
-    assert "MapInPandas" in plan
+    assert "Generate explode" in plan or "MapInPandas" in plan
     assert "Exchange" not in plan
+
+
+def test_all_fast_grid_has_no_python_stage(planned):
+    """The fixture's data is exactly linear with regular timestamps, so
+    every segment is PMC/Swing + regular; the commit-log per-file stats
+    prove it and the gridded read must not contain a Python stage at all
+    (pure whole-stage-codegen explode reconstruction)."""
+    df = planned.table("p", fields=["a", "b"])
+    plan = plan_of(df)
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate explode" in plan
 
 
 def test_multifield_grid_single_shuffle(planned):

@@ -158,7 +158,7 @@ def test_seekable_footer_read(ts_table, spark):
     path."""
     import pyarrow.parquet as pq
 
-    from modelardb_rs_spark.sources.datafolder import _parquet_time_span
+    from modelardb_rs_spark.sources.datafolder import _parquet_segment_stats
 
     ts_table.write("acid", points(spark, 50))
     snap = ts_table.folder.log("acid").snapshot()
@@ -176,9 +176,75 @@ def test_seekable_footer_read(ts_table, spark):
 
     local = pq.read_metadata(urlparse(uri).path)
     assert md.num_rows == local.num_rows
-    assert (entry["min_start_time"], entry["max_end_time"]) == _parquet_time_span(
-        fs, uri, entry["size"]
+    stats = _parquet_segment_stats(fs, uri, entry["size"])
+    assert (entry["min_start_time"], entry["max_end_time"]) == stats["span"]
+    assert entry["all_fast"] == stats["all_fast"]
+
+
+def test_optimize_compacts_small_files(ts_table, spark):
+    """Many small appends then OPTIMIZE: fewer live files, identical
+    query results, pre-optimize snapshots still readable (time travel),
+    and the rewritten files keep per-file skipping stats."""
+    meta = ts_table.catalog.time_series_metadata("acid")
+    for i in range(6):
+        ts_table.write("acid", points(spark, 40, offset=100 * i, tag=f"t{i % 2}"))
+    before = ts_table.folder.log("acid").snapshot()
+    n_before = len(before.files)
+    total = ts_table.read_sql(
+        "SELECT CAST(count(f) AS BIGINT) AS n, CAST(sum(f) AS DOUBLE) AS s FROM acid"
+    ).collect()[0]
+
+    out = ts_table.read_sql("OPTIMIZE acid")
+    assert out is None
+    snap = ts_table.folder.log("acid").snapshot()
+    assert len(snap.files) < n_before
+    assert ts_table.folder.history("acid")[-1]["op"] == "optimize"
+    # results identical after compaction
+    after = ts_table.read_sql(
+        "SELECT CAST(count(f) AS BIGINT) AS n, CAST(sum(f) AS DOUBLE) AS s FROM acid"
+    ).collect()[0]
+    assert (after.n, after.s) == (total.n, total.s)
+    # rewritten files carry skipping stats + fast-path flag
+    assert all(
+        "min_start_time" in f and "all_fast" in f and "field_column" in f
+        for f in snap.files
     )
+    # pre-optimize snapshot still readable until vacuum
+    assert (
+        ts_table.folder.read_segments(meta, version=before.version)
+        .agg(F.sum("value_count"))
+        .collect()[0][0]
+        == 240
+    )
+    # a second optimize finds nothing worth rewriting (no-op, no commit)
+    res = ts_table.optimize("acid")
+    assert res["compacted"] == 0 and res["version"] == snap.version
+
+
+def test_optimize_aborts_on_concurrent_remove(ts_table, spark):
+    """OPTIMIZE must not resurrect rows a concurrent TRUNCATE removed:
+    the commit aborts when its inputs left the live set."""
+    from modelardb_rs_spark.sources.datafolder import ConcurrentModificationError
+
+    for i in range(3):
+        ts_table.write("acid", points(spark, 10, offset=50 * i))
+
+    real_commit = ts_table.folder.log("acid").commit
+    fired = []
+
+    def racing_commit(build):
+        if not fired:
+            fired.append(True)
+            ts_table.folder.truncate("acid")
+        return real_commit(build)
+
+    ts_table.folder.log("acid").commit = racing_commit
+    try:
+        with pytest.raises(ConcurrentModificationError):
+            ts_table.optimize("acid")
+    finally:
+        ts_table.folder.log("acid").commit = real_commit
+    assert ts_table.read_sql("SELECT count(f) AS n FROM acid").collect()[0].n == 0
 
 
 def test_truncate_cluster(ts_table, spark):
