@@ -32,9 +32,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # integer division: `/` would go through double and lose ns
-        # precision above 2^53 (epoch-ns values are ~1.7e18)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes)["ts"] == "bigint":
+            # TIMESTAMP(NANOS) read as long; integer division: `/` would
+            # go through double and lose ns precision above 2^53
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # µs-precision generation; NTZ → session-TZ (UTC) instant
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

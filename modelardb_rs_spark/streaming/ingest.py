@@ -61,7 +61,8 @@ def start_stateful_ingest(
     stream: DataFrame,
     checkpoint_dir: str,
     trigger_seconds: int | None = None,
-    flush_timeout_ms: int = 60_000,
+    flush_idle: str = "1 minute",
+    watermark_delay: str = "0 seconds",
     max_tail_points: int = 4096,
 ) -> StreamingQuery:
     """Continuously compress a stream with CROSS-BATCH segment state.
@@ -80,13 +81,24 @@ def start_stateful_ingest(
 
     - closed segments are emitted in append mode and committed atomically
       per micro-batch through the transaction log,
-    - a series idle for ``flush_timeout_ms`` is flushed by a
-      processing-time timeout (FlushMemory semantics),
+    - a series whose last point is ``flush_idle`` behind the event-time
+      watermark is flushed by an EVENT-time timeout (FlushMemory
+      semantics). Event time, not wall clock, deliberately: a
+      processing-time timeout makes the stateful operator demand a new
+      micro-batch unconditionally (Spark runs empty batches forever and
+      ``processAllAvailable`` never quiesces), and wall-clock flushes
+      are nondeterministic across a cluster. The idle flush therefore
+      advances with the DATA: any new input moves the watermark and
+      sweeps out series that stopped ``flush_idle`` of event time ago.
+      Tails of a fully stopped stream stay in checkpointed state (the
+      WAL) and flush on the next batch after restart,
     - a tail exceeding ``max_tail_points`` is force-closed — the
       reference's buffer-capacity split (storage/mod.rs:53-58),
     - late cross-batch points keep the relaxed out-of-order contract:
       they fit into the held tail if they sort before it, otherwise they
-      form overlapping segments resolved at read time.
+      form overlapping segments resolved at read time (points later than
+      ``watermark_delay`` behind the watermark may be dropped by the
+      state operator, per standard Structured Streaming semantics).
     """
     import pickle
 
@@ -105,9 +117,16 @@ def start_stateful_ingest(
     tags = list(meta.tag_columns)
     out_schema = segment_schema(tags)
     state_schema = T.StructType([T.StructField("tail", T.BinaryType())])
+    idle_ms = int(pd.Timedelta(flush_idle).total_seconds() * 1000)
 
-    if dict(stream.dtypes)[ts_col] != "bigint":
-        stream = stream.withColumn(ts_col, F.unix_micros(F.col(ts_col).cast("timestamp")))
+    # The watermark column must be event-time typed; µs precision is
+    # recovered pandas-side (datetime64 → int64) without a second scan.
+    if dict(stream.dtypes)[ts_col] != "timestamp":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    stream = stream.withWatermark(ts_col, watermark_delay)
+
+    def _ts_us(series: pd.Series) -> "np.ndarray":
+        return series.to_numpy().astype("datetime64[us]").astype(np.int64)
 
     def fit_with_state(key, pdf_iter, state):
         tag_values = dict(zip(tags, key)) if tags else {}
@@ -132,7 +151,7 @@ def start_stateful_ingest(
 
         batches = [pdf for pdf in pdf_iter if len(pdf)]
         new_ts = (
-            np.concatenate([b[ts_col].to_numpy(np.int64) for b in batches])
+            np.concatenate([_ts_us(b[ts_col]) for b in batches])
             if batches
             else np.empty(0, np.int64)
         )
@@ -169,7 +188,13 @@ def start_stateful_ingest(
             held += len(new_tail[fname][0])
         if held:
             state.update((pickle.dumps(new_tail),))
-            state.setTimeoutDuration(flush_timeout_ms)
+            # Flush when the watermark passes this series' last point by
+            # flush_idle; must stay strictly ahead of the current
+            # watermark or Spark rejects the timestamp.
+            last_ms = int(new_ts[-1] // 1000) if len(new_ts) else 0
+            state.setTimeoutTimestamp(
+                max(last_ms + idle_ms, state.getCurrentWatermarkMs() + 1)
+            )
         elif state.exists:
             state.remove()
         if frames:
@@ -181,7 +206,7 @@ def start_stateful_ingest(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf="ProcessingTimeTimeout",
+        timeoutConf="EventTimeTimeout",
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:

@@ -79,14 +79,16 @@ def constant_rows(spark, start, n, tag="a"):
 def test_stateful_ingest_no_batch_boundary_splits(engine, spark, tmp_path):
     """Cross-batch state: a constant series split over two micro-batches
     must land as ONE segment (per-batch compression would emit two), and
-    an idle processing-time timeout flushes the held tail."""
-    import time
-
+    the event-time idle timeout flushes the held tail once the watermark
+    passes it — driven by data, no wall-clock sleeps."""
     engine.read_sql("CREATE TIME SERIES TABLE sst(timestamp TIMESTAMP, f FIELD, tag TAG)")
     src = str(tmp_path / "sst_in")
     os.makedirs(src)
-    constant_rows(spark, 0, 50).write.mode("append").parquet(src)
-    constant_rows(spark, 50, 50).write.mode("append").parquet(src)
+    # one file per write: with maxFilesPerTrigger=1 each file IS a
+    # micro-batch, and file order = event-time order so the 0-second
+    # watermark drops nothing
+    constant_rows(spark, 0, 50).coalesce(1).write.mode("append").parquet(src)
+    constant_rows(spark, 50, 50).coalesce(1).write.mode("append").parquet(src)
 
     stream = (
         spark.readStream.schema(INPUT_SCHEMA)
@@ -94,18 +96,15 @@ def test_stateful_ingest_no_batch_boundary_splits(engine, spark, tmp_path):
         .parquet(src)
     )
     q = start_stateful_ingest(
-        engine, "sst", stream, str(tmp_path / "sst_ckpt"), flush_timeout_ms=1
+        engine, "sst", stream, str(tmp_path / "sst_ckpt"), flush_idle="5 seconds"
     )
     try:
         q.processAllAvailable()
         # both batches consumed; the open segment is still held in state
         assert engine.table("sst").count() == 0
-        time.sleep(0.2)  # let the 1 ms processing-time timeout expire
-        # any further trigger fires the timeout flush for the idle series
-        constant_rows(spark, 100, 1, tag="other").write.mode("append").parquet(src)
-        q.processAllAvailable()
-        time.sleep(0.2)
-        constant_rows(spark, 101, 1, tag="other2").write.mode("append").parquet(src)
+        # a later point for another series advances the watermark past
+        # tag=a's last point + flush_idle → its held tail flushes
+        constant_rows(spark, 120, 1, tag="other").coalesce(1).write.mode("append").parquet(src)
         q.processAllAvailable()
     finally:
         q.stop()
