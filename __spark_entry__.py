@@ -67,11 +67,16 @@ def _ts_engine(spark: SparkSession, sf_dir: str) -> Engine:
     ver = hashlib.md5(f"{_TS_TABLE_DDL}|layout=2".encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), "sparkmodelar_entry", f"{key}_{ver}")
     os.makedirs(root, exist_ok=True)
-    # serialize the one-time build across concurrent query invocations
+    # serialize the one-time build across concurrent query invocations;
+    # the marker is written only after a successful ingest so a crashed
+    # or interrupted build is retried, never served as an empty table
+    marker = os.path.join(root, ".build_done")
     with open(os.path.join(root, ".build_lock"), "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
         eng = Engine(spark, root)
-        if "ts_events" not in eng.tables():
+        if not os.path.exists(marker):
+            if "ts_events" in eng.tables():
+                eng.read_sql("DROP TABLE IF EXISTS ts_events")
             eng.read_sql(_TS_TABLE_DDL)
             (events,) = _prep(spark, sf_dir, "events")
             pts = events.select(
@@ -81,6 +86,8 @@ def _ts_engine(spark: SparkSession, sf_dir: str) -> Engine:
                 F.col("event_type").alias("etype"),
             )
             eng.write("ts_events", pts)
+            with open(marker, "w") as m:
+                m.write("ok")
     return eng
 
 
@@ -1484,7 +1491,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_within_bound
             FROM events
         """,
-        # rows-only checks (non-SQL-expressible or approximate):
-        # sim_ivf_topk / sim_lsh_topk (approximate ANN), and
-        # multimodal_features (binary decode in Python).
+        "multimodal_features": """
+            -- the fake codec's "pixels" ARE the md5 payload bytes, so the
+            -- Python decode is reproducible from the hex digest in SQL
+            WITH b AS (
+              SELECT doc_id,
+                     (SELECT avg(
+                        (strpos('0123456789abcdef', substr(md5(text), 2*i-1, 1))-1)*16
+                        + (strpos('0123456789abcdef', substr(md5(text), 2*i, 1))-1))
+                      FROM generate_series(1, 16) AS t(i)) AS mean_byte
+              FROM documents
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   round(avg(mean_byte), 4) AS avg_mean_byte,
+                   CAST(count(*) * 16 AS BIGINT) AS total_bytes
+            FROM b
+        """,
     }
