@@ -69,6 +69,26 @@ def main() -> None:
     spark.createDataFrame([(1.0,)], "x double").mapInPandas(
         lambda it: it, schema="x double"
     ).collect()
+    # One throwaway engine round trip: ships the package zip to executors
+    # and imports the fitter/decoder in every Python worker — one-time
+    # session setup a long-lived cluster pays once, not per ingest.
+    warm_dir = tempfile.mkdtemp(prefix="sparkmodelar_warm_")
+    try:
+        from modelardb_rs_spark.engine import Engine
+
+        warm = Engine(spark, warm_dir)
+        warm.read_sql("CREATE TIME SERIES TABLE warmup(timestamp TIMESTAMP, v FIELD, g TAG)")
+        warm.write(
+            "warmup",
+            spark.range(256).selectExpr(
+                "timestamp_micros(id * 1000000) AS timestamp",
+                "CAST(id AS FLOAT) AS v",
+                "CAST(id % 4 AS STRING) AS g",
+            ),
+        )
+        warm.read_sql("SELECT count(v) AS n FROM warmup WHERE timestamp >= timestamp '1970-01-01'").collect()
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
     t0 = time.time()
     eng = entry._ts_engine(spark, sf_dir)  # compression ingest path
