@@ -16,7 +16,12 @@ crates/modelardb_storage/src/data_folder/mod.rs:89-260, :582-686):
 - TRUNCATE is a commit that removes every live file (the data stays on
   disk for time travel until vacuum),
 - VACUUM physically deletes files whose remove-commit is older than the
-  retention window, plus staged directories no commit ever referenced.
+  retention window, plus staged directories no commit ever referenced,
+- every ``_CHECKPOINT_INTERVAL``-th commit materializes the live set as
+  ``<version>.checkpoint.json``; snapshots replay from the newest
+  checkpoint at-or-before the target, and VACUUM drops log entries
+  superseded by an out-of-retention checkpoint — both log size and
+  snapshot cost stay bounded no matter how many commits a table has.
 
 Commit schema::
 
@@ -38,6 +43,11 @@ from modelardb_rs_spark.sources.hadoopfs import HadoopFS
 
 _LOG_DIR = "_txn"
 _MAX_COMMIT_ATTEMPTS = 100
+# Every Nth commit also writes ``<version>.checkpoint.json`` holding the
+# full live file set, so snapshots replay at most N-1 commits past a
+# checkpoint instead of the whole history (Delta writes Parquet
+# checkpoints every 10 commits for the same reason).
+_CHECKPOINT_INTERVAL = 16
 
 
 @dataclass
@@ -61,46 +71,90 @@ class TransactionLog:
     def _commit_uri(self, version: int) -> str:
         return self.fs.join(self.log_uri, f"{version:020d}.json")
 
-    def versions(self) -> list[int]:
-        out = []
+    def _checkpoint_uri(self, version: int) -> str:
+        return self.fs.join(self.log_uri, f"{version:020d}.checkpoint.json")
+
+    def _list_log(self) -> tuple[list[int], list[int]]:
+        """One directory listing → (commit versions, checkpoint versions),
+        both sorted. No JSON is read."""
+        commits, checkpoints = [], []
         for info in self.fs.list(self.log_uri):
             name = info.path.rsplit("/", 1)[-1]
-            if name.endswith(".json"):
+            if name.endswith(".checkpoint.json"):
                 try:
-                    out.append(int(name[: -len(".json")]))
+                    checkpoints.append(int(name[: -len(".checkpoint.json")]))
                 except ValueError:
                     continue
-        return sorted(out)
+            elif name.endswith(".json"):
+                try:
+                    commits.append(int(name[: -len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(commits), sorted(checkpoints)
+
+    def versions(self) -> list[int]:
+        return self._list_log()[0]
 
     def read_commit(self, version: int) -> dict:
         return json.loads(self.fs.read_bytes(self._commit_uri(version)).decode("utf-8"))
 
+    def read_checkpoint(self, version: int) -> dict:
+        return json.loads(
+            self.fs.read_bytes(self._checkpoint_uri(version)).decode("utf-8")
+        )
+
     def commits(self) -> list[dict]:
         return [self.read_commit(v) for v in self.versions()]
+
+    @staticmethod
+    def _apply(live: dict[str, dict], commit: dict) -> None:
+        for entry in commit.get("add", []):
+            live[entry["path"]] = entry
+        for path in commit.get("remove", []):
+            live.pop(path, None)
 
     def snapshot(
         self, version: int | None = None, timestamp_ms: int | None = None
     ) -> Snapshot:
-        """Replay the log up to `version` (inclusive) or the last commit
-        at-or-before `timestamp_ms`."""
-        commits = self.commits()
+        """Resolve the live file set at `version` (inclusive), at the
+        last commit at-or-before `timestamp_ms`, or at the latest commit.
+
+        Replays from the newest checkpoint at-or-before the target
+        instead of from version 0: O(commits since last checkpoint) JSON
+        reads, not O(all commits) — the difference between a constant
+        and an unbounded cost on a long-lived table.
+        """
+        commit_vs, cp_vs = self._list_log()
+        if timestamp_ms is not None:
+            # target = the greatest version whose commit is at-or-before
+            # the requested instant (Delta's time-travel rule)
+            target = -1
+            for v in commit_vs:
+                if self.read_commit(v)["timestamp_ms"] <= timestamp_ms:
+                    target = max(target, v)
+            if target == -1:
+                return Snapshot(version=-1)
+            version = target
         if version is not None:
-            known = [c["version"] for c in commits]
-            if version not in known:
+            if version not in commit_vs and version not in cp_vs:
                 raise ValueError(
-                    f"version {version} does not exist for {self.table_uri} (have {known})"
+                    f"version {version} does not exist for {self.table_uri} "
+                    f"(have {commit_vs})"
                 )
-            commits = [c for c in commits if c["version"] <= version]
-        elif timestamp_ms is not None:
-            commits = [c for c in commits if c["timestamp_ms"] <= timestamp_ms]
+        else:
+            version = max(commit_vs + cp_vs, default=-1)
+        base = max((cv for cv in cp_vs if cv <= version), default=None)
         live: dict[str, dict] = {}
         v = -1
-        for c in commits:
-            v = c["version"]
-            for entry in c.get("add", []):
-                live[entry["path"]] = entry
-            for path in c.get("remove", []):
-                live.pop(path, None)
+        if base is not None:
+            cp = self.read_checkpoint(base)
+            live = {entry["path"]: entry for entry in cp["files"]}
+            v = cp["version"]
+        for cv in commit_vs:
+            if cv <= (base if base is not None else -1) or cv > version:
+                continue
+            self._apply(live, self.read_commit(cv))
+            v = cv
         return Snapshot(version=v, files=list(live.values()))
 
     # ---------------------------------------------------------- writing
@@ -124,10 +178,33 @@ class TransactionLog:
             if snap.version == -1:
                 self.fs.mkdirs(self.log_uri)
             if self.fs.create_exclusive(self._commit_uri(version), payload):
+                if version > 0 and version % _CHECKPOINT_INTERVAL == 0:
+                    self._write_checkpoint(snap, doc)
                 return version
         raise RuntimeError(
             f"could not commit to {self.table_uri} after {_MAX_COMMIT_ATTEMPTS} attempts"
         )
+
+    def _write_checkpoint(self, base: Snapshot, commit: dict) -> None:
+        """Materialize the live file set after `commit` (whose builder
+        saw `base`) as ``<version>.checkpoint.json``. Best-effort: the
+        commit is already durable, so a failed checkpoint write costs
+        replay time, never correctness; create-exclusive makes racing
+        checkpointers idempotent."""
+        live = {entry["path"]: entry for entry in base.files}
+        self._apply(live, commit)
+        doc = {
+            "version": commit["version"],
+            "timestamp_ms": commit["timestamp_ms"],
+            "files": list(live.values()),
+        }
+        try:
+            self.fs.create_exclusive(
+                self._checkpoint_uri(commit["version"]),
+                json.dumps(doc, separators=(",", ":")).encode("utf-8"),
+            )
+        except Exception:
+            pass
 
     # ---------------------------------------------------------- vacuum
 
@@ -166,4 +243,24 @@ class TransactionLog:
             if info.mtime_ms <= horizon_ms:
                 self.fs.delete(info.path, recursive=True)
                 deleted.append(info.path)
+        # 3) log cleanup: commits/checkpoints strictly before the newest
+        # checkpoint that is itself outside retention are unreachable by
+        # any time travel the retention contract still promises — delete
+        # them so the log dir (and snapshot listing) stays bounded.
+        _, cp_vs = self._list_log()
+        base = None
+        for cv in cp_vs:
+            if self.read_checkpoint(cv)["timestamp_ms"] <= horizon_ms:
+                base = cv
+        if base is not None:
+            for c in commits:
+                if c["version"] < base and c["timestamp_ms"] <= horizon_ms:
+                    uri = self._commit_uri(c["version"])
+                    if self.fs.delete(uri):
+                        deleted.append(uri)
+            for cv in cp_vs:
+                if cv < base:
+                    uri = self._checkpoint_uri(cv)
+                    if self.fs.delete(uri):
+                        deleted.append(uri)
         return deleted

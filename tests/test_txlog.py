@@ -296,3 +296,66 @@ def test_file_uri_root(spark, tmp_path):
     assert eng.folder.root.startswith("file:")
     eng.read_sql("DROP TABLE u")
     assert eng.tables() == {}
+
+
+def test_checkpoint_compaction_bounds_replay(spark, tmp_path):
+    """Every 16th commit writes a checkpoint holding the full live set;
+    snapshots replay from it, version/timestamp travel still resolve,
+    and vacuum retires log entries an out-of-retention checkpoint
+    supersedes — the log never grows without bound."""
+    from modelardb_rs_spark.sources.hadoopfs import HadoopFS
+    from modelardb_rs_spark.sources.txlog import TransactionLog
+
+    fs = HadoopFS(spark, str(tmp_path))
+    log = TransactionLog(fs, fs.join(fs.base, "t"))
+
+    # 40 commits: add file-i, and from #20 on also remove file-(i-20)
+    for i in range(40):
+        def build(snap, i=i):
+            add = [{"path": f"f{i}.parquet", "size": 1}]
+            remove = [f"f{i-20}.parquet"] if i >= 20 else []
+            return ("append", add, remove)
+
+        assert log.commit(build) == i
+
+    assert log._list_log()[1] == [16, 32]
+    cp = log.read_checkpoint(32)
+    assert {f["path"] for f in cp["files"]} == {f"f{i}.parquet" for i in range(13, 33)}
+
+    # latest snapshot: checkpoint 32 + commits 33..39
+    snap = log.snapshot()
+    assert snap.version == 39
+    assert sorted(snap.paths) == sorted(f"f{i}.parquet" for i in range(20, 40))
+    # version travel between checkpoints replays cp16 + 17..20
+    snap20 = log.snapshot(version=20)
+    assert sorted(snap20.paths) == sorted(f"f{i}.parquet" for i in range(1, 21))
+    # timestamp travel to "now" resolves the newest version
+    assert log.snapshot(timestamp_ms=int(time.time() * 1000) + 1000).version == 39
+    with pytest.raises(ValueError):
+        log.snapshot(version=99)
+
+    # vacuum with zero retention: checkpoint 32 supersedes everything
+    # before it — commits 0..31 and checkpoint 16 are retired
+    log.vacuum(0)
+    commit_vs, cp_vs = log._list_log()
+    assert commit_vs == list(range(32, 40))
+    assert cp_vs == [32]
+    # history before the checkpoint is gone, the present is intact
+    snap = log.snapshot()
+    assert snap.version == 39
+    assert sorted(snap.paths) == sorted(f"f{i}.parquet" for i in range(20, 40))
+    with pytest.raises(ValueError):
+        log.snapshot(version=10)
+
+
+def test_checkpoint_through_engine_writes(ts_table, spark):
+    """17 appends through the engine produce a checkpoint, and reads
+    (which now replay through it) see every row with stats intact."""
+    for i in range(17):
+        ts_table.write("acid", points(spark, 3, offset=100 * i))
+    log = ts_table.folder.log("acid")
+    assert log._list_log()[1] == [16]
+    assert ts_table.read_sql("SELECT count(f) AS n FROM acid").collect()[0].n == 51
+    # data skipping still prunes from checkpointed add-entry stats
+    meta = ts_table.catalog.time_series_metadata("acid")
+    assert ts_table.folder.read_segments(meta, version=16).count() > 0
