@@ -260,11 +260,36 @@ class Engine:
             may_have_slow=info["may_have_slow"],
         )
 
-    def register_views(self) -> None:
+    def register_views(self, for_sql: str | None = None) -> None:
         """Register every catalog table as a Spark temp view (time series
-        tables as their gridded reconstruction)."""
+        tables as their gridded reconstruction).
+
+        ``for_sql``: projection pushdown into the reassembly — Catalyst
+        cannot prune stored fields through the multivariate
+        collect_list/arrays_zip aggregation (dropping a zipped array
+        would change row multiplicity), so the field set is pruned HERE,
+        from the statement's identifier tokens. Referencing a strict
+        subset of a table's fields registers a view that decodes only
+        those fields; a single-field view is the shuffle-free univariate
+        plan (the reference prunes GridExec columns the same way,
+        time_series_table.rs:535-595). Token matching overapproximates
+        (string literals, other tables' columns), which only ever keeps
+        extra fields — never drops a referenced one. ``*`` anywhere, or
+        no recognized field reference (e.g. bare ``count(*)``, whose
+        multiplicity depends on every field), keeps the full view.
+        """
+        tokens: set[str] | None = None
+        if for_sql is not None and "*" not in for_sql:
+            tokens = {t.lower() for t in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", for_sql)}
         for name, kind in self.catalog.tables().items():
-            self.table(name).createOrReplaceTempView(name)
+            fields = None
+            if tokens is not None and kind == TableKind.TIME_SERIES:
+                meta = self.catalog.time_series_metadata(name)
+                selectable = meta.field_names + [g.name for g in meta.generated_columns]
+                hit = [c for c in selectable if c.lower() in tokens]
+                if hit and len(hit) < len(selectable):
+                    fields = hit
+            self.table(name, fields=fields).createOrReplaceTempView(name)
 
     def read_sql(self, sql: str) -> DataFrame | None:
         """Execute one statement of the extended SQL dialect.
@@ -305,7 +330,7 @@ class Engine:
         rewritten = self._try_aggregate_pushdown(sql)
         if rewritten is not None:
             return rewritten
-        self.register_views()
+        self.register_views(for_sql=sql)
         return self.spark.sql(sql)
 
     def _insert(self, stmt: ModelarStatement) -> None:

@@ -91,3 +91,25 @@ def test_multifield_grid_single_shuffle(planned):
     plan = plan_of(df)
     # exactly one exchange: the keyed reassembly on (timestamp, tags)
     assert plan.count("Exchange") == 1
+
+
+def test_sql_projection_prunes_reassembly(planned):
+    """SQL referencing one of two stored fields must run the univariate
+    plan: no collect_list reassembly, no Exchange except the final
+    aggregate's (Catalyst can't prune fields through the zip aggregate,
+    so the engine prunes them at view-registration time)."""
+    df = planned.read_sql(
+        "SELECT tag, count(a) AS n FROM p "
+        "WHERE timestamp >= timestamp '1970-01-01' GROUP BY tag"
+    )
+    plan = plan_of(df)
+    assert "arrays_zip" not in plan and "ObjectHashAggregate" not in plan
+    assert plan.count("Exchange") <= 1  # only the final GROUP BY shuffle
+    # both fields referenced -> the reassembly is back
+    both = plan_of(
+        planned.read_sql(
+            "SELECT count(a + b) AS n FROM p "
+            "WHERE timestamp >= timestamp '1970-01-01'"
+        )
+    )
+    assert "arrays_zip" in both
