@@ -300,6 +300,11 @@ class Engine:
         if stmt.kind == "create_time_series":
             self.create_time_series_table(stmt.ts_metadata)
             return None
+        if stmt.kind == "create_normal":
+            from pyspark.sql import types as T
+
+            self.create_table(stmt.tables[0], T.StructType.fromDDL(stmt.columns_ddl))
+            return None
         if stmt.kind == "truncate":
             # CLUSTER with no explicit tables = every table in this data
             # folder (the embedded analog of the reference's cluster-wide

@@ -29,6 +29,12 @@ _CREATE_TS = re.compile(
     r"^\s*CREATE\s+TIME\s+SERIES\s+TABLE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*\((?P<cols>.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# Plain column-list form only (reference parser.rs:58-160 CREATE TABLE);
+# Spark-specific variants (USING/AS SELECT/...) stay passthrough.
+_CREATE_NORMAL = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*\((?P<cols>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _TRUNCATE = re.compile(
     r"^\s*TRUNCATE\s+(?P<cluster>CLUSTER\s*)?(?:TABLE\s+)?"
     r"(?P<tables>[A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)?\s*;?\s*$",
@@ -65,7 +71,7 @@ _INSERT = re.compile(
 
 @dataclass
 class ModelarStatement:
-    kind: str  # create_time_series | truncate | drop | vacuum | include | passthrough
+    kind: str  # create_time_series | create_normal | truncate | drop | vacuum | include | passthrough
     sql: str
     tables: list[str] = field(default_factory=list)
     ts_metadata: TimeSeriesTableMetadata | None = None
@@ -76,6 +82,7 @@ class ModelarStatement:
     if_exists: bool = False
     cluster: bool = False
     target_file_bytes: int | None = None
+    columns_ddl: str | None = None  # create_normal: Spark DDL column list
 
 
 def _split_top_level_commas(s: str) -> list[str]:
@@ -195,6 +202,10 @@ def parse_statement(sql: str) -> ModelarStatement:
     if m := _CREATE_TS.match(sql):
         meta = parse_create_time_series(m["name"], m["cols"])
         return ModelarStatement(kind="create_time_series", sql=sql, tables=[m["name"]], ts_metadata=meta)
+    if m := _CREATE_NORMAL.match(sql):
+        return ModelarStatement(
+            kind="create_normal", sql=sql, tables=[m["name"]], columns_ddl=m["cols"]
+        )
     if m := _INCLUDE.match(sql):
         addrs = [a.strip().strip("'") for a in m["addrs"].split(",")]
         return ModelarStatement(kind="include", sql=sql, include_addresses=addrs, select_sql=m["select"])

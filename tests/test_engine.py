@@ -273,3 +273,13 @@ def test_catalog_reads_legacy_unversioned_file(spark, tmp_path):
     cat.add_normal_table("new", T.StructType([T.StructField("y", T.LongType())]))
     assert set(cat.tables()) == {"old", "new"}
     assert set(Catalog(fs.base, fs).tables()) == {"old", "new"}
+
+
+def test_create_normal_table_via_sql(engine, spark):
+    """Reference DDL surface: plain CREATE TABLE makes a normal
+    data-folder table (parser.rs:58-160), usable by INSERT and SELECT."""
+    engine.read_sql("CREATE TABLE sensors(id BIGINT, name STRING, cal DOUBLE)")
+    assert engine.catalog.kind("sensors").name == "NORMAL"
+    engine.read_sql("INSERT INTO sensors VALUES (1, 'a', 0.5), (2, 'b', 1.5)")
+    rows = engine.read_sql("SELECT sum(cal) AS s, count(*) AS n FROM sensors").collect()
+    assert rows[0].s == 2.0 and rows[0].n == 2

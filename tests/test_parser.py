@@ -69,3 +69,15 @@ def test_cluster_variants():
 def test_vacuum_retention_cap():
     with pytest.raises(ValueError, match="cannot be more than"):
         parse_statement(f"VACUUM t RETAIN {2**63}")
+
+
+def test_create_normal_table_statement():
+    from modelardb_rs_spark.parser import parse_statement
+
+    s = parse_statement("CREATE TABLE sensors(id BIGINT, name STRING, cal DOUBLE)")
+    assert s.kind == "create_normal"
+    assert s.tables == ["sensors"]
+    assert "name STRING" in s.columns_ddl
+    # Spark-specific variants are not claimed by the dialect
+    assert parse_statement("CREATE TABLE t USING parquet AS SELECT 1").kind == "passthrough"
+    assert parse_statement("CREATE TIME SERIES TABLE t(timestamp TIMESTAMP, f FIELD)").kind == "create_time_series"
