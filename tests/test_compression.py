@@ -155,3 +155,57 @@ def test_property_roundtrip_within_bound(data, bound_kind):
         assert (np.abs(rr - o) <= 0.75).all()
     else:
         assert (np.abs(rr - o) <= np.abs(o) * 0.02 + 1e-12).all()
+
+
+def test_volume_bucketing_ingest_paths(engine, spark, monkeypatch):
+    """The large-input ingest shuffle (stats-pass bucketing — the path a
+    100 TB insert takes, normally gated behind a 1 GiB size estimate)
+    must round-trip exactly like the small-input range path, for tagged,
+    cardinality-saturated, and untagged inputs."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from modelardb_rs_spark.operators import compress as C
+
+    monkeypatch.setattr(C, "_SMALL_INPUT_BYTES", 0)
+    TS0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+    # tagged: 2 series share 4000 points -> per-series time buckets
+    engine.read_sql("CREATE TIME SERIES TABLE vb(timestamp TIMESTAMP, f FIELD, tag TAG)")
+    rows = [
+        Row(timestamp=TS0 + datetime.timedelta(seconds=i), f=float(i % 5), tag=f"t{i % 2}")
+        for i in range(4000)
+    ]
+    engine.write("vb", spark.createDataFrame(rows))
+    assert engine.table("vb").count() == 4000
+    assert (
+        engine.read_sql("SELECT sum(f) AS s FROM vb").collect()[0].s
+        == sum(float(i % 5) for i in range(4000))
+    )
+
+    # saturated cardinality: more series than 8x the target parallelism
+    # short-circuits to hash-on-tags (no per-series stats to the driver)
+    from modelardb_rs_spark.types import segment_schema  # noqa: F401
+
+    meta = engine.catalog.time_series_metadata("vb")
+    many = spark.createDataFrame(
+        [
+            Row(timestamp=TS0 + datetime.timedelta(seconds=i), f=1.0, tag=f"s{i % 20}")
+            for i in range(400)
+        ]
+    )
+    segs = C.compress(many, meta, range_partitions=2)
+    agg = segs.groupBy().sum("value_count").collect()[0][0]
+    assert agg == 400
+    assert segs.select("tag").distinct().count() == 20
+
+    # untagged: one global series -> pure time bucketing
+    engine.read_sql("CREATE TIME SERIES TABLE vu(timestamp TIMESTAMP, f FIELD)")
+    engine.write(
+        "vu",
+        spark.createDataFrame(
+            [Row(timestamp=TS0 + datetime.timedelta(seconds=i), f=1.0) for i in range(3000)]
+        ),
+    )
+    assert engine.table("vu").count() == 3000
