@@ -64,7 +64,7 @@ def _ts_engine(spark: SparkSession, sf_dir: str) -> Engine:
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     # version the cache by the DDL and the physical segment layout so
     # schema changes across rounds never read a stale /tmp data folder
-    ver = hashlib.md5(f"{_TS_TABLE_DDL}|layout=2".encode()).hexdigest()[:8]
+    ver = hashlib.md5(f"{_TS_TABLE_DDL}|layout=3".encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), "sparkmodelar_entry", f"{key}_{ver}")
     os.makedirs(root, exist_ok=True)
     # serialize the one-time build across concurrent query invocations;
@@ -330,6 +330,20 @@ def ts_pushdown_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "cnt", "mn", "mx", F.round("sm", 2).alias("sm"), F.round("av", 4).alias("av")
+    )
+
+
+def ts_pushdown_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev pushdown from the seg_sum_sq statistics column —
+    an accumulator the reference's rewrite does not have. Grouped by tag
+    to exercise the grouped stats path too."""
+    eng = _ts_engine(spark, sf_dir)
+    out = eng.read_sql(
+        "SELECT etype, var_pop(value) AS vp, stddev_samp(value) AS sd "
+        "FROM ts_events GROUP BY etype"
+    )
+    return out.select(
+        "etype", F.round("vp", 4).alias("vp"), F.round("sd", 4).alias("sd")
     )
 
 
@@ -872,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_sessions": q_events_sessions,
         "ts_grid_roundtrip": ts_grid_roundtrip,
         "ts_pushdown_aggs": ts_pushdown_aggs,
+        "ts_pushdown_var": ts_pushdown_var,
         "ts_pushdown_grouped": ts_pushdown_grouped,
         "ts_time_range": ts_time_range,
         "ts_generated_column": ts_generated_column,
@@ -1125,6 +1140,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS etype, count(*) AS n,
                    min(CAST(value AS FLOAT)) AS mn,
                    max(CAST(value AS FLOAT)) AS mx
+            FROM events GROUP BY event_type
+        """,
+        "ts_pushdown_var": """
+            SELECT event_type AS etype,
+                   round(var_pop(CAST(CAST(value AS FLOAT) AS DOUBLE)), 4) AS vp,
+                   round(stddev_samp(CAST(CAST(value AS FLOAT) AS DOUBLE)), 4) AS sd
             FROM events GROUP BY event_type
         """,
         "ts_time_range": """

@@ -87,6 +87,7 @@ class _SegmentSink:
             "error": [],
             "value_count": [],
             "seg_sum": [],
+            "seg_sum_sq": [],
             "ts_kind": [],
             "param0": [],
             "param1": [],
@@ -120,6 +121,10 @@ class _SegmentSink:
         c["error"].append(np.float32(0.0 if len(diff) == 0 else np.nanmax(np.where(np.isnan(diff), 0.0, diff))))
         c["value_count"].append(len(ts))
         c["seg_sum"].append(float(np.sum(recon64)))
+        # sum of squares of the reconstructed values: enables exact
+        # variance/stddev pushdown (an extension past the reference's
+        # count/min/max/sum/avg accumulator set)
+        c["seg_sum_sq"].append(float(np.sum(recon64 * recon64)))
 
 
 def _pmc_run(lo: np.ndarray, hi: np.ndarray, i: int, win_end: int) -> tuple[int, float]:

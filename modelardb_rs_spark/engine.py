@@ -67,7 +67,8 @@ def _to_us(t) -> int | None:
 # SELECT agg(col)[ AS alias][, ...] FROM table [GROUP BY c[, ...]] — the
 # shape eligible for the model-based aggregate rewrite.
 _AGG_ITEM = re.compile(
-    r"^(?P<func>count|min|max|sum|avg)\s*\(\s*(?P<arg>\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)"
+    r"^(?P<func>count|min|max|sum|avg|var_pop|var_samp|variance|stddev_pop|stddev_samp|stddev)"
+    r"\s*\(\s*(?P<arg>\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)"
     r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?$",
     re.IGNORECASE,
 )

@@ -15,6 +15,15 @@ aggregation over four narrow columns:
     COUNT(f) -> SUM(value_count)        MIN(f) -> MIN(min_value)
     SUM(f)   -> SUM(seg_sum)            MAX(f) -> MAX(max_value)
     AVG(f)   -> SUM(seg_sum) / SUM(value_count)
+    VAR_POP(f)  -> (SUM(seg_sum_sq) - SUM(seg_sum)^2/N) / N
+    VAR_SAMP(f) -> same numerator over N-1;  STDDEV_* -> sqrt(VAR_*)
+
+Variance/stddev are an extension past the reference's accumulator set
+(count/min/max/sum/avg): ``seg_sum_sq`` is materialized at compression
+time like ``seg_sum``. Folders written before the column existed hold
+NULLs there; the variance expressions coalesce those to NaN so a mixed
+or legacy folder yields a loud NaN instead of a silently-undercounted
+result (rewrite the table, or query through the gridded view, to fix).
 
 At 100 TB this reads only the stats columns of the segment Parquet files
 (column pruning) — no binary payloads, no decode, no Python. GROUP BY
@@ -28,7 +37,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-SIMPLE_AGGS = ("count", "min", "max", "sum", "avg")
+SIMPLE_AGGS = (
+    "count", "min", "max", "sum", "avg",
+    "var_pop", "var_samp", "variance", "stddev_pop", "stddev_samp", "stddev",
+)
+
+# SQL synonyms (both Spark and DuckDB): variance == var_samp, stddev == stddev_samp
+_VAR_CANON = {"variance": "var_samp", "stddev": "stddev_samp"}
+
+
+def _sum_sq(only) -> Column:
+    # NaN-poison legacy NULLs: NaN propagates through SUM, NULL would be
+    # silently skipped and undercount the variance
+    return F.sum(only(F.coalesce(F.col("seg_sum_sq"), F.lit(float("nan")))))
 
 
 def pushdown_agg_column(func: str, field_index: int | None = None) -> Column:
@@ -56,8 +77,28 @@ def pushdown_agg_column(func: str, field_index: int | None = None) -> Column:
         # reconstructed values, so the result matches gridded SUM(value)
         # modulo f64 addition order.
         return F.sum(only(F.col("seg_sum")))
-    # avg
-    return (F.sum(only(F.col("seg_sum"))) / F.sum(only(F.col("value_count")))).cast("double")
+    if func == "avg":
+        return (F.sum(only(F.col("seg_sum"))) / F.sum(only(F.col("value_count")))).cast("double")
+    # variance family
+    func = _VAR_CANON.get(func, func)
+    n = F.sum(only(F.col("value_count"))).cast("double")
+    s = F.sum(only(F.col("seg_sum")))
+    # n * population variance; clamp the tiny negative float residue a
+    # near-constant series can produce (Spark reports 0.0, sqrt of a
+    # negative would be NaN). greatest() keeps a poisoning NaN — Spark
+    # orders NaN above every number.
+    m2 = F.greatest(_sum_sq(only) - s * s / n, F.lit(0.0))
+    if func == "var_pop":
+        v = m2 / n
+    elif func == "var_samp":
+        v = F.when(n > 1, m2 / (n - 1))
+    elif func == "stddev_pop":
+        v = F.sqrt(m2 / n)
+    else:  # stddev_samp
+        v = F.sqrt(F.when(n > 1, m2 / (n - 1)))
+    # Spark returns NULL (not negative-epsilon NaN) for empty input and
+    # clamps tiny negative float residue the same way sqrt does
+    return v.cast("double")
 
 
 def segment_aggregates(
@@ -156,6 +197,29 @@ def time_range_aggregates(
             final_cols.append(
                 (F.sum(f"as_{alias}") / F.sum(f"ac_{alias}")).cast("double").alias(alias)
             )
+        elif _VAR_CANON.get(func, func) in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
+            vf = _VAR_CANON.get(func, func)
+            stat_cols.append(
+                F.when(seg_m, F.coalesce(F.col("seg_sum_sq"), F.lit(float("nan")))).alias(f"q_{alias}")
+            )
+            stat_cols.append(F.when(seg_m, F.col("seg_sum")).alias(f"s_{alias}"))
+            stat_cols.append(F.when(seg_m, F.col("value_count").cast("long")).alias(f"c_{alias}"))
+            v64 = F.col("value").cast("double")
+            point_cols.append(F.when(pt_m, v64 * v64).alias(f"q_{alias}"))
+            point_cols.append(F.when(pt_m, v64).alias(f"s_{alias}"))
+            point_cols.append(F.when(pt_m, F.lit(1).cast("long")).alias(f"c_{alias}"))
+            n = F.sum(f"c_{alias}").cast("double")
+            s = F.sum(f"s_{alias}")
+            m2 = F.greatest(F.sum(f"q_{alias}") - s * s / n, F.lit(0.0))
+            if vf == "var_pop":
+                v = m2 / n
+            elif vf == "var_samp":
+                v = F.when(n > 1, m2 / (n - 1))
+            elif vf == "stddev_pop":
+                v = F.sqrt(m2 / n)
+            else:
+                v = F.sqrt(F.when(n > 1, m2 / (n - 1)))
+            final_cols.append(v.cast("double").alias(alias))
         else:
             raise ValueError(f"not a pushdown-able aggregate: {func}")
 

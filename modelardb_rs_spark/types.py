@@ -211,6 +211,9 @@ def segment_schema(tag_columns: list[str]) -> T.StructType:
         T.StructField("error", T.FloatType(), False),
         T.StructField("value_count", T.IntegerType(), False),
         T.StructField("seg_sum", T.DoubleType(), False),
+        # nullable: folders written before variance pushdown existed lack
+        # it; readers NaN-poison rather than silently miscount (aggregates.py)
+        T.StructField("seg_sum_sq", T.DoubleType(), True),
         T.StructField("ts_kind", T.ByteType(), False),
         T.StructField("param0", T.FloatType(), True),
         T.StructField("param1", T.DoubleType(), True),

@@ -166,3 +166,51 @@ def test_read_time_series_table_api(lossy_engine):
         end=TS0 + datetime.timedelta(seconds=99),
     ).collect()[0]
     assert sliced.count_f == 100
+
+
+@pytest.mark.parametrize("agg", ["var_pop", "var_samp", "stddev_pop", "stddev_samp", "variance", "stddev"])
+def test_variance_pushdown_equals_grid(lossy_engine, agg):
+    """Variance-family pushdown (seg_sum_sq accumulator — extension past
+    the reference's rule) must match the gridded computation within f64
+    noise, ungrouped and grouped, and under a time range."""
+    push = lossy_engine.read_sql(f"SELECT {agg}(f) AS x FROM m").collect()[0].x
+    grid = lossy_engine.read_sql(f"SELECT {agg}(f) AS x{FORCED_GRID}").collect()[0].x
+    assert push == pytest.approx(grid, rel=1e-6, abs=1e-9)
+
+
+def test_variance_pushdown_grouped_and_ranged(lossy_engine):
+    push = {
+        r.tag: r.v
+        for r in lossy_engine.read_sql(
+            "SELECT tag, var_pop(f) AS v FROM m GROUP BY tag"
+        ).collect()
+    }
+    grid = {
+        r.tag: r.v
+        for r in lossy_engine.read_sql(
+            f"SELECT tag, var_pop(f) AS v{FORCED_GRID} GROUP BY tag"
+        ).collect()
+    }
+    assert push.keys() == grid.keys()
+    for k in push:
+        assert push[k] == pytest.approx(grid[k], rel=1e-6)
+    # partial (time-range) pushdown path via the structured read API
+    lo, hi = TS0 + datetime.timedelta(seconds=500), TS0 + datetime.timedelta(seconds=2500)
+    ranged = lossy_engine.read_time_series_table(
+        "m", columns={"f": "var_pop"}, start=lo, end=hi
+    ).collect()[0][0]
+    expect = lossy_engine.table("m").where(
+        (F.col("timestamp") >= F.lit(lo)) & (F.col("timestamp") <= F.lit(hi))
+    ).agg(F.var_pop("f")).collect()[0][0]
+    assert ranged == pytest.approx(expect, rel=1e-6)
+
+
+def test_variance_constant_series_is_zero(engine, spark):
+    """A constant series has exactly zero variance: the closed-form
+    sum-of-squares formula must clamp float residue, not go negative or
+    NaN through sqrt."""
+    engine.read_sql("CREATE TIME SERIES TABLE cz(timestamp TIMESTAMP, f FIELD)")
+    rows = [Row(timestamp=TS0 + datetime.timedelta(seconds=i), f=1234.5) for i in range(500)]
+    engine.write("cz", spark.createDataFrame(rows))
+    r = engine.read_sql("SELECT var_pop(f) AS v, stddev_samp(f) AS s FROM cz").collect()[0]
+    assert r.v == 0.0 and r.s == 0.0
