@@ -78,9 +78,17 @@ _SIMPLE_AGG_SQL = re.compile(
     r"(?:\s+GROUP\s+BY\s+(?P<group>[A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-# tag = 'value' conjunctions — the only WHERE shape the rewrite accepts
+# tag = 'value' conjunctions — one of the two WHERE shapes the rewrite accepts
 _TAG_EQ = re.compile(
     r"^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*=\s*'(?P<val>[^']*)'\s*$"
+)
+# <ts_col> >= TIMESTAMP '...' / <ts_col> <= TIMESTAMP '...' bounds — a
+# TWO-sided pair routes to partial pushdown; a single bound deliberately
+# does not fire (it is the documented rewrite-defeat idiom, and the
+# reference rule also bails on any pushed filter)
+_TS_BOUND = re.compile(
+    r"^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*(?P<op>>=|<=)\s*timestamp\s*'(?P<val>[^']+)'\s*$",
+    re.IGNORECASE,
 )
 
 
@@ -383,12 +391,29 @@ class Engine:
         if not all(g in meta.tag_columns for g in group_cols):
             return None
         tag_filters: list[tuple[str, str]] = []
+        lo_us: int | None = None
+        hi_us: int | None = None
         if m["where"]:
             for cond in re.split(r"\s+AND\s+", m["where"], flags=re.IGNORECASE):
-                tm = _TAG_EQ.match(cond)
-                if not tm or tm["col"] not in meta.tag_columns:
-                    return None  # not a tag-only predicate: gridded path
-                tag_filters.append((tm["col"], tm["val"]))
+                if tm := _TAG_EQ.match(cond):
+                    if tm["col"] in meta.tag_columns:
+                        tag_filters.append((tm["col"], tm["val"]))
+                        continue
+                if bm := _TS_BOUND.match(cond):
+                    if bm["col"] == meta.timestamp_column:
+                        try:
+                            us = _to_us(datetime.datetime.fromisoformat(bm["val"]))
+                        except ValueError:
+                            return None
+                        if bm["op"] == ">=" and lo_us is None:
+                            lo_us = us
+                            continue
+                        if bm["op"] == "<=" and hi_us is None:
+                            hi_us = us
+                            continue
+                return None  # any other predicate: gridded path
+        if (lo_us is None) != (hi_us is None):
+            return None  # single bound = the rewrite-defeat idiom
         items = [i.strip() for i in re.split(r",(?![^()]*\))", m["items"])]
         aggs: list[tuple[str, int | None, str]] = []
         for i, item in enumerate(items):
@@ -410,10 +435,17 @@ class Engine:
             aggs.append((func, idx, alias))
         if not aggs:
             return None
-        segments = self.segments(table)
+        segments = self.segments(table, lo_us, hi_us)
         for col, val in tag_filters:
             segments = segments.where(F.col(col) == F.lit(val))
-        out = agg_ops.segment_aggregates(segments, aggs, group_cols or None)
+        if lo_us is not None and hi_us is not None:
+            # two-sided range: stats for interior segments, decode only
+            # the boundary ones (time_range_aggregates)
+            out = agg_ops.time_range_aggregates(
+                segments, list(meta.tag_columns), aggs, lo_us, hi_us, group_cols or None
+            )
+        else:
+            out = agg_ops.segment_aggregates(segments, aggs, group_cols or None)
         keep = group_cols + [a[2] for a in aggs]
         return out.select(*keep)
 

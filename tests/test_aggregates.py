@@ -214,3 +214,29 @@ def test_variance_constant_series_is_zero(engine, spark):
     engine.write("cz", spark.createDataFrame(rows))
     r = engine.read_sql("SELECT var_pop(f) AS v, stddev_samp(f) AS s FROM cz").collect()[0]
     assert r.v == 0.0 and r.s == 0.0
+
+
+def test_sql_two_sided_range_uses_partial_pushdown(lossy_engine):
+    """A two-sided timestamp range in SQL routes to partial pushdown and
+    must equal the gridded answer; a one-sided bound (the rewrite-defeat
+    idiom) must keep decoding."""
+    rng = (
+        "timestamp >= timestamp '2024-01-01 00:10:00' "
+        "AND timestamp <= timestamp '2024-01-01 00:40:00'"
+    )
+    push = lossy_engine.read_sql(
+        f"SELECT count(f) AS n, sum(f) AS s, var_pop(f) AS v FROM m WHERE {rng}"
+    ).collect()[0]
+    grid = lossy_engine.read_sql(
+        f"SELECT count(f) AS n, sum(f) AS s, var_pop(f) AS v FROM m WHERE {rng} "
+        "AND timestamp >= timestamp '1970-01-01'"  # third bound defeats the rewrite
+    ).collect()[0]
+    assert push.n == grid.n and push.n > 0
+    assert push.s == pytest.approx(grid.s, rel=1e-9)
+    assert push.v == pytest.approx(grid.v, rel=1e-6)
+    # the partial path reads stats: its plan has no full-table decode of
+    # interior segments — boundary decode only (MapInPandas may appear)
+    plan = lossy_engine.read_sql(
+        f"SELECT count(f) AS n FROM m WHERE {rng}"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "value_count" in plan  # stats columns are in the scan
