@@ -283,3 +283,32 @@ def test_create_normal_table_via_sql(engine, spark):
     engine.read_sql("INSERT INTO sensors VALUES (1, 'a', 0.5), (2, 'b', 1.5)")
     rows = engine.read_sql("SELECT sum(cal) AS s, count(*) AS n FROM sensors").collect()
     assert rows[0].s == 2.0 and rows[0].n == 2
+
+
+def test_reopen_folder_reregisters_tables(engine, spark, tmp_path):
+    """Restart semantics (reference integration_test.rs:486-560): a fresh
+    Engine over an existing data folder sees every table, its schema,
+    its data, and its history — no in-memory state required."""
+    import datetime
+
+    from modelardb_rs_spark.engine import Engine
+
+    TS0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    engine.read_sql("CREATE TIME SERIES TABLE ro(timestamp TIMESTAMP, f FIELD, tag TAG)")
+    engine.read_sql("CREATE TABLE meta_t(k STRING, v BIGINT)")
+    rows = [
+        Row(timestamp=TS0 + datetime.timedelta(seconds=i), f=float(i), tag="a")
+        for i in range(100)
+    ]
+    engine.write("ro", spark.createDataFrame(rows))
+    engine.read_sql("INSERT INTO meta_t VALUES ('x', 1)")
+
+    reopened = Engine(spark, engine.folder.root)
+    assert set(reopened.tables()) >= {"ro", "meta_t"}
+    assert reopened.table("ro").count() == 100
+    assert reopened.read_sql("SELECT sum(f) AS s FROM ro").collect()[0].s == sum(range(100))
+    assert reopened.read_sql("SELECT v FROM meta_t").collect()[0].v == 1
+    assert [h["op"] for h in reopened.folder.history("ro")] == ["append"]
+    # DDL through the reopened handle is visible to yet another handle
+    reopened.read_sql("DROP TABLE meta_t")
+    assert "meta_t" not in Engine(spark, engine.folder.root).tables()
