@@ -30,6 +30,7 @@ HEADLINE = [
     "q_events_sessions",
     "ts_grid_roundtrip",
     "ts_pushdown_aggs",
+    "ts_pushdown_var",
     "ts_time_range",
     "ts_multifield",
     "doc_fingerprints",
