@@ -647,6 +647,34 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width overlapped chunking (pre-tokenization windowing) —
+    map-only sequence/posexplode/substring Column algebra."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    ch = text_ops.chunk_documents(docs, chunk_chars=256, overlap_chars=32)
+    return ch.agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("chunk_len").cast("long").alias("total_chars"),
+        F.max("chunk_idx").cast("long").alias("max_idx"),
+    )
+
+
+def doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic 10% corpus sample: stable across runs and
+    partitionings, disjoint under different salts — the reproducible
+    train/val split primitive."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    a = text_ops.deterministic_sample(docs, 10.0, salt="train")
+    b = text_ops.deterministic_sample(docs, 10.0, salt="val")
+    overlap = a.select("doc_id").join(b.select("doc_id"), "doc_id").count()
+    return a.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+        F.lit(overlap).cast("long").alias("salt_overlap_by_chance"),
+    )
+
+
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _prep(spark, sf_dir, "documents")
     q = text_ops.quality_features(docs)
@@ -921,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": sim_lsh_topk,
         "sim_ivf_trained": sim_ivf_trained,
         "doc_bpe_tokens": doc_bpe_tokens,
+        "doc_chunks": doc_chunks,
+        "doc_sample": doc_sample,
         "multimodal_metadata": multimodal_metadata,
         "multimodal_features": multimodal_features,
     }
@@ -1269,6 +1299,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(sum(n) AS BIGINT) AS total_bpe,
                    round(avg(n), 4) AS avg_bpe
             FROM t GROUP BY lang
+        """,
+        "doc_chunks": """
+            -- closed-form mirror of chunk_documents(256, 32), stride 224:
+            -- last chunk index k = trunc(max((len-33)/224, 0)); every
+            -- chunk but the last is full (256), the last holds len-224k
+            -- chars (0 for empty text) — an independent derivation of
+            -- what the engine materializes by explode+substring
+            WITH c AS (
+              SELECT length(text) AS len,
+                     CAST(trunc(greatest((length(text) - 33) / 224.0, 0)) AS BIGINT) AS k
+              FROM documents
+            )
+            SELECT CAST(sum(k + 1) AS BIGINT) AS n_chunks,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN len = 0 THEN 0 ELSE k * 256 + (len - 224 * k) END) AS BIGINT) AS total_chars,
+                   CAST(max(k) AS BIGINT) AS max_idx
+            FROM c
+        """,
+        "doc_sample": """
+            WITH a AS (
+              SELECT * FROM documents
+              WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'train')), 1, 8)) AS BIGINT) % 10000 < 1000
+            ),
+            b AS (
+              SELECT doc_id FROM documents
+              WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'val')), 1, 8)) AS BIGINT) % 10000 < 1000
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+                   CAST((SELECT count(*) FROM a JOIN b USING (doc_id)) AS BIGINT) AS salt_overlap_by_chance
+            FROM a
         """,
         "doc_quality": """
             WITH f AS (

@@ -117,3 +117,69 @@ def fingerprint(col: Column) -> Column:
 
 def fingerprint_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fingerprint(F.col(text_col)))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 512,
+    overlap_chars: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-width character windows with overlap —
+    the standard pre-tokenization chunking step of a training-data
+    pipeline. Pure Column algebra: ``sequence`` generates chunk starts,
+    ``posexplode`` emits one row per chunk, ``substring`` slices — all
+    JVM-side, map-only, no shuffle, so it runs at corpus scale as a
+    projection. Deterministic → exact SQL oracle.
+
+    Output: (id, chunk_idx, chunk_text, chunk_len); every document emits
+    at least one chunk (empty text → one empty chunk).
+    """
+    if overlap_chars >= chunk_chars:
+        raise ValueError("overlap_chars must be smaller than chunk_chars")
+    stride = chunk_chars - overlap_chars
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            (F.length(F.col(text_col)) - F.lit(overlap_chars + 1)) / F.lit(stride),
+            F.lit(0),
+        ).cast("int"),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(starts).alias("chunk_idx", "__start__"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.substring(
+                F.col(text_col), F.col("__start__") * stride + 1, chunk_chars
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    percent: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Reproducible corpus sampling: keep a row iff the md5 of its id
+    (+salt) falls under the cut. Unlike ``DataFrame.sample`` this is
+    stable across runs, partitionings, and engines (exact SQL oracle),
+    and composable — different salts give independent samples for train/
+    validation splits. Map-only, no shuffle, no RNG state.
+    """
+    if not 0 <= percent <= 100:
+        raise ValueError("percent must be in [0, 100]")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 10_000
+    return df.where(bucket < int(percent * 100))

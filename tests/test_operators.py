@@ -267,3 +267,42 @@ def test_asof_join_numeric_tolerance(spark):
 def test_decode_media_stub_raises():
     with pytest.raises(NotImplementedError):
         mm_ops.decode_media(b"\x00\x01", "image", fake=False)
+
+
+def test_chunk_documents_edges(spark):
+    from modelardb_rs_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "x" * 10), (3, "y" * 256), (4, "z" * 257), (5, "w" * 960)],
+        "doc_id long, text string",
+    )
+    ch = chunk_documents(df, chunk_chars=256, overlap_chars=32).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every doc emits >= 1 chunk; empty text -> one empty chunk
+    assert {d: len(v) for d, v in by_doc.items()} == {1: 1, 2: 1, 3: 1, 4: 2, 5: 5}
+    assert by_doc[1][0].chunk_text == "" and by_doc[1][0].chunk_len == 0
+    # overlapped reconstruction: consecutive chunks share 32 chars
+    c0, c1 = sorted(by_doc[4], key=lambda r: r.chunk_idx)
+    assert c0.chunk_text[-32:] == c1.chunk_text[:32]
+    assert c0.chunk_len == 256 and c1.chunk_len == 257 - 224
+    # full coverage without gaps: stitched length == original
+    parts = sorted(by_doc[5], key=lambda r: r.chunk_idx)
+    stitched = parts[0].chunk_text + "".join(p.chunk_text[32:] for p in parts[1:])
+    assert stitched == "w" * 960
+
+
+def test_deterministic_sample_stable_and_disjointish(spark):
+    from modelardb_rs_spark.operators.text import deterministic_sample
+
+    df = spark.createDataFrame([(i, i) for i in range(5000)], "doc_id long, n long")
+    a1 = {r.doc_id for r in deterministic_sample(df, 10.0, salt="a").collect()}
+    a2 = {r.doc_id for r in deterministic_sample(df.repartition(7), 10.0, salt="a").collect()}
+    assert a1 == a2  # stable across partitionings
+    assert 300 < len(a1) < 700  # ~10%
+    b = {r.doc_id for r in deterministic_sample(df, 10.0, salt="b").collect()}
+    # independent salts: overlap is ~1% of corpus, nowhere near |a|
+    assert len(a1 & b) < len(a1) / 2
+    assert len(deterministic_sample(df, 0.0).collect()) == 0
+    assert len(deterministic_sample(df, 100.0).collect()) == 5000
