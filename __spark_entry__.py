@@ -366,6 +366,24 @@ def ts_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket downsampling (Engine.resample →
+    operators/aggregates.py::resample): daily buckets per event type.
+    PMC-regular segments contribute per-bucket aggregates in closed form
+    without decoding (an operator past the reference's rewrite set);
+    the irregular events series exercises the gridded fallback here."""
+    eng = _ts_engine(spark, sf_dir)
+    out = eng.resample(
+        "ts_events", "1 day", {"value": ["count", "sum"]}, group_by=["etype"]
+    )
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "etype",
+        F.col("count_value").alias("n"),
+        F.round("sum_value", 2).alias("total"),
+    )
+
+
 def ts_tag_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tag-equality WHERE handled by the metadata-only aggregate rewrite
     (a superset of the reference's rule, which bails on any filter)."""
@@ -922,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_range_partial_pushdown": ts_range_partial_pushdown,
         "ts_multifield": ts_multifield,
         "ts_many_series": ts_many_series,
+        "ts_resample": ts_resample,
         "ts_lossy_bound": ts_lossy_bound,
         "ts_time_travel": ts_time_travel,
         "q_subquery_scalar": q_subquery_scalar,
@@ -1212,6 +1231,14 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(value AS FLOAT)) AS mn,
                    max(CAST(value AS FLOAT)) AS mx
             FROM events GROUP BY user_id
+        """,
+        "ts_resample": """
+            SELECT strftime(make_timestamp(
+                       (epoch_ns(ts) // 1000)
+                       - ((epoch_ns(ts) // 1000) % 86400000000)), '%Y-%m-%d') AS day,
+                   event_type AS etype, count(*) AS n,
+                   round(sum(CAST(CAST(value AS FLOAT) AS DOUBLE)), 2) AS total
+            FROM events GROUP BY 1, 2
         """,
         "ts_lossy_bound": """
             SELECT CAST(0 AS BIGINT) AS violations,

@@ -64,6 +64,32 @@ def _to_us(t) -> int | None:
     raise TypeError(f"cannot interpret {t!r} as a timestamp")
 
 
+_INTERVAL_UNITS_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
+def _interval_us(every) -> int:
+    """Accept a bucket width as µs int or an interval string ('15 minutes',
+    '1 hour', '1 day')."""
+    if isinstance(every, int):
+        return every
+    m = re.fullmatch(
+        r"\s*(\d+)\s*(microsecond|millisecond|second|minute|hour|day|week)s?\s*",
+        str(every),
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"cannot interpret {every!r} as a bucket width")
+    return int(m.group(1)) * _INTERVAL_UNITS_US[m.group(2).lower()]
+
+
 # SELECT agg(col)[ AS alias][, ...] FROM table [GROUP BY c[, ...]] — the
 # shape eligible for the model-based aggregate rewrite.
 _AGG_ITEM = re.compile(
@@ -515,6 +541,45 @@ class Engine:
         if group_by:
             return df.groupBy(*group_by).agg(*exprs)
         return df.agg(*exprs)
+
+    def resample(
+        self,
+        name: str,
+        every,
+        columns: dict[str, str],
+        group_by: list[str] | None = None,
+        start=None,
+        end=None,
+        tags: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Time-bucket downsampling with model-based pushdown
+        (operators/aggregates.py::resample): PMC-Mean segments with
+        regular timestamps contribute per-bucket aggregates in closed
+        form without decoding; other segments grid first. ``every`` is a
+        bucket width (µs int or '15 minutes'/'1 hour'/'1 day'); ``columns``
+        maps field -> aggregate (or list of aggregates) like
+        read_time_series_table."""
+        meta = self.catalog.time_series_metadata(name)
+        field_index = meta.field_index_of
+        start_us, end_us = _to_us(start), _to_us(end)
+        segments, info = self.segments(name, start_us, end_us, with_info=True)
+        for t, v in (tags or {}).items():
+            segments = segments.where(F.col(t) == F.lit(v))
+        aggs = [
+            (a.lower(), field_index[c], f"{a.lower()}_{c}")
+            for c, spec in columns.items()
+            for a in ([spec] if isinstance(spec, str) else spec)
+        ]
+        return agg_ops.resample(
+            segments,
+            meta.tag_columns,
+            _interval_us(every),
+            aggs,
+            start_us,
+            end_us,
+            group_by or None,
+            may_have_slow=info["may_have_slow"],
+        )
 
     def stats(self, name: str) -> DataFrame:
         """Per-field segment statistics (the EXPLAIN ANALYZE metrics the

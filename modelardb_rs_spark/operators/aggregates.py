@@ -233,3 +233,208 @@ def time_range_aggregates(
     points_part = points.select(*group, *point_cols)
     u = stats_part.unionByName(points_part)
     return u.groupBy(*group).agg(*final_cols) if group else u.agg(*final_cols)
+
+
+def resample(
+    segments: DataFrame,
+    tag_columns: list[str],
+    bucket_us: int,
+    aggs: list[tuple[str, int | None, str]],
+    start_us: int | None = None,
+    end_us: int | None = None,
+    group_by_tags: list[str] | None = None,
+    bucket_alias: str = "bucket",
+    may_have_slow: bool = True,
+) -> DataFrame:
+    """Time-bucket downsampling (``GROUP BY time_bucket``) with model-based
+    pushdown — an operator past the reference's rewrite set (the reference
+    grids every point for any windowed GROUP BY; grid_exec.rs:261-391).
+
+    PMC-Mean segments with regular timestamps never decode: the points a
+    bucket covers form a closed-form index range (``i0 = ceil((lo-s)/step)``,
+    ``i1 = floor((hi-s)/step)``), and every reconstructed value equals the
+    stored f32 mean, so per-bucket COUNT/SUM/MIN/MAX/AVG/VAR are pure
+    Column arithmetic over one ``explode(sequence(bucket_first,
+    bucket_last))`` — whole-stage codegen, output rows = overlapped
+    buckets, not points. A year-long constant sensor at 1 Hz resampled
+    to 1 h emits 8 760 rows from a handful of segment rows instead of
+    31 M decoded points; that asymmetry is the 100 TB win.
+
+    Swing/Gorilla/irregular segments (and PMC rows written before the
+    model-parameter columns existed) fall back to the gridded path —
+    decode, bucket by floor division, aggregate. Both paths produce the
+    same partial columns and one final groupBy(bucket, tags) merges them,
+    so a mixed table costs one aggregation. Exactness matches the engine
+    invariant: PMC reconstruction is bit-exactly the stored mean, so the
+    closed form equals the decode-then-aggregate result (SUM/VAR up to
+    f64 addition order).
+
+    ``aggs``: (func, field_index|None, alias) like time_range_aggregates.
+    Output: ``bucket`` (TimestampType, bucket start) + group_by_tags +
+    aliases; buckets with no points are absent (plain GROUP BY semantics).
+    """
+    from modelardb_rs_spark.operators.grid import grid_univariate, prune_segments
+    from modelardb_rs_spark.types import PMC_MEAN_ID
+
+    B = int(bucket_us)
+    if B <= 0:
+        raise ValueError("bucket_us must be positive")
+    pruned = prune_segments(segments, start_us, end_us)
+    indexes = {idx for _, idx, _ in aggs}
+    if None not in indexes:
+        pruned = pruned.where(F.col("field_column").isin(sorted(indexes)))
+
+    lo_clip = -(2**62) if start_us is None else int(start_us)
+    hi_clip = 2**62 if end_us is None else int(end_us)
+
+    if "param0" in pruned.columns:
+        # step == 0 with n > 1 (all-duplicate timestamps) would divide by
+        # zero in the index math — those rows decode instead.
+        fast_cond = (
+            (F.col("model_type_id") == F.lit(PMC_MEAN_ID))
+            & (F.coalesce(F.col("ts_kind"), F.lit(1)) == F.lit(0))
+            & F.col("param0").isNotNull()
+            & ((F.col("value_count") == 1) | (F.col("end_time") > F.col("start_time")))
+        )
+        fast, slow = pruned.where(fast_cond), pruned.where(~fast_cond)
+    else:
+        fast, slow = None, pruned
+
+    group = [bucket_alias] + list(group_by_tags or [])
+
+    def match(idx: int | None, field_col: Column) -> Column:
+        return F.lit(True) if idx is None else field_col == F.lit(idx)
+
+    # Partial columns per agg: (closed-form expr over [cnt, v], point expr
+    # over [1, value]) — identical alias pairs so one unionByName + one
+    # groupBy finishes both paths.
+    def partials(cnt: Column, v: Column):
+        """v: the (constant) reconstructed value as float; cnt: points."""
+        cols_for = {}
+        for func, idx, alias in aggs:
+            c = []
+            if func == "count":
+                c.append((cnt.cast("long"), f"c_{alias}"))
+            elif func == "sum":
+                c.append(((cnt.cast("double") * v.cast("double")), f"s_{alias}"))
+            elif func == "min":
+                c.append((v, f"m_{alias}"))
+            elif func == "max":
+                c.append((v, f"x_{alias}"))
+            elif func == "avg":
+                c.append(((cnt.cast("double") * v.cast("double")), f"as_{alias}"))
+                c.append((cnt.cast("long"), f"ac_{alias}"))
+            elif _VAR_CANON.get(func, func) in (
+                "var_pop", "var_samp", "stddev_pop", "stddev_samp",
+            ):
+                v64 = v.cast("double")
+                c.append((cnt.cast("double") * v64 * v64, f"q_{alias}"))
+                c.append((cnt.cast("double") * v64, f"s_{alias}"))
+                c.append((cnt.cast("long"), f"c_{alias}"))
+            else:
+                raise ValueError(f"not a resample-able aggregate: {func}")
+            cols_for[(func, idx, alias)] = c
+        return cols_for
+
+    final_cols: list[Column] = []
+    for func, idx, alias in aggs:
+        if func == "count":
+            final_cols.append(F.coalesce(F.sum(f"c_{alias}"), F.lit(0)).cast("long").alias(alias))
+        elif func == "sum":
+            final_cols.append(F.sum(f"s_{alias}").alias(alias))
+        elif func == "min":
+            final_cols.append(F.min(f"m_{alias}").alias(alias))
+        elif func == "max":
+            final_cols.append(F.max(f"x_{alias}").alias(alias))
+        elif func == "avg":
+            final_cols.append((F.sum(f"as_{alias}") / F.sum(f"ac_{alias}")).cast("double").alias(alias))
+        else:
+            vf = _VAR_CANON.get(func, func)
+            n = F.sum(f"c_{alias}").cast("double")
+            s = F.sum(f"s_{alias}")
+            m2 = F.greatest(F.sum(f"q_{alias}") - s * s / n, F.lit(0.0))
+            if vf == "var_pop":
+                v = m2 / n
+            elif vf == "var_samp":
+                v = F.when(n > 1, m2 / (n - 1))
+            elif vf == "stddev_pop":
+                v = F.sqrt(m2 / n)
+            else:
+                v = F.sqrt(F.when(n > 1, m2 / (n - 1)))
+            final_cols.append(v.cast("double").alias(alias))
+
+    # Deduplicated partial aliases in a stable order (avg shares c_/s_
+    # names only within its own as_/ac_ prefixes, so no collisions).
+    def emit(cols_for, bucket_col, src):
+        seen, out = set(), [bucket_col.alias(bucket_alias)]
+        out += [F.col(t) for t in (group_by_tags or [])]
+        for key, pairs in cols_for.items():
+            fcond = match(key[1], F.col("field_column") if src == "seg" else F.col("__field__").cast("int"))
+            for expr, name in pairs:
+                if name not in seen:
+                    seen.add(name)
+                    out.append(F.when(fcond, expr).alias(name))
+        return out
+
+    parts: list[DataFrame] = []
+    if fast is not None:
+        step = F.expr(
+            "CASE WHEN value_count > 1 THEN (end_time - start_time) DIV (value_count - 1) "
+            "ELSE CAST(1 AS BIGINT) END"
+        )
+        b_first = F.expr(f"(start_time - pmod(start_time, {B})) div {B}")
+        b_last = F.expr(f"(end_time - pmod(end_time, {B})) div {B}")
+        seg_buckets = fast.select(
+            "field_column",
+            "start_time",
+            "end_time",
+            "value_count",
+            "param0",
+            step.alias("__step__"),
+            F.explode(F.sequence(b_first, b_last)).alias("__b__"),
+            *(group_by_tags or []),
+        )
+        lo = F.greatest(F.col("start_time"), F.col("__b__") * F.lit(B), F.lit(lo_clip))
+        hi = F.least(F.col("end_time"), (F.col("__b__") + 1) * F.lit(B) - 1, F.lit(hi_clip))
+        # ceil/floor division on non-negative longs (lo >= start_time)
+        i0 = F.expr("(__lo__ - start_time + __step__ - 1) DIV __step__")
+        i1 = F.expr("(__hi__ - start_time) DIV __step__")
+        seg_buckets = (
+            seg_buckets.withColumn("__lo__", lo)
+            .withColumn("__hi__", hi)
+            .withColumn(
+                "__cnt__",
+                F.when(
+                    F.col("value_count") == 1,
+                    F.when(
+                        (F.col("__lo__") == F.col("start_time"))
+                        & (F.col("__hi__") >= F.col("start_time")),
+                        F.lit(1),
+                    ).otherwise(F.lit(0)),
+                ).otherwise(i1 - i0 + 1)
+                .cast("long"),
+            )
+            .where(F.col("__cnt__") > 0)
+        )
+        cols_for = partials(F.col("__cnt__"), F.col("param0"))
+        parts.append(
+            seg_buckets.select(
+                *emit(cols_for, F.timestamp_micros(F.col("__b__") * F.lit(B)), "seg")
+            )
+        )
+
+    points = grid_univariate(
+        slow.withColumn("__field__", F.col("field_column").cast("string")),
+        tag_columns + ["__field__"],
+        start_us,
+        end_us,
+        may_have_slow=may_have_slow,
+    )
+    pt_bucket = F.expr(f"timestamp_micros(timestamp - pmod(timestamp, {B}))")
+    cols_for_pts = partials(F.lit(1), F.col("value"))
+    parts.append(points.select(*emit(cols_for_pts, pt_bucket, "pt")))
+
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(*group).agg(*final_cols)

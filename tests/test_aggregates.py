@@ -240,3 +240,195 @@ def test_sql_two_sided_range_uses_partial_pushdown(lossy_engine):
         f"SELECT count(f) AS n FROM m WHERE {rng}"
     )._jdf.queryExecution().executedPlan().toString()
     assert "value_count" in plan  # stats columns are in the scan
+
+
+# --------------------------------------------------------------- resample
+
+
+@pytest.fixture()
+def resample_engine(engine, spark):
+    """Mixed table: a piecewise-constant regular series (-> PMC closed
+    form) and a noisy series (-> Gorilla decode path)."""
+    import numpy as np
+    import pandas as pd
+
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE r(timestamp TIMESTAMP, value FIELD(1.0), sensor TAG)"
+    )
+    n = 4000
+    ts = pd.to_datetime(
+        np.arange(n) * 10_000_000 + 1_700_000_000_000_000, unit="us", utc=True
+    ).tz_localize(None)
+    const_vals = np.repeat(np.arange(n // 400) * 2.0, 400).astype(np.float32)
+    rng = np.random.default_rng(11)
+    noisy_vals = (np.sin(np.arange(n) / 3) * 50 + rng.normal(0, 30, n)).astype(
+        np.float32
+    )
+    pdf = pd.concat(
+        [
+            pd.DataFrame({"timestamp": ts, "value": const_vals, "sensor": "c"}),
+            pd.DataFrame({"timestamp": ts, "value": noisy_vals, "sensor": "n"}),
+        ]
+    )
+    engine.write("r", spark.createDataFrame(pdf))
+    return engine
+
+
+def _ref_resample(engine, every_sql: str):
+    pts = engine.table("r")
+    return {
+        (r.bucket, r.sensor): (r.c, r.s, r.a, r.mn, r.mx, r.sp)
+        for r in pts.groupBy(
+            F.date_trunc(every_sql, "timestamp").alias("bucket"), "sensor"
+        )
+        .agg(
+            F.count("*").alias("c"),
+            F.sum("value").alias("s"),
+            F.avg("value").alias("a"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+            F.stddev_pop("value").alias("sp"),
+        )
+        .collect()
+    }
+
+
+def test_resample_equals_gridded_groupby(resample_engine):
+    """Closed-form PMC buckets + decoded Gorilla buckets must equal the
+    decode-everything GROUP BY time bucket, per aggregate."""
+    got = {
+        (r.bucket, r.sensor): (
+            r.count_value,
+            r.sum_value,
+            r.avg_value,
+            r.min_value,
+            r.max_value,
+            r.stddev_pop_value,
+        )
+        for r in resample_engine.resample(
+            "r",
+            "1 hour",
+            {"value": "count"},
+            group_by=["sensor"],
+        )
+        .join(
+            resample_engine.resample("r", "1 hour", {"value": "sum"}, group_by=["sensor"]),
+            ["bucket", "sensor"],
+        )
+        .join(
+            resample_engine.resample("r", "1 hour", {"value": "avg"}, group_by=["sensor"]),
+            ["bucket", "sensor"],
+        )
+        .join(
+            resample_engine.resample("r", "1 hour", {"value": "min"}, group_by=["sensor"]),
+            ["bucket", "sensor"],
+        )
+        .join(
+            resample_engine.resample("r", "1 hour", {"value": "max"}, group_by=["sensor"]),
+            ["bucket", "sensor"],
+        )
+        .join(
+            resample_engine.resample(
+                "r", "1 hour", {"value": "stddev_pop"}, group_by=["sensor"]
+            ),
+            ["bucket", "sensor"],
+        )
+        .collect()
+    }
+    ref = _ref_resample(resample_engine, "hour")
+    assert set(got) == set(ref) and len(ref) > 5
+    for k, (c, s, a, mn, mx, sp) in got.items():
+        rc, rs, ra, rmn, rmx, rsp = ref[k]
+        assert c == rc and mn == rmn and mx == rmx
+        assert s == pytest.approx(rs, rel=1e-9)
+        assert a == pytest.approx(ra, rel=1e-9)
+        assert sp == pytest.approx(rsp, abs=1e-6)
+
+
+def test_resample_time_range_clips_buckets(resample_engine):
+    got = {
+        (r.bucket, r.sensor): r.count_value
+        for r in resample_engine.resample(
+            "r",
+            "30 minutes",
+            {"value": "count"},
+            group_by=["sensor"],
+            start="2023-11-14T23:00:00",
+            end="2023-11-15T03:10:00",
+        ).collect()
+    }
+    pts = resample_engine.table(
+        "r", start="2023-11-14T23:00:00", end="2023-11-15T03:10:00"
+    )
+    ref = {
+        (r.bucket, r.sensor): r.c
+        for r in pts.groupBy(
+            F.window("timestamp", "30 minutes").start.alias("bucket"), "sensor"
+        )
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert got == ref and len(ref) > 0
+
+
+def test_resample_pmc_only_plan_is_jvm_only(engine, spark):
+    """An all-PMC regular table resamples with NO Python stage and NO
+    binary payload columns in the scan: the commit log proves all-fast,
+    the closed form reads only metadata columns."""
+    import numpy as np
+    import pandas as pd
+
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE p(timestamp TIMESTAMP, value FIELD(1.0))"
+    )
+    n = 2000
+    ts = pd.to_datetime(
+        np.arange(n) * 60_000_000 + 1_700_000_000_000_000, unit="us", utc=True
+    ).tz_localize(None)
+    vals = np.repeat(np.arange(n // 500) * 3.0, 500).astype(np.float32)
+    engine.write("p", spark.createDataFrame(pd.DataFrame({"timestamp": ts, "value": vals})))
+    df = engine.resample("p", "1 hour", {"value": "sum"})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "Python" not in plan
+    # column pruning: the binary payloads are not read
+    assert "timestamps" not in plan and "residuals" not in plan
+    # and the result matches the decoded reference
+    ref = {
+        r.bucket: r.s
+        for r in engine.table("p")
+        .groupBy(F.date_trunc("hour", "timestamp").alias("bucket"))
+        .agg(F.sum("value").alias("s"))
+        .collect()
+    }
+    got = {r.bucket: r.sum_value for r in df.collect()}
+    assert got.keys() == ref.keys()
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], rel=1e-9)
+
+
+def test_resample_single_point_and_duplicate_ts_segments(engine, spark):
+    """n==1 segments and irregular/duplicate-timestamp rows take the
+    decode path and still bucket correctly."""
+    rows = [
+        Row(timestamp=TS0, value=5.0, s="a"),
+        Row(timestamp=TS0 + datetime.timedelta(seconds=10), value=7.0, s="b"),
+        Row(timestamp=TS0 + datetime.timedelta(minutes=90), value=9.0, s="b"),
+    ]
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE one(timestamp TIMESTAMP, value FIELD, s TAG)"
+    )
+    engine.write("one", spark.createDataFrame(rows))
+    got = {
+        (r.bucket.isoformat(), r.s): (r.count_value, r.sum_value)
+        for r in engine.resample("one", "1 hour", {"value": "count"}, group_by=["s"])
+        .join(
+            engine.resample("one", "1 hour", {"value": "sum"}, group_by=["s"]),
+            ["bucket", "s"],
+        )
+        .collect()
+    }
+    assert got == {
+        ("2024-01-01T00:00:00", "a"): (1, 5.0),
+        ("2024-01-01T00:00:00", "b"): (1, 7.0),
+        ("2024-01-01T01:00:00", "b"): (1, 9.0),
+    }
