@@ -703,6 +703,22 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals
+    (operators/text.py::repetition_features): the 20 most
+    bigram-repetitive documents, exact oracle."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    rep = text_ops.repetition_features(docs)
+    return (
+        rep.orderBy(F.desc("top_bigram_frac"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id", "n_tokens", "dup_token_frac", "top_bigram",
+            "top_bigram_n", "top_bigram_frac",
+        )
+    )
+
+
 def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _prep(spark, sf_dir, "documents")
     return (
@@ -953,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dups": doc_exact_dups,
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
+        "doc_repetition": doc_repetition,
         "doc_langid": doc_langid,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
@@ -1357,6 +1374,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS kept_chars,
                    CAST((SELECT count(*) FROM a JOIN b USING (doc_id)) AS BIGINT) AS salt_overlap_by_chance
             FROM a
+        """,
+        "doc_repetition": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE string_split_regex(trim(text), '\\s+') END AS toks
+                FROM documents
+            ), m AS (
+                SELECT doc_id, len(toks) AS n_tokens,
+                       CASE WHEN len(toks) > 0
+                            THEN round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+                            ELSE 0.0 END AS dup_token_frac,
+                       toks
+                FROM t
+            ), b AS (
+                SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                FROM m WHERE n_tokens >= 2
+            ), c AS (
+                SELECT doc_id, bigram, count(*) AS top_bigram_n,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY count(*) DESC, bigram) AS rn
+                FROM b GROUP BY doc_id, bigram
+            )
+            SELECT m.doc_id, m.n_tokens, m.dup_token_frac,
+                   c.bigram AS top_bigram,
+                   coalesce(c.top_bigram_n, 0) AS top_bigram_n,
+                   CASE WHEN m.n_tokens > 0
+                        THEN round(2.0 * coalesce(c.top_bigram_n, 0) / m.n_tokens, 6)
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM m LEFT JOIN c ON m.doc_id = c.doc_id AND c.rn = 1
+            ORDER BY top_bigram_frac DESC, m.doc_id ASC
+            LIMIT 20
         """,
         "doc_quality": """
             WITH f AS (

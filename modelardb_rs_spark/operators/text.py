@@ -107,6 +107,77 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "predicted
     return df.withColumn(out_col, pred)
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition-based quality signals in the style of the Gopher /
+    MassiveText filtering rules (Rae et al. 2021, publicly described):
+    highly repetitive documents are low-quality training data.
+
+    Emits per document:
+      - ``n_tokens``       whitespace token count
+      - ``dup_token_frac`` 1 - distinct_tokens/n_tokens (0 for empty)
+      - ``top_bigram``     the most frequent word 2-gram (ties broken by
+                           lexicographically smallest; NULL if < 2 tokens)
+      - ``top_bigram_n``   its occurrence count (0 if < 2 tokens)
+      - ``top_bigram_frac`` 2*top_bigram_n/n_tokens — the token fraction
+                           attributable to the dominant bigram
+
+    Scale shape: the distinct-token fraction is pure map-only Column
+    algebra; the dominant-bigram statistic explodes bigrams and
+    aggregates keyed by (doc, bigram) then (doc) — both shuffles are
+    keyed per document, so the work distributes across the corpus with
+    no global hot key.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__toks__")).withColumn(
+        "n_tokens", F.size("__toks__")
+    )
+    mapped = base.withColumn(
+        "dup_token_frac",
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                1.0 - F.size(F.array_distinct("__toks__")) / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+    bigrams = F.transform(
+        F.slice(F.col("__toks__"), 1, F.size("__toks__") - 1),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(F.col("__toks__"), i + 2)),
+    )
+    counts = (
+        base.where(F.col("n_tokens") >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("top_bigram_n"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("top_bigram_n"), F.asc("bigram"))
+    top = (
+        counts.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .select(F.col(id_col), F.col("bigram").alias("top_bigram"), "top_bigram_n")
+    )
+    out = mapped.join(top, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "dup_token_frac",
+        "top_bigram",
+        F.coalesce(F.col("top_bigram_n"), F.lit(0)).alias("top_bigram_n"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                2.0 * F.coalesce(F.col("top_bigram_n"), F.lit(0)) / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+    return out
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lower-cased text. Cross-engine reproducible

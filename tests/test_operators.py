@@ -306,3 +306,27 @@ def test_deterministic_sample_stable_and_disjointish(spark):
     assert len(a1 & b) < len(a1) / 2
     assert len(deterministic_sample(df, 0.0).collect()) == 0
     assert len(deterministic_sample(df, 100.0).collect()) == 5000
+
+
+def test_repetition_features(spark):
+    rows = [
+        Row(doc_id=1, text="a b a b a b"),          # dominated by "a b"
+        Row(doc_id=2, text="w x y z"),               # all distinct
+        Row(doc_id=3, text="solo"),                  # 1 token: no bigram
+        Row(doc_id=4, text="   "),                   # empty after trim
+    ]
+    out = {
+        r.doc_id: r
+        for r in text_ops.repetition_features(spark.createDataFrame(rows)).collect()
+    }
+    r1 = out[1]
+    assert r1.n_tokens == 6
+    assert r1.dup_token_frac == pytest.approx(1 - 2 / 6, abs=1e-6)
+    assert r1.top_bigram == "a b" and r1.top_bigram_n == 3
+    assert r1.top_bigram_frac == pytest.approx(1.0, abs=1e-6)
+    r2 = out[2]
+    assert r2.dup_token_frac == 0.0 and r2.top_bigram_n == 1
+    # tie on count=1 -> lexicographically smallest bigram wins
+    assert r2.top_bigram == "w x"
+    assert out[3].top_bigram is None and out[3].top_bigram_n == 0
+    assert out[4].n_tokens == 0 and out[4].top_bigram_frac == 0.0
