@@ -384,6 +384,14 @@ def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last observation per series (Engine.last_points →
+    operators/grid.py::latest_points): segment metadata locates each
+    series' final segment; only those segments decode."""
+    eng = _ts_engine(spark, sf_dir)
+    return eng.last_points("ts_events", fields=["value"])
+
+
 def ts_tag_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tag-equality WHERE handled by the metadata-only aggregate rewrite
     (a superset of the reference's rule, which bails on any filter)."""
@@ -957,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_multifield": ts_multifield,
         "ts_many_series": ts_many_series,
         "ts_resample": ts_resample,
+        "ts_latest": ts_latest,
         "ts_lossy_bound": ts_lossy_bound,
         "ts_time_travel": ts_time_travel,
         "q_subquery_scalar": q_subquery_scalar,
@@ -1248,6 +1257,21 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(value AS FLOAT)) AS mn,
                    max(CAST(value AS FLOAT)) AS mx
             FROM events GROUP BY user_id
+        """,
+        "ts_latest": """
+            WITH p AS (
+                SELECT event_type AS etype, epoch_ns(ts) // 1000 AS ts_us,
+                       CAST(value AS FLOAT) AS v
+                FROM events
+            ), r AS (
+                SELECT etype, ts_us, v,
+                       row_number() OVER (PARTITION BY etype
+                                          ORDER BY ts_us DESC, v DESC) AS rn
+                FROM p
+            )
+            SELECT etype, 'value' AS field, make_timestamp(ts_us) AS timestamp,
+                   v AS value
+            FROM r WHERE rn = 1
         """,
         "ts_resample": """
             SELECT strftime(make_timestamp(

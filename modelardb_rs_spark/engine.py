@@ -581,6 +581,39 @@ class Engine:
             may_have_slow=info["may_have_slow"],
         )
 
+    def last_points(
+        self,
+        name: str,
+        fields: list[str] | None = None,
+        tags: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Last observation per series (operators/grid.py::latest_points):
+        segment metadata finds each series' final segment; only those
+        decode. Output: (*tags, field, timestamp, value), one row per
+        (series, field)."""
+        meta = self.catalog.time_series_metadata(name)
+        field_index = meta.field_index_of
+        segments, info = self.segments(name, with_info=True)
+        for t, v in (tags or {}).items():
+            segments = segments.where(F.col(t) == F.lit(v))
+        wanted = fields or list(meta.field_columns)
+        segments = segments.where(
+            F.col("field_column").isin([field_index[f] for f in wanted])
+        )
+        out = grid_ops.latest_points(
+            segments, meta.tag_columns, may_have_slow=info["may_have_slow"]
+        )
+        index_to_name = {field_index[f]: f for f in wanted}
+        name_expr = F.col("field_column").cast("string")
+        for idx, fname in index_to_name.items():
+            name_expr = F.when(F.col("field_column") == F.lit(idx), F.lit(fname)).otherwise(name_expr)
+        return out.select(
+            *meta.tag_columns,
+            name_expr.alias("field"),
+            F.timestamp_micros(F.col("timestamp")).alias(meta.timestamp_column),
+            "value",
+        )
+
     def stats(self, name: str) -> DataFrame:
         """Per-field segment statistics (the EXPLAIN ANALYZE metrics the
         reference's GridExec reports, grid_exec.rs:439-518): segment and

@@ -133,6 +133,51 @@ def grid_univariate(
     return points
 
 
+def latest_points(
+    segments: DataFrame,
+    tag_columns: list[str],
+    may_have_slow: bool = True,
+) -> DataFrame:
+    """Last observation per series (the TimescaleDB ``last()`` /
+    InfluxDB ``LAST()`` shape, which the reference answers by gridding
+    and sorting every point): per (tags, field_column) series, find the
+    segment with the maximum ``end_time`` from metadata alone, decode
+    ONLY those segments, and keep the point at ``timestamp == end_time``
+    (the encoder pins a segment's last point to its stored end_time).
+
+    Scale shape: one window over the narrow metadata columns selects
+    O(series) segment rows out of the whole table — a 100 TB table with
+    10 M series decodes 10 M segments' worth of binary, not the table.
+    Duplicate points at the same final timestamp collapse to MAX(value)
+    for determinism.
+
+    Output: (*tags, field_column, timestamp µs, value).
+    """
+    from pyspark.sql import Window
+
+    keys = tag_columns + ["field_column"]
+    w = Window.partitionBy(*keys)
+    last_segs = (
+        segments.withColumn("__mx__", F.max("end_time").over(w))
+        .where(F.col("end_time") == F.col("__mx__"))
+        .drop("__mx__")
+    )
+    # Carry end_time through the decode as a string key so the final
+    # point filter is map-only (grid_univariate passes "tags" through).
+    carried = keys + ["__last__"]
+    pts = grid_univariate(
+        last_segs.withColumn("__last__", F.col("end_time").cast("string"))
+        .withColumn("field_column", F.col("field_column").cast("string")),
+        carried,
+        may_have_slow=may_have_slow,
+    )
+    return (
+        pts.where(F.col("timestamp") == F.col("__last__").cast("long"))
+        .groupBy(*tag_columns, F.col("field_column").cast("int").alias("field_column"), "timestamp")
+        .agg(F.max("value").alias("value"))
+    )
+
+
 def grid(
     segments: DataFrame,
     meta: TimeSeriesTableMetadata,

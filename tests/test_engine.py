@@ -312,3 +312,47 @@ def test_reopen_folder_reregisters_tables(engine, spark, tmp_path):
     # DDL through the reopened handle is visible to yet another handle
     reopened.read_sql("DROP TABLE meta_t")
     assert "meta_t" not in Engine(spark, engine.folder.root).tables()
+
+
+def test_last_points_per_series(engine, spark):
+    """last_points returns each series' final observation, found from
+    segment metadata (only last segments decode)."""
+    import datetime
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    t0 = datetime.datetime(2024, 3, 1, tzinfo=datetime.timezone.utc)
+    rows = []
+    for s, n in (("a", 100), ("b", 57)):
+        for i in range(n):
+            rows.append(
+                Row(
+                    timestamp=t0 + datetime.timedelta(seconds=i),
+                    value=float(i if s == "a" else -i),
+                    sensor=s,
+                )
+            )
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE lp(timestamp TIMESTAMP, value FIELD, sensor TAG)"
+    )
+    engine.write("lp", spark.createDataFrame(rows))
+    got = {
+        (r.sensor, r.field): (r.timestamp, r.value)
+        for r in engine.last_points("lp").collect()
+    }
+    exp_a = (t0 + datetime.timedelta(seconds=99)).replace(tzinfo=None)
+    exp_b = (t0 + datetime.timedelta(seconds=56)).replace(tzinfo=None)
+    assert got == {
+        ("a", "value"): (exp_a, 99.0),
+        ("b", "value"): (exp_b, -56.0),
+    }
+    # a later append moves the answer forward
+    engine.write(
+        "lp",
+        spark.createDataFrame(
+            [Row(timestamp=t0 + datetime.timedelta(hours=2), value=777.0, sensor="b")]
+        ),
+    )
+    got2 = {r.sensor: r.value for r in engine.last_points("lp").collect()}
+    assert got2["b"] == 777.0 and got2["a"] == 99.0
