@@ -727,6 +727,17 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms
+    (operators/text.py::tfidf_top_terms) for the first 10 documents."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    out = text_ops.tfidf_top_terms(docs, k=3)
+    return out.where(F.col("doc_id") < 10).select(
+        "doc_id", "rank", "term", F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"), "score",
+    )
+
+
 def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _prep(spark, sf_dir, "documents")
     return (
@@ -979,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
         "doc_repetition": doc_repetition,
+        "doc_tfidf": doc_tfidf,
         "doc_langid": doc_langid,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
@@ -1398,6 +1410,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS kept_chars,
                    CAST((SELECT count(*) FROM a JOIN b USING (doc_id)) AS BIGINT) AS salt_overlap_by_chance
             FROM a
+        """,
+        "doc_tfidf": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS term
+                FROM documents WHERE trim(text) <> ''
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), dfq AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+            ), n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                       round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS score
+                FROM tf, dfq, n WHERE tf.term = dfq.term
+            ), ranked AS (
+                SELECT doc_id, term, tf, df, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term) AS rank
+                FROM scored
+            )
+            SELECT doc_id, rank, term, tf, df, score
+            FROM ranked WHERE rank <= 3 AND doc_id < 10
         """,
         "doc_repetition": """
             WITH t AS (

@@ -33,6 +33,8 @@ HEADLINE = [
     "ts_pushdown_var",
     "ts_time_range",
     "ts_multifield",
+    "ts_resample",
+    "ts_latest",
     "doc_fingerprints",
     "doc_token_stats",
     "doc_langid",

@@ -178,6 +178,54 @@ def repetition_features(
     return out
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)`` — the standard smoothed-idf form),
+    deterministic ties broken by term. Useful for corpus keyword
+    profiling / topic sketching in a training-data pipeline.
+
+    Scale shape: one explode + groupBy(doc, term) for term frequencies,
+    one groupBy(term) for document frequencies (vocabulary-sized, tiny
+    relative to the corpus — AQE picks broadcast when it fits), one
+    per-document window for top-k. The corpus size N enters as a
+    1-row aggregate crossJoin, not a driver collect.
+
+    Output: (id_col, rank 1..k, term, tf, df, score rounded to 6).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    n_docs = df.agg(F.count("*").alias("__n__"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n__") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(id_col, "rank", "term", "tf", "df", "score")
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lower-cased text. Cross-engine reproducible

@@ -330,3 +330,27 @@ def test_repetition_features(spark):
     assert r2.top_bigram == "w x"
     assert out[3].top_bigram is None and out[3].top_bigram_n == 0
     assert out[4].n_tokens == 0 and out[4].top_bigram_frac == 0.0
+
+
+def test_tfidf_top_terms(spark):
+    rows = [
+        Row(doc_id=1, text="apple apple banana"),
+        Row(doc_id=2, text="banana cherry"),
+        Row(doc_id=3, text="cherry cherry cherry durian"),
+    ]
+    out = text_ops.tfidf_top_terms(spark.createDataFrame(rows), k=2).collect()
+    import math
+
+    def score(tf, df, n=3):
+        return round(tf * (math.log((n + 1) / (df + 1)) + 1), 6)
+
+    got = {(r.doc_id, r.rank): (r.term, r.tf, r.df, r.score) for r in out}
+    # doc 1: apple tf=2 df=1 dominates banana tf=1 df=2
+    assert got[(1, 1)] == ("apple", 2, 1, score(2, 1))
+    assert got[(1, 2)] == ("banana", 1, 2, score(1, 2))
+    # doc 2: equal scores -> lexicographic tie-break
+    s_b, s_c = score(1, 2), score(1, 2)
+    assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
+    assert got[(2, 1)][3] == s_b and got[(2, 2)][3] == s_c
+    # doc 3: cherry tf=3 first, durian unique second
+    assert got[(3, 1)][0] == "cherry" and got[(3, 2)] == ("durian", 1, 1, score(1, 1))
