@@ -384,6 +384,21 @@ def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid read with linear gap interpolation (Engine.gapfill →
+    operators/gapfill.py): hourly buckets per event type (~half the
+    (type, hour) slots are empty at sf0.01), summarized per type so the
+    oracle stays exact: slot count, gap count, and the rounded sum of
+    the filled series pin the interpolation arithmetic."""
+    eng = _ts_engine(spark, sf_dir)
+    out = eng.gapfill("ts_events", "1 hour", "value", method="linear")
+    return out.groupBy("etype").agg(
+        F.count("*").alias("n_slots"),
+        F.sum(F.col("was_gap").cast("long")).alias("n_gaps"),
+        F.round(F.sum("value"), 2).alias("filled_sum"),
+    )
+
+
 def ts_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last observation per series (Engine.last_points →
     operators/grid.py::latest_points): segment metadata locates each
@@ -977,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_many_series": ts_many_series,
         "ts_resample": ts_resample,
         "ts_latest": ts_latest,
+        "ts_gapfill": ts_gapfill,
         "ts_lossy_bound": ts_lossy_bound,
         "ts_time_travel": ts_time_travel,
         "q_subquery_scalar": q_subquery_scalar,
@@ -1269,6 +1285,45 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(value AS FLOAT)) AS mn,
                    max(CAST(value AS FLOAT)) AS mx
             FROM events GROUP BY user_id
+        """,
+        "ts_gapfill": """
+            WITH p AS (
+                SELECT event_type AS etype,
+                       (epoch_ns(ts) // 1000)
+                       - ((epoch_ns(ts) // 1000) % 3600000000) AS b_us,
+                       CAST(value AS FLOAT) AS v
+                FROM events
+            ), a AS (
+                SELECT etype, b_us,
+                       sum(CAST(v AS DOUBLE)) / count(*) AS av
+                FROM p GROUP BY 1, 2
+            ), rng AS (
+                SELECT etype, min(b_us) AS mn, max(b_us) AS mx FROM a GROUP BY 1
+            ), spine AS (
+                SELECT etype, unnest(generate_series(mn, mx, 3600000000)) AS b_us
+                FROM rng
+            ), j AS (
+                SELECT s.etype, s.b_us, a.av
+                FROM spine s LEFT JOIN a ON s.etype = a.etype AND s.b_us = a.b_us
+            ), f AS (
+                SELECT etype, b_us, av,
+                       last_value(av IGNORE NULLS) OVER w AS pv,
+                       last_value(CASE WHEN av IS NOT NULL THEN b_us END IGNORE NULLS) OVER w AS pb,
+                       first_value(av IGNORE NULLS) OVER w2 AS nv,
+                       first_value(CASE WHEN av IS NOT NULL THEN b_us END IGNORE NULLS) OVER w2 AS nb
+                FROM j
+                WINDOW w AS (PARTITION BY etype ORDER BY b_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       w2 AS (PARTITION BY etype ORDER BY b_us
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT etype, count(*) AS n_slots,
+                   CAST(sum(CASE WHEN av IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+                   round(sum(CASE WHEN av IS NOT NULL THEN av
+                                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                                  THEN pv + (nv - pv) * (b_us - pb) / (nb - pb)
+                                  END), 2) AS filled_sum
+            FROM f GROUP BY etype
         """,
         "ts_latest": """
             WITH p AS (

@@ -581,6 +581,33 @@ class Engine:
             may_have_slow=info["may_have_slow"],
         )
 
+    def gapfill(
+        self,
+        name: str,
+        every,
+        field: str,
+        method: str = "linear",
+        start=None,
+        end=None,
+        tags: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Regular-grid read with gap filling: resample ``field`` to
+        ``every``-wide buckets (per-bucket AVG, model-pushdown where
+        possible), then fill missing buckets per series by LOCF or
+        linear interpolation (operators/gapfill.py). Output:
+        (*tags, bucket, <field>, was_gap)."""
+        from modelardb_rs_spark.operators.gapfill import gapfill as gapfill_op
+
+        meta = self.catalog.time_series_metadata(name)
+        buckets = self.resample(
+            name, every, {field: "avg"}, group_by=meta.tag_columns,
+            start=start, end=end, tags=tags,
+        ).withColumnRenamed(f"avg_{field}", field)
+        return gapfill_op(
+            buckets, meta.tag_columns, _interval_us(every), value_col=field,
+            method=method,
+        )
+
     def last_points(
         self,
         name: str,

@@ -1,0 +1,93 @@
+"""Gap-filling over regular time buckets (the TimescaleDB
+``time_bucket_gapfill`` / InfluxDB ``fill()`` shape — surface the
+reference does not offer; pure post-processing over the resample
+operator's bucketed output).
+
+Spark-first: the per-series bucket spine is ``explode(sequence(min_bucket,
+max_bucket, interval))`` off a per-series min/max aggregate; missing
+buckets appear via a left join; fills are window functions partitioned by
+series. Every shuffle is keyed by series — no global hot key, and the
+output size equals the spine, which is the user-requested resolution.
+
+Fill methods:
+  - ``locf``   last observation carried forward (leading gaps stay NULL)
+  - ``linear`` linear interpolation between the nearest observed buckets
+               (leading/trailing gaps stay NULL — strict interpolation)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gapfill(
+    buckets: DataFrame,
+    series_cols: list[str],
+    bucket_us: int,
+    value_col: str = "value",
+    bucket_col: str = "bucket",
+    method: str = "linear",
+) -> DataFrame:
+    """Fill missing (series, bucket) rows in a regular bucketed frame.
+
+    ``buckets``: one row per observed (series, bucket); ``bucket_col``
+    must be TimestampType bucket starts aligned to ``bucket_us``.
+    Output: (*series_cols, bucket, <value_col> filled, was_gap).
+    """
+    from pyspark.sql import Window
+
+    if method not in ("locf", "linear"):
+        raise ValueError(f"unknown gapfill method: {method}")
+    B = int(bucket_us)
+    spine = (
+        buckets.groupBy(*series_cols)
+        .agg(F.min(bucket_col).alias("__mn__"), F.max(bucket_col).alias("__mx__"))
+        .select(
+            *series_cols,
+            F.explode(
+                F.expr(f"sequence(__mn__, __mx__, interval {B} microsecond)")
+            ).alias(bucket_col),
+        )
+    )
+    j = spine.join(
+        buckets.select(*series_cols, bucket_col, value_col),
+        series_cols + [bucket_col],
+        "left",
+    )
+    v = F.col(value_col)
+    b_us = F.unix_micros(F.col(bucket_col))
+    w_p = (
+        Window.partitionBy(*series_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = (
+        Window.partitionBy(*series_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    pv = F.last(v, ignorenulls=True).over(w_p)
+    pb = F.last(F.when(v.isNotNull(), b_us), ignorenulls=True).over(w_p)
+    nv = F.first(v, ignorenulls=True).over(w_n)
+    nb = F.first(F.when(v.isNotNull(), b_us), ignorenulls=True).over(w_n)
+    if method == "locf":
+        filled = F.coalesce(v, pv)
+    else:
+        filled = (
+            F.when(v.isNotNull(), v.cast("double"))
+            .when(
+                pv.isNotNull() & nv.isNotNull(),
+                pv.cast("double")
+                + (nv.cast("double") - pv.cast("double"))
+                * (b_us - pb).cast("double")
+                / (nb - pb).cast("double"),
+            )
+            .otherwise(F.lit(None).cast("double"))
+        )
+    return j.select(
+        *series_cols,
+        bucket_col,
+        filled.alias(value_col),
+        v.isNull().alias("was_gap"),
+    )

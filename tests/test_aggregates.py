@@ -432,3 +432,56 @@ def test_resample_single_point_and_duplicate_ts_segments(engine, spark):
         ("2024-01-01T00:00:00", "b"): (1, 7.0),
         ("2024-01-01T01:00:00", "b"): (1, 9.0),
     }
+
+
+# --------------------------------------------------------------- gapfill
+
+
+def test_gapfill_linear_and_locf(engine, spark):
+    """Hand-computed fills: observed buckets 0h(2.0) 1h(4.0) 4h(10.0)
+    per sensor -> linear fills 2h=6, 3h=8; locf fills both with 4."""
+    rows = [
+        Row(timestamp=TS0, value=2.0, s="x"),
+        Row(timestamp=TS0 + datetime.timedelta(hours=1), value=4.0, s="x"),
+        Row(timestamp=TS0 + datetime.timedelta(hours=4), value=10.0, s="x"),
+    ]
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE gf(timestamp TIMESTAMP, value FIELD, s TAG)"
+    )
+    engine.write("gf", spark.createDataFrame(rows))
+    lin = {
+        r.bucket.hour: (r.value, r.was_gap)
+        for r in engine.gapfill("gf", "1 hour", "value", method="linear").collect()
+    }
+    assert lin == {
+        0: (2.0, False),
+        1: (4.0, False),
+        2: (6.0, True),
+        3: (8.0, True),
+        4: (10.0, False),
+    }
+    locf = {
+        r.bucket.hour: r.value
+        for r in engine.gapfill("gf", "1 hour", "value", method="locf").collect()
+    }
+    assert locf[2] == 4.0 and locf[3] == 4.0 and locf[4] == 10.0
+
+
+def test_gapfill_leading_gap_stays_null(engine, spark):
+    """Two sensors with different spans; strict linear leaves no
+    extrapolation (all spine buckets bounded by observations), and a
+    sensor with one observation yields a single bucket."""
+    rows = [
+        Row(timestamp=TS0 + datetime.timedelta(hours=2), value=1.0, s="a"),
+        Row(timestamp=TS0 + datetime.timedelta(hours=5), value=7.0, s="a"),
+        Row(timestamp=TS0, value=3.0, s="b"),
+    ]
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE gf2(timestamp TIMESTAMP, value FIELD, s TAG)"
+    )
+    engine.write("gf2", spark.createDataFrame(rows))
+    out = engine.gapfill("gf2", "1 hour", "value", method="linear").collect()
+    by = {(r.s, r.bucket.hour): r.value for r in out}
+    assert by[("a", 2)] == 1.0 and by[("a", 5)] == 7.0
+    assert by[("a", 3)] == pytest.approx(3.0) and by[("a", 4)] == pytest.approx(5.0)
+    assert by[("b", 0)] == 3.0 and len([k for k in by if k[0] == "b"]) == 1
