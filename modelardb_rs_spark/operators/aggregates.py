@@ -260,8 +260,12 @@ def resample(
     to 1 h emits 8 760 rows from a handful of segment rows instead of
     31 M decoded points; that asymmetry is the 100 TB win.
 
-    Swing/Gorilla/irregular segments (and PMC rows written before the
-    model-parameter columns existed) fall back to the gridded path —
+    Swing segments join the closed form when only COUNT/MIN/MAX are
+    requested (index math + monotone-line endpoint values); their
+    SUM/AVG/VAR must decode because the analytic series sum skips the
+    per-point f32 rounding. Gorilla/irregular segments (and rows written
+    before the model-parameter columns existed) fall back to the gridded
+    path —
     decode, bucket by floor division, aggregate. Both paths produce the
     same partial columns and one final groupBy(bucket, tags) merges them,
     so a mixed table costs one aggregation. Exactness matches the engine
@@ -274,7 +278,7 @@ def resample(
     aliases; buckets with no points are absent (plain GROUP BY semantics).
     """
     from modelardb_rs_spark.operators.grid import grid_univariate, prune_segments
-    from modelardb_rs_spark.types import PMC_MEAN_ID
+    from modelardb_rs_spark.types import PMC_MEAN_ID, SWING_ID
 
     B = int(bucket_us)
     if B <= 0:
@@ -287,11 +291,24 @@ def resample(
     lo_clip = -(2**62) if start_us is None else int(start_us)
     hi_clip = 2**62 if end_us is None else int(end_us)
 
+    funcs = {f for f, _, _ in aggs}
     if "param0" in pruned.columns:
         # step == 0 with n > 1 (all-duplicate timestamps) would divide by
         # zero in the index math — those rows decode instead.
+        eligible = F.col("model_type_id") == F.lit(PMC_MEAN_ID)
+        if funcs <= {"count", "min", "max"}:
+            # Swing joins the closed form when no sum-family aggregate is
+            # requested: COUNT is index math, and a (monotone) line's
+            # bucket MIN/MAX sit at the endpoint indices, evaluated with
+            # the same f32(param0 + param1*dt) arithmetic the decoder
+            # uses. SUM/AVG/VAR of a Swing segment must decode — the
+            # analytic series sum skips the per-point f32 rounding.
+            eligible = eligible | (
+                (F.col("model_type_id") == F.lit(SWING_ID))
+                & F.col("param1").isNotNull()
+            )
         fast_cond = (
-            (F.col("model_type_id") == F.lit(PMC_MEAN_ID))
+            eligible
             & (F.coalesce(F.col("ts_kind"), F.lit(1)) == F.lit(0))
             & F.col("param0").isNotNull()
             & ((F.col("value_count") == 1) | (F.col("end_time") > F.col("start_time")))
@@ -305,11 +322,11 @@ def resample(
     def match(idx: int | None, field_col: Column) -> Column:
         return F.lit(True) if idx is None else field_col == F.lit(idx)
 
-    # Partial columns per agg: (closed-form expr over [cnt, v], point expr
-    # over [1, value]) — identical alias pairs so one unionByName + one
-    # groupBy finishes both paths.
-    def partials(cnt: Column, v: Column):
-        """v: the (constant) reconstructed value as float; cnt: points."""
+    # Partial columns per agg — identical alias pairs on both paths so one
+    # unionByName + one groupBy finishes them. ``v`` is the constant
+    # reconstructed value (PMC / decoded point); ``vmin``/``vmax`` the
+    # bucket extremes (endpoint values for Swing, == v otherwise).
+    def partials(cnt: Column, v: Column, vmin: Column, vmax: Column):
         cols_for = {}
         for func, idx, alias in aggs:
             c = []
@@ -318,9 +335,9 @@ def resample(
             elif func == "sum":
                 c.append(((cnt.cast("double") * v.cast("double")), f"s_{alias}"))
             elif func == "min":
-                c.append((v, f"m_{alias}"))
+                c.append((vmin, f"m_{alias}"))
             elif func == "max":
-                c.append((v, f"x_{alias}"))
+                c.append((vmax, f"x_{alias}"))
             elif func == "avg":
                 c.append(((cnt.cast("double") * v.cast("double")), f"as_{alias}"))
                 c.append((cnt.cast("long"), f"ac_{alias}"))
@@ -386,22 +403,31 @@ def resample(
         b_last = F.expr(f"(end_time - pmod(end_time, {B})) div {B}")
         seg_buckets = fast.select(
             "field_column",
+            "model_type_id",
             "start_time",
             "end_time",
             "value_count",
             "param0",
+            "param1",
             step.alias("__step__"),
             F.explode(F.sequence(b_first, b_last)).alias("__b__"),
             *(group_by_tags or []),
         )
         lo = F.greatest(F.col("start_time"), F.col("__b__") * F.lit(B), F.lit(lo_clip))
         hi = F.least(F.col("end_time"), (F.col("__b__") + 1) * F.lit(B) - 1, F.lit(hi_clip))
-        # ceil/floor division on non-negative longs (lo >= start_time)
-        i0 = F.expr("(__lo__ - start_time + __step__ - 1) DIV __step__")
-        i1 = F.expr("(__hi__ - start_time) DIV __step__")
+        # ceil/floor division on non-negative longs (lo >= start_time),
+        # clamped to the valid index range (the n==1 placeholder step
+        # would otherwise run i1 past the single point)
+        i0 = F.greatest(F.expr("(__lo__ - start_time + __step__ - 1) DIV __step__"), F.lit(0))
+        i1 = F.least(
+            F.expr("(__hi__ - start_time) DIV __step__"),
+            (F.col("value_count") - 1).cast("long"),
+        )
         seg_buckets = (
             seg_buckets.withColumn("__lo__", lo)
             .withColumn("__hi__", hi)
+            .withColumn("__i0__", i0)
+            .withColumn("__i1__", i1)
             .withColumn(
                 "__cnt__",
                 F.when(
@@ -411,12 +437,28 @@ def resample(
                         & (F.col("__hi__") >= F.col("start_time")),
                         F.lit(1),
                     ).otherwise(F.lit(0)),
-                ).otherwise(i1 - i0 + 1)
+                ).otherwise(F.col("__i1__") - F.col("__i0__") + 1)
                 .cast("long"),
             )
             .where(F.col("__cnt__") > 0)
         )
-        cols_for = partials(F.col("__cnt__"), F.col("param0"))
+
+        # Value at index i — the same arithmetic as the decoder/_grid_jvm:
+        # PMC is the stored f32 mean; Swing is f32(param0 + param1·dt) in
+        # double math. A line is monotone, so bucket extremes are the
+        # endpoint values (f32 rounding preserves order).
+        def v_at(i: Column) -> Column:
+            dt = (i * F.col("__step__")).cast("double")
+            return F.when(
+                F.col("model_type_id") == F.lit(PMC_MEAN_ID), F.col("param0")
+            ).otherwise(
+                (F.col("param0").cast("double") + F.col("param1") * dt).cast("float")
+            )
+
+        v0, v1 = v_at(F.col("__i0__")), v_at(F.col("__i1__"))
+        cols_for = partials(
+            F.col("__cnt__"), F.col("param0"), F.least(v0, v1), F.greatest(v0, v1)
+        )
         parts.append(
             seg_buckets.select(
                 *emit(cols_for, F.timestamp_micros(F.col("__b__") * F.lit(B)), "seg")
@@ -431,7 +473,7 @@ def resample(
         may_have_slow=may_have_slow,
     )
     pt_bucket = F.expr(f"timestamp_micros(timestamp - pmod(timestamp, {B}))")
-    cols_for_pts = partials(F.lit(1), F.col("value"))
+    cols_for_pts = partials(F.lit(1), F.col("value"), F.col("value"), F.col("value"))
     parts.append(points.select(*emit(cols_for_pts, pt_bucket, "pt")))
 
     u = parts[0]

@@ -485,3 +485,66 @@ def test_gapfill_leading_gap_stays_null(engine, spark):
     assert by[("a", 2)] == 1.0 and by[("a", 5)] == 7.0
     assert by[("a", 3)] == pytest.approx(3.0) and by[("a", 4)] == pytest.approx(5.0)
     assert by[("b", 0)] == 3.0 and len([k for k in by if k[0] == "b"]) == 1
+
+
+def test_resample_swing_count_min_max_closed_form(engine, spark):
+    """A clean linear ramp compresses to Swing segments; count/min/max
+    resample stays JVM-only (closed form at endpoint indices) and equals
+    the gridded reference; a sum resample must still decode (Python
+    stage present) and also match."""
+    import numpy as np
+    import pandas as pd
+
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE sw(timestamp TIMESTAMP, value FIELD(0.5))"
+    )
+    n = 3000
+    ts = pd.to_datetime(
+        np.arange(n) * 30_000_000 + 1_700_000_000_000_000, unit="us", utc=True
+    ).tz_localize(None)
+    vals = (np.arange(n) * 0.25).astype(np.float32)  # exact ramp
+    engine.write("sw", spark.createDataFrame(pd.DataFrame({"timestamp": ts, "value": vals})))
+    segs = engine.segments("sw")
+    from modelardb_rs_spark.types import SWING_ID
+
+    kinds = {r.model_type_id for r in segs.select("model_type_id").distinct().collect()}
+    assert kinds == {SWING_ID}
+
+    df = (
+        engine.resample("sw", "1 hour", {"value": "count"})
+        .join(engine.resample("sw", "1 hour", {"value": "min"}), "bucket")
+        .join(engine.resample("sw", "1 hour", {"value": "max"}), "bucket")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "Python" not in plan
+    ref = {
+        r.bucket: (r.c, r.mn, r.mx)
+        for r in engine.table("sw")
+        .groupBy(F.date_trunc("hour", "timestamp").alias("bucket"))
+        .agg(F.count("*").alias("c"), F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    got = {r.bucket: (r.count_value, r.min_value, r.max_value) for r in df.collect()}
+    assert got == ref and len(ref) > 10
+
+    # the closed form is in the plan: per-bucket explode over segment
+    # bounds (the pmod bucket arithmetic), alongside the (empty) fallback
+    assert "pmod(start_time" in plan
+    # sum routes Swing rows to per-point reconstruction (here the JVM
+    # grid fast path — regular Swing still needs no Python). Branch
+    # PRESENCE can't distinguish (both branches always exist, row-
+    # filtered), so correctness below is the check; the Swing filter in
+    # the fast branch must mention param1 only under the count/min/max
+    # form — assert the sum plan's fast filter excludes Swing:
+    sm = engine.resample("sw", "1 hour", {"value": "sum"})
+    sm_plan = sm._jdf.queryExecution().executedPlan().toString()
+    assert "sequence(0" in sm_plan  # per-point reconstruction branch live
+    ref_s = {
+        r.bucket: r.s
+        for r in engine.table("sw")
+        .groupBy(F.date_trunc("hour", "timestamp").alias("bucket"))
+        .agg(F.sum("value").alias("s"))
+        .collect()
+    }
+    for r in sm.collect():
+        assert r.sum_value == pytest.approx(ref_s[r.bucket], rel=1e-9)
