@@ -399,6 +399,24 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_resample_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface of the resample rewrite: GROUP BY
+    time_bucket(...) in the engine dialect routes through
+    operators/aggregates.py::resample (engine.py::_try_aggregate_pushdown)."""
+    eng = _ts_engine(spark, sf_dir)
+    out = eng.read_sql(
+        "SELECT time_bucket('1 day', timestamp) AS bucket, etype, "
+        "count(value) AS n, sum(value) AS total "
+        "FROM ts_events GROUP BY time_bucket('1 day', timestamp), etype"
+    )
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "etype",
+        "n",
+        F.round("total", 2).alias("total"),
+    )
+
+
 def ts_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last observation per series (Engine.last_points →
     operators/grid.py::latest_points): segment metadata locates each
@@ -991,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_multifield": ts_multifield,
         "ts_many_series": ts_many_series,
         "ts_resample": ts_resample,
+        "ts_resample_sql": ts_resample_sql,
         "ts_latest": ts_latest,
         "ts_gapfill": ts_gapfill,
         "ts_lossy_bound": ts_lossy_bound,
@@ -1341,6 +1360,14 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1
         """,
         "ts_resample": """
+            SELECT strftime(make_timestamp(
+                       (epoch_ns(ts) // 1000)
+                       - ((epoch_ns(ts) // 1000) % 86400000000)), '%Y-%m-%d') AS day,
+                   event_type AS etype, count(*) AS n,
+                   round(sum(CAST(CAST(value AS FLOAT) AS DOUBLE)), 2) AS total
+            FROM events GROUP BY 1, 2
+        """,
+"ts_resample_sql": """
             SELECT strftime(make_timestamp(
                        (epoch_ns(ts) // 1000)
                        - ((epoch_ns(ts) // 1000) % 86400000000)), '%Y-%m-%d') AS day,

@@ -101,9 +101,39 @@ _AGG_ITEM = re.compile(
 _SIMPLE_AGG_SQL = re.compile(
     r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
-    r"(?:\s+GROUP\s+BY\s+(?P<group>[A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*))?\s*;?\s*$",
+    r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# time_bucket('15 minutes', ts) / date_trunc('hour', ts) group keys — the
+# fixed-width truncations the resample rewrite can answer. Calendar units
+# (month/year, and week whose ISO origin is not epoch-aligned) stay on
+# the gridded path.
+_TIME_BUCKET = re.compile(
+    r"^time_bucket\(\s*(?:INTERVAL\s+)?'(?P<iv>[^']+)'\s*,\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*\)$",
+    re.IGNORECASE,
+)
+_DATE_TRUNC = re.compile(
+    r"^date_trunc\(\s*'(?P<unit>second|minute|hour|day)'\s*,\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*\)$",
+    re.IGNORECASE,
+)
+
+
+def _bucket_us_of(expr: str, ts_col: str) -> int | None:
+    """Bucket width in µs if ``expr`` is a fixed-width truncation of the
+    timestamp column, else None."""
+    expr = expr.strip()
+    if m := _TIME_BUCKET.match(expr):
+        if m["col"] != ts_col:
+            return None
+        try:
+            return _interval_us(m["iv"])
+        except ValueError:
+            return None
+    if m := _DATE_TRUNC.match(expr):
+        if m["col"] != ts_col:
+            return None
+        return _INTERVAL_UNITS_US[m["unit"].lower()]
+    return None
 # tag = 'value' conjunctions — one of the two WHERE shapes the rewrite accepts
 _TAG_EQ = re.compile(
     r"^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*=\s*'(?P<val>[^']*)'\s*$"
@@ -413,9 +443,21 @@ class Engine:
             return None
         meta = self.catalog.time_series_metadata(table)
         field_index = meta.field_index_of
-        group_cols = [g.strip() for g in m["group"].split(",")] if m["group"] else []
-        if not all(g in meta.tag_columns for g in group_cols):
-            return None
+        raw_groups = (
+            [g.strip() for g in re.split(r",(?![^()]*\))", m["group"])]
+            if m["group"]
+            else []
+        )
+        group_cols: list[str] = []
+        bucket_us: int | None = None
+        bucket_expr: str | None = None
+        for g in raw_groups:
+            if g in meta.tag_columns:
+                group_cols.append(g)
+            elif bucket_us is None and (b := _bucket_us_of(g, meta.timestamp_column)):
+                bucket_us, bucket_expr = b, re.sub(r"\s+", "", g).lower()
+            else:
+                return None
         tag_filters: list[tuple[str, str]] = []
         lo_us: int | None = None
         hi_us: int | None = None
@@ -442,9 +484,19 @@ class Engine:
             return None  # single bound = the rewrite-defeat idiom
         items = [i.strip() for i in re.split(r",(?![^()]*\))", m["items"])]
         aggs: list[tuple[str, int | None, str]] = []
+        bucket_alias, bucket_seen = "bucket", False
         for i, item in enumerate(items):
             if item.strip() in meta.tag_columns and item.strip() in group_cols:
                 continue  # plain group key in the projection
+            if bucket_expr is not None and not bucket_seen:
+                # the bucket group key in the projection, optionally aliased
+                bm = re.match(r"^(?P<expr>.*?)(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?$",
+                              item, re.IGNORECASE | re.DOTALL)
+                if bm and re.sub(r"\s+", "", bm["expr"]).lower() == bucket_expr:
+                    if bm["alias"]:
+                        bucket_alias = bm["alias"]
+                    bucket_seen = True
+                    continue
             am = _AGG_ITEM.match(item)
             if not am:
                 return None
@@ -461,9 +513,22 @@ class Engine:
             aggs.append((func, idx, alias))
         if not aggs:
             return None
-        segments = self.segments(table, lo_us, hi_us)
+        if bucket_expr is not None and not bucket_seen:
+            return None  # grouped by a bucket the projection doesn't show
+        segments, info = self.segments(table, lo_us, hi_us, with_info=True)
         for col, val in tag_filters:
             segments = segments.where(F.col(col) == F.lit(val))
+        if bucket_us is not None:
+            # GROUP BY time_bucket/date_trunc: the resample rewrite —
+            # closed-form per-bucket aggregates where the model allows,
+            # gridded fallback otherwise (operators/aggregates.py::resample)
+            out = agg_ops.resample(
+                segments, list(meta.tag_columns), bucket_us, aggs,
+                lo_us, hi_us, group_cols or None,
+                bucket_alias=bucket_alias, may_have_slow=info["may_have_slow"],
+            )
+            keep = [bucket_alias] + group_cols + [a[2] for a in aggs]
+            return out.select(*keep)
         if lo_us is not None and hi_us is not None:
             # two-sided range: stats for interior segments, decode only
             # the boundary ones (time_range_aggregates)

@@ -548,3 +548,33 @@ def test_resample_swing_count_min_max_closed_form(engine, spark):
     }
     for r in sm.collect():
         assert r.sum_value == pytest.approx(ref_s[r.bucket], rel=1e-9)
+
+
+def test_sql_time_bucket_routes_to_resample(lossy_engine):
+    """GROUP BY time_bucket / date_trunc in SQL routes through the
+    resample rewrite and equals the gridded group-by; tag group keys and
+    two-sided ranges compose."""
+    push = lossy_engine.read_sql(
+        "SELECT time_bucket('10 minutes', timestamp) AS b, tag, "
+        "count(f) AS n, sum(f) AS sm FROM m "
+        "GROUP BY time_bucket('10 minutes', timestamp), tag"
+    )
+    ref = lossy_engine.read_sql(
+        "SELECT date_trunc('minute', timestamp) AS mnt, tag, f FROM m "
+        "WHERE timestamp >= timestamp '1970-01-01'"
+    )
+    from pyspark.sql import functions as FF
+
+    ref = (
+        ref.withColumn(
+            "b", FF.timestamp_micros((FF.unix_micros("mnt") / 600000000).cast("long") * 600000000)
+        )
+        .groupBy("b", "tag")
+        .agg(FF.count("f").alias("rn"), FF.sum("f").alias("rsm"))
+    )
+    j = push.join(ref, ["b", "tag"], "full_outer")
+    bad = j.where(
+        FF.col("n").isNull() | FF.col("rn").isNull() | (FF.col("n") != FF.col("rn"))
+        | (FF.abs(FF.col("sm") - FF.col("rsm")) > 1e-6)
+    ).count()
+    assert bad == 0 and push.count() > 3
