@@ -678,11 +678,12 @@ class Engine:
         name: str,
         fields: list[str] | None = None,
         tags: dict[str, str] | None = None,
+        which: str = "last",
     ) -> DataFrame:
-        """Last observation per series (operators/grid.py::latest_points):
-        segment metadata finds each series' final segment; only those
-        decode. Output: (*tags, field, timestamp, value), one row per
-        (series, field)."""
+        """First/last observation per series (operators/grid.py::
+        edge_points): segment metadata finds each series' edge segment;
+        only those decode. Output: (*tags, field, timestamp, value),
+        one row per (series, field)."""
         meta = self.catalog.time_series_metadata(name)
         field_index = meta.field_index_of
         segments, info = self.segments(name, with_info=True)
@@ -692,8 +693,8 @@ class Engine:
         segments = segments.where(
             F.col("field_column").isin([field_index[f] for f in wanted])
         )
-        out = grid_ops.latest_points(
-            segments, meta.tag_columns, may_have_slow=info["may_have_slow"]
+        out = grid_ops.edge_points(
+            segments, meta.tag_columns, which, may_have_slow=info["may_have_slow"]
         )
         index_to_name = {field_index[f]: f for f in wanted}
         name_expr = F.col("field_column").cast("string")
@@ -705,6 +706,16 @@ class Engine:
             F.timestamp_micros(F.col("timestamp")).alias(meta.timestamp_column),
             "value",
         )
+
+    def first_points(
+        self,
+        name: str,
+        fields: list[str] | None = None,
+        tags: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """First observation per series — the symmetric read to
+        last_points (min start_time instead of max end_time)."""
+        return self.last_points(name, fields, tags, which="first")
 
     def stats(self, name: str) -> DataFrame:
         """Per-field segment statistics (the EXPLAIN ANALYZE metrics the

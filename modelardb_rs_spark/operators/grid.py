@@ -133,49 +133,64 @@ def grid_univariate(
     return points
 
 
-def latest_points(
+def edge_points(
     segments: DataFrame,
     tag_columns: list[str],
+    which: str = "last",
     may_have_slow: bool = True,
 ) -> DataFrame:
-    """Last observation per series (the TimescaleDB ``last()`` /
-    InfluxDB ``LAST()`` shape, which the reference answers by gridding
-    and sorting every point): per (tags, field_column) series, find the
-    segment with the maximum ``end_time`` from metadata alone, decode
-    ONLY those segments, and keep the point at ``timestamp == end_time``
-    (the encoder pins a segment's last point to its stored end_time).
+    """First/last observation per series (the TimescaleDB ``first()`` /
+    ``last()`` shape, which the reference answers by gridding and sorting
+    every point): per (tags, field_column) series, find the segment with
+    the max ``end_time`` (or min ``start_time``) from metadata alone,
+    decode ONLY those segments, and keep the point pinned at the segment
+    bound (the encoder stores a segment's first/last point timestamp as
+    start_time/end_time exactly).
 
     Scale shape: one window over the narrow metadata columns selects
     O(series) segment rows out of the whole table — a 100 TB table with
     10 M series decodes 10 M segments' worth of binary, not the table.
-    Duplicate points at the same final timestamp collapse to MAX(value)
+    Duplicate points at the same edge timestamp collapse to MAX(value)
     for determinism.
 
     Output: (*tags, field_column, timestamp µs, value).
     """
     from pyspark.sql import Window
 
+    if which not in ("first", "last"):
+        raise ValueError(f"which must be 'first' or 'last', got {which!r}")
+    bound = "end_time" if which == "last" else "start_time"
+    pick = F.max(bound) if which == "last" else F.min(bound)
     keys = tag_columns + ["field_column"]
     w = Window.partitionBy(*keys)
-    last_segs = (
-        segments.withColumn("__mx__", F.max("end_time").over(w))
-        .where(F.col("end_time") == F.col("__mx__"))
+    edge_segs = (
+        segments.withColumn("__mx__", pick.over(w))
+        .where(F.col(bound) == F.col("__mx__"))
         .drop("__mx__")
     )
-    # Carry end_time through the decode as a string key so the final
+    # Carry the bound through the decode as a string key so the final
     # point filter is map-only (grid_univariate passes "tags" through).
-    carried = keys + ["__last__"]
+    carried = keys + ["__edge__"]
     pts = grid_univariate(
-        last_segs.withColumn("__last__", F.col("end_time").cast("string"))
+        edge_segs.withColumn("__edge__", F.col(bound).cast("string"))
         .withColumn("field_column", F.col("field_column").cast("string")),
         carried,
         may_have_slow=may_have_slow,
     )
     return (
-        pts.where(F.col("timestamp") == F.col("__last__").cast("long"))
+        pts.where(F.col("timestamp") == F.col("__edge__").cast("long"))
         .groupBy(*tag_columns, F.col("field_column").cast("int").alias("field_column"), "timestamp")
         .agg(F.max("value").alias("value"))
     )
+
+
+def latest_points(
+    segments: DataFrame,
+    tag_columns: list[str],
+    may_have_slow: bool = True,
+) -> DataFrame:
+    """Last observation per series — see edge_points."""
+    return edge_points(segments, tag_columns, "last", may_have_slow)
 
 
 def grid(

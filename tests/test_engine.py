@@ -356,3 +356,30 @@ def test_last_points_per_series(engine, spark):
     )
     got2 = {r.sensor: r.value for r in engine.last_points("lp").collect()}
     assert got2["b"] == 777.0 and got2["a"] == 99.0
+
+
+def test_first_points_per_series(engine, spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    t0 = datetime.datetime(2024, 3, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        Row(timestamp=t0 + datetime.timedelta(seconds=i), value=float(i), sensor=s)
+        for s in ("a", "b")
+        for i in range(40)
+    ]
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE fp(timestamp TIMESTAMP, value FIELD, sensor TAG)"
+    )
+    engine.write("fp", spark.createDataFrame(rows))
+    # an EARLIER backfill write moves the first observation backward
+    engine.write(
+        "fp",
+        spark.createDataFrame(
+            [Row(timestamp=t0 - datetime.timedelta(hours=1), value=-5.0, sensor="a")]
+        ),
+    )
+    got = {r.sensor: (r.timestamp, r.value) for r in engine.first_points("fp").collect()}
+    assert got["a"] == ((t0 - datetime.timedelta(hours=1)).replace(tzinfo=None), -5.0)
+    assert got["b"] == (t0.replace(tzinfo=None), 0.0)
