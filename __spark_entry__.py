@@ -591,6 +591,65 @@ def ts_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming run (streaming/ingest.py::
+    windowed_rollup): file-source stream over events.parquet, watermarked
+    hourly event-time windows per event type, availableNow trigger into a
+    memory sink. Deterministic subset: append mode only emits windows the
+    final watermark (max event time - 10 min) has closed, so both sides
+    filter to window_end <= max_ts - 10 min — the oracle reproduces the
+    same closed-window set in batch SQL."""
+    import uuid
+
+    from modelardb_rs_spark.streaming.ingest import windowed_rollup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    # the file source needs a directory: expose the single parquet file
+    # through a per-sf symlink dir (testdata itself is read-only)
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), "sparkmodelar_entry", f"{key}_streamsrc"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    batch = spark.read.parquet(path)
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    if dict(batch.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    rolled = windowed_rollup(
+        stream, "ts", "value", ["event_type"], window="1 hour",
+        watermark="10 minutes",
+    )
+    name = f"rollup_{uuid.uuid4().hex[:12]}"
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    (ev,) = _prep(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.max(F.unix_micros("ts")) - F.lit(600_000_000)).alias("c")
+    ).collect()[0].c
+    out = spark.table(name).where(F.unix_micros("window_end") <= F.lit(int(cutoff)))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00:00").alias("hour"),
+        F.col("event_type").alias("etype"),
+        "n",
+        F.round(F.col("sum_value"), 2).alias("total"),
+        F.col("min_value").alias("mn"),
+        F.col("max_value").alias("mx"),
+    )
+
+
 def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-style scalar subquery: orders above the global average
     price, counted per priority."""
@@ -1014,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gapfill": ts_gapfill,
         "ts_lossy_bound": ts_lossy_bound,
         "ts_time_travel": ts_time_travel,
+        "stream_windowed_rollup": stream_windowed_rollup,
         "q_subquery_scalar": q_subquery_scalar,
         "q_pivot": q_pivot,
         "q_asof_join": q_asof_join,
@@ -1394,6 +1454,24 @@ def oracle_sql() -> dict[str, str]:
               (SELECT count(*) FROM events) AS cur_n,
               (SELECT round(sum(CAST(CAST(value AS FLOAT) AS DOUBLE)), 2) FROM events) AS cur_sum,
               CAST(2 AS BIGINT) AS n_commits
+        """,
+        "stream_windowed_rollup": """
+            WITH p AS (
+                SELECT event_type,
+                       (epoch_ns(ts) // 1000)
+                       - ((epoch_ns(ts) // 1000) % 3600000000) AS h_us,
+                       CAST(value AS DOUBLE) AS v
+                FROM events
+            ), cutoff AS (
+                SELECT max(epoch_ns(ts) // 1000) - 600000000 AS c FROM events
+            )
+            SELECT strftime(make_timestamp(h_us), '%Y-%m-%d %H:00:00') AS hour,
+                   event_type AS etype, count(*) AS n,
+                   round(sum(v), 2) AS total,
+                   min(v) AS mn, max(v) AS mx
+            FROM p, cutoff
+            WHERE h_us + 3600000000 <= cutoff.c
+            GROUP BY 1, 2
         """,
         "q_subquery_scalar": """
             SELECT o_orderpriority, count(*) AS n,

@@ -35,6 +35,7 @@ HEADLINE = [
     "ts_multifield",
     "ts_resample",
     "ts_latest",
+    "ts_gapfill",
     "doc_fingerprints",
     "doc_token_stats",
     "doc_langid",
