@@ -830,6 +830,15 @@ def doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (operators/profile.py::profile_table): per-column
+    null/distinct/min/max in one aggregation over documents."""
+    from modelardb_rs_spark.operators.profile import profile_table
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
 def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _prep(spark, sf_dir, "documents")
     return (
@@ -1086,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "doc_repetition": doc_repetition,
         "doc_tfidf": doc_tfidf,
+        "doc_profile": doc_profile,
         "doc_langid": doc_langid,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
@@ -1570,6 +1580,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS kept_chars,
                    CAST((SELECT count(*) FROM a JOIN b USING (doc_id)) AS BIGINT) AS salt_overlap_by_chance
             FROM a
+        """,
+        "doc_profile": """
+            SELECT 'doc_id' AS "column", 'bigint' AS dtype, count(*) AS n_rows,
+                   count(*) - count(doc_id) AS n_nulls,
+                   round(CAST(count(*) - count(doc_id) AS DOUBLE) / count(*), 6) AS null_frac,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_str,
+                   CAST(max(doc_id) AS VARCHAR) AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'lang', 'string', count(*), count(*) - count(lang),
+                   round(CAST(count(*) - count(lang) AS DOUBLE) / count(*), 6),
+                   count(DISTINCT lang),
+                   CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'source', 'string', count(*), count(*) - count(source),
+                   round(CAST(count(*) - count(source) AS DOUBLE) / count(*), 6),
+                   count(DISTINCT source),
+                   CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', 'bigint', count(*), count(*) - count(n_chars),
+                   round(CAST(count(*) - count(n_chars) AS DOUBLE) / count(*), 6),
+                   count(DISTINCT n_chars),
+                   CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+            FROM documents
         """,
         "doc_tfidf": """
             WITH toks AS (

@@ -354,3 +354,19 @@ def test_tfidf_top_terms(spark):
     assert got[(2, 1)][3] == s_b and got[(2, 2)][3] == s_c
     # doc 3: cherry tf=3 first, durian unique second
     assert got[(3, 1)][0] == "cherry" and got[(3, 2)] == ("durian", 1, 1, score(1, 1))
+
+
+def test_profile_table(spark):
+    from modelardb_rs_spark.operators.profile import profile_table
+
+    rows = [
+        Row(a=1, b="x", c=None),
+        Row(a=2, b="y", c=3.5),
+        Row(a=2, b=None, c=None),
+    ]
+    out = {r.column: r for r in profile_table(spark.createDataFrame(rows)).collect()}
+    assert out["a"].n_rows == 3 and out["a"].n_nulls == 0 and out["a"].n_distinct == 2
+    assert out["a"].min_str == "1" and out["a"].max_str == "2"
+    assert out["b"].n_nulls == 1 and out["b"].n_distinct == 2
+    assert out["c"].n_nulls == 2 and out["c"].null_frac == pytest.approx(2 / 3, abs=1e-6)
+    assert out["c"].min_str == "3.5" and out["c"].max_str == "3.5"
