@@ -578,3 +578,29 @@ def test_sql_time_bucket_routes_to_resample(lossy_engine):
         | (FF.abs(FF.col("sm") - FF.col("rsm")) > 1e-6)
     ).count()
     assert bad == 0 and push.count() > 3
+
+
+def test_resample_pre_epoch_timestamps(engine, spark):
+    """Negative-µs (pre-1970) timestamps bucket correctly on both the
+    closed-form and gridded paths (pmod-based floor division, not
+    truncation toward zero)."""
+    import datetime as dt
+
+    t0 = dt.datetime(1969, 12, 31, 22, 30, tzinfo=dt.timezone.utc)
+    rows = [
+        Row(timestamp=t0 + dt.timedelta(minutes=10 * i), value=5.0, s="c")
+        for i in range(12)  # constant -> PMC, spans the epoch boundary
+    ]
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE pe(timestamp TIMESTAMP, value FIELD, s TAG)"
+    )
+    engine.write("pe", spark.createDataFrame(rows))
+    got = {
+        r.bucket.isoformat(): r.count_value
+        for r in engine.resample("pe", "1 hour", {"value": "count"}).collect()
+    }
+    assert got == {
+        "1969-12-31T22:00:00": 3,
+        "1969-12-31T23:00:00": 6,
+        "1970-01-01T00:00:00": 3,
+    }

@@ -85,3 +85,51 @@ def test_fuzz_rewrite_matches_gridded(fuzz_engine):
         assert f_rows == s_rows, f"mismatch for {sql!r}:\n{f_rows[:3]}\nvs\n{s_rows[:3]}"
         cases += 1
     assert cases == 25
+
+
+def test_fuzz_time_bucket_rewrite_matches_gridded(fuzz_engine):
+    """Random GROUP BY time_bucket statements: the resample rewrite must
+    equal plain spark.sql over the gridded view with an equivalent
+    date_trunc/floor bucketing."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(29)
+    widths = [("30 seconds", 30_000_000), ("5 minutes", 300_000_000),
+              ("10 minutes", 600_000_000), ("1 hour", 3_600_000_000)]
+    for _ in range(12):
+        wname, wus = rng.choice(widths)
+        n_aggs = rng.randint(1, 2)
+        items, agg_exprs = [], []
+        for j in range(n_aggs):
+            func = rng.choice(AGGS)
+            col = rng.choice(["a", "b"])
+            items.append(f"{func}({col}) AS x{j}")
+            agg_exprs.append(getattr(F, func)(col).alias(f"x{j}"))
+        gtags = rng.sample(["site", "unit"], rng.randint(0, 2))
+        gkeys = ", ".join([f"time_bucket('{wname}', timestamp)"] + gtags)
+        proj = ", ".join(
+            [f"time_bucket('{wname}', timestamp) AS b"] + gtags + items
+        )
+        where = ""
+        if rng.random() < 0.4:
+            where = f" WHERE site = 's{rng.randint(0, 2)}'"
+        sql = f"SELECT {proj} FROM fz{where} GROUP BY {gkeys}"
+        fast = fuzz_engine.read_sql(sql)
+
+        grid = fuzz_engine.table("fz")
+        if where:
+            grid = grid.where(F.col("site") == where.split("'")[1])
+        ref = (
+            grid.withColumn(
+                "__bk__",
+                F.timestamp_micros(
+                    (F.unix_micros("timestamp") / wus).cast("long") * wus
+                ),
+            )
+            .groupBy("__bk__", *gtags)
+            .agg(*agg_exprs)
+            .withColumnRenamed("__bk__", "b")
+        )
+        f_rows = canonical([tuple(r) for r in fast.collect()])
+        s_rows = canonical([tuple(r) for r in ref.collect()])
+        assert f_rows == s_rows, f"mismatch for {sql!r}"
