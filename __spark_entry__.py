@@ -839,6 +839,17 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
 
 
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (operators/dedup.py::
+    ngram_contamination): 5-gram collisions between a deterministic 80%
+    train split and the 20% eval split; 15 most contaminated eval docs."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    ev = docs.where(F.col("doc_id") % 5 == 0)
+    out = dedup_ops.ngram_contamination(train, ev, n=5)
+    return out.orderBy(F.desc("contamination_frac"), F.asc("doc_id")).limit(15)
+
+
 def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _prep(spark, sf_dir, "documents")
     return (
@@ -1096,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": doc_repetition,
         "doc_tfidf": doc_tfidf,
         "doc_profile": doc_profile,
+        "dedup_contamination": dedup_contamination,
         "doc_langid": doc_langid,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
@@ -1580,6 +1592,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS kept_chars,
                    CAST((SELECT count(*) FROM a JOIN b USING (doc_id)) AS BIGINT) AS salt_overlap_by_chance
             FROM a
+        """,
+        "dedup_contamination": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE string_split_regex(trim(text), '\\s+') END AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                            ELSE list_distinct(list_transform(
+                                     generate_series(1, len(toks) - 4),
+                                     i -> array_to_string(toks[i:i+4], ' ')))
+                       END AS sh
+                FROM d
+            ), tr AS (
+                SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 5 <> 0
+            ), ev AS (
+                SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 5 = 0
+            ), hits AS (
+                SELECT ev.doc_id, count(*) AS n_cont
+                FROM ev JOIN tr ON ev.g = tr.g GROUP BY 1
+            )
+            SELECT s.doc_id, len(s.sh) AS n_ngrams,
+                   coalesce(h.n_cont, 0) AS n_contaminated,
+                   CASE WHEN len(s.sh) > 0
+                        THEN round(CAST(coalesce(h.n_cont, 0) AS DOUBLE) / len(s.sh), 6)
+                        ELSE 0.0 END AS contamination_frac
+            FROM s LEFT JOIN hits h ON s.doc_id = h.doc_id
+            WHERE s.doc_id % 5 = 0
+            ORDER BY contamination_frac DESC, s.doc_id ASC
+            LIMIT 15
         """,
         "doc_profile": """
             SELECT 'doc_id' AS "column", 'bigint' AS dtype, count(*) AS n_rows,

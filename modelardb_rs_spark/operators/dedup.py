@@ -379,3 +379,51 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# -------------------------------------------------- contamination check
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check (the n-gram-collision methodology
+    publicly described for LLM training sets, e.g. the GPT-3 and PaLM
+    papers): for each eval document, the fraction of its distinct word
+    n-grams that appear anywhere in the training corpus.
+
+    Scale shape: explode both corpora into distinct shingles; the train
+    side deduplicates corpus-wide (one shuffle on the shingle key) into
+    an inverted set; a LEFT SEMI join marks contaminated eval shingles
+    and one per-doc aggregation emits the overlap. No pairwise doc×doc
+    work — cost is O(total shingles), and skewed shingles are just
+    larger join buckets handled by AQE.
+
+    Output: (id_col, n_ngrams, n_contaminated, contamination_frac).
+    """
+    ev = explode_shingles(eval_df, text_col, id_col, n)
+    tr = explode_shingles(train, text_col, id_col, n).select("shingle").distinct()
+    hits = (
+        ev.join(tr, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = eval_df.select(
+        F.col(id_col), F.size(shingles(F.col(text_col), n)).alias("n_ngrams")
+    )
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_ngrams",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+        F.round(
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_ngrams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("contamination_frac"),
+    )

@@ -370,3 +370,25 @@ def test_profile_table(spark):
     assert out["b"].n_nulls == 1 and out["b"].n_distinct == 2
     assert out["c"].n_nulls == 2 and out["c"].null_frac == pytest.approx(2 / 3, abs=1e-6)
     assert out["c"].min_str == "3.5" and out["c"].max_str == "3.5"
+
+
+def test_ngram_contamination(spark):
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox jumps over the lazy dog")]
+    )
+    ev = spark.createDataFrame(
+        [
+            # shares the 4-gram "quick brown fox jumps"
+            Row(doc_id=10, text="a quick brown fox jumps here"),
+            Row(doc_id=11, text="entirely different words only"),
+            Row(doc_id=12, text="the quick brown fox jumps over the lazy dog"),
+        ]
+    )
+    out = {
+        r.doc_id: (r.n_ngrams, r.n_contaminated, r.contamination_frac)
+        for r in dedup_ops.ngram_contamination(train, ev, n=4).collect()
+    }
+    assert out[12][0] == out[12][1] and out[12][2] == 1.0  # verbatim copy
+    assert out[11] == (1, 0, 0.0)  # <4 tokens? no — 4 tokens -> 1 gram, no hit
+    assert out[10][1] == 1 and out[10][0] == 3  # one shared 4-gram of three
+    assert out[10][2] == pytest.approx(1 / 3, abs=1e-6)
