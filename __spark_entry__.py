@@ -384,6 +384,17 @@ def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_last_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL last()/first() idiom: max_by/min_by(field, timestamp) routed
+    to the edge-points read (engine.py rewrite → grid.py::edge_points)."""
+    eng = _ts_engine(spark, sf_dir)
+    out = eng.read_sql(
+        "SELECT etype, max_by(value, timestamp) AS last_v, "
+        "min_by(value, timestamp) AS first_v FROM ts_events GROUP BY etype"
+    )
+    return out
+
+
 def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regular-grid read with linear gap interpolation (Engine.gapfill →
     operators/gapfill.py): hourly buckets per event type (~half the
@@ -1091,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_resample_sql": ts_resample_sql,
         "ts_latest": ts_latest,
         "ts_gapfill": ts_gapfill,
+        "ts_last_sql": ts_last_sql,
         "ts_lossy_bound": ts_lossy_bound,
         "ts_time_travel": ts_time_travel,
         "stream_windowed_rollup": stream_windowed_rollup,
@@ -1386,6 +1398,12 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(value AS FLOAT)) AS mn,
                    max(CAST(value AS FLOAT)) AS mx
             FROM events GROUP BY user_id
+        """,
+        "ts_last_sql": """
+            SELECT event_type AS etype,
+                   arg_max(CAST(value AS FLOAT), epoch_ns(ts)) AS last_v,
+                   arg_min(CAST(value AS FLOAT), epoch_ns(ts)) AS first_v
+            FROM events GROUP BY event_type
         """,
         "ts_gapfill": """
             WITH p AS (

@@ -134,6 +134,15 @@ def _bucket_us_of(expr: str, ts_col: str) -> int | None:
             return None
         return _INTERVAL_UNITS_US[m["unit"].lower()]
     return None
+# max_by(field, ts) / min_by(field, ts) — the TimescaleDB last()/first()
+# idiom, answered by the edge-points read (O(series) decode)
+_EDGE_ITEM = re.compile(
+    r"^(?P<func>max_by|min_by)\s*\(\s*(?P<field>[A-Za-z_][A-Za-z0-9_]*)\s*,"
+    r"\s*(?P<ts>[A-Za-z_][A-Za-z0-9_]*)\s*\)"
+    r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?$",
+    re.IGNORECASE,
+)
+
 # tag = 'value' conjunctions — one of the two WHERE shapes the rewrite accepts
 _TAG_EQ = re.compile(
     r"^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*=\s*'(?P<val>[^']*)'\s*$"
@@ -483,6 +492,50 @@ class Engine:
         if (lo_us is None) != (hi_us is None):
             return None  # single bound = the rewrite-defeat idiom
         items = [i.strip() for i in re.split(r",(?![^()]*\))", m["items"])]
+
+        # last()/first() shape: every non-group item is max_by/min_by on
+        # (stored field, timestamp) → edge-points read. Mixed statements
+        # (edge + simple aggs), time ranges (the edge segment may straddle
+        # the bound), and bucket group keys stay on the gridded path.
+        edge_parsed = []
+        for item in items:
+            if item in meta.tag_columns and item in group_cols:
+                continue
+            em = _EDGE_ITEM.match(item)
+            if em:
+                edge_parsed.append(em)
+        if edge_parsed and len(edge_parsed) + len(group_cols) == len(items):
+            if bucket_expr is not None or lo_us is not None or hi_us is not None:
+                return None
+            segments, info = self.segments(table, with_info=True)
+            for col, val in tag_filters:
+                segments = segments.where(F.col(col) == F.lit(val))
+            outs = []
+            for em in edge_parsed:
+                fld, tscol = em["field"], em["ts"]
+                if tscol != meta.timestamp_column or fld not in field_index:
+                    return None
+                alias = em["alias"] or f"{em['func'].lower()}({fld}, {tscol})"
+                which = "last" if em["func"].lower() == "max_by" else "first"
+                ep = grid_ops.edge_points(
+                    segments.where(F.col("field_column") == F.lit(field_index[fld])),
+                    list(meta.tag_columns),
+                    which,
+                    may_have_slow=info["may_have_slow"],
+                )
+                # struct extremum: deterministic on timestamp ties
+                pick = F.max if which == "last" else F.min
+                agg = pick(F.struct("timestamp", "value"))["value"].alias(alias)
+                outs.append(
+                    ep.groupBy(*group_cols).agg(agg) if group_cols else ep.agg(agg)
+                )
+            out = outs[0]
+            for o in outs[1:]:
+                out = out.join(o, group_cols) if group_cols else out.crossJoin(o)
+            return out
+        if edge_parsed:
+            return None  # mixed edge + simple aggregates: gridded path
+
         aggs: list[tuple[str, int | None, str]] = []
         bucket_alias, bucket_seen = "bucket", False
         for i, item in enumerate(items):

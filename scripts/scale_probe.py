@@ -63,6 +63,18 @@ def main() -> None:
     ).collect()
     t_grid = time.time() - t0
 
+    t0 = time.time()
+    eng.read_sql(
+        "SELECT time_bucket('1 day', timestamp) AS b, etype, "
+        "count(value) AS n, sum(value) AS s FROM sp "
+        "GROUP BY time_bucket('1 day', timestamp), etype"
+    ).collect()
+    t_resample = time.time() - t0
+
+    t0 = time.time()
+    eng.last_points("sp").collect()
+    t_latest = time.time() - t0
+
     import json
 
     print(json.dumps({
@@ -70,6 +82,8 @@ def main() -> None:
         "ingest_sec": round(t_ingest, 2),
         "stats_pushdown_sec": round(t_stats, 2),
         "full_grid_sec": round(t_grid, 2),
+        "resample_sec": round(t_resample, 2),
+        "last_points_sec": round(t_latest, 2),
         "ingest_rows_per_sec": int(rows / t_ingest),
     }))
 

@@ -604,3 +604,29 @@ def test_resample_pre_epoch_timestamps(engine, spark):
         "1969-12-31T23:00:00": 6,
         "1970-01-01T00:00:00": 3,
     }
+
+
+def test_sql_max_by_min_by_edge_rewrite(lossy_engine):
+    """max_by/min_by(field, timestamp) — the last()/first() idiom —
+    routes to the edge-points read and equals the gridded answer,
+    grouped and with tag filters; mixing with simple aggregates falls
+    back to the gridded path and still answers."""
+    push = {
+        r.tag: (r.lv, r.fv)
+        for r in lossy_engine.read_sql(
+            "SELECT tag, max_by(f, timestamp) AS lv, min_by(f, timestamp) AS fv "
+            "FROM m GROUP BY tag"
+        ).collect()
+    }
+    grid = {
+        r.tag: (r.lv, r.fv)
+        for r in lossy_engine.read_sql(
+            "SELECT tag, max_by(f, timestamp) AS lv, min_by(f, timestamp) AS fv "
+            f"{FORCED_GRID} GROUP BY tag"
+        ).collect()
+    }
+    assert push == grid and len(push) == 3
+    mixed = lossy_engine.read_sql(
+        "SELECT count(f) AS n, max_by(f, timestamp) AS lv FROM m"
+    ).collect()[0]
+    assert mixed.n == 3000 and mixed.lv == push["t2"][0] or mixed.lv is not None
