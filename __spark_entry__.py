@@ -395,6 +395,16 @@ def ts_last_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ts_value_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup with linear interpolation (Engine.value_at →
+    operators/gapfill.py::value_at): O(series) candidate-segment decode."""
+    eng = _ts_engine(spark, sf_dir)
+    out = eng.value_at("ts_events", "2024-01-15T12:00:00", fields=["value"])
+    return out.select(
+        "etype", "field", "timestamp", F.round("value", 4).alias("value")
+    )
+
+
 def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regular-grid read with linear gap interpolation (Engine.gapfill →
     operators/gapfill.py): hourly buckets per event type (~half the
@@ -1103,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_latest": ts_latest,
         "ts_gapfill": ts_gapfill,
         "ts_last_sql": ts_last_sql,
+        "ts_value_at": ts_value_at,
         "ts_lossy_bound": ts_lossy_bound,
         "ts_time_travel": ts_time_travel,
         "stream_windowed_rollup": stream_windowed_rollup,
@@ -1398,6 +1409,29 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(value AS FLOAT)) AS mn,
                    max(CAST(value AS FLOAT)) AS mx
             FROM events GROUP BY user_id
+        """,
+        "ts_value_at": """
+            WITH p AS (
+                SELECT event_type AS etype, epoch_ns(ts) // 1000 AS ts_us,
+                       CAST(CAST(value AS FLOAT) AS DOUBLE) AS v
+                FROM events
+            ), pr AS (
+                SELECT etype, arg_max(v, ts_us) AS pv, max(ts_us) AS pt
+                FROM p WHERE ts_us <= epoch_us(TIMESTAMP '2024-01-15 12:00:00')
+                GROUP BY 1
+            ), nx AS (
+                SELECT etype, arg_min(v, ts_us) AS nv, min(ts_us) AS nt
+                FROM p WHERE ts_us >= epoch_us(TIMESTAMP '2024-01-15 12:00:00')
+                GROUP BY 1
+            )
+            SELECT pr.etype, 'value' AS field,
+                   TIMESTAMP '2024-01-15 12:00:00' AS timestamp,
+                   round(CASE WHEN pr.pt = epoch_us(TIMESTAMP '2024-01-15 12:00:00')
+                              THEN pr.pv
+                              ELSE pr.pv + (nx.nv - pr.pv)
+                                   * (epoch_us(TIMESTAMP '2024-01-15 12:00:00') - pr.pt)
+                                   / (nx.nt - pr.pt) END, 4) AS value
+            FROM pr JOIN nx ON pr.etype = nx.etype
         """,
         "ts_last_sql": """
             SELECT event_type AS etype,

@@ -760,6 +760,45 @@ class Engine:
             "value",
         )
 
+    def value_at(
+        self,
+        name: str,
+        at,
+        fields: list[str] | None = None,
+        method: str = "linear",
+        tags: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Every series' value at one timestamp (operators/gapfill.py::
+        value_at): nearest-neighbor candidate segments found from
+        metadata, O(series) decode, LOCF or linear interpolation.
+        Output: (*tags, field, timestamp, value)."""
+        meta = self.catalog.time_series_metadata(name)
+        field_index = meta.field_index_of
+        t_us = _to_us(at)
+        segments, info = self.segments(name, with_info=True)
+        for tcol, v in (tags or {}).items():
+            segments = segments.where(F.col(tcol) == F.lit(v))
+        wanted = fields or list(meta.field_columns)
+        segments = segments.where(
+            F.col("field_column").isin([field_index[f] for f in wanted])
+        )
+        from modelardb_rs_spark.operators.gapfill import value_at as value_at_op
+
+        out = value_at_op(
+            segments, meta.tag_columns, t_us, method,
+            may_have_slow=info["may_have_slow"],
+        )
+        index_to_name = {field_index[f]: f for f in wanted}
+        name_expr = F.col("field_column").cast("string")
+        for idx, fname in index_to_name.items():
+            name_expr = F.when(F.col("field_column") == F.lit(idx), F.lit(fname)).otherwise(name_expr)
+        return out.select(
+            *meta.tag_columns,
+            name_expr.alias("field"),
+            F.timestamp_micros(F.col("timestamp")).alias(meta.timestamp_column),
+            "value",
+        )
+
     def first_points(
         self,
         name: str,

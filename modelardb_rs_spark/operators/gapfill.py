@@ -21,6 +21,82 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def value_at(
+    segments: DataFrame,
+    tag_columns: list[str],
+    t_us: int,
+    method: str = "linear",
+    may_have_slow: bool = True,
+) -> DataFrame:
+    """Point-in-time lookup: the (interpolated) value of every series at
+    one timestamp, decoding only O(series) candidate segments.
+
+    Candidate set per series (exact even under overlapping duplicate
+    writes): segments covering t, plus the max-end segment strictly
+    before t, plus the min-start segment strictly after t — the nearest
+    observed point on each side provably lives in one of these. ``locf``
+    returns the nearest point at-or-before t; ``linear`` interpolates
+    between the two neighbors (NULL outside the observed span).
+
+    Output: (*tags, field_column int, timestamp µs == t, value double).
+    """
+    from pyspark.sql import Window
+
+    from modelardb_rs_spark.operators.grid import grid_univariate
+
+    if method not in ("locf", "linear"):
+        raise ValueError(f"unknown value_at method: {method}")
+    t = int(t_us)
+    keys = tag_columns + ["field_column"]
+    w = Window.partitionBy(*keys)
+    cov = segments.where(
+        (F.col("start_time") <= F.lit(t)) & (F.col("end_time") >= F.lit(t))
+    )
+    bef = (
+        segments.where(F.col("end_time") < F.lit(t))
+        .withColumn("__m__", F.max("end_time").over(w))
+        .where(F.col("end_time") == F.col("__m__"))
+        .drop("__m__")
+    )
+    aft = (
+        segments.where(F.col("start_time") > F.lit(t))
+        .withColumn("__m__", F.min("start_time").over(w))
+        .where(F.col("start_time") == F.col("__m__"))
+        .drop("__m__")
+    )
+    cand = cov.unionByName(bef).unionByName(aft)
+    pts = grid_univariate(
+        cand.withColumn("field_column", F.col("field_column").cast("string")),
+        keys,
+        may_have_slow=may_have_slow,
+    )
+    ts, v = F.col("timestamp"), F.col("value")
+    prev_s = F.max(F.when(ts <= F.lit(t), F.struct(ts.alias("t"), v.alias("v"))))
+    next_s = F.min(F.when(ts >= F.lit(t), F.struct(ts.alias("t"), v.alias("v"))))
+    agg = pts.groupBy(
+        *tag_columns, F.col("field_column").cast("int").alias("field_column")
+    ).agg(prev_s.alias("__p__"), next_s.alias("__n__"))
+    pt, pv = F.col("__p__.t"), F.col("__p__.v").cast("double")
+    nt, nv = F.col("__n__.t"), F.col("__n__.v").cast("double")
+    if method == "locf":
+        filled = pv
+    else:
+        filled = (
+            F.when(pt == F.lit(t), pv)
+            .when(
+                F.col("__p__").isNotNull() & F.col("__n__").isNotNull(),
+                pv + (nv - pv) * (F.lit(t) - pt).cast("double") / (nt - pt).cast("double"),
+            )
+            .otherwise(F.lit(None).cast("double"))
+        )
+    return agg.select(
+        *tag_columns,
+        "field_column",
+        F.lit(t).alias("timestamp"),
+        filled.alias("value"),
+    )
+
+
 def gapfill(
     buckets: DataFrame,
     series_cols: list[str],

@@ -630,3 +630,27 @@ def test_sql_max_by_min_by_edge_rewrite(lossy_engine):
         "SELECT count(f) AS n, max_by(f, timestamp) AS lv FROM m"
     ).collect()[0]
     assert mixed.n == 3000 and mixed.lv == push["t2"][0] or mixed.lv is not None
+
+
+def test_value_at_interpolation_and_locf(engine, spark):
+    """Point-in-time lookup: observed points at 0h(2.0) and 4h(10.0);
+    value_at 1h interpolates 4.0 linearly, carries 2.0 forward for locf,
+    and is NULL before the first observation under linear."""
+    rows = [
+        Row(timestamp=TS0, value=2.0, s="x"),
+        Row(timestamp=TS0 + datetime.timedelta(hours=4), value=10.0, s="x"),
+        Row(timestamp=TS0 + datetime.timedelta(hours=2), value=7.0, s="y"),
+    ]
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE va(timestamp TIMESTAMP, value FIELD, s TAG)"
+    )
+    engine.write("va", spark.createDataFrame(rows))
+    at = TS0 + datetime.timedelta(hours=1)
+    lin = {r.s: r.value for r in engine.value_at("va", at).collect()}
+    assert lin["x"] == pytest.approx(4.0)
+    assert lin["y"] is None  # before y's first point: strict linear
+    locf = {r.s: r.value for r in engine.value_at("va", at, method="locf").collect()}
+    assert locf["x"] == pytest.approx(2.0) and locf["y"] is None
+    # exact hit returns the stored value
+    exact = {r.s: r.value for r in engine.value_at("va", TS0 + datetime.timedelta(hours=2)).collect()}
+    assert exact["y"] == pytest.approx(7.0)
