@@ -405,6 +405,13 @@ def ts_value_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsampling (Engine.m4 →
+    operators/downsample.py): first/last/min/max point per (type, day)."""
+    eng = _ts_engine(spark, sf_dir)
+    return eng.m4("ts_events", "1 day", "value")
+
+
 def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regular-grid read with linear gap interpolation (Engine.gapfill →
     operators/gapfill.py): hourly buckets per event type (~half the
@@ -1114,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gapfill": ts_gapfill,
         "ts_last_sql": ts_last_sql,
         "ts_value_at": ts_value_at,
+        "ts_m4": ts_m4,
         "ts_lossy_bound": ts_lossy_bound,
         "ts_time_travel": ts_time_travel,
         "stream_windowed_rollup": stream_windowed_rollup,
@@ -1409,6 +1417,25 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(value AS FLOAT)) AS mn,
                    max(CAST(value AS FLOAT)) AS mx
             FROM events GROUP BY user_id
+        """,
+        "ts_m4": """
+            WITH p AS (
+                SELECT event_type AS etype, epoch_ns(ts) // 1000 AS t,
+                       CAST(value AS FLOAT) AS v
+                FROM events
+            ), b AS (
+                SELECT etype, t - (t % 86400000000) AS b_us, t, v FROM p
+            ), r AS (
+                SELECT etype, b_us, t, v,
+                       row_number() OVER (PARTITION BY etype, b_us ORDER BY t, v) AS rf,
+                       row_number() OVER (PARTITION BY etype, b_us ORDER BY t DESC, v DESC) AS rl,
+                       row_number() OVER (PARTITION BY etype, b_us ORDER BY v, t) AS rmn,
+                       row_number() OVER (PARTITION BY etype, b_us ORDER BY v DESC, t DESC) AS rmx
+                FROM b
+            )
+            SELECT DISTINCT etype, make_timestamp(b_us) AS bucket,
+                   make_timestamp(t) AS timestamp, v AS value
+            FROM r WHERE rf = 1 OR rl = 1 OR rmn = 1 OR rmx = 1
         """,
         "ts_value_at": """
             WITH p AS (

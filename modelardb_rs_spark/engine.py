@@ -799,6 +799,31 @@ class Engine:
             "value",
         )
 
+    def m4(
+        self,
+        name: str,
+        every,
+        field: str,
+        start=None,
+        end=None,
+        tags: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """M4 visualization downsampling (operators/downsample.py):
+        first/last/min/max point per (series, bucket) — ≤ 4·buckets·series
+        output points that render the exact line-chart envelope."""
+        from modelardb_rs_spark.operators.downsample import m4_downsample
+
+        meta = self.catalog.time_series_metadata(name)
+        pts = self.table(name, fields=[field], start=start, end=end)
+        for tcol, v in (tags or {}).items():
+            pts = pts.where(F.col(tcol) == F.lit(v))
+        return m4_downsample(
+            pts.withColumnRenamed(field, "value"),
+            meta.tag_columns,
+            _interval_us(every),
+            ts_col=meta.timestamp_column,
+        )
+
     def first_points(
         self,
         name: str,

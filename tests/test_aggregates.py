@@ -654,3 +654,25 @@ def test_value_at_interpolation_and_locf(engine, spark):
     # exact hit returns the stored value
     exact = {r.s: r.value for r in engine.value_at("va", TS0 + datetime.timedelta(hours=2)).collect()}
     assert exact["y"] == pytest.approx(7.0)
+
+
+def test_m4_downsample(engine, spark):
+    """M4 keeps exactly first/last/min/max per bucket; a monotone bucket
+    emits 2 distinct points (first==min, last==max)."""
+    rows = [
+        Row(timestamp=TS0 + datetime.timedelta(minutes=i), value=v, s="x")
+        for i, v in enumerate([5.0, 1.0, 9.0, 4.0])  # one 1-hour bucket
+    ] + [
+        Row(timestamp=TS0 + datetime.timedelta(hours=1, minutes=i), value=float(i), s="x")
+        for i in range(4)  # monotone second bucket
+    ]
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE m4t(timestamp TIMESTAMP, value FIELD, s TAG)"
+    )
+    engine.write("m4t", spark.createDataFrame(rows))
+    out = engine.m4("m4t", "1 hour", "value").collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket.hour, set()).add((r.timestamp.minute, r.value))
+    assert by_bucket[0] == {(0, 5.0), (1, 1.0), (2, 9.0), (3, 4.0)}
+    assert by_bucket[1] == {(0, 0.0), (3, 3.0)}
