@@ -678,6 +678,55 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous rollup (streaming/rollup.py): a real streaming job
+    appends per-batch PARTIAL aggregates to an engine table through the
+    transactional log; the read merges partials (monoid), so the result
+    is watermark-independent and has an exact batch oracle."""
+    import uuid
+
+    from modelardb_rs_spark.streaming.rollup import read_rollup, start_continuous_rollup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), "sparkmodelar_entry", f"{key}_streamsrc"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    batch = spark.read.parquet(path)
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(stream_dir)
+    if dict(batch.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # fresh folder + checkpoint per invocation: reruns never double-append
+    work = tempfile.mkdtemp(prefix=f"rollup_{uuid.uuid4().hex[:8]}_")
+    eng = Engine(spark, os.path.join(work, "folder"))
+    q = start_continuous_rollup(
+        eng, stream, "events_rollup", "ts", "value", ["event_type"], "1 hour",
+        checkpoint=os.path.join(work, "ckpt"), trigger_available_now=True,
+    )
+    q.awaitTermination()
+    out = read_rollup(eng, "events_rollup", ["event_type"])
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("hour"),
+        F.col("event_type").alias("etype"),
+        F.col("cnt").alias("n"),
+        F.round("sum", 2).alias("total"),
+        F.round("avg", 4).alias("av"),
+        "min",
+        "max",
+        F.round("var_pop", 2).alias("vp"),
+    )
+
+
 def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-style scalar subquery: orders above the global average
     price, counted per priority."""
@@ -1125,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_lossy_bound": ts_lossy_bound,
         "ts_time_travel": ts_time_travel,
         "stream_windowed_rollup": stream_windowed_rollup,
+        "stream_continuous_rollup": stream_continuous_rollup,
         "q_subquery_scalar": q_subquery_scalar,
         "q_pivot": q_pivot,
         "q_asof_join": q_asof_join,
@@ -1555,6 +1605,23 @@ def oracle_sql() -> dict[str, str]:
               (SELECT count(*) FROM events) AS cur_n,
               (SELECT round(sum(CAST(CAST(value AS FLOAT) AS DOUBLE)), 2) FROM events) AS cur_sum,
               CAST(2 AS BIGINT) AS n_commits
+        """,
+        "stream_continuous_rollup": """
+            WITH p AS (
+                SELECT event_type,
+                       (epoch_ns(ts) // 1000)
+                       - ((epoch_ns(ts) // 1000) % 3600000000) AS h_us,
+                       CAST(value AS DOUBLE) AS v
+                FROM events
+            )
+            SELECT strftime(make_timestamp(h_us), '%Y-%m-%d %H:00:00') AS hour,
+                   event_type AS etype, count(*) AS n,
+                   round(sum(v), 2) AS total,
+                   round(sum(v) / count(*), 4) AS av,
+                   min(v) AS min, max(v) AS max,
+                   round(greatest(sum(v * v) - sum(v) * sum(v) / count(*), 0)
+                         / count(*), 2) AS vp
+            FROM p GROUP BY 1, 2
         """,
         "stream_windowed_rollup": """
             WITH p AS (

@@ -178,3 +178,52 @@ def test_stateful_ingest_recovers_tail_across_restart(engine, spark, tmp_path):
     assert got.count() == 80
     segs = engine.segments("rst").where(F.col("tag") == "a").collect()
     assert len(segs) == 1 and segs[0].value_count == 80
+
+
+def test_continuous_rollup_partials_merge_and_compact(engine, spark):
+    """Partial-aggregate appends from two batches merge to the exact
+    batch answer; compaction folds rows without changing the answer."""
+    import datetime
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from modelardb_rs_spark.streaming.rollup import (
+        compact_rollup,
+        read_rollup,
+        rollup_partials,
+        create_rollup,
+    )
+
+    t0 = datetime.datetime(2024, 5, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        Row(ts=t0 + datetime.timedelta(minutes=7 * i), value=float(i % 13), k="a" if i % 2 else "b")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows)
+    create_rollup(engine, "r5", ["k"])
+    half = 150
+    for batch in (df.limit(half), df.subtract(df.limit(half))):
+        engine.write("r5", rollup_partials(batch, "ts", "value", ["k"], 3_600_000_000))
+    merged = {
+        (r.bucket, r.k): (r.cnt, round(r.sum, 6), round(r.avg, 6), r.min, r.max, round(r.var_pop, 6))
+        for r in read_rollup(engine, "r5", ["k"]).collect()
+    }
+    ref = {
+        (r.bucket, r.k): (r.cnt, round(r.s, 6), round(r.a, 6), r.mn, r.mx, round(r.vp, 6))
+        for r in df.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "k")
+        .agg(
+            F.count("*").alias("cnt"), F.sum("value").alias("s"), F.avg("value").alias("a"),
+            F.min("value").alias("mn"), F.max("value").alias("mx"), F.var_pop("value").alias("vp"),
+        )
+        .collect()
+    }
+    assert merged == ref and len(ref) > 10
+    n_before = engine.table("r5").count()
+    compact_rollup(engine, "r5", ["k"])
+    assert engine.table("r5").count() < n_before
+    merged2 = {
+        (r.bucket, r.k): (r.cnt, round(r.sum, 6), round(r.avg, 6), r.min, r.max, round(r.var_pop, 6))
+        for r in read_rollup(engine, "r5", ["k"]).collect()
+    }
+    assert merged2 == merged
