@@ -1848,7 +1848,7 @@ def oracle_sql() -> dict[str, str]:
                    c.bigram AS top_bigram,
                    coalesce(c.top_bigram_n, 0) AS top_bigram_n,
                    CASE WHEN m.n_tokens > 0
-                        THEN round(2.0 * coalesce(c.top_bigram_n, 0) / m.n_tokens, 6)
+                        THEN round(least(2.0 * coalesce(c.top_bigram_n, 0) / m.n_tokens, 1.0), 6)
                         ELSE 0.0 END AS top_bigram_frac
             FROM m LEFT JOIN c ON m.doc_id = c.doc_id AND c.rn = 1
             ORDER BY top_bigram_frac DESC, m.doc_id ASC

@@ -105,9 +105,10 @@ _SIMPLE_AGG_SQL = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 # time_bucket('15 minutes', ts) / date_trunc('hour', ts) group keys — the
-# fixed-width truncations the resample rewrite can answer. Calendar units
-# (month/year, and week whose ISO origin is not epoch-aligned) stay on
-# the gridded path.
+# fixed-width truncations the resample rewrite can answer. Calendar
+# units (month/year) have no fixed width and stay on the gridded path;
+# weeks are Monday-aligned (origin 1970-01-05, matching the
+# TimescaleDB idiom's Monday origin modulo the week).
 _TIME_BUCKET = re.compile(
     r"^time_bucket\(\s*(?:INTERVAL\s+)?'(?P<iv>[^']+)'\s*,\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*\)$",
     re.IGNORECASE,
@@ -117,23 +118,58 @@ _DATE_TRUNC = re.compile(
     re.IGNORECASE,
 )
 
+_MONDAY_ORIGIN_US = 4 * 86_400_000_000  # 1970-01-05, the first epoch Monday
 
-def _bucket_us_of(expr: str, ts_col: str) -> int | None:
-    """Bucket width in µs if ``expr`` is a fixed-width truncation of the
-    timestamp column, else None."""
+
+def _bucket_us_of(expr: str, ts_col: str) -> tuple[int, int, str] | None:
+    """(bucket width µs, origin µs, kind) if ``expr`` is a fixed-width
+    truncation of the timestamp column, else None. ``kind`` is
+    'time_bucket' (timezone-independent epoch buckets) or 'date_trunc'
+    (must match Spark's session-timezone truncation, so the caller only
+    rewrites it under a UTC session)."""
     expr = expr.strip()
     if m := _TIME_BUCKET.match(expr):
         if m["col"] != ts_col:
             return None
         try:
-            return _interval_us(m["iv"])
+            b = _interval_us(m["iv"])
         except ValueError:
             return None
+        origin = _MONDAY_ORIGIN_US if re.search(r"week", m["iv"], re.IGNORECASE) else 0
+        return b, origin, "time_bucket"
     if m := _DATE_TRUNC.match(expr):
         if m["col"] != ts_col:
             return None
-        return _INTERVAL_UNITS_US[m["unit"].lower()]
+        return _INTERVAL_UNITS_US[m["unit"].lower()], 0, "date_trunc"
     return None
+
+
+def _inline_time_bucket_sql(sql: str) -> str:
+    """Textually replace fixed-width ``time_bucket('<iv>', col)`` calls
+    with the equivalent epoch arithmetic so statements the rewrite
+    declines (extra clauses, mixed aggregates, ...) still run through
+    plain spark.sql — Spark has no time_bucket function of its own."""
+
+    def sub(m: re.Match) -> str:
+        try:
+            b = _interval_us(m["iv"])
+        except ValueError:
+            return m.group(0)  # calendar unit: leave for Spark to reject
+        origin = _MONDAY_ORIGIN_US if re.search(r"week", m["iv"], re.IGNORECASE) else 0
+        col = m["col"]
+        if origin:
+            return (
+                f"timestamp_micros(unix_micros({col}) - "
+                f"pmod(unix_micros({col}) - {origin}, {b}))"
+            )
+        return f"timestamp_micros(unix_micros({col}) - pmod(unix_micros({col}), {b}))"
+
+    return re.sub(
+        r"time_bucket\(\s*(?:INTERVAL\s+)?'(?P<iv>[^']+)'\s*,\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*\)",
+        sub,
+        sql,
+        flags=re.IGNORECASE,
+    )
 # max_by(field, ts) / min_by(field, ts) — the TimescaleDB last()/first()
 # idiom, answered by the edge-points read (O(series) decode)
 _EDGE_ITEM = re.compile(
@@ -410,7 +446,10 @@ class Engine:
         if rewritten is not None:
             return rewritten
         self.register_views(for_sql=sql)
-        return self.spark.sql(sql)
+        # Spark has no time_bucket function: statements the rewrite
+        # declined (extra clauses, calendar-mixed shapes, ...) get the
+        # call inlined as epoch arithmetic so they still run
+        return self.spark.sql(_inline_time_bucket_sql(sql))
 
     def _insert(self, stmt: ModelarStatement) -> None:
         """INSERT INTO t [(cols)] SELECT ... | VALUES ... — routed through
@@ -459,12 +498,22 @@ class Engine:
         )
         group_cols: list[str] = []
         bucket_us: int | None = None
+        bucket_origin = 0
         bucket_expr: str | None = None
         for g in raw_groups:
             if g in meta.tag_columns:
                 group_cols.append(g)
             elif bucket_us is None and (b := _bucket_us_of(g, meta.timestamp_column)):
-                bucket_us, bucket_expr = b, re.sub(r"\s+", "", g).lower()
+                width, origin, kind = b
+                if kind == "date_trunc" and self.spark.conf.get(
+                    "spark.sql.session.timeZone", "UTC"
+                ) not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+                    # Spark's date_trunc truncates in the session zone;
+                    # the epoch-aligned rewrite only matches under UTC —
+                    # decline so spark.sql answers with zone semantics
+                    return None
+                bucket_us, bucket_origin = width, origin
+                bucket_expr = re.sub(r"\s+", "", g).lower()
             else:
                 return None
         tag_filters: list[tuple[str, str]] = []
@@ -507,32 +556,54 @@ class Engine:
         if edge_parsed and len(edge_parsed) + len(group_cols) == len(items):
             if bucket_expr is not None or lo_us is not None or hi_us is not None:
                 return None
-            segments, info = self.segments(table, with_info=True)
-            for col, val in tag_filters:
-                segments = segments.where(F.col(col) == F.lit(val))
-            outs = []
+            # One edge_points pass per direction (not per item): the
+            # operator handles many field_columns in a single window +
+            # decode; per-field conditional struct extremums then fold
+            # every requested item inside one aggregation.
+            by_dir: dict[str, list[tuple[int, str]]] = {"last": [], "first": []}
+            ordered_aliases: list[str] = []
             for em in edge_parsed:
                 fld, tscol = em["field"], em["ts"]
                 if tscol != meta.timestamp_column or fld not in field_index:
                     return None
                 alias = em["alias"] or f"{em['func'].lower()}({fld}, {tscol})"
                 which = "last" if em["func"].lower() == "max_by" else "first"
+                by_dir[which].append((field_index[fld], alias))
+                ordered_aliases.append(alias)
+            segments, info = self.segments(table, with_info=True)
+            for col, val in tag_filters:
+                segments = segments.where(F.col(col) == F.lit(val))
+            outs = []
+            for which, dir_items in by_dir.items():
+                if not dir_items:
+                    continue
+                idxs = sorted({i for i, _ in dir_items})
                 ep = grid_ops.edge_points(
-                    segments.where(F.col("field_column") == F.lit(field_index[fld])),
+                    segments.where(F.col("field_column").isin(idxs)),
                     list(meta.tag_columns),
                     which,
                     may_have_slow=info["may_have_slow"],
                 )
                 # struct extremum: deterministic on timestamp ties
                 pick = F.max if which == "last" else F.min
-                agg = pick(F.struct("timestamp", "value"))["value"].alias(alias)
+                dir_aggs = [
+                    pick(
+                        F.when(
+                            F.col("field_column") == F.lit(idx),
+                            F.struct("timestamp", "value"),
+                        )
+                    )["value"].alias(alias)
+                    for idx, alias in dir_items
+                ]
                 outs.append(
-                    ep.groupBy(*group_cols).agg(agg) if group_cols else ep.agg(agg)
+                    ep.groupBy(*group_cols).agg(*dir_aggs)
+                    if group_cols
+                    else ep.agg(*dir_aggs)
                 )
             out = outs[0]
             for o in outs[1:]:
                 out = out.join(o, group_cols) if group_cols else out.crossJoin(o)
-            return out
+            return out.select(*group_cols, *ordered_aliases)
         if edge_parsed:
             return None  # mixed edge + simple aggregates: gridded path
 
@@ -579,6 +650,7 @@ class Engine:
                 segments, list(meta.tag_columns), bucket_us, aggs,
                 lo_us, hi_us, group_cols or None,
                 bucket_alias=bucket_alias, may_have_slow=info["may_have_slow"],
+                origin_us=bucket_origin,
             )
             keep = [bucket_alias] + group_cols + [a[2] for a in aggs]
             return out.select(*keep)
@@ -726,6 +798,39 @@ class Engine:
             method=method,
         )
 
+    def _per_series_read(
+        self, name: str, fields: list[str] | None, tags: dict[str, str] | None
+    ):
+        """Shared setup for the per-series reads (last/first/value_at):
+        tag-filtered, field-restricted segments plus the pieces needed to
+        name the output."""
+        meta = self.catalog.time_series_metadata(name)
+        field_index = meta.field_index_of
+        segments, info = self.segments(name, with_info=True)
+        for t, v in (tags or {}).items():
+            segments = segments.where(F.col(t) == F.lit(v))
+        wanted = fields or list(meta.field_columns)
+        segments = segments.where(
+            F.col("field_column").isin([field_index[f] for f in wanted])
+        )
+        return meta, segments, wanted, info["may_have_slow"]
+
+    def _named_field_output(self, out: DataFrame, meta, wanted: list[str]) -> DataFrame:
+        """(field_column, timestamp µs, value) → (tags, field name,
+        TimestampType, value)."""
+        field_index = meta.field_index_of
+        name_expr = F.col("field_column").cast("string")
+        for f in wanted:
+            name_expr = F.when(
+                F.col("field_column") == F.lit(field_index[f]), F.lit(f)
+            ).otherwise(name_expr)
+        return out.select(
+            *meta.tag_columns,
+            name_expr.alias("field"),
+            F.timestamp_micros(F.col("timestamp")).alias(meta.timestamp_column),
+            "value",
+        )
+
     def last_points(
         self,
         name: str,
@@ -737,28 +842,11 @@ class Engine:
         edge_points): segment metadata finds each series' edge segment;
         only those decode. Output: (*tags, field, timestamp, value),
         one row per (series, field)."""
-        meta = self.catalog.time_series_metadata(name)
-        field_index = meta.field_index_of
-        segments, info = self.segments(name, with_info=True)
-        for t, v in (tags or {}).items():
-            segments = segments.where(F.col(t) == F.lit(v))
-        wanted = fields or list(meta.field_columns)
-        segments = segments.where(
-            F.col("field_column").isin([field_index[f] for f in wanted])
-        )
+        meta, segments, wanted, may_slow = self._per_series_read(name, fields, tags)
         out = grid_ops.edge_points(
-            segments, meta.tag_columns, which, may_have_slow=info["may_have_slow"]
+            segments, meta.tag_columns, which, may_have_slow=may_slow
         )
-        index_to_name = {field_index[f]: f for f in wanted}
-        name_expr = F.col("field_column").cast("string")
-        for idx, fname in index_to_name.items():
-            name_expr = F.when(F.col("field_column") == F.lit(idx), F.lit(fname)).otherwise(name_expr)
-        return out.select(
-            *meta.tag_columns,
-            name_expr.alias("field"),
-            F.timestamp_micros(F.col("timestamp")).alias(meta.timestamp_column),
-            "value",
-        )
+        return self._named_field_output(out, meta, wanted)
 
     def value_at(
         self,
@@ -772,32 +860,13 @@ class Engine:
         value_at): nearest-neighbor candidate segments found from
         metadata, O(series) decode, LOCF or linear interpolation.
         Output: (*tags, field, timestamp, value)."""
-        meta = self.catalog.time_series_metadata(name)
-        field_index = meta.field_index_of
-        t_us = _to_us(at)
-        segments, info = self.segments(name, with_info=True)
-        for tcol, v in (tags or {}).items():
-            segments = segments.where(F.col(tcol) == F.lit(v))
-        wanted = fields or list(meta.field_columns)
-        segments = segments.where(
-            F.col("field_column").isin([field_index[f] for f in wanted])
-        )
         from modelardb_rs_spark.operators.gapfill import value_at as value_at_op
 
+        meta, segments, wanted, may_slow = self._per_series_read(name, fields, tags)
         out = value_at_op(
-            segments, meta.tag_columns, t_us, method,
-            may_have_slow=info["may_have_slow"],
+            segments, meta.tag_columns, _to_us(at), method, may_have_slow=may_slow
         )
-        index_to_name = {field_index[f]: f for f in wanted}
-        name_expr = F.col("field_column").cast("string")
-        for idx, fname in index_to_name.items():
-            name_expr = F.when(F.col("field_column") == F.lit(idx), F.lit(fname)).otherwise(name_expr)
-        return out.select(
-            *meta.tag_columns,
-            name_expr.alias("field"),
-            F.timestamp_micros(F.col("timestamp")).alias(meta.timestamp_column),
-            "value",
-        )
+        return self._named_field_output(out, meta, wanted)
 
     def m4(
         self,

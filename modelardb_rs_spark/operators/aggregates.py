@@ -46,6 +46,27 @@ SIMPLE_AGGS = (
 _VAR_CANON = {"variance": "var_samp", "stddev": "stddev_samp"}
 
 
+def _variance_final(vf: str, n: Column, s: Column, q: Column) -> Column:
+    """Final variance-family value from merged partials (``n`` point
+    count as double, ``s`` = Σv, ``q`` = Σv²) — the one copy of the
+    m2 = q - s²/n math shared by the whole-table, time-ranged, and
+    resample pushdowns. Clamps the tiny negative float residue a
+    near-constant series produces (Spark reports 0.0; sqrt of a negative
+    would be NaN) while letting a poisoning NaN through (Spark orders
+    NaN above every number), and returns NULL for the sample forms when
+    n <= 1, like Spark."""
+    m2 = F.greatest(q - s * s / n, F.lit(0.0))
+    if vf == "var_pop":
+        v = m2 / n
+    elif vf == "var_samp":
+        v = F.when(n > 1, m2 / (n - 1))
+    elif vf == "stddev_pop":
+        v = F.sqrt(m2 / n)
+    else:  # stddev_samp
+        v = F.sqrt(F.when(n > 1, m2 / (n - 1)))
+    return v.cast("double")
+
+
 def _sum_sq(only) -> Column:
     # NaN-poison legacy NULLs: NaN propagates through SUM, NULL would be
     # silently skipped and undercount the variance
@@ -83,22 +104,7 @@ def pushdown_agg_column(func: str, field_index: int | None = None) -> Column:
     func = _VAR_CANON.get(func, func)
     n = F.sum(only(F.col("value_count"))).cast("double")
     s = F.sum(only(F.col("seg_sum")))
-    # n * population variance; clamp the tiny negative float residue a
-    # near-constant series can produce (Spark reports 0.0, sqrt of a
-    # negative would be NaN). greatest() keeps a poisoning NaN — Spark
-    # orders NaN above every number.
-    m2 = F.greatest(_sum_sq(only) - s * s / n, F.lit(0.0))
-    if func == "var_pop":
-        v = m2 / n
-    elif func == "var_samp":
-        v = F.when(n > 1, m2 / (n - 1))
-    elif func == "stddev_pop":
-        v = F.sqrt(m2 / n)
-    else:  # stddev_samp
-        v = F.sqrt(F.when(n > 1, m2 / (n - 1)))
-    # Spark returns NULL (not negative-epsilon NaN) for empty input and
-    # clamps tiny negative float residue the same way sqrt does
-    return v.cast("double")
+    return _variance_final(func, n, s, _sum_sq(only))
 
 
 def segment_aggregates(
@@ -208,18 +214,14 @@ def time_range_aggregates(
             point_cols.append(F.when(pt_m, v64 * v64).alias(f"q_{alias}"))
             point_cols.append(F.when(pt_m, v64).alias(f"s_{alias}"))
             point_cols.append(F.when(pt_m, F.lit(1).cast("long")).alias(f"c_{alias}"))
-            n = F.sum(f"c_{alias}").cast("double")
-            s = F.sum(f"s_{alias}")
-            m2 = F.greatest(F.sum(f"q_{alias}") - s * s / n, F.lit(0.0))
-            if vf == "var_pop":
-                v = m2 / n
-            elif vf == "var_samp":
-                v = F.when(n > 1, m2 / (n - 1))
-            elif vf == "stddev_pop":
-                v = F.sqrt(m2 / n)
-            else:
-                v = F.sqrt(F.when(n > 1, m2 / (n - 1)))
-            final_cols.append(v.cast("double").alias(alias))
+            final_cols.append(
+                _variance_final(
+                    vf,
+                    F.sum(f"c_{alias}").cast("double"),
+                    F.sum(f"s_{alias}"),
+                    F.sum(f"q_{alias}"),
+                ).alias(alias)
+            )
         else:
             raise ValueError(f"not a pushdown-able aggregate: {func}")
 
@@ -245,6 +247,7 @@ def resample(
     group_by_tags: list[str] | None = None,
     bucket_alias: str = "bucket",
     may_have_slow: bool = True,
+    origin_us: int = 0,
 ) -> DataFrame:
     """Time-bucket downsampling (``GROUP BY time_bucket``) with model-based
     pushdown — an operator past the reference's rewrite set (the reference
@@ -283,6 +286,9 @@ def resample(
     B = int(bucket_us)
     if B <= 0:
         raise ValueError("bucket_us must be positive")
+    # origin shift (e.g. Monday-aligned weeks): bucket b covers
+    # [O + b*B, O + (b+1)*B), so all bucket math runs on t - O
+    O = int(origin_us)
     pruned = prune_segments(segments, start_us, end_us)
     indexes = {idx for _, idx, _ in aggs}
     if None not in indexes:
@@ -366,19 +372,14 @@ def resample(
         elif func == "avg":
             final_cols.append((F.sum(f"as_{alias}") / F.sum(f"ac_{alias}")).cast("double").alias(alias))
         else:
-            vf = _VAR_CANON.get(func, func)
-            n = F.sum(f"c_{alias}").cast("double")
-            s = F.sum(f"s_{alias}")
-            m2 = F.greatest(F.sum(f"q_{alias}") - s * s / n, F.lit(0.0))
-            if vf == "var_pop":
-                v = m2 / n
-            elif vf == "var_samp":
-                v = F.when(n > 1, m2 / (n - 1))
-            elif vf == "stddev_pop":
-                v = F.sqrt(m2 / n)
-            else:
-                v = F.sqrt(F.when(n > 1, m2 / (n - 1)))
-            final_cols.append(v.cast("double").alias(alias))
+            final_cols.append(
+                _variance_final(
+                    _VAR_CANON.get(func, func),
+                    F.sum(f"c_{alias}").cast("double"),
+                    F.sum(f"s_{alias}"),
+                    F.sum(f"q_{alias}"),
+                ).alias(alias)
+            )
 
     # Deduplicated partial aliases in a stable order (avg shares c_/s_
     # names only within its own as_/ac_ prefixes, so no collisions).
@@ -399,8 +400,10 @@ def resample(
             "CASE WHEN value_count > 1 THEN (end_time - start_time) DIV (value_count - 1) "
             "ELSE CAST(1 AS BIGINT) END"
         )
-        b_first = F.expr(f"(start_time - pmod(start_time, {B})) div {B}")
-        b_last = F.expr(f"(end_time - pmod(end_time, {B})) div {B}")
+        st = f"(start_time - {O})" if O else "start_time"
+        en = f"(end_time - {O})" if O else "end_time"
+        b_first = F.expr(f"({st} - pmod({st}, {B})) div {B}")
+        b_last = F.expr(f"({en} - pmod({en}, {B})) div {B}")
         seg_buckets = fast.select(
             "field_column",
             "model_type_id",
@@ -413,8 +416,14 @@ def resample(
             F.explode(F.sequence(b_first, b_last)).alias("__b__"),
             *(group_by_tags or []),
         )
-        lo = F.greatest(F.col("start_time"), F.col("__b__") * F.lit(B), F.lit(lo_clip))
-        hi = F.least(F.col("end_time"), (F.col("__b__") + 1) * F.lit(B) - 1, F.lit(hi_clip))
+        lo = F.greatest(
+            F.col("start_time"), F.col("__b__") * F.lit(B) + F.lit(O), F.lit(lo_clip)
+        )
+        hi = F.least(
+            F.col("end_time"),
+            (F.col("__b__") + 1) * F.lit(B) + F.lit(O) - 1,
+            F.lit(hi_clip),
+        )
         # ceil/floor division on non-negative longs (lo >= start_time),
         # clamped to the valid index range (the n==1 placeholder step
         # would otherwise run i1 past the single point)
@@ -461,7 +470,11 @@ def resample(
         )
         parts.append(
             seg_buckets.select(
-                *emit(cols_for, F.timestamp_micros(F.col("__b__") * F.lit(B)), "seg")
+                *emit(
+                    cols_for,
+                    F.timestamp_micros(F.col("__b__") * F.lit(B) + F.lit(O)),
+                    "seg",
+                )
             )
         )
 
@@ -472,7 +485,8 @@ def resample(
         end_us,
         may_have_slow=may_have_slow,
     )
-    pt_bucket = F.expr(f"timestamp_micros(timestamp - pmod(timestamp, {B}))")
+    pt_shift = f"(timestamp - {O})" if O else "timestamp"
+    pt_bucket = F.expr(f"timestamp_micros(timestamp - pmod({pt_shift}, {B}))")
     cols_for_pts = partials(F.lit(1), F.col("value"), F.col("value"), F.col("value"))
     parts.append(points.select(*emit(cols_for_pts, pt_bucket, "pt")))
 

@@ -120,8 +120,11 @@ def repetition_features(
       - ``top_bigram``     the most frequent word 2-gram (ties broken by
                            lexicographically smallest; NULL if < 2 tokens)
       - ``top_bigram_n``   its occurrence count (0 if < 2 tokens)
-      - ``top_bigram_frac`` 2*top_bigram_n/n_tokens — the token fraction
-                           attributable to the dominant bigram
+      - ``top_bigram_frac`` min(2*top_bigram_n/n_tokens, 1) — the token
+                           fraction attributable to the dominant bigram
+                           (clamped: overlapping occurrences of a
+                           single-token run like "a a a a" would
+                           otherwise double-count past 1.0)
 
     Scale shape: the distinct-token fraction is pure map-only Column
     algebra; the dominant-bigram statistic explodes bigrams and
@@ -170,7 +173,12 @@ def repetition_features(
         F.round(
             F.when(
                 F.col("n_tokens") > 0,
-                2.0 * F.coalesce(F.col("top_bigram_n"), F.lit(0)) / F.col("n_tokens"),
+                F.least(
+                    2.0
+                    * F.coalesce(F.col("top_bigram_n"), F.lit(0))
+                    / F.col("n_tokens"),
+                    F.lit(1.0),
+                ),
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("top_bigram_frac"),

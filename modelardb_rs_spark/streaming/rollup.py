@@ -30,6 +30,9 @@ def rollup_schema(keys: list[str]) -> T.StructType:
         T.StructField("sum_sq", T.DoubleType(), False),
         T.StructField("min", T.DoubleType(), False),
         T.StructField("max", T.DoubleType(), False),
+        # foreachBatch epoch id: makes the at-least-once sink idempotent
+        # (a replayed batch is detected and skipped); NULL on compacted rows
+        T.StructField("batch_id", T.LongType(), True),
     ]
     return T.StructType(fields)
 
@@ -68,6 +71,33 @@ def create_rollup(engine, table: str, keys: list[str]) -> None:
     engine.create_table(table, rollup_schema(keys))
 
 
+def append_batch(
+    engine,
+    table: str,
+    batch_df: DataFrame,
+    epoch_id: int,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    bucket_us: int,
+) -> bool:
+    """One micro-batch's partial append. foreachBatch is at-least-once:
+    a crash between the table commit and the checkpoint write replays
+    the batch — the recorded batch_id makes the replay a no-op instead
+    of a permanent double-count. Returns False for a skipped replay."""
+    already = (
+        engine.table(table)
+        .where(F.col("batch_id") == F.lit(int(epoch_id)))
+        .limit(1)
+        .count()
+    )
+    if already:
+        return False
+    part = rollup_partials(batch_df, ts_col, value_col, keys, bucket_us)
+    engine.write(table, part.withColumn("batch_id", F.lit(int(epoch_id))))
+    return True
+
+
 def start_continuous_rollup(
     engine,
     stream: DataFrame,
@@ -89,8 +119,7 @@ def start_continuous_rollup(
         create_rollup(engine, table, keys)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        part = rollup_partials(batch_df, ts_col, value_col, keys, bucket_us)
-        engine.write(table, part)
+        append_batch(engine, table, batch_df, epoch_id, ts_col, value_col, keys, bucket_us)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint
@@ -130,18 +159,30 @@ def compact_rollup(engine, table: str, keys: list[str]) -> None:
     if staging in engine.tables():
         engine.drop(staging)
     create_rollup(engine, staging, keys)
-    merged = (
-        engine.table(table)
-        .groupBy("bucket", *keys)
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.sum("sum").alias("sum"),
-            F.sum("sum_sq").alias("sum_sq"),
-            F.min("min").alias("min"),
-            F.max("max").alias("max"),
-        )
-    )
+    src = engine.table(table)
+    seen_batches = {
+        r.batch_id for r in src.select("batch_id").distinct().collect()
+    }
+    merged = src.groupBy("bucket", *keys).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum").alias("sum"),
+        F.sum("sum_sq").alias("sum_sq"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+    ).withColumn("batch_id", F.lit(None).cast("long"))
     engine.write(staging, merged)
+    # a stream may have appended while we merged: refuse rather than
+    # silently discard those partials with the truncate
+    now_batches = {
+        r.batch_id
+        for r in engine.table(table).select("batch_id").distinct().collect()
+    }
+    if now_batches - seen_batches:
+        engine.drop(staging)
+        raise RuntimeError(
+            f"rollup {table!r} received new batches during compaction; "
+            "quiesce the stream and retry"
+        )
     engine.truncate(table)
     engine.write(table, engine.table(staging))
     engine.drop(staging)

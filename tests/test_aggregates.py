@@ -629,7 +629,10 @@ def test_sql_max_by_min_by_edge_rewrite(lossy_engine):
     mixed = lossy_engine.read_sql(
         "SELECT count(f) AS n, max_by(f, timestamp) AS lv FROM m"
     ).collect()[0]
-    assert mixed.n == 3000 and mixed.lv == push["t2"][0] or mixed.lv is not None
+    grid_last = lossy_engine.read_sql(
+        f"SELECT max_by(f, timestamp) AS lv{FORCED_GRID}"
+    ).collect()[0].lv
+    assert mixed.n == 3000 and mixed.lv == grid_last
 
 
 def test_value_at_interpolation_and_locf(engine, spark):
@@ -676,3 +679,39 @@ def test_m4_downsample(engine, spark):
         by_bucket.setdefault(r.bucket.hour, set()).add((r.timestamp.minute, r.value))
     assert by_bucket[0] == {(0, 5.0), (1, 1.0), (2, 9.0), (3, 4.0)}
     assert by_bucket[1] == {(0, 0.0), (3, 3.0)}
+
+
+def test_sql_time_bucket_week_and_fallback(lossy_engine):
+    """Weekly buckets are Monday-aligned (TimescaleDB origin semantics),
+    and statements the rewrite declines (extra ORDER BY) still run:
+    time_bucket is inlined as epoch arithmetic for plain spark.sql."""
+    push = lossy_engine.read_sql(
+        "SELECT time_bucket('1 week', timestamp) AS b, count(f) AS n "
+        "FROM m GROUP BY time_bucket('1 week', timestamp)"
+    )
+    rows = push.collect()
+    assert rows and all(r.b.weekday() == 0 for r in rows)  # Monday
+    fb = lossy_engine.read_sql(
+        "SELECT time_bucket('1 week', timestamp) AS b, count(f) AS n "
+        "FROM m GROUP BY time_bucket('1 week', timestamp) ORDER BY b"
+    )
+    assert sorted((r.b, r.n) for r in rows) == [(r.b, r.n) for r in fb.collect()]
+
+
+def test_sql_date_trunc_declines_outside_utc(lossy_engine):
+    """date_trunc truncates in the session zone; the epoch-aligned
+    rewrite only fires under UTC — elsewhere the statement falls back to
+    spark.sql and still answers with zone semantics."""
+    spark = lossy_engine.spark
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = lossy_engine.read_sql(
+            "SELECT date_trunc('day', timestamp) AS b, count(f) AS n "
+            "FROM m GROUP BY date_trunc('day', timestamp)"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "pmod(start_time" not in plan  # rewrite declined
+        assert df.count() >= 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

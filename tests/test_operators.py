@@ -314,6 +314,7 @@ def test_repetition_features(spark):
         Row(doc_id=2, text="w x y z"),               # all distinct
         Row(doc_id=3, text="solo"),                  # 1 token: no bigram
         Row(doc_id=4, text="   "),                   # empty after trim
+        Row(doc_id=5, text="a a a a"),               # overlap: frac clamps to 1
     ]
     out = {
         r.doc_id: r
@@ -330,6 +331,8 @@ def test_repetition_features(spark):
     assert r2.top_bigram == "w x"
     assert out[3].top_bigram is None and out[3].top_bigram_n == 0
     assert out[4].n_tokens == 0 and out[4].top_bigram_frac == 0.0
+    # overlapping occurrences would give 2*3/4 = 1.5; the fraction clamps
+    assert out[5].top_bigram_n == 3 and out[5].top_bigram_frac == 1.0
 
 
 def test_tfidf_top_terms(spark):

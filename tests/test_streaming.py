@@ -203,8 +203,13 @@ def test_continuous_rollup_partials_merge_and_compact(engine, spark):
     df = spark.createDataFrame(rows)
     create_rollup(engine, "r5", ["k"])
     half = 150
-    for batch in (df.limit(half), df.subtract(df.limit(half))):
-        engine.write("r5", rollup_partials(batch, "ts", "value", ["k"], 3_600_000_000))
+    for i, batch in enumerate((df.limit(half), df.subtract(df.limit(half)))):
+        engine.write(
+            "r5",
+            rollup_partials(batch, "ts", "value", ["k"], 3_600_000_000).withColumn(
+                "batch_id", F.lit(i)
+            ),
+        )
     merged = {
         (r.bucket, r.k): (r.cnt, round(r.sum, 6), round(r.avg, 6), r.min, r.max, round(r.var_pop, 6))
         for r in read_rollup(engine, "r5", ["k"]).collect()
@@ -227,3 +232,27 @@ def test_continuous_rollup_partials_merge_and_compact(engine, spark):
         for r in read_rollup(engine, "r5", ["k"]).collect()
     }
     assert merged2 == merged
+
+
+def test_continuous_rollup_replayed_batch_is_skipped(engine, spark):
+    """At-least-once replay of the same epoch must not double-count."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from modelardb_rs_spark.streaming.rollup import (
+        append_batch,
+        create_rollup,
+        read_rollup,
+    )
+
+    t0 = datetime.datetime(2024, 6, 1, tzinfo=datetime.timezone.utc)
+    df = spark.createDataFrame(
+        [Row(ts=t0 + datetime.timedelta(minutes=i), value=1.0, k="a") for i in range(30)]
+    )
+    create_rollup(engine, "r6", ["k"])
+    assert append_batch(engine, "r6", df, 7, "ts", "value", ["k"], 3_600_000_000)
+    # replay of the same epoch id is detected and skipped
+    assert not append_batch(engine, "r6", df, 7, "ts", "value", ["k"], 3_600_000_000)
+    rows = read_rollup(engine, "r6", ["k"]).collect()
+    assert len(rows) == 1 and rows[0].cnt == 30
