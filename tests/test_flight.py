@@ -109,3 +109,31 @@ def test_kill_action_stops_server(engine):
             down = True
             break
     assert down
+
+
+def test_time_bucket_and_edge_sql_over_flight(client):
+    """The new SQL surfaces (time_bucket resample rewrite, max_by edge
+    read) work over the Arrow Flight wire unchanged."""
+    client.create(
+        "CREATE TIME SERIES TABLE fb(timestamp TIMESTAMP, f FIELD, tag TAG)"
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    batch = pa.table(
+        {
+            "timestamp": pa.array(
+                [t0 + datetime.timedelta(minutes=10 * i) for i in range(30)],
+                type=pa.timestamp("us"),
+            ),
+            "f": pa.array([float(i) for i in range(30)], type=pa.float32()),
+            "tag": pa.array(["x"] * 30),
+        }
+    )
+    client.write("fb", batch)
+    out = client.read(
+        "SELECT time_bucket('1 hour', timestamp) AS b, count(f) AS n "
+        "FROM fb GROUP BY time_bucket('1 hour', timestamp)"
+    )
+    assert sorted(out["n"].to_pylist()) == [6] * 5
+    last = client.read("SELECT max_by(f, timestamp) AS lv FROM fb")
+    assert last["lv"].to_pylist() == [29.0]
+    client.drop("fb")
