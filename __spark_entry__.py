@@ -405,6 +405,19 @@ def ts_value_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outliers with segment skipping (Engine.outliers →
+    operators/anomaly.py): per-series mean/σ from segment stats, decode
+    only envelope-crossing segments. z=1.6 because the bench stream is
+    near-uniform (no 3σ tail)."""
+    eng = _ts_engine(spark, sf_dir)
+    out = eng.outliers("ts_events", z=1.6, fields=["value"])
+    return out.groupBy("etype").agg(
+        F.count("*").alias("n_outliers"),
+        F.round(F.sum(F.abs(F.col("zscore"))), 2).alias("z_sum"),
+    )
+
+
 def ts_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 visualization downsampling (Engine.m4 →
     operators/downsample.py): first/last/min/max point per (type, day)."""
@@ -1171,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_last_sql": ts_last_sql,
         "ts_value_at": ts_value_at,
         "ts_m4": ts_m4,
+        "ts_outliers": ts_outliers,
         "ts_lossy_bound": ts_lossy_bound,
         "ts_time_travel": ts_time_travel,
         "stream_windowed_rollup": stream_windowed_rollup,
@@ -1467,6 +1481,23 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(value AS FLOAT)) AS mn,
                    max(CAST(value AS FLOAT)) AS mx
             FROM events GROUP BY user_id
+        """,
+        "ts_outliers": """
+            WITH p AS (
+                SELECT event_type AS etype,
+                       CAST(CAST(value AS FLOAT) AS DOUBLE) AS v
+                FROM events
+            ), st AS (
+                SELECT etype, sum(v) / count(*) AS mu,
+                       sqrt(greatest(sum(v * v) - sum(v) * sum(v) / count(*), 0)
+                            / count(*)) AS sd
+                FROM p GROUP BY 1
+            )
+            SELECT p.etype, count(*) AS n_outliers,
+                   round(sum(abs(p.v - st.mu) / st.sd), 2) AS z_sum
+            FROM p JOIN st ON p.etype = st.etype
+            WHERE abs(p.v - st.mu) > 1.6 * st.sd
+            GROUP BY 1
         """,
         "ts_m4": """
             WITH p AS (

@@ -868,6 +868,38 @@ class Engine:
         )
         return self._named_field_output(out, meta, wanted)
 
+    def outliers(
+        self,
+        name: str,
+        z: float = 3.0,
+        fields: list[str] | None = None,
+        tags: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Z-score outlier points per series (operators/anomaly.py):
+        per-series mean/σ from segment statistics, then min/max envelope
+        pruning decodes only segments that can cross μ ± z·σ. Output:
+        (*tags, field, timestamp, value, zscore)."""
+        from modelardb_rs_spark.operators.anomaly import zscore_outliers
+
+        meta, segments, wanted, may_slow = self._per_series_read(name, fields, tags)
+        out = zscore_outliers(segments, meta.tag_columns, z, may_have_slow=may_slow)
+        return self._outliers_named(out, meta, wanted)
+
+    def _outliers_named(self, out: DataFrame, meta, wanted: list[str]) -> DataFrame:
+        field_index = meta.field_index_of
+        name_expr = F.col("field_column").cast("string")
+        for f in wanted:
+            name_expr = F.when(
+                F.col("field_column") == F.lit(field_index[f]), F.lit(f)
+            ).otherwise(name_expr)
+        return out.select(
+            *meta.tag_columns,
+            name_expr.alias("field"),
+            F.timestamp_micros(F.col("timestamp")).alias(meta.timestamp_column),
+            "value",
+            "zscore",
+        )
+
     def m4(
         self,
         name: str,

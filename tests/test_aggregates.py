@@ -715,3 +715,39 @@ def test_sql_date_trunc_declines_outside_utc(lossy_engine):
         assert df.count() >= 1
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_zscore_outliers_segment_skipping(engine, spark):
+    """Planted spikes in a smooth series are found, match the gridded
+    z-score filter, and a clean (spike-free) tag contributes nothing."""
+    import numpy as np
+    import pandas as pd
+
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE oz(timestamp TIMESTAMP, value FIELD, s TAG)"
+    )
+    n = 3000
+    rng = np.random.default_rng(5)
+    ts = pd.to_datetime(
+        np.arange(n) * 1_000_000 + 1_700_000_000_000_000, unit="us", utc=True
+    ).tz_localize(None)
+    spiky = rng.normal(0, 1, n).astype(np.float32)
+    spiky[[50, 1500]] = [25.0, -25.0]
+    clean = rng.normal(5, 1, n).astype(np.float32)
+    pdf = pd.concat(
+        [
+            pd.DataFrame({"timestamp": ts, "value": spiky, "s": "spiky"}),
+            pd.DataFrame({"timestamp": ts, "value": clean, "s": "clean"}),
+        ]
+    )
+    engine.write("oz", spark.createDataFrame(pdf))
+    got = engine.outliers("oz", z=6.0).collect()
+    assert {(r.s, round(r.value)) for r in got} == {("spiky", 25), ("spiky", -25)}
+    assert all(abs(r.zscore) > 6.0 for r in got)
+    # exactness vs the gridded computation per series
+    pts = engine.table("oz")
+    for s in ("spiky", "clean"):
+        sub = pts.where(F.col("s") == s)
+        st = sub.agg(F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")).collect()[0]
+        ref = sub.where(F.abs(F.col("value") - st.mu) > 6.0 * st.sd).count()
+        assert ref == len([r for r in got if r.s == s])
