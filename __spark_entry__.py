@@ -418,6 +418,14 @@ def ts_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series fixed-bin value histogram (Engine.histogram →
+    operators/downsample.py::value_histogram)."""
+    eng = _ts_engine(spark, sf_dir)
+    out = eng.histogram("ts_events", "value", lo=0.0, hi=400.0, nbins=8)
+    return out.select("etype", "bin", F.round("bin_lo", 2).alias("bin_lo"), "n")
+
+
 def ts_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 visualization downsampling (Engine.m4 →
     operators/downsample.py): first/last/min/max point per (type, day)."""
@@ -1185,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_value_at": ts_value_at,
         "ts_m4": ts_m4,
         "ts_outliers": ts_outliers,
+        "ts_histogram": ts_histogram,
         "ts_lossy_bound": ts_lossy_bound,
         "ts_time_travel": ts_time_travel,
         "stream_windowed_rollup": stream_windowed_rollup,
@@ -1481,6 +1490,18 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(value AS FLOAT)) AS mn,
                    max(CAST(value AS FLOAT)) AS mx
             FROM events GROUP BY user_id
+        """,
+        "ts_histogram": """
+            WITH p AS (
+                SELECT event_type AS etype,
+                       CAST(CAST(value AS FLOAT) AS DOUBLE) AS v
+                FROM events
+            )
+            SELECT etype,
+                   CAST(least(greatest(floor(v / 50.0), 0), 7) AS INT) AS bin,
+                   round(least(greatest(floor(v / 50.0), 0), 7) * 50.0, 2) AS bin_lo,
+                   count(*) AS n
+            FROM p GROUP BY 1, 2, 3
         """,
         "ts_outliers": """
             WITH p AS (

@@ -925,6 +925,29 @@ class Engine:
             ts_col=meta.timestamp_column,
         )
 
+    def histogram(
+        self,
+        name: str,
+        field: str,
+        lo: float,
+        hi: float,
+        nbins: int = 20,
+        start=None,
+        end=None,
+        tags: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Fixed-bin value histogram per series
+        (operators/downsample.py::value_histogram)."""
+        from modelardb_rs_spark.operators.downsample import value_histogram
+
+        meta = self.catalog.time_series_metadata(name)
+        pts = self.table(name, fields=[field], start=start, end=end)
+        for tcol, v in (tags or {}).items():
+            pts = pts.where(F.col(tcol) == F.lit(v))
+        return value_histogram(
+            pts.withColumnRenamed(field, "value"), meta.tag_columns, lo, hi, nbins
+        )
+
     def first_points(
         self,
         name: str,

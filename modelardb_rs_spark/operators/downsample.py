@@ -19,6 +19,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def value_histogram(
+    points: DataFrame,
+    series_cols: list[str],
+    lo: float,
+    hi: float,
+    nbins: int,
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed-bin value histogram per series — the distribution summary a
+    monitoring dashboard draws next to the line chart. Bin i covers
+    [lo + i·w, lo + (i+1)·w) with w = (hi−lo)/nbins; values below lo
+    clamp to bin 0, values at or above hi clamp to bin nbins−1 (so the
+    histogram always accounts for every point). One groupBy
+    (series, bin) — a single shuffle, output ≤ nbins·series rows.
+
+    Output: (*series_cols, bin int, bin_lo double, n long).
+    """
+    if nbins <= 0 or not hi > lo:
+        raise ValueError("need nbins > 0 and hi > lo")
+    w = (float(hi) - float(lo)) / int(nbins)
+    raw = F.floor((F.col(value_col).cast("double") - F.lit(float(lo))) / F.lit(w))
+    bin_i = F.least(F.greatest(raw, F.lit(0)), F.lit(int(nbins) - 1)).cast("int")
+    return (
+        points.select(*series_cols, bin_i.alias("bin"))
+        .groupBy(*series_cols, "bin")
+        .agg(F.count("*").alias("n"))
+        .withColumn("bin_lo", F.lit(float(lo)) + F.col("bin") * F.lit(w))
+        .select(*series_cols, "bin", "bin_lo", "n")
+    )
+
+
 def m4_downsample(
     points: DataFrame,
     series_cols: list[str],

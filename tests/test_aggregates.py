@@ -751,3 +751,20 @@ def test_zscore_outliers_segment_skipping(engine, spark):
         st = sub.agg(F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")).collect()[0]
         ref = sub.where(F.abs(F.col("value") - st.mu) > 6.0 * st.sd).count()
         assert ref == len([r for r in got if r.s == s])
+
+
+def test_value_histogram_bins_and_clamping(engine, spark):
+    rows = [
+        Row(timestamp=TS0 + datetime.timedelta(seconds=i), value=v, s="x")
+        for i, v in enumerate([-5.0, 0.0, 4.9, 5.0, 9.9, 10.0, 25.0])
+    ]
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE hg(timestamp TIMESTAMP, value FIELD, s TAG)"
+    )
+    engine.write("hg", spark.createDataFrame(rows))
+    out = {
+        (r.bin): (r.bin_lo, r.n)
+        for r in engine.histogram("hg", "value", lo=0.0, hi=10.0, nbins=2).collect()
+    }
+    # bin 0 = [0,5): {-5 clamped, 0, 4.9}; bin 1 = [5,10) + >=10 clamped
+    assert out == {0: (0.0, 3), 1: (5.0, 4)}
