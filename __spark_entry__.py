@@ -418,6 +418,29 @@ def ts_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-second rate / finite differences (Engine.deltas →
+    operators/series.py), summarized per event type."""
+    eng = _ts_engine(spark, sf_dir)
+    d = eng.deltas("ts_events", "value")
+    return d.groupBy("etype").agg(
+        F.count("rate").alias("n_rates"),
+        F.round(F.sum("delta"), 2).alias("delta_sum"),
+        F.round(F.avg("dt_s"), 4).alias("avg_dt_s"),
+    )
+
+
+def ts_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 10-point rolling mean (Engine.rolling_mean →
+    operators/series.py), checksummed per event type."""
+    eng = _ts_engine(spark, sf_dir)
+    r = eng.rolling_mean("ts_events", "value", n=10)
+    return r.groupBy("etype").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("rolling_mean"), 2).alias("roll_sum"),
+    )
+
+
 def ts_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series fixed-bin value histogram (Engine.histogram →
     operators/downsample.py::value_histogram)."""
@@ -1194,6 +1217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_m4": ts_m4,
         "ts_outliers": ts_outliers,
         "ts_histogram": ts_histogram,
+        "ts_rate": ts_rate,
+        "ts_rolling": ts_rolling,
         "ts_lossy_bound": ts_lossy_bound,
         "ts_time_travel": ts_time_travel,
         "stream_windowed_rollup": stream_windowed_rollup,
@@ -1490,6 +1515,37 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(value AS FLOAT)) AS mn,
                    max(CAST(value AS FLOAT)) AS mx
             FROM events GROUP BY user_id
+        """,
+        "ts_rate": """
+            WITH p AS (
+                SELECT event_type AS etype, epoch_ns(ts) // 1000 AS ts_us,
+                       CAST(CAST(value AS FLOAT) AS DOUBLE) AS v
+                FROM events
+            ), d AS (
+                SELECT etype,
+                       v - lag(v) OVER w AS delta,
+                       (ts_us - lag(ts_us) OVER w) / 1e6 AS dt_s
+                FROM p WINDOW w AS (PARTITION BY etype ORDER BY ts_us)
+            )
+            SELECT etype,
+                   count(CASE WHEN dt_s > 0 AND delta IS NOT NULL THEN 1 END) AS n_rates,
+                   round(sum(delta), 2) AS delta_sum,
+                   round(avg(dt_s), 4) AS avg_dt_s
+            FROM d GROUP BY 1
+        """,
+        "ts_rolling": """
+            WITH p AS (
+                SELECT event_type AS etype, epoch_ns(ts) // 1000 AS ts_us,
+                       CAST(CAST(value AS FLOAT) AS DOUBLE) AS v
+                FROM events
+            ), d AS (
+                SELECT etype,
+                       avg(v) OVER (PARTITION BY etype ORDER BY ts_us
+                                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS rm
+                FROM p
+            )
+            SELECT etype, count(*) AS n, round(sum(rm), 2) AS roll_sum
+            FROM d GROUP BY 1
         """,
         "ts_histogram": """
             WITH p AS (

@@ -948,6 +948,47 @@ class Engine:
             pts.withColumnRenamed(field, "value"), meta.tag_columns, lo, hi, nbins
         )
 
+    def deltas(
+        self,
+        name: str,
+        field: str,
+        start=None,
+        end=None,
+        tags: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Per-point finite difference / per-second rate
+        (operators/series.py::deltas) over the gridded view."""
+        from modelardb_rs_spark.operators.series import deltas as deltas_op
+
+        meta = self.catalog.time_series_metadata(name)
+        pts = self.table(name, fields=[field], start=start, end=end)
+        for tcol, v in (tags or {}).items():
+            pts = pts.where(F.col(tcol) == F.lit(v))
+        return deltas_op(
+            pts, meta.tag_columns, ts_col=meta.timestamp_column, value_col=field
+        )
+
+    def rolling_mean(
+        self,
+        name: str,
+        field: str,
+        n: int,
+        start=None,
+        end=None,
+        tags: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Trailing n-point mean per series
+        (operators/series.py::rolling_mean)."""
+        from modelardb_rs_spark.operators.series import rolling_mean as rm_op
+
+        meta = self.catalog.time_series_metadata(name)
+        pts = self.table(name, fields=[field], start=start, end=end)
+        for tcol, v in (tags or {}).items():
+            pts = pts.where(F.col(tcol) == F.lit(v))
+        return rm_op(
+            pts, meta.tag_columns, n, ts_col=meta.timestamp_column, value_col=field
+        )
+
     def first_points(
         self,
         name: str,

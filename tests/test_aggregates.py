@@ -768,3 +768,21 @@ def test_value_histogram_bins_and_clamping(engine, spark):
     }
     # bin 0 = [0,5): {-5 clamped, 0, 4.9}; bin 1 = [5,10) + >=10 clamped
     assert out == {0: (0.0, 3), 1: (5.0, 4)}
+
+
+def test_deltas_and_rolling_mean(engine, spark):
+    rows = [
+        Row(timestamp=TS0 + datetime.timedelta(seconds=10 * i), value=float(i * i), s="x")
+        for i in range(5)
+    ]
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE dr(timestamp TIMESTAMP, value FIELD, s TAG)"
+    )
+    engine.write("dr", spark.createDataFrame(rows))
+    d = {r.value: (r.delta, r.dt_s, r.rate) for r in engine.deltas("dr", "value").collect()}
+    assert d[0.0] == (None, None, None)
+    assert d[4.0] == (3.0, 10.0, 0.3)  # 4-1 over 10s
+    assert d[16.0] == (7.0, 10.0, 0.7)
+    rm = {r.value: r.rolling_mean for r in engine.rolling_mean("dr", "value", n=3).collect()}
+    assert rm[0.0] == 0.0 and rm[1.0] == 0.5
+    assert rm[16.0] == pytest.approx((4 + 9 + 16) / 3)
