@@ -786,3 +786,59 @@ def test_deltas_and_rolling_mean(engine, spark):
     rm = {r.value: r.rolling_mean for r in engine.rolling_mean("dr", "value", n=3).collect()}
     assert rm[0.0] == 0.0 and rm[1.0] == 0.5
     assert rm[16.0] == pytest.approx((4 + 9 + 16) / 3)
+
+
+def test_resample_randomized_mixed_series(engine, spark):
+    """Seeded random mix of plateaus (PMC), ramps (Swing), and noise
+    (Gorilla) resampled at odd widths must equal the decode-everything
+    group-by for every aggregate — the property-style check on the
+    closed-form index math."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(17)
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE rz(timestamp TIMESTAMP, value FIELD(0.5), s TAG)"
+    )
+    frames = []
+    for si in range(3):
+        n = 1500
+        step_us = int(rng.choice([5, 17, 60])) * 1_000_000
+        ts = pd.to_datetime(
+            np.arange(n) * step_us + 1_690_000_000_000_000 + si * 1_000_000,
+            unit="us", utc=True,
+        ).tz_localize(None)
+        kind = si % 3
+        if kind == 0:
+            vals = np.repeat(rng.integers(0, 50, n // 100) * 1.0, 100).astype(np.float32)
+        elif kind == 1:
+            vals = (np.arange(n) * 0.35 + 7).astype(np.float32)
+        else:
+            vals = rng.normal(0, 40, n).astype(np.float32)
+        frames.append(pd.DataFrame({"timestamp": ts, "value": vals, "s": f"s{si}"}))
+    engine.write("rz", spark.createDataFrame(pd.concat(frames)))
+
+    for every, sql_w in (("7 minutes", 420_000_000), ("23 minutes", 1_380_000_000)):
+        got = {
+            (r.bucket, r.s): (r.count_value, r.min_value, r.max_value, round(r.sum_value, 4))
+            for r in engine.resample(
+                "rz", every, {"value": ["count", "min", "max", "sum"]}, group_by=["s"]
+            ).collect()
+        }
+        ref = {
+            (r.b, r.s): (r.c, r.mn, r.mx, round(r.sm, 4))
+            for r in engine.table("rz")
+            .withColumn(
+                "b",
+                F.timestamp_micros(
+                    F.expr(f"unix_micros(timestamp) - pmod(unix_micros(timestamp), {sql_w})")
+                ),
+            )
+            .groupBy("b", "s")
+            .agg(
+                F.count("*").alias("c"), F.min("value").alias("mn"),
+                F.max("value").alias("mx"), F.sum("value").alias("sm"),
+            )
+            .collect()
+        }
+        assert got == ref and len(ref) > 20, (every, len(got), len(ref))
