@@ -1,0 +1,83 @@
+"""End-to-end tour of the engine on the bundled test data.
+
+Run from the repo root:
+
+    python examples/quickstart.py [sf_dir]
+
+Creates a data folder under /tmp, ingests the events stream as a
+compressed time series table, and walks the read surface: SQL with
+model-based pushdown, resample/gapfill/edge reads, anomaly scan, and a
+few of the corpus operators over the documents table.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from modelardb_rs_spark import Engine, make_spark
+from modelardb_rs_spark.sources.testdata import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = make_spark(app_name="sparkmodelar-quickstart")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    engine = Engine(spark, tempfile.mkdtemp(prefix="quickstart_"))
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE events(timestamp TIMESTAMP, "
+        "value FIELD(0.5), etype TAG)"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    engine.write(
+        "events",
+        ev.select(
+            F.col("ts").alias("timestamp"),
+            F.col("value").cast("float").alias("value"),
+            F.col("event_type").alias("etype"),
+        ),
+    )
+    print("== storage stats (from segment metadata only)")
+    engine.stats("events").show()
+
+    print("== aggregate pushdown: answered from statistics columns, no decode")
+    engine.read_sql(
+        "SELECT etype, count(value) AS n, avg(value) AS avg, "
+        "stddev_samp(value) AS sd FROM events GROUP BY etype"
+    ).show()
+
+    print("== resample via SQL time_bucket (closed form for modeled segments)")
+    engine.read_sql(
+        "SELECT time_bucket('1 day', timestamp) AS day, etype, "
+        "count(value) AS n FROM events "
+        "GROUP BY time_bucket('1 day', timestamp), etype"
+    ).orderBy("day", "etype").show(6)
+
+    print("== last observation per series (O(series) decode)")
+    engine.last_points("events").show()
+
+    print("== gap-filled hourly grid (linear interpolation)")
+    engine.gapfill("events", "1 hour", "value").orderBy("etype", "bucket").show(6)
+
+    print("== z-score outliers with segment skipping")
+    engine.outliers("events", z=1.8).groupBy("etype").count().show()
+
+    print("== corpus operators over the documents table")
+    docs = load_table(spark, sf_dir, "documents")
+    from modelardb_rs_spark.operators import dedup, text
+
+    text.repetition_features(docs).orderBy(F.desc("top_bigram_frac")).show(3)
+    dedup.minhash_signatures(docs).select("doc_id", "minhash").show(
+        3, truncate=60
+    )
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
