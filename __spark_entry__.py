@@ -787,6 +787,49 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subquery against the outer row's group (the TPC-H q2
+    shape): parts priced at their brand's minimum."""
+    (part,) = _prep(spark, sf_dir, "part")
+    part.createOrReplaceTempView("__part_mp")
+    return spark.sql(
+        """
+        SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price
+        FROM __part_mp p
+        WHERE p_retailprice = (SELECT min(p2.p_retailprice)
+                               FROM __part_mp p2
+                               WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7-flavor five-way join: revenue between customer-nation /
+    supplier-nation pairs (dimensions broadcast, lineitem scans once)."""
+    nation, cust, orders, li, supp = _prep(
+        spark, sf_dir, "nation", "customer", "orders", "lineitem", "supplier"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, cust.c_nationkey == F.col("c_nk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n2, supp.s_nationkey == F.col("s_nk"))
+        .where(F.col("cust_nation") < F.col("supp_nation"))
+    )
+    return (
+        j.groupBy("cust_nation", "supp_nation")
+        .agg(F.round(F.sum(rev), 4).alias("volume"), F.count("*").alias("n_items"))
+    )
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: daily event counts, one column per event type."""
     (ev,) = _prep(spark, sf_dir, "events")
@@ -1224,6 +1267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_rollup": stream_windowed_rollup,
         "stream_continuous_rollup": stream_continuous_rollup,
         "q_subquery_scalar": q_subquery_scalar,
+        "q_min_price_per_brand": q_min_price_per_brand,
+        "q_nation_volume": q_nation_volume,
         "q_pivot": q_pivot,
         "q_asof_join": q_asof_join,
         "q_topk_per_group": q_topk_per_group,
@@ -1747,6 +1792,25 @@ def oracle_sql() -> dict[str, str]:
                    min(v) AS mn, max(v) AS mx
             FROM p, cutoff
             WHERE h_us + 3600000000 <= cutoff.c
+            GROUP BY 1, 2
+        """,
+        "q_min_price_per_brand": """
+            SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price
+            FROM part p
+            WHERE p_retailprice = (SELECT min(p2.p_retailprice)
+                                   FROM part p2 WHERE p2.p_brand = p.p_brand)
+        """,
+        "q_nation_volume": """
+            SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS volume,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE n1.n_name < n2.n_name
             GROUP BY 1, 2
         """,
         "q_subquery_scalar": """
