@@ -418,6 +418,13 @@ def ts_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_series_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series coverage from metadata only (Engine.series_spans):
+    first/last timestamp + point count, zero decode."""
+    eng = _ts_engine(spark, sf_dir)
+    return eng.series_spans("ts_events", fields=["value"])
+
+
 def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-second rate / finite differences (Engine.deltas →
     operators/series.py), summarized per event type."""
@@ -1260,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_m4": ts_m4,
         "ts_outliers": ts_outliers,
         "ts_histogram": ts_histogram,
+        "ts_series_spans": ts_series_spans,
         "ts_rate": ts_rate,
         "ts_rolling": ts_rolling,
         "ts_lossy_bound": ts_lossy_bound,
@@ -1560,6 +1568,13 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(value AS FLOAT)) AS mn,
                    max(CAST(value AS FLOAT)) AS mx
             FROM events GROUP BY user_id
+        """,
+        "ts_series_spans": """
+            SELECT event_type AS etype, 'value' AS field,
+                   make_timestamp(min(epoch_ns(ts) // 1000)) AS first_ts,
+                   make_timestamp(max(epoch_ns(ts) // 1000)) AS last_ts,
+                   count(*) AS n_points
+            FROM events GROUP BY 1
         """,
         "ts_rate": """
             WITH p AS (

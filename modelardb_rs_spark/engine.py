@@ -948,6 +948,37 @@ class Engine:
             pts.withColumnRenamed(field, "value"), meta.tag_columns, lo, hi, nbins
         )
 
+    def series_spans(
+        self,
+        name: str,
+        fields: list[str] | None = None,
+        tags: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Per-series coverage from metadata ONLY — first/last timestamp
+        and point count per (series, field), zero decode. The staleness /
+        inventory query a fleet dashboard runs continuously: at any scale
+        it reads three narrow columns. Output: (*tags, field, first_ts,
+        last_ts, n_points)."""
+        meta, segments, wanted, _ = self._per_series_read(name, fields, tags)
+        field_index = meta.field_index_of
+        spans = segments.groupBy(*meta.tag_columns, "field_column").agg(
+            F.min("start_time").alias("__f__"),
+            F.max("end_time").alias("__l__"),
+            F.sum("value_count").cast("long").alias("n_points"),
+        )
+        name_expr = F.col("field_column").cast("string")
+        for f in wanted:
+            name_expr = F.when(
+                F.col("field_column") == F.lit(field_index[f]), F.lit(f)
+            ).otherwise(name_expr)
+        return spans.select(
+            *meta.tag_columns,
+            name_expr.alias("field"),
+            F.timestamp_micros(F.col("__f__")).alias("first_ts"),
+            F.timestamp_micros(F.col("__l__")).alias("last_ts"),
+            "n_points",
+        )
+
     def deltas(
         self,
         name: str,

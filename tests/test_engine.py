@@ -383,3 +383,27 @@ def test_first_points_per_series(engine, spark):
     got = {r.sensor: (r.timestamp, r.value) for r in engine.first_points("fp").collect()}
     assert got["a"] == ((t0 - datetime.timedelta(hours=1)).replace(tzinfo=None), -5.0)
     assert got["b"] == (t0.replace(tzinfo=None), 0.0)
+
+
+def test_series_spans_metadata_only(engine, spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    t0 = datetime.datetime(2024, 3, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        Row(timestamp=t0 + datetime.timedelta(seconds=i), value=float(i), sensor=s)
+        for s, cnt in (("a", 120), ("b", 45))
+        for i in range(cnt)
+    ]
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE ss(timestamp TIMESTAMP, value FIELD, sensor TAG)"
+    )
+    engine.write("ss", spark.createDataFrame(rows))
+    spans = {r.sensor: (r.first_ts, r.last_ts, r.n_points) for r in engine.series_spans("ss").collect()}
+    naive = t0.replace(tzinfo=None)
+    assert spans["a"] == (naive, naive + datetime.timedelta(seconds=119), 120)
+    assert spans["b"] == (naive, naive + datetime.timedelta(seconds=44), 45)
+    # metadata only: no decode, no Python stage
+    plan = engine.series_spans("ss")._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "timestamps" not in plan
