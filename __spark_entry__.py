@@ -1108,6 +1108,20 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.minhash_dedup_pairs(docs, threshold=0.10, k=16, bands=8, n=3)
 
 
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's end product (operators/dedup.py::
+    deduplicate_corpus): the corpus minus near-duplicates — LSH-blocked
+    verified pairs, connected components, keep each cluster's minimum
+    id. Checksummed; the oracle reproduces the full pipeline in SQL."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    out = dedup_ops.deduplicate_corpus(docs, threshold=0.10, k=16, bands=8, n=3)
+    return out.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _prep(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
@@ -1298,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
         "dedup_minhash_verified": dedup_minhash_verified,
+        "dedup_corpus": dedup_corpus,
         "sim_bruteforce_topk": sim_bruteforce_topk,
         "sim_threshold_count": sim_threshold_count,
         "dedup_embedding": dedup_embedding,
@@ -2147,6 +2162,26 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_verified": _MINHASH_VERIFY_CTE
         + """
             SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.10
+        """,
+        "dedup_corpus": _MINHASH_VERIFY_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + """
+            , pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.10),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+                SELECT DISTINCT src AS id, src AS r FROM edges
+                UNION
+                SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+            ),
+            labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+            dropped AS (SELECT id FROM labels WHERE id <> cluster_id)
+            SELECT count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM dropped)
         """,
         "dedup_simhash": f"""
             WITH tok AS (

@@ -381,6 +381,36 @@ def simhash_near_pairs(
     )
 
 
+def deduplicate_corpus(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The end of the dedup pipeline: the corpus WITHOUT near-duplicates.
+
+    Composition of the scale path — MinHash → banded LSH candidates →
+    exact Jaccard verification of candidates only → connected components
+    → keep each cluster's minimum id — finished with one anti-join that
+    drops every non-canonical member. Deterministic (the survivor of a
+    duplicate cluster is always its smallest id), and the only O(·)
+    terms are the LSH index build and the candidate verifications.
+
+    Returns ``df`` rows minus dropped duplicates (schema unchanged).
+    """
+    pairs = minhash_dedup_pairs(df, threshold, k, bands, n, text_col, id_col)
+    clusters = duplicate_clusters(
+        pairs.select(F.col("id_a"), F.col("id_b"))
+    )
+    dropped = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(dropped, id_col, "left_anti")
+
+
 # -------------------------------------------------- contamination check
 
 

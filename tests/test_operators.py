@@ -395,3 +395,16 @@ def test_ngram_contamination(spark):
     assert out[11] == (1, 0, 0.0)  # <4 tokens? no — 4 tokens -> 1 gram, no hit
     assert out[10][1] == 1 and out[10][0] == 3  # one shared 4-gram of three
     assert out[10][2] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_deduplicate_corpus_keeps_canonical(docs):
+    """End-to-end dedup: near-duplicate clusters collapse to their
+    minimum id; unique docs survive untouched."""
+    out = dedup_ops.deduplicate_corpus(docs, threshold=0.5, k=16, bands=8)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept <= all_ids and len(kept) < len(all_ids)
+    # survivors contain each cluster's min id: re-running dedup on the
+    # survivors finds no pairs at the same threshold
+    again = dedup_ops.minhash_dedup_pairs(out, threshold=0.5, k=16, bands=8)
+    assert again.count() == 0
