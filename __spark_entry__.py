@@ -778,6 +778,47 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup at the door (streaming/ingest.py::
+    streaming_distinct_documents): a real streaming job keeps the first
+    occurrence of each fingerprint across micro-batches; the oracle is
+    batch COUNT(DISTINCT fingerprint)."""
+    import uuid
+
+    from modelardb_rs_spark.streaming.ingest import streaming_distinct_documents
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), "sparkmodelar_entry", f"{key}_docstream"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    deduped = streaming_distinct_documents(stream)
+    name = f"sdedup_{uuid.uuid4().hex[:12]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # survivor identity within a batch is arbitrary among exact dups, so
+    # the checksum uses only dedup-invariant quantities
+    return spark.table(name).agg(
+        F.count("*").alias("n_unique"),
+        F.countDistinct("fingerprint").alias("n_fingerprints"),
+        F.min("fingerprint").alias("min_fp"),
+        F.max("fingerprint").alias("max_fp"),
+    )
+
+
 def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-style scalar subquery: orders above the global average
     price, counted per priority."""
@@ -1288,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_time_travel": ts_time_travel,
         "stream_windowed_rollup": stream_windowed_rollup,
         "stream_continuous_rollup": stream_continuous_rollup,
+        "stream_dedup": stream_dedup,
         "q_subquery_scalar": q_subquery_scalar,
         "q_min_price_per_brand": q_min_price_per_brand,
         "q_nation_volume": q_nation_volume,
@@ -1877,6 +1919,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_frames, count(DISTINCT doc_id) AS n_media,
                    CAST(sum(frame_idx) AS BIGINT) AS sum_idx
             FROM f
+        """,
+        "stream_dedup": """
+            WITH fp AS (SELECT DISTINCT
+                            md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+                        FROM documents)
+            SELECT count(*) AS n_unique, count(*) AS n_fingerprints,
+                   min(f) AS min_fp, max(f) AS max_fp
+            FROM fp
         """,
         "doc_fingerprints": """
             SELECT count(*) AS n_docs,

@@ -254,3 +254,27 @@ def windowed_rollup(
             "avg_value",
         )
     )
+
+
+def streaming_distinct_documents(
+    stream: DataFrame,
+    text_col: str = "text",
+    watermark_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each document
+    fingerprint across micro-batches (Spark's state store holds the seen
+    set; with an event-time watermark the state ages out, bounding it
+    for unbounded streams — without one it grows with distinct docs,
+    which is the batch-identical semantics).
+
+    The LLM-ingest shape: dedup at the door, before expensive
+    downstream operators."""
+    from modelardb_rs_spark.operators.text import fingerprint
+
+    out = stream.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    if watermark_col is not None:
+        return out.withWatermark(
+            watermark_col, watermark
+        ).dropDuplicatesWithinWatermark(["fingerprint"])
+    return out.dropDuplicates(["fingerprint"])
