@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 
 from modelardb_rs_spark.engine import Engine
 from modelardb_rs_spark.operators import dedup as dedup_ops
+from modelardb_rs_spark.operators import lines as line_ops
 from modelardb_rs_spark.operators import multimodal as mm_ops
+from modelardb_rs_spark.operators import pii as pii_ops
 from modelardb_rs_spark.operators import similarity as sim_ops
 from modelardb_rs_spark.operators import text as text_ops
 from modelardb_rs_spark.sources.testdata import load_table
@@ -1277,6 +1279,102 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_corpus(docs: DataFrame) -> DataFrame:
+    """The synthetic documents carry no PII, so every third doc gets a
+    deterministic PII suffix (email, ipv4, ssn) derived from its own id
+    — reproduced verbatim in the DuckDB oracle."""
+    suffix = F.concat(
+        F.lit(" reach user"), F.col("doc_id"), F.lit("@"), F.col("source"),
+        F.lit(".org or 10."), (F.col("doc_id") % 256), F.lit(".0."),
+        (F.col("doc_id") % 100), F.lit(" ssn 123-45-6789"),
+    )
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), suffix)).otherwise(
+            F.col("text")
+        ),
+    )
+
+
+def doc_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection (operators/pii.py): per-language span totals over a
+    corpus with deterministically planted PII."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    counts = pii_ops.pii_counts(_pii_corpus(docs))
+    return (
+        counts.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_email").cast("long").alias("emails"),
+            F.sum("n_ipv4").cast("long").alias("ipv4s"),
+            F.sum("n_ssn").cast("long").alias("ssns"),
+            F.sum(F.when(F.col("n_pii") > 0, 1).otherwise(0)).cast("long").alias("docs_with_pii"),
+        )
+    )
+
+
+def doc_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction round trip: after redact_documents the corpus must
+    contain zero detectable PII spans, and the size delta equals the
+    spans' characters minus the placeholders'."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    planted = _pii_corpus(docs)
+    red = pii_ops.redact_documents(planted)
+    residual = pii_ops.pii_counts(red)
+    return residual.join(
+        red.select("doc_id", F.length("text").alias("n_chars_redacted")), "doc_id"
+    ).agg(
+        F.sum("n_pii").cast("long").alias("residual_pii"),
+        F.sum("n_chars_redacted").cast("long").alias("total_chars"),
+    )
+
+
+def _lined_corpus(docs: DataFrame) -> DataFrame:
+    """Multi-line corpus for the line-dedup operators: every doc gets a
+    shared header, a unique-ish preview line, a blank line, its body,
+    and a per-language footer."""
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("SHARED HEADER\n"),
+            F.substring(F.col("text"), 1, 40),
+            F.lit("\n\n"),
+            F.col("text"),
+            F.lit("\nfooter "),
+            F.col("lang"),
+        ),
+    )
+
+
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate line removal (operators/lines.py,
+    C4/RefinedWeb-style): lines in ≥2 distinct docs are dropped, order
+    and blank lines preserved; per-language reconstruction totals."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    cleaned = line_ops.remove_common_lines(_lined_corpus(docs), min_docs=2)
+    return (
+        cleaned.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_lines_kept").cast("long").alias("lines_kept"),
+            F.sum("n_lines_removed").cast("long").alias("lines_removed"),
+            F.sum(F.length("text")).cast("long").alias("chars_kept"),
+        )
+    )
+
+
+def ts_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series Pearson correlation on daily buckets
+    (Engine.correlate → operators/correlate.py): bucket means come from
+    the resample pushdown, pairs from one bucket-keyed self-join."""
+    eng = _ts_engine(spark, sf_dir)
+    out = eng.correlate("ts_events", "value", every="1 day")
+    return out.select(
+        "series_a", "series_b", "n_buckets", F.round("corr", 4).alias("corr")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1366,6 +1464,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": doc_sample,
         "multimodal_metadata": multimodal_metadata,
         "multimodal_features": multimodal_features,
+        "doc_pii": doc_pii,
+        "doc_pii_redacted": doc_pii_redacted,
+        "doc_line_dedup": doc_line_dedup,
+        "ts_correlation": ts_correlation,
     }
 
 
@@ -1417,6 +1519,12 @@ _MINHASH_VERIFY_CTE = (
     )
 """
 )
+
+
+# The oracle must count/replace with the SAME pattern strings the Spark
+# operator uses (operators/pii.py keeps them in the RE2/Java-common
+# subset for exactly this reason).
+_PII = dict(pii_ops.PII_PATTERNS)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2383,5 +2491,109 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(mean_byte), 4) AS avg_mean_byte,
                    CAST(count(*) * 16 AS BIGINT) AS total_bytes
             FROM b
+        """,
+        "doc_pii": f"""
+            WITH d2 AS (
+              SELECT doc_id, lang,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || ' reach user' || doc_id || '@' || source
+                               || '.org or 10.' || (doc_id % 256) || '.0.'
+                               || (doc_id % 100) || ' ssn 123-45-6789'
+                          ELSE text END AS text
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang,
+                     len(regexp_extract_all(text, '{_PII["email"]}')) AS n_email,
+                     len(regexp_extract_all(text, '{_PII["ipv4"]}')) AS n_ipv4,
+                     len(regexp_extract_all(text, '{_PII["ssn"]}')) AS n_ssn,
+                     len(regexp_extract_all(text, '{_PII["email"]}'))
+                     + len(regexp_extract_all(text, '{_PII["ssn"]}'))
+                     + len(regexp_extract_all(text, '{_PII["phone"]}'))
+                     + len(regexp_extract_all(text, '{_PII["ipv4"]}')) AS n_pii
+              FROM d2
+            )
+            SELECT lang,
+                   CAST(sum(n_email) AS BIGINT) AS emails,
+                   CAST(sum(n_ipv4) AS BIGINT) AS ipv4s,
+                   CAST(sum(n_ssn) AS BIGINT) AS ssns,
+                   CAST(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+            FROM c GROUP BY lang
+        """,
+        "doc_pii_redacted": f"""
+            WITH d2 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || ' reach user' || doc_id || '@' || source
+                               || '.org or 10.' || (doc_id % 256) || '.0.'
+                               || (doc_id % 100) || ' ssn 123-45-6789'
+                          ELSE text END AS text
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                         text,
+                         '{_PII["email"]}', '<EMAIL>', 'g'),
+                         '{_PII["ssn"]}', '<SSN>', 'g'),
+                         '{_PII["phone"]}', '<PHONE>', 'g'),
+                         '{_PII["ipv4"]}', '<IPV4>', 'g') AS text
+              FROM d2
+            )
+            SELECT CAST(sum(len(regexp_extract_all(text, '{_PII["email"]}'))
+                          + len(regexp_extract_all(text, '{_PII["ssn"]}'))
+                          + len(regexp_extract_all(text, '{_PII["phone"]}'))
+                          + len(regexp_extract_all(text, '{_PII["ipv4"]}'))) AS BIGINT)
+                       AS residual_pii,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM r
+        """,
+        "doc_line_dedup": r"""
+            WITH d2 AS (
+              SELECT doc_id, lang,
+                     'SHARED HEADER' || chr(10) || substr(text, 1, 40)
+                     || chr(10) || chr(10) || text
+                     || chr(10) || 'footer ' || lang AS text
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, lang,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS line_no
+              FROM d2
+            ), n AS (
+              SELECT *, lower(regexp_replace(trim(line), '\s+', ' ', 'g')) AS norm
+              FROM ex
+            ), common AS (
+              SELECT norm FROM n WHERE norm <> ''
+              GROUP BY norm HAVING count(DISTINCT doc_id) >= 2
+            ), marked AS (
+              SELECT n.*, n.norm IN (SELECT norm FROM common) AS is_common FROM n
+            ), rebuilt AS (
+              SELECT doc_id, lang,
+                     coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                              FILTER (WHERE NOT is_common), '') AS text,
+                     count(*) FILTER (WHERE NOT is_common) AS kept,
+                     count(*) FILTER (WHERE is_common) AS removed
+              FROM marked GROUP BY doc_id, lang
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(kept) AS BIGINT) AS lines_kept,
+                   CAST(sum(removed) AS BIGINT) AS lines_removed,
+                   CAST(sum(length(text)) AS BIGINT) AS chars_kept
+            FROM rebuilt GROUP BY lang
+        """,
+        "ts_correlation": """
+            WITH b AS (
+              SELECT event_type AS series,
+                     (epoch_ns(ts) // 1000) // 86400000000 AS bucket,
+                     avg(CAST(CAST(value AS FLOAT) AS DOUBLE)) AS v
+              FROM events GROUP BY 1, 2
+            )
+            SELECT l.series AS series_a, r.series AS series_b,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   round(corr(l.v, r.v), 4) AS corr
+            FROM b l JOIN b r USING (bucket)
+            WHERE l.series < r.series
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
         """,
     }

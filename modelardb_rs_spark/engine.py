@@ -1030,6 +1030,34 @@ class Engine:
         last_points (min start_time instead of max end_time)."""
         return self.last_points(name, fields, tags, which="first")
 
+    def correlate(
+        self,
+        name: str,
+        field: str | None = None,
+        every="1 hour",
+        start=None,
+        end=None,
+        tags: dict[str, str] | None = None,
+        min_buckets: int = 2,
+    ) -> DataFrame:
+        """Pairwise Pearson correlation between this table's series
+        (operators/correlate.py): per-bucket means come from the
+        resample pushdown — model-typed segments contribute their bucket
+        means in closed form without decoding — then one bucket-keyed
+        self-join pairs the series. Output: (series_a, series_b,
+        n_buckets, corr), series named by space-joined tag values."""
+        from modelardb_rs_spark.operators.correlate import bucketed_correlation
+
+        meta = self.catalog.time_series_metadata(name)
+        fname = field or meta.field_names[0]
+        res = self.resample(
+            name, every, {fname: "avg"}, group_by=meta.tag_columns,
+            start=start, end=end, tags=tags,
+        )
+        return bucketed_correlation(
+            res, meta.tag_columns, "bucket", f"avg_{fname}", min_buckets
+        )
+
     def stats(self, name: str) -> DataFrame:
         """Per-field segment statistics (the EXPLAIN ANALYZE metrics the
         reference's GridExec reports, grid_exec.rs:439-518): segment and

@@ -1,0 +1,59 @@
+"""Cross-series correlation: engine path (resample pushdown) and the
+raw-points operator."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from modelardb_rs_spark.operators.correlate import series_correlation
+
+
+def _write_three_series(engine, spark):
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE corr_t(timestamp TIMESTAMP, v FIELD, s TAG)"
+    )
+    # a: rising line; b: a scaled copy (corr +1); c: falling line (corr -1)
+    rows = spark.range(200).selectExpr(
+        "timestamp_micros(id * 60000000) AS timestamp",
+        "CAST(id AS FLOAT) AS v",
+        "'a' AS s",
+    )
+    rows_b = spark.range(200).selectExpr(
+        "timestamp_micros(id * 60000000) AS timestamp",
+        "CAST(id * 2.5 + 7 AS FLOAT) AS v",
+        "'b' AS s",
+    )
+    rows_c = spark.range(200).selectExpr(
+        "timestamp_micros(id * 60000000) AS timestamp",
+        "CAST(200 - id AS FLOAT) AS v",
+        "'c' AS s",
+    )
+    engine.write("corr_t", rows.union(rows_b).union(rows_c))
+
+
+def test_engine_correlate(engine, spark):
+    _write_three_series(engine, spark)
+    out = {
+        (r["series_a"], r["series_b"]): r
+        for r in engine.correlate("corr_t", "v", every="10 minutes").collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert math.isclose(out[("a", "b")]["corr"], 1.0, abs_tol=1e-9)
+    assert math.isclose(out[("a", "c")]["corr"], -1.0, abs_tol=1e-9)
+    # 200 minutes of data in 10-minute buckets
+    assert out[("a", "b")]["n_buckets"] == 20
+
+
+def test_series_correlation_min_buckets(spark):
+    pts = spark.createDataFrame(
+        [(i * 1_000_000, float(i), "x") for i in range(10)]
+        + [(i * 1_000_000, float(i % 3), "y") for i in range(10)]
+        + [(0, 1.0, "lone")],
+        "ts long, value double, s string",
+    )
+    out = series_correlation(
+        pts, ["s"], bucket_us=2_000_000, ts_col="ts", min_buckets=3
+    )
+    pairs = {(r["series_a"], r["series_b"]) for r in out.collect()}
+    # "lone" has a single bucket: below min_buckets with everyone
+    assert pairs == {("x", "y")}

@@ -1,0 +1,84 @@
+"""PII detection/redaction and corpus line-dedup operators."""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from modelardb_rs_spark.operators import lines as line_ops
+from modelardb_rs_spark.operators import pii as pii_ops
+
+DOCS = [
+    (1, "Contact me at alice@example.com or 555-123-4567.\nThanks!"),
+    (2, "Server at 10.0.0.1 logged SSN 123-45-6789 twice: 123-45-6789."),
+    (3, "No sensitive content here, just 3.14 and v1.2.3.4 strings."),
+    (4, "bob.smith+spam@mail.co and carol@sub.domain.org emailed."),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_pii_counts(docs):
+    rows = {r["doc_id"]: r.asDict() for r in pii_ops.pii_counts(docs).collect()}
+    assert rows[1] == {"doc_id": 1, "n_email": 1, "n_ssn": 0, "n_phone": 1, "n_ipv4": 0, "n_pii": 2}
+    assert rows[2]["n_ssn"] == 2
+    assert rows[2]["n_ipv4"] == 1
+    # 3-2-4 digit grouping is SSN, not phone (3-3-4)
+    assert rows[2]["n_phone"] == 0
+    assert rows[3]["n_pii"] == 0
+    assert rows[4]["n_email"] == 2
+
+
+def test_redact(docs):
+    red = {r["doc_id"]: r["text"] for r in pii_ops.redact_documents(docs).collect()}
+    assert red[1] == "Contact me at <EMAIL> or <PHONE>.\nThanks!"
+    assert red[2].count("<SSN>") == 2 and "<PHONE>" not in red[2]
+    assert red[3] == DOCS[2][1]
+    assert red[4].count("<EMAIL>") == 2
+
+
+def test_pii_oracle_parity(docs):
+    """The same pattern strings must count identically in DuckDB — this is
+    what makes the driver oracle trustworthy."""
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    oracle = {
+        r[0]: r for r in con.sql(pii_ops.pii_oracle_sql()).fetchall()
+    }
+    for r in pii_ops.pii_counts(docs).collect():
+        assert oracle[r["doc_id"]] == (
+            r["doc_id"], r["n_email"], r["n_ssn"], r["n_phone"], r["n_ipv4"], r["n_pii"]
+        )
+
+
+BOILER = [
+    (1, "Cookie notice\nReal content one.\n\nCookie   NOTICE\nunique line A"),
+    (2, "cookie notice\nReal content two."),
+    (3, "Totally original document."),
+]
+
+
+@pytest.fixture()
+def boiler(spark):
+    return spark.createDataFrame(BOILER, "doc_id long, text string")
+
+
+def test_common_lines(boiler):
+    rows = line_ops.common_lines(boiler, min_docs=2).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r["norm"] == "cookie notice"
+    assert r["n_docs"] == 2 and r["n_occurrences"] == 3
+
+
+def test_remove_common_lines_preserves_order_and_blanks(boiler):
+    out = {r["doc_id"]: r.asDict() for r in line_ops.remove_common_lines(boiler, min_docs=2).collect()}
+    # both spellings removed, blank line kept, order intact
+    assert out[1]["text"] == "Real content one.\n\nunique line A"
+    assert out[1]["n_lines_removed"] == 2 and out[1]["n_lines_kept"] == 3
+    assert out[2]["text"] == "Real content two."
+    assert out[3]["text"] == BOILER[2][1]
+    assert out[3]["n_lines_removed"] == 0
