@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modelardb_rs_spark.engine import Engine
+from modelardb_rs_spark.operators import ann_index as ann_ops
 from modelardb_rs_spark.operators import dedup as dedup_ops
 from modelardb_rs_spark.operators import lines as line_ops
 from modelardb_rs_spark.operators import multimodal as mm_ops
@@ -1364,6 +1365,19 @@ def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANN index (operators/ann_index.py): build the IVF index
+    as partitioned engine tables, then probe it — results are
+    value-identical to the inline pipeline (same oracle), but the scan
+    touches only the probed buckets' files (partition pruning,
+    plan-asserted in tests/test_ann_index.py)."""
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    eng = Engine(spark, tempfile.mkdtemp(prefix="sparkmodelar_annidx_"))
+    ann_ops.build_ivf_index(eng, "emb_idx", emb, bucket_col="label")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ann_ops.ivf_index_topk(eng, "emb_idx", queries, k=5, nprobe=2)
+
+
 def ts_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-series Pearson correlation on daily buckets
     (Engine.correlate → operators/correlate.py): bucket means come from
@@ -1468,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_redacted": doc_pii_redacted,
         "doc_line_dedup": doc_line_dedup,
         "ts_correlation": ts_correlation,
+        "sim_ivf_index": sim_ivf_index,
     }
 
 
@@ -1549,7 +1564,7 @@ def oracle_sql() -> dict[str, str]:
         for b in range(dedup_ops.SIMHASH_BITS)
     )
 
-    return {
+    oracles = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -2597,3 +2612,7 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) >= 2
         """,
     }
+    # the persisted index probes the same buckets with the same math as
+    # the inline pipeline, so it shares sim_ivf_topk's oracle verbatim
+    oracles["sim_ivf_index"] = oracles["sim_ivf_topk"]
+    return oracles

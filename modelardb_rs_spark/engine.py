@@ -267,10 +267,12 @@ class Engine:
 
     # --------------------------------------------------------------- write
 
-    def write(self, name: str, df: DataFrame) -> None:
+    def write(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """Append a DataFrame. Time series tables are compressed inline
         (reference Operations::write → try_compress_multivariate_time_series,
-        modelardb_embedded/src/data_folder.rs:191-238)."""
+        modelardb_embedded/src/data_folder.rs:191-238). ``partition_by``
+        (normal tables only) lays files out Hive-style on those columns
+        for planning-time partition pruning."""
         kind = self.catalog.kind(name)
         if kind == TableKind.NORMAL:
             schema = self.catalog.normal_table_schema(name)
@@ -278,8 +280,10 @@ class Engine:
             cast = df.select(
                 *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
             )
-            self.folder.write_normal(name, cast)
+            self.folder.write_normal(name, cast, partition_by=partition_by)
             return
+        if partition_by:
+            raise ValueError("partition_by applies to normal tables only")
         meta = self.catalog.time_series_metadata(name)
         insert_schema = meta.insert_schema()
         self._check_columns(name, df, [f.name for f in insert_schema.fields])

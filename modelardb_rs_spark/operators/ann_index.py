@@ -1,0 +1,135 @@
+"""Persisted ANN index: build once, probe many — the 100 TB shape.
+
+``ivf_topk`` (operators/similarity.py) recomputes bucket centroids per
+query, which is right for one-shot jobs but wrong for a serving corpus:
+at scale the index is built ONCE and every query must touch only the
+probed slice of the data. This module persists an IVF index as two
+engine tables inside the data folder:
+
+    <index>__vectors    (id, vector, ivf_bucket)  — Hive-partitioned by
+                        ivf_bucket, so a probe's IN-filter prunes whole
+                        directories at planning time; only the probed
+                        buckets' files are ever listed or opened
+                        (FAISS reads only the probed inverted lists; this
+                        is the Parquet-native equivalent)
+    <index>__centroids  (ivf_bucket, centroid, n_vectors) — tiny, always
+                        broadcast
+
+Both tables go through the transactional commit log like every other
+table: index builds are atomic, rebuilds are snapshot-isolated with
+time travel, and VACUUM applies.
+
+Buckets come from a provided column (e.g. a label) or an MLlib-KMeans
+coarse quantizer (``similarity.kmeans_buckets``). Probing reuses
+``similarity.probe_topk`` so persisted-index results are value-identical
+to the in-line pipeline (and to its SQL oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from modelardb_rs_spark.operators.similarity import (
+    bucket_centroids,
+    cosine,
+    kmeans_buckets,
+    probe_topk,
+)
+
+
+def _vectors_table(index_name: str) -> str:
+    return f"{index_name}__vectors"
+
+
+def _centroids_table(index_name: str) -> str:
+    return f"{index_name}__centroids"
+
+
+def build_ivf_index(
+    engine,
+    index_name: str,
+    corpus: DataFrame,
+    bucket_col: str | None = None,
+    n_buckets: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> dict:
+    """Build (or rebuild) a persisted IVF index over ``corpus``.
+
+    ``bucket_col`` uses an existing integer column as the coarse
+    quantizer (deterministic, SQL-reproducible); otherwise MLlib KMeans
+    learns ``n_buckets`` buckets (seeded). Returns
+    ``{"n_vectors", "n_buckets"}``.
+    """
+    if bucket_col is None:
+        bucketed = kmeans_buckets(corpus, k=n_buckets, id_col=id_col, vec_col=vec_col, seed=seed)
+        bucket_src = "ivf_bucket"
+    else:
+        bucketed, bucket_src = corpus, bucket_col
+    vectors = bucketed.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(bucket_src).cast("int").alias("ivf_bucket"),
+    )
+    cents = bucket_centroids(vectors, vec_col, "ivf_bucket").join(
+        vectors.groupBy("ivf_bucket").agg(F.count("*").cast("long").alias("n_vectors")),
+        "ivf_bucket",
+    )
+
+    vt, ct = _vectors_table(index_name), _centroids_table(index_name)
+    for t in (vt, ct):
+        if t in engine.tables():
+            engine.drop(t)
+    engine.create_table(vt, f"{id_col} BIGINT, {vec_col} ARRAY<FLOAT>, ivf_bucket INT")
+    engine.create_table(ct, "ivf_bucket INT, centroid ARRAY<FLOAT>, n_vectors BIGINT")
+    engine.write(vt, vectors, partition_by=["ivf_bucket"])
+    engine.write(ct, cents)
+    stats = engine.table(ct).agg(
+        F.count("*").alias("b"), F.sum("n_vectors").alias("n")
+    ).collect()[0]
+    return {"n_vectors": int(stats["n"] or 0), "n_buckets": int(stats["b"])}
+
+
+def ivf_index_topk(
+    engine,
+    index_name: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a persisted index, touching only probed buckets.
+
+    The union of the queries' probe buckets (a handful of ints — index
+    metadata, not data) becomes a static IN-filter on the partitioned
+    vectors table, so planning prunes every unprobed directory; the
+    per-query restriction then rides the same probes join as the inline
+    pipeline. Value-identical to ``ivf_topk`` over the same buckets.
+    """
+    cents = engine.table(_centroids_table(index_name)).select("ivf_bucket", "centroid")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv__"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__ccos__").desc(), F.col("ivf_bucket")
+    )
+    probed_buckets = [
+        r["ivf_bucket"]
+        for r in (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("__ccos__", cosine(F.col("__qv__"), F.col("centroid")))
+            .withColumn("__pr__", F.row_number().over(probe_w))
+            .where(F.col("__pr__") <= nprobe)
+            .select("ivf_bucket")
+            .distinct()
+            .collect()
+        )
+    ]
+    vectors = engine.table(_vectors_table(index_name)).where(
+        F.col("ivf_bucket").isin(probed_buckets)
+    )
+    return probe_topk(vectors, cents, queries, k, nprobe, id_col, vec_col, "ivf_bucket")

@@ -102,19 +102,47 @@ def ivf_topk(
     Recall < 1 by construction; callers validate against
     ``brute_force_topk`` (see tests).
     """
-    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    centroids = bucket_centroids(corpus, vec_col, bucket_col)
+    return probe_topk(corpus, centroids, queries, k, nprobe, id_col, vec_col, bucket_col)
+
+
+def bucket_centroids(corpus: DataFrame, vec_col: str = "embedding", bucket_col: str = "label") -> DataFrame:
+    """Element-wise mean vector per bucket: (bucket_col, centroid
+    float array). One groupBy over the exploded dimensions — this is the
+    index-build half of IVF, persisted by operators/ann_index.py."""
     exploded = corpus.select(
         F.col(bucket_col), F.posexplode(F.col(vec_col)).alias("__i__", "__x__")
     )
-    centroids = (
+    return (
         exploded.groupBy(bucket_col, "__i__")
         .agg(F.avg("__x__").alias("__m__"))
         .groupBy(bucket_col)
         .agg(F.array_sort(F.collect_list(F.struct("__i__", "__m__"))).alias("__s__"))
         .select(
-            F.col(bucket_col).alias("__bucket__"),
-            F.transform(F.col("__s__"), lambda s: s["__m__"].cast("float")).alias("__centroid__"),
+            F.col(bucket_col),
+            F.transform(F.col("__s__"), lambda s: s["__m__"].cast("float")).alias("centroid"),
         )
+    )
+
+
+def probe_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """The probe half of IVF: queries score the (small, broadcast)
+    centroid set, keep their ``nprobe`` nearest buckets, and exact-rank
+    within the probed subset only. ``centroids`` must be
+    (bucket_col, centroid) as produced by ``bucket_centroids`` or read
+    from a persisted index."""
+    centroids = centroids.select(
+        F.col(bucket_col).alias("__bucket__"),
+        F.col("centroid").alias("__centroid__"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

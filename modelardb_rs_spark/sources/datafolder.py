@@ -295,11 +295,19 @@ class DataFolder:
 
     # -- normal tables ------------------------------------------------------
 
-    def write_normal(self, name: str, df: DataFrame) -> None:
-        self._stage_and_commit(
-            name,
-            lambda staged: df.write.option("compression", "zstd").parquet(staged),
-        )
+    def write_normal(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        """Atomically append rows to a normal table. ``partition_by``
+        lays the files out Hive-style on those columns, so equality/IN
+        filters on them prune whole directories at planning time (the
+        ANN index stores vectors partitioned by bucket this way)."""
+
+        def write_staged(staged: str) -> None:
+            writer = df.write.option("compression", "zstd")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(staged)
+
+        self._stage_and_commit(name, write_staged)
 
     def read_normal(
         self,

@@ -1,0 +1,53 @@
+"""Persisted ANN index: value parity with the inline IVF pipeline and
+planning-time partition pruning of unprobed buckets."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from modelardb_rs_spark.operators import ann_index, similarity
+from modelardb_rs_spark.sources.testdata import load_table
+
+
+@pytest.fixture()
+def emb(spark):
+    return load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+def test_build_and_parity_with_inline_ivf(engine, emb):
+    stats = ann_index.build_ivf_index(engine, "idx", emb, bucket_col="label")
+    assert stats["n_vectors"] == emb.count()
+    assert stats["n_buckets"] == emb.select("label").distinct().count()
+
+    queries = emb.where(F.col("vec_id") < 8)
+    inline = similarity.ivf_topk(emb, queries, k=5, nprobe=2, bucket_col="label")
+    persisted = ann_index.ivf_index_topk(engine, "idx", queries, k=5, nprobe=2)
+    assert sorted(map(tuple, inline.collect())) == sorted(map(tuple, persisted.collect()))
+
+
+def test_probe_prunes_partitions(engine, emb):
+    ann_index.build_ivf_index(engine, "idx2", emb, bucket_col="label")
+    queries = emb.where(F.col("vec_id") == 0)
+    out = ann_index.ivf_index_topk(engine, "idx2", queries, k=3, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the vectors scan must carry a partition filter on ivf_bucket —
+    # unprobed bucket directories are pruned at planning time
+    scan = plan.split("__vectors")[-1]
+    assert "ivf_bucket" in scan.split("PartitionFilters")[1][:120]
+    assert out.count() == 3
+
+
+def test_kmeans_index_recall(engine, emb):
+    ann_index.build_ivf_index(engine, "kidx", emb, bucket_col=None, n_buckets=8)
+    queries = emb.where(F.col("vec_id") < 8)
+    approx = ann_index.ivf_index_topk(engine, "kidx", queries, k=5, nprobe=3)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.4
+
+
+def test_rebuild_replaces_index(engine, emb):
+    ann_index.build_ivf_index(engine, "idx3", emb, bucket_col="label")
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    stats = ann_index.build_ivf_index(engine, "idx3", half, bucket_col="label")
+    assert stats["n_vectors"] == half.count()
