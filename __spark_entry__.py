@@ -1365,6 +1365,23 @@ def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality scoring (operators/text.py::
+    unigram_lm_scores — the CCNet-perplexity-filter analog): per-language
+    mean token log-probability."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    scores = text_ops.unigram_lm_scores(docs)
+    return (
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("avg_logprob"), 4).alias("avg_logprob"),
+        )
+    )
+
+
 def sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted ANN index (operators/ann_index.py): build the IVF index
     as partitioned engine tables, then probe it — results are
@@ -1483,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": doc_line_dedup,
         "ts_correlation": ts_correlation,
         "sim_ivf_index": sim_ivf_index,
+        "doc_unigram_lm": doc_unigram_lm,
     }
 
 
@@ -2615,4 +2633,26 @@ def oracle_sql() -> dict[str, str]:
     # the persisted index probes the same buckets with the same math as
     # the inline pipeline, so it shares sim_ivf_topk's oracle verbatim
     oracles["sim_ivf_index"] = oracles["sim_ivf_topk"]
+    oracles["doc_unigram_lm"] = r"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents WHERE trim(text) <> ''
+        ), freq AS (
+            SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+        ), tot AS (
+            SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+            FROM freq
+        ), doc AS (
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   avg(ln((f.cnt + 1.0) / (tot.n + tot.v))) AS alp
+            FROM tok t JOIN freq f USING (tok) CROSS JOIN tot
+            GROUP BY t.doc_id
+        )
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc.n_tokens) AS BIGINT) AS total_tokens,
+               round(avg(doc.alp), 4) AS avg_logprob
+        FROM doc JOIN documents d USING (doc_id)
+        GROUP BY d.lang
+    """
     return oracles

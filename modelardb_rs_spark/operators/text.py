@@ -310,3 +310,51 @@ def deterministic_sample(
         10,
     ).cast("long") % 10_000
     return df.where(bucket < int(percent * 100))
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Corpus-unigram language-model quality score per document — the
+    vocabulary-free cousin of the CCNet/KenLM perplexity filter used by
+    the public pre-training pipelines: documents whose tokens are
+    atypical for the corpus score low (junk, boilerplate, other
+    languages), typical prose scores high.
+
+    Model: add-``alpha`` smoothed unigram LM fit on the corpus itself —
+    P(t) = (count(t) + alpha) / (N + alpha * V) — and each document's
+    score is its mean token log-probability (natural log; exp(-score)
+    is the perplexity).
+
+    Scale shape: one shuffle to build the term-frequency table (keyed
+    by token, partial counts combine map-side), one token-keyed join to
+    score (heavy-hitter tokens are single hot keys the AQE skew handler
+    splits), one per-doc aggregation. O(total tokens) — no doc×doc or
+    vocabulary×doc work. Everything is Column algebra, so the whole
+    pipeline stays in the JVM.
+
+    Output: (id_col, n_tokens, avg_logprob) — one row per document with
+    at least one token.
+    """
+    ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    freq = ex.groupBy("tok").agg(F.count("*").alias("__cnt__"))
+    totals = freq.agg(
+        F.sum("__cnt__").cast("double").alias("__n__"),
+        F.count("*").cast("double").alias("__v__"),
+    )
+    lp = F.log(
+        (F.col("__cnt__") + F.lit(float(alpha)))
+        / (F.col("__n__") + F.lit(float(alpha)) * F.col("__v__"))
+    )
+    return (
+        ex.join(freq, "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.avg(lp).alias("avg_logprob"),
+        )
+    )

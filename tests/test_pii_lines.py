@@ -82,3 +82,22 @@ def test_remove_common_lines_preserves_order_and_blanks(boiler):
     assert out[2]["text"] == "Real content two."
     assert out[3]["text"] == BOILER[2][1]
     assert out[3]["n_lines_removed"] == 0
+
+
+def test_unigram_lm_scores(spark):
+    import math
+
+    from modelardb_rs_spark.operators.text import unigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_lm_scores(docs).collect()}
+    # counts: a=3, b=2, c=1; N=6, V=3, alpha=1 -> P(a)=4/9, P(b)=3/9, P(c)=2/9
+    exp1 = (2 * math.log(4 / 9) + math.log(3 / 9)) / 3
+    exp3 = math.log(2 / 9)
+    assert out[1]["n_tokens"] == 3
+    assert math.isclose(out[1]["avg_logprob"], exp1, rel_tol=1e-12)
+    assert math.isclose(out[3]["avg_logprob"], exp3, rel_tol=1e-12)
+    # the all-rare-tokens doc scores lowest
+    assert out[3]["avg_logprob"] < out[2]["avg_logprob"] < out[1]["avg_logprob"]
