@@ -43,7 +43,12 @@ HEADLINE = [
     "dedup_minhash",
     "sim_bruteforce_topk",
     "sim_threshold_count",
+    "sim_ivf_index",
     "multimodal_features",
+    "doc_pii",
+    "doc_line_dedup",
+    "doc_unigram_lm",
+    "ts_correlation",
 ]
 
 

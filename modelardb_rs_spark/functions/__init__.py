@@ -16,6 +16,14 @@ from modelardb_rs_spark.operators.aggregates import (  # noqa: F401
     pushdown_agg_column,
 )
 from modelardb_rs_spark.operators.dedup import shingles  # noqa: F401
+from modelardb_rs_spark.operators.pii import (  # noqa: F401
+    PII_PATTERNS,
+    redact_pii,
+)
+from modelardb_rs_spark.operators.similarity import (  # noqa: F401
+    cosine,
+    dot,
+)
 from modelardb_rs_spark.operators.text import (  # noqa: F401
     BPE_TOKEN_PATTERN,
     LANG_STOPWORDS,
@@ -31,6 +39,10 @@ __all__ = [
     "SIMPLE_AGGS",
     "pushdown_agg_column",
     "shingles",
+    "PII_PATTERNS",
+    "redact_pii",
+    "cosine",
+    "dot",
     "BPE_TOKEN_PATTERN",
     "LANG_STOPWORDS",
     "bpe_token_count",
