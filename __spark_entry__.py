@@ -1365,6 +1365,33 @@ def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range retention (Engine.expire / DELETE FROM ... WHERE
+    timestamp < X): ingest events into a fresh store, expire the first
+    week, and read the survivors back gridded — whole-file expiry is
+    metadata-only, straddling segments re-encode lossless
+    (operators/retention.py)."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="sparkmodelar_retain_"))
+    eng.read_sql(
+        "CREATE TIME SERIES TABLE ts_ret(timestamp TIMESTAMP, value FIELD, etype TAG)"
+    )
+    (events,) = _prep(spark, sf_dir, "events")
+    eng.write(
+        "ts_ret",
+        events.select(
+            F.col("ts").alias("timestamp"),
+            F.col("value").cast("float").alias("value"),
+            F.col("event_type").alias("etype"),
+        ),
+    )
+    eng.read_sql("DELETE FROM ts_ret WHERE timestamp < TIMESTAMP '2024-01-08'")
+    return eng.read_sql(
+        "SELECT etype, count(value) AS n, round(sum(value), 2) AS total, "
+        "min(value) AS mn FROM ts_ret WHERE timestamp >= timestamp '1970-01-01' "
+        "GROUP BY etype"
+    )
+
+
 def doc_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram LM quality scoring (operators/text.py::
     unigram_lm_scores — the CCNet-perplexity-filter analog): per-language
@@ -1501,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_correlation": ts_correlation,
         "sim_ivf_index": sim_ivf_index,
         "doc_unigram_lm": doc_unigram_lm,
+        "ts_retention": ts_retention,
     }
 
 
@@ -2633,6 +2661,14 @@ def oracle_sql() -> dict[str, str]:
     # the persisted index probes the same buckets with the same math as
     # the inline pipeline, so it shares sim_ivf_topk's oracle verbatim
     oracles["sim_ivf_index"] = oracles["sim_ivf_topk"]
+    oracles["ts_retention"] = """
+        SELECT event_type AS etype, count(*) AS n,
+               round(sum(CAST(CAST(value AS FLOAT) AS DOUBLE)), 2) AS total,
+               min(CAST(value AS FLOAT)) AS mn
+        FROM events
+        WHERE (epoch_ns(ts) // 1000) >= epoch_us(TIMESTAMP '2024-01-08')
+        GROUP BY event_type
+    """
     oracles["doc_unigram_lm"] = r"""
         WITH tok AS (
             SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok

@@ -252,6 +252,26 @@ class Engine:
         for n in names:
             self.folder.vacuum(n, retain_seconds)
 
+    def expire(self, name: str, older_than) -> dict:
+        """Time-range retention: transactionally delete points with
+        timestamp strictly before ``older_than`` (epoch-µs int, datetime,
+        or ISO string). SQL form: ``DELETE FROM t WHERE ts < TIMESTAMP
+        '...'``. Whole-file removals are metadata-only; only cutoff-
+        straddling segments are re-encoded (lossless, value-stable) —
+        operators/retention.py. Expired files remain readable via time
+        travel until VACUUM."""
+        kind = self.catalog.kind(name)
+        if kind != TableKind.TIME_SERIES:
+            raise ValueError(
+                f"{name}: DELETE/expire supports time series tables only "
+                "(normal tables are append-only; use TRUNCATE)"
+            )
+        meta = self.catalog.time_series_metadata(name)
+        cutoff_us = _to_us(older_than)
+        if cutoff_us is None:
+            raise ValueError("expire requires a cutoff")
+        return self.folder.expire_segments_before(meta, cutoff_us)
+
     def optimize(self, name: str, target_file_bytes: int = 128 << 20) -> dict:
         """Compact small files into ~target-sized ones (one transactional
         commit; old files remain for time travel until VACUUM). The
@@ -429,6 +449,23 @@ class Engine:
             return None
         if stmt.kind == "drop":
             self.drop(stmt.tables[0], if_exists=stmt.if_exists)
+            return None
+        if stmt.kind == "delete":
+            table = stmt.tables[0]
+            meta = self.catalog.time_series_metadata(table)
+            if stmt.delete_column.lower() != meta.timestamp_column.lower():
+                raise ValueError(
+                    f"DELETE on {table} supports only the timestamp column "
+                    f"{meta.timestamp_column!r}, got {stmt.delete_column!r}"
+                )
+            lit = stmt.delete_literal
+            if lit.isdigit():
+                cutoff_us = int(lit)
+            else:
+                cutoff_us = _to_us(lit.split("'", 1)[1].rstrip("'"))
+            if stmt.delete_op == "<=":
+                cutoff_us += 1  # expire-strictly-before of the next µs
+            self.expire(table, cutoff_us)
             return None
         if stmt.kind == "vacuum":
             self.vacuum(stmt.tables or None, stmt.retain_seconds)

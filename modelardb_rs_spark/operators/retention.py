@@ -1,0 +1,91 @@
+"""Time-range retention: ``DELETE FROM t WHERE timestamp < cutoff``.
+
+The reference is append-only with TRUNCATE/VACUUM as the only bulk
+maintenance (SURVEY §1.4); a 100 TB time-series store additionally
+needs *retention* — "raw data older than N days expires, rollups stay".
+This implements it transactionally on the segment store, in three cost
+classes:
+
+1. files whose commit-log ``max_end_time`` is before the cutoff are
+   removed METADATA-ONLY — one log commit, zero data I/O. At scale this
+   is the dominant case: steady ingest means almost every file is
+   entirely inside or entirely outside the retention window.
+2. segments inside boundary files that end before the cutoff are
+   dropped by a filter; segments starting at/after the cutoff are kept
+   verbatim (byte-identical rewrite).
+3. only segments STRADDLING the cutoff — a handful per series — are
+   decoded, truncated, and re-encoded LOSSLESS, so the kept points'
+   query-visible values are exactly what they were before the expire
+   (re-fitting with the original lossy bound could double the error;
+   lossless re-encoding of the reconstruction cannot).
+
+The whole expire is ONE atomic commit (adds + removes); concurrent
+appends are untouched (only snapshot-listed files are removed, and the
+commit aborts if a listed file was concurrently removed). Old files
+stay on disk for time travel until VACUUM, like every other remove.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from modelardb_rs_spark.compression.decode import decode_segments
+from modelardb_rs_spark.compression.fitter import fit_series
+from modelardb_rs_spark.operators.compress import segments_frame
+from modelardb_rs_spark.types import ErrorBound, segment_schema
+
+
+def rewrite_straddling(
+    straddling: DataFrame, tag_columns: list[str], cutoff_us: int
+) -> DataFrame:
+    """Re-encode segments that straddle the cutoff: decode, drop points
+    before the cutoff, refit LOSSLESS (the input values are themselves
+    reconstructions, so lossless keeps them bit-stable). Arrow-batched;
+    within each batch, one decode+fit per (field, series)."""
+    out_schema = segment_schema(tag_columns)
+    group_cols = ["field_column", *tag_columns]
+
+    def rewrite(batches):
+        for pdf in batches:
+            frames = []
+            for keys, g in pdf.groupby(group_cols, sort=False, dropna=False):
+                if not isinstance(keys, tuple):
+                    keys = (keys,)
+                field_idx = int(keys[0])
+                tag_values = {
+                    t: (None if (isinstance(v, float) and np.isnan(v)) else v)
+                    for t, v in zip(tag_columns, keys[1:])
+                }
+                pts = decode_segments(g, tag_columns)
+                ts = pts["timestamp"].to_numpy()
+                vals = pts["value"].to_numpy()
+                mask = ts >= cutoff_us
+                ts, vals = ts[mask], vals[mask]
+                if len(ts) == 0:
+                    continue
+                order = np.argsort(ts, kind="stable")
+                cols = fit_series(ts[order], vals[order], ErrorBound.lossless())
+                frames.append(segments_frame(cols, field_idx, tag_values, tag_columns))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+            else:
+                yield pd.DataFrame({f.name: [] for f in out_schema.fields})
+
+    return straddling.mapInPandas(rewrite, schema=out_schema)
+
+
+def split_boundary_segments(
+    boundary: DataFrame, tag_columns: list[str], cutoff_us: int
+) -> DataFrame:
+    """Segments of boundary files, partitioned by their relation to the
+    cutoff: fully-old rows are dropped, fully-new rows pass verbatim,
+    straddling rows go through ``rewrite_straddling``."""
+    keep_whole = boundary.where(F.col("start_time") >= F.lit(int(cutoff_us)))
+    straddle = boundary.where(
+        (F.col("start_time") < F.lit(int(cutoff_us)))
+        & (F.col("end_time") >= F.lit(int(cutoff_us)))
+    )
+    return keep_whole.unionByName(rewrite_straddling(straddle, tag_columns, cutoff_us))

@@ -44,6 +44,15 @@ _DROP = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
     re.IGNORECASE,
 )
+# Retention DELETE: a single strictly-before (or at-most) predicate on
+# one column; anything else is rejected, not silently misread (the
+# engine is otherwise append-only, SURVEY §1.4).
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+"
+    r"(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*(?P<op><=?)\s*"
+    r"(?P<lit>TIMESTAMP\s*'[^']+'|\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
     r"(?:\s+TARGET\s+(?P<target>\d+))?\s*;?\s*$",
@@ -79,6 +88,9 @@ class ModelarStatement:
     include_addresses: list[str] = field(default_factory=list)
     select_sql: str | None = None
     insert_columns: list[str] = field(default_factory=list)
+    delete_column: str | None = None
+    delete_op: str | None = None  # "<" | "<="
+    delete_literal: str | None = None  # "TIMESTAMP '...'" or epoch-µs digits
     if_exists: bool = False
     cluster: bool = False
     target_file_bytes: int | None = None
@@ -222,6 +234,15 @@ def parse_statement(sql: str) -> ModelarStatement:
     if m := _DROP.match(sql):
         return ModelarStatement(
             kind="drop", sql=sql, tables=[m["name"]], if_exists=bool(m["ifex"])
+        )
+    if m := _DELETE.match(sql):
+        return ModelarStatement(
+            kind="delete",
+            sql=sql,
+            tables=[m["name"]],
+            delete_column=m["col"],
+            delete_op=m["op"],
+            delete_literal=m["lit"],
         )
     if m := _OPTIMIZE.match(sql):
         return ModelarStatement(

@@ -383,6 +383,75 @@ class DataFolder:
         produced = len(self.log(name).read_commit(version).get("add", []))
         return {"compacted": len(small), "produced": produced, "version": version}
 
+    def expire_segments_before(self, meta: TimeSeriesTableMetadata, cutoff_us: int) -> dict:
+        """Transactional time-range retention (DELETE WHERE timestamp <
+        cutoff) — see operators/retention.py for the three cost classes.
+        Files entirely before the cutoff are removed metadata-only from
+        the commit-log stats; boundary files are rewritten (verbatim for
+        fully-kept segments, lossless re-encode for straddlers); one
+        atomic commit covers both. Concurrent appends are untouched.
+        Returns {"files_removed", "files_rewritten", "version"}."""
+        from modelardb_rs_spark.operators.retention import split_boundary_segments
+
+        name = meta.name
+        snap = self.log(name).snapshot()
+        old, boundary = [], []
+        for f in snap.files:
+            lo, hi = f.get("min_start_time"), f.get("max_end_time")
+            if hi is not None and hi < cutoff_us:
+                old.append(f["path"])
+            elif lo is None or lo < cutoff_us:
+                # conservative: stats-less files go through the rewrite,
+                # which keeps fully-new segments verbatim
+                boundary.append(f["path"])
+        if not old and not boundary:
+            return {"files_removed": 0, "files_rewritten": 0, "version": snap.version}
+        if not boundary:
+            old_set = set(old)
+
+            def build(s):
+                gone = old_set - set(s.paths)
+                if gone:
+                    raise ConcurrentModificationError(
+                        f"{name}: {len(gone)} file(s) to expire were removed "
+                        f"concurrently; retry"
+                    )
+                return ("expire", [], sorted(old_set))
+
+            version = self.log(name).commit(build)
+            return {"files_removed": len(old), "files_rewritten": 0, "version": version}
+
+        table = self.table_path(name)
+        schema = segment_schema(meta.tag_columns)
+        df = self.spark.read.option("basePath", table).parquet(
+            *[self.fs.join(table, p) for p in boundary]
+        )
+        df = df.withColumn("field_column", F.col("field_column").cast("short"))
+        for fld in schema.fields:
+            if fld.name not in df.columns:
+                df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        df = df.select(*[fld.name for fld in schema.fields])
+        kept = split_boundary_segments(df, meta.tag_columns, cutoff_us)
+        sort_cols = ["field_column", *meta.tag_columns, "start_time"]
+
+        def write_staged(staged: str) -> None:
+            (
+                kept.sortWithinPartitions(*sort_cols)
+                .write.partitionBy("field_column")
+                .option("compression", "zstd")
+                .parquet(staged)
+            )
+
+        version = self._stage_and_commit(
+            name, write_staged, op="expire", segment_stats=True,
+            remove=old + boundary,
+        )
+        return {
+            "files_removed": len(old),
+            "files_rewritten": len(boundary),
+            "version": version,
+        }
+
     def truncate(self, name: str) -> None:
         """Transactional truncate: one commit removing every live file.
         Data files stay on disk for time travel until vacuumed
