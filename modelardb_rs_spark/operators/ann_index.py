@@ -92,6 +92,38 @@ def build_ivf_index(
     return {"n_vectors": int(stats["n"] or 0), "n_buckets": int(stats["b"])}
 
 
+def append_to_ivf_index(
+    engine,
+    index_name: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally grow a persisted index: assign each new vector to
+    its nearest EXISTING centroid (no retrain — classic IVF add) and
+    append to the partitioned vectors table in one transaction.
+    Centroids stay fixed, so every prior probe plan remains valid; they
+    drift from the true bucket means as appends accumulate, which is
+    the standard IVF trade — rebuild with ``build_ivf_index`` when
+    recall sags. Returns ``{"appended"}``."""
+    cents = engine.table(_centroids_table(index_name)).select("ivf_bucket", "centroid")
+    w = Window.partitionBy("__id__").orderBy(F.col("__ccos__").desc(), F.col("ivf_bucket"))
+    assigned = (
+        new_vectors.select(F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__ccos__", cosine(F.col("__v__"), F.col("centroid")))
+        .withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .select(
+            F.col("__id__").alias(id_col),
+            F.col("__v__").alias(vec_col),
+            F.col("ivf_bucket"),
+        )
+    )
+    engine.write(_vectors_table(index_name), assigned, partition_by=["ivf_bucket"])
+    return {"appended": new_vectors.count()}
+
+
 def ivf_index_topk(
     engine,
     index_name: str,

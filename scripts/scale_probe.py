@@ -75,6 +75,16 @@ def main() -> None:
     eng.last_points("sp").collect()
     t_latest = time.time() - t0
 
+    # Retention: expire the first half of the replicated span. Most
+    # files fall entirely before the cutoff, so the expected shape is
+    # files_removed >> files_rewritten and near-constant wall time —
+    # the commit is metadata work, not data work.
+    n_files_before = len(eng.folder.log("sp").snapshot().files)
+    cutoff_us = int(events.select(F.unix_micros(F.min("ts"))).first()[0] + span * (n // 2))
+    t0 = time.time()
+    exp = eng.expire("sp", cutoff_us)
+    t_expire = time.time() - t0
+
     import json
 
     print(json.dumps({
@@ -85,6 +95,10 @@ def main() -> None:
         "resample_sec": round(t_resample, 2),
         "last_points_sec": round(t_latest, 2),
         "ingest_rows_per_sec": int(rows / t_ingest),
+        "expire_sec": round(t_expire, 2),
+        "expire_files_total": n_files_before,
+        "expire_files_removed": exp["files_removed"],
+        "expire_files_rewritten": exp["files_rewritten"],
     }))
 
 

@@ -51,3 +51,22 @@ def test_rebuild_replaces_index(engine, emb):
     half = emb.where(F.col("vec_id") % 2 == 0)
     stats = ann_index.build_ivf_index(engine, "idx3", half, bucket_col="label")
     assert stats["n_vectors"] == half.count()
+
+
+def test_incremental_append(engine, emb):
+    first = emb.where(F.col("vec_id") < 400)
+    rest = emb.where(F.col("vec_id") >= 400)
+    ann_index.build_ivf_index(engine, "gidx", first, bucket_col="label")
+    stats = ann_index.append_to_ivf_index(engine, "gidx", rest)
+    assert stats["appended"] == rest.count()
+    vecs = engine.table("gidx__vectors")
+    assert vecs.count() == emb.count()
+    # appended vectors are probeable: a query near an appended vector
+    # can return it
+    queries = rest.limit(3)
+    out = ann_index.ivf_index_topk(engine, "gidx", queries, k=5, nprobe=3)
+    assert out.count() == 15
+    # every appended vector sits in a valid existing bucket
+    buckets = {r["ivf_bucket"] for r in engine.table("gidx__centroids").select("ivf_bucket").collect()}
+    got = {r["ivf_bucket"] for r in vecs.select("ivf_bucket").distinct().collect()}
+    assert got <= buckets
