@@ -1365,6 +1365,67 @@ def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer in a
+    quarter, top 20 — 4-way join with broadcast nation, single shuffle
+    aggregate on the customer key."""
+    nation, cust, orders, li = _prep(
+        spark, sf_dir, "nation", "customer", "orders", "lineitem"
+    )
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        # prices/discounts are 2-decimal: integer cents arithmetic makes
+        # the revenue sum exact and engine/order-independent (a plain
+        # float sum flips the last rounded digit between engines)
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+                )
+                / F.lit(10000.0)
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name", "revenue",
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity clears a threshold,
+    with their customers — aggregate-then-semi-join keeps the big table
+    scanned once."""
+    cust, orders, li = _prep(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 210)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
 def ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range retention (Engine.expire / DELETE FROM ... WHERE
     timestamp < X): ingest events into a fresh store, expire the first
@@ -1529,6 +1590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_index": sim_ivf_index,
         "doc_unigram_lm": doc_unigram_lm,
         "ts_retention": ts_retention,
+        "q10_returned_items": q10_returned_items,
+        "q18_large_orders": q18_large_orders,
     }
 
 
@@ -2661,6 +2724,37 @@ def oracle_sql() -> dict[str, str]:
     # the persisted index probes the same buckets with the same math as
     # the inline pipeline, so it shares sim_ivf_topk's oracle verbatim
     oracles["sim_ivf_index"] = oracles["sim_ivf_topk"]
+    oracles["q10_returned_items"] = """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+               / 10000.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1996-04-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """
+    oracles["q18_large_orders"] = """
+        WITH big AS (
+            SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING round(sum(l_quantity), 2) > 210
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 50
+    """
     oracles["ts_retention"] = """
         SELECT event_type AS etype, count(*) AS n,
                round(sum(CAST(CAST(value AS FLOAT) AS DOUBLE)), 2) AS total,
