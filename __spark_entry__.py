@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from modelardb_rs_spark.engine import Engine
 from modelardb_rs_spark.operators import ann_index as ann_ops
+from modelardb_rs_spark.operators import asof as asof_ops
 from modelardb_rs_spark.operators import dedup as dedup_ops
 from modelardb_rs_spark.operators import lines as line_ops
 from modelardb_rs_spark.operators import multimodal as mm_ops
@@ -1426,6 +1427,39 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation join (operators/asof.py::interpolation_join,
+    the Timescale `interpolate` analog to the LOCF as-of join): a 6-hour
+    probe spine per event type reads each series' value interpolated
+    between its bracketing events."""
+    (ev,) = _prep(spark, sf_dir, "events")
+    # unique (etype, t): concurrent events average so brackets are
+    # deterministic on both engines
+    right = (
+        ev.select(
+            F.col("event_type").alias("etype"),
+            F.unix_micros("ts").alias("t"),
+            F.col("value").alias("v"),
+        )
+        .groupBy("etype", "t")
+        .agg(F.avg("v").alias("v"))
+    )
+    start_us = 1_704_153_600_000_000  # 2024-01-02T00:00Z
+    step_us = 21_600_000_000  # 6 hours
+    spine = (
+        ev.select(F.col("event_type").alias("etype"))
+        .distinct()
+        .crossJoin(
+            spark.range(112).select((F.lit(start_us) + F.col("id") * step_us).alias("t"))
+        )
+    )
+    out = asof_ops.interpolation_join(spine, right, "t", ["etype"], ["v"])
+    return out.groupBy("etype").agg(
+        F.count("v_interp").cast("long").alias("n_interp"),
+        F.round(F.sum("v_interp"), 2).alias("total"),
+    )
+
+
 def ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range retention (Engine.expire / DELETE FROM ... WHERE
     timestamp < X): ingest events into a fresh store, expire the first
@@ -1592,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_retention": ts_retention,
         "q10_returned_items": q10_returned_items,
         "q18_large_orders": q18_large_orders,
+        "q_interp_join": q_interp_join,
     }
 
 
@@ -2724,6 +2759,45 @@ def oracle_sql() -> dict[str, str]:
     # the persisted index probes the same buckets with the same math as
     # the inline pipeline, so it shares sim_ivf_topk's oracle verbatim
     oracles["sim_ivf_index"] = oracles["sim_ivf_topk"]
+    oracles["q_interp_join"] = """
+        WITH r AS (
+            SELECT event_type AS etype, epoch_ns(ts) // 1000 AS t,
+                   avg(value) AS v
+            FROM events GROUP BY 1, 2
+        ), spine AS (
+            SELECT etype, t
+            FROM (SELECT DISTINCT event_type AS etype FROM events)
+            CROSS JOIN (
+                SELECT 1704153600000000 + 21600000000 * i AS t
+                FROM generate_series(0, 111) AS g(i)
+            )
+        ), u AS (
+            SELECT etype, t, CAST(NULL AS DOUBLE) AS v, 1 AS side FROM spine
+            UNION ALL
+            SELECT etype, t, v, 0 AS side FROM r
+        ), m AS (
+            SELECT etype, t, side,
+                   last_value(CASE WHEN side = 0 THEN v END IGNORE NULLS) OVER wp AS pv,
+                   last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER wp AS pt,
+                   first_value(CASE WHEN side = 0 THEN v END IGNORE NULLS) OVER wn AS nv,
+                   first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER wn AS nt
+            FROM u WINDOW
+                wp AS (PARTITION BY etype ORDER BY t, side
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wn AS (PARTITION BY etype ORDER BY t, side
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        ), it AS (
+            SELECT etype,
+                   CASE WHEN pt = t THEN pv
+                        WHEN pt IS NULL OR nt IS NULL THEN NULL
+                        ELSE pv + (nv - pv) * (t - pt) / (nt - pt)
+                   END AS vi
+            FROM m WHERE side = 1
+        )
+        SELECT etype, CAST(count(vi) AS BIGINT) AS n_interp,
+               round(sum(vi), 2) AS total
+        FROM it GROUP BY etype
+    """
     oracles["q10_returned_items"] = """
         SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
                sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)

@@ -85,3 +85,80 @@ def asof_join(
             *[c for c in left.columns], *[F.col(c + suffix) for c in right_value_cols]
         )
     return out
+
+
+def interpolation_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    right_value_cols: list[str],
+    suffix: str = "_interp",
+) -> DataFrame:
+    """For every left row, LINEARLY INTERPOLATE each right value between
+    the bracketing right rows (same ``by`` keys, nearest right.on at or
+    before and at or after left.on) — the Timescale/InfluxDB
+    ``interpolate`` analog, where ``asof_join`` is their LOCF.
+
+    Exact-timestamp matches return the right value itself; left rows
+    outside the right side's time span get NULL (strict interpolation,
+    matching gapfill's "linear" contract). Right value columns are
+    assumed non-null (their nulls would silently widen the bracket).
+
+    Same scale shape as ``asof_join``: one union, one shuffle on the
+    key, two window passes (preceding / following) — no per-group
+    pandas, no cross join; skewed keys fall to AQE.
+    """
+    l = left.withColumn("__side__", F.lit(1))
+    r = right.select(
+        *by, on, *[F.col(c).alias(c + suffix) for c in right_value_cols]
+    ).withColumn("__side__", F.lit(0))
+    all_cols = set(l.columns) | set(r.columns)
+    l = l.select(*[F.col(c) if c in l.columns else F.lit(None).alias(c) for c in all_cols])
+    r = r.select(*[F.col(c) if c in r.columns else F.lit(None).alias(c) for c in all_cols])
+    u = l.unionByName(r)
+
+    if dict(left.dtypes)[on].startswith("timestamp"):
+        t_num = F.unix_micros(F.col(on))
+    else:
+        t_num = F.col(on).cast("long")
+    u = u.withColumn("__t__", t_num)
+
+    # right rows sort before left at equal times: the preceding window
+    # sees a concurrent right row (exact match), the following window
+    # starts at the current row so it sees only later right rows
+    w_prev = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__t__").asc(), F.col("__side__").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__t__").asc(), F.col("__side__").asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    right_only = lambda c: F.when(F.col("__side__") == 0, c)  # noqa: E731
+    prev_t = F.last(right_only(F.col("__t__")), ignorenulls=True).over(w_prev)
+    next_t = F.first(right_only(F.col("__t__")), ignorenulls=True).over(w_next)
+    cols = [F.col("__t__").alias("__lt__"), prev_t.alias("__pt__"), next_t.alias("__nt__")]
+    for c in right_value_cols:
+        cols.append(
+            F.last(right_only(F.col(c + suffix)), ignorenulls=True).over(w_prev).alias(f"__pv_{c}__")
+        )
+        cols.append(
+            F.first(right_only(F.col(c + suffix)), ignorenulls=True).over(w_next).alias(f"__nv_{c}__")
+        )
+    staged = u.select(*[F.col(c) for c in left.columns], "__side__", *cols).where(
+        F.col("__side__") == 1
+    )
+    frac = (F.col("__lt__") - F.col("__pt__")) / (F.col("__nt__") - F.col("__pt__"))
+    out_cols = list(left.columns)
+    for c in right_value_cols:
+        pv, nv = F.col(f"__pv_{c}__"), F.col(f"__nv_{c}__")
+        interp = (
+            F.when(F.col("__pt__") == F.col("__lt__"), pv)
+            .when(F.col("__pt__").isNull() | F.col("__nt__").isNull(), F.lit(None))
+            .otherwise(pv + (nv - pv) * frac)
+        )
+        out_cols.append(interp.alias(c + suffix))
+    return staged.select(*out_cols)

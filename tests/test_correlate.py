@@ -57,3 +57,25 @@ def test_series_correlation_min_buckets(spark):
     pairs = {(r["series_a"], r["series_b"]) for r in out.collect()}
     # "lone" has a single bucket: below min_buckets with everyone
     assert pairs == {("x", "y")}
+
+
+def test_interpolation_join(spark):
+    from modelardb_rs_spark.operators.asof import interpolation_join
+
+    right = spark.createDataFrame(
+        [(0, 0.0, "k"), (10_000_000, 100.0, "k"), (20_000_000, 50.0, "k")],
+        "ts long, v double, k string",
+    )
+    left = spark.createDataFrame(
+        [(-1_000_000, "k"), (0, "k"), (2_500_000, "k"), (10_000_000, "k"),
+         (15_000_000, "k"), (25_000_000, "k")],
+        "ts long, k string",
+    )
+    out = {r["ts"]: r["v_interp"] for r in
+           interpolation_join(left, right, "ts", ["k"], ["v"]).collect()}
+    assert out[-1_000_000] is None           # before the span: strict
+    assert out[0] == 0.0                     # exact match
+    assert out[2_500_000] == 25.0            # linear between 0 and 100
+    assert out[10_000_000] == 100.0          # exact match mid-series
+    assert out[15_000_000] == 75.0           # descending segment
+    assert out[25_000_000] is None           # after the span
