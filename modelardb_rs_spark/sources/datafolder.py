@@ -339,9 +339,16 @@ class DataFolder:
         time travel until VACUUM, exactly like any other remove.
 
         Pass ``meta`` for time series tables: the rewrite then keeps the
-        field_column partitioning and the (tags, start_time) sort order
-        so row-group stats stay as tight as the original writer's
-        (write_segments). Returns ``{"compacted", "produced", "version"}``.
+        field_column partitioning and the (tags, start_time) sort order,
+        and RANGE-partitions the output on (field_column, start_time) —
+        ingest's volume-bucketed shuffle hash-scatters time buckets
+        across files (wide per-file time spans), whereas compacted files
+        become near-disjoint time slices, so commit-log span pruning
+        skips almost everything outside a query's range and later
+        ``expire`` calls hit the metadata-only path (the Delta
+        OPTIMIZE+ZORDER-by-time analog; repartitionByRange's sampling
+        pass is fine in a maintenance op). Returns
+        ``{"compacted", "produced", "version"}``.
         """
         snap = self.log(name).snapshot()
         small = [
@@ -361,7 +368,7 @@ class DataFolder:
 
             def write_staged(staged: str) -> None:
                 (
-                    df.repartition(n_out, "field_column", *meta.tag_columns)
+                    df.repartitionByRange(n_out, F.col("field_column"), F.col("start_time"))
                     .sortWithinPartitions(*sort_cols)
                     .write.partitionBy("field_column")
                     .parquet(staged)

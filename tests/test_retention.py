@@ -126,3 +126,42 @@ def test_sql_delete_rejects_non_timestamp_and_normal(engine, spark):
         engine.read_sql("DELETE FROM t WHERE v < 5")
     with pytest.raises(ValueError, match="time series tables only"):
         engine.expire("n", 0)
+
+
+def test_optimize_time_clusters_then_expire_metadata_only(engine, spark):
+    """Streaming-style small commits hash-scatter time across files;
+    OPTIMIZE range-partitions on (field, start_time) so the compacted
+    files are near-disjoint time slices and a later expire removes old
+    slices without rewriting anything."""
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE oc(timestamp TIMESTAMP, v FIELD, tag TAG)"
+    )
+    for batch in range(4):
+        rows = [
+            Row(
+                timestamp=TS0 + datetime.timedelta(minutes=batch * 500 + i),
+                v=float(i % 17),
+                tag=t,
+            )
+            for i in range(500)
+            for t in ("a", "b")
+        ]
+        engine.write("oc", spark.createDataFrame(rows))
+    res = engine.optimize("oc", target_file_bytes=64 << 10)
+    assert res["compacted"] >= 2
+    files = engine.folder.log("oc").snapshot().files
+    spans = sorted(
+        (f["min_start_time"], f["max_end_time"])
+        for f in files
+        if f.get("min_start_time") is not None
+    )
+    # time-clustered: the median file covers a small fraction of the span
+    total = spans[-1][1] - spans[0][0]
+    widths = sorted(hi - lo for lo, hi in spans)
+    assert widths[len(widths) // 2] < total / 2
+    n = engine.table("oc").count()
+    stats = engine.expire("oc", TS0 + datetime.timedelta(minutes=1000))
+    assert stats["files_removed"] >= 1
+    # expire after optimize is mostly metadata work
+    assert stats["files_removed"] >= stats["files_rewritten"]
+    assert engine.table("oc").count() == n // 2
