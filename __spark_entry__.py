@@ -1487,6 +1487,42 @@ def ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_rollup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate + retention policy (Engine.downsample_expire):
+    events older than Jan 15 are rolled into daily buckets and expired
+    from the raw store; the query reads both resolutions side by side
+    and must exactly account for every original point."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="sparkmodelar_policy_"))
+    eng.read_sql(
+        "CREATE TIME SERIES TABLE ts_pol(timestamp TIMESTAMP, value FIELD, etype TAG)"
+    )
+    (events,) = _prep(spark, sf_dir, "events")
+    eng.write(
+        "ts_pol",
+        events.select(
+            F.col("ts").alias("timestamp"),
+            F.col("value").cast("float").alias("value"),
+            F.col("event_type").alias("etype"),
+        ),
+    )
+    eng.downsample_expire(
+        "ts_pol", "pol_daily", "1 day", {"value": ["count", "sum"]}, "2024-01-15"
+    )
+    rolled = (
+        eng.table("pol_daily")
+        .groupBy("etype")
+        .agg(
+            F.sum("count_value").cast("long").alias("n_old"),
+            F.round(F.sum("sum_value"), 2).alias("old_total"),
+        )
+    )
+    raw = eng.read_sql(
+        "SELECT etype, count(value) AS n_new, round(sum(value), 2) AS new_total "
+        "FROM ts_pol GROUP BY etype"
+    )
+    return rolled.join(raw, "etype")
+
+
 def doc_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram LM quality scoring (operators/text.py::
     unigram_lm_scores — the CCNet-perplexity-filter analog): per-language
@@ -1624,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_index": sim_ivf_index,
         "doc_unigram_lm": doc_unigram_lm,
         "ts_retention": ts_retention,
+        "ts_rollup_retention": ts_rollup_retention,
         "q10_returned_items": q10_returned_items,
         "q18_large_orders": q18_large_orders,
         "q_interp_join": q_interp_join,
@@ -2836,6 +2873,20 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE (epoch_ns(ts) // 1000) >= epoch_us(TIMESTAMP '2024-01-08')
         GROUP BY event_type
+    """
+    oracles["ts_rollup_retention"] = """
+        SELECT event_type AS etype,
+               count(*) FILTER (WHERE (epoch_ns(ts) // 1000)
+                   < epoch_us(TIMESTAMP '2024-01-15')) AS n_old,
+               round(sum(CAST(CAST(value AS FLOAT) AS DOUBLE))
+                   FILTER (WHERE (epoch_ns(ts) // 1000)
+                       < epoch_us(TIMESTAMP '2024-01-15')), 2) AS old_total,
+               count(*) FILTER (WHERE (epoch_ns(ts) // 1000)
+                   >= epoch_us(TIMESTAMP '2024-01-15')) AS n_new,
+               round(sum(CAST(CAST(value AS FLOAT) AS DOUBLE))
+                   FILTER (WHERE (epoch_ns(ts) // 1000)
+                       >= epoch_us(TIMESTAMP '2024-01-15')), 2) AS new_total
+        FROM events GROUP BY event_type
     """
     oracles["doc_unigram_lm"] = r"""
         WITH tok AS (

@@ -272,6 +272,58 @@ class Engine:
             raise ValueError("expire requires a cutoff")
         return self.folder.expire_segments_before(meta, cutoff_us)
 
+    def downsample_expire(
+        self,
+        name: str,
+        rollup_table: str,
+        every,
+        columns: dict[str, str],
+        older_than,
+        group_by_tags: list[str] | None = None,
+    ) -> dict:
+        """Continuous-aggregate + retention policy (the Timescale
+        "continuous aggregate with retention" analog): downsample raw
+        data older than the cutoff into ``rollup_table`` (bucket width
+        ``every``, aggregates per ``columns`` like ``resample``), then
+        expire the raw points. Old data stays queryable forever at
+        rollup resolution; raw resolution is kept only for the hot
+        window.
+
+        Idempotent across crashes: the rollup table's max bucket is the
+        policy watermark — a re-run after a crash between the rollup
+        append and the expire rolls up nothing new and simply finishes
+        the expire. The cutoff is aligned DOWN to a bucket edge so a
+        bucket is never half-rolled. Returns ``{"rolled_buckets",
+        "expired"}``.
+        """
+        meta = self.catalog.time_series_metadata(name)
+        every_us = _interval_us(every)
+        cutoff_us = _to_us(older_than)
+        cutoff_us = (cutoff_us // every_us) * every_us
+        group = group_by_tags if group_by_tags is not None else list(meta.tag_columns)
+
+        start_us = None
+        if rollup_table in self.catalog.tables():
+            wm = self.table(rollup_table).agg(F.max("bucket")).collect()[0][0]
+            if wm is not None:
+                start_us = _to_us(wm) + every_us
+        rolled = 0
+        if start_us is None or start_us < cutoff_us:
+            res = self.resample(
+                name, every_us, columns, group_by=group,
+                start=start_us, end=cutoff_us - 1,
+            )
+            if rollup_table not in self.catalog.tables():
+                self.create_table(rollup_table, res.schema)
+            # resample prunes to [start, cutoff) via segment spans; the
+            # bucket filter below is belt-and-braces for boundary segments
+            res = res.where(F.col("bucket") < F.timestamp_micros(F.lit(cutoff_us)))
+            rolled = res.count()
+            if rolled:
+                self.write(rollup_table, res)
+        expired = self.expire(name, cutoff_us)
+        return {"rolled_buckets": rolled, "expired": expired}
+
     def optimize(self, name: str, target_file_bytes: int = 128 << 20) -> dict:
         """Compact small files into ~target-sized ones (one transactional
         commit; old files remain for time travel until VACUUM). The

@@ -165,3 +165,46 @@ def test_optimize_time_clusters_then_expire_metadata_only(engine, spark):
     # expire after optimize is mostly metadata work
     assert stats["files_removed"] >= stats["files_rewritten"]
     assert engine.table("oc").count() == n // 2
+
+
+def test_downsample_expire_policy(engine, spark):
+    """Rollup-then-expire: totals preserved across the two resolutions,
+    watermark prevents double-rollup on the next run."""
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE p(timestamp TIMESTAMP, v FIELD, tag TAG)"
+    )
+    rows = [
+        Row(
+            timestamp=TS0 + datetime.timedelta(hours=6 * i),
+            v=float(i),
+            tag=t,
+        )
+        for i in range(80)  # 20 days at 4 points/day
+        for t in ("a", "b")
+    ]
+    engine.write("p", spark.createDataFrame(rows))
+    total = engine.table("p").agg(F.sum("v")).collect()[0][0]
+
+    out = engine.downsample_expire(
+        "p", "p_daily", "1 day", {"v": ["count", "sum"]},
+        TS0 + datetime.timedelta(days=10),
+    )
+    assert out["rolled_buckets"] == 20  # 10 days x 2 tags
+    assert out["expired"]["files_removed"] + out["expired"]["files_rewritten"] >= 1
+    rolled_sum = engine.table("p_daily").agg(F.sum("sum_v")).collect()[0][0]
+    raw_sum = engine.table("p").agg(F.sum("v")).collect()[0][0]
+    assert abs((rolled_sum + raw_sum) - total) < 1e-6
+    raw_min = engine.table("p").agg(F.min("timestamp")).collect()[0][0]
+    assert _us_ts(raw_min) >= _us(TS0 + datetime.timedelta(days=10))
+
+    # second run extends the watermark without duplicating old buckets
+    out2 = engine.downsample_expire(
+        "p", "p_daily", "1 day", {"v": ["count", "sum"]},
+        TS0 + datetime.timedelta(days=15),
+    )
+    assert out2["rolled_buckets"] == 10  # days 10-14 x 2 tags
+    n_buckets = engine.table("p_daily").count()
+    assert n_buckets == 30
+    rolled_sum2 = engine.table("p_daily").agg(F.sum("sum_v")).collect()[0][0]
+    raw_sum2 = engine.table("p").agg(F.sum("v")).collect()[0][0]
+    assert abs((rolled_sum2 + raw_sum2) - total) < 1e-6
