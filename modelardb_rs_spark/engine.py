@@ -272,6 +272,16 @@ class Engine:
             raise ValueError("expire requires a cutoff")
         return self.folder.expire_segments_before(meta, cutoff_us)
 
+    def resegment(self, name: str) -> dict:
+        """Merge time-overlapping segments left by out-of-order or
+        backfill ingest into disjoint, time-ordered ones — reads of the
+        affected series stop paying the cross-segment merge forever.
+        Clean series are passed through verbatim; only overlapping ones
+        decode + refit (lossless, value-stable). One transactional
+        commit; prior versions remain time-travelable until VACUUM."""
+        meta = self.catalog.time_series_metadata(name)
+        return self.folder.resegment(meta)
+
     def downsample_expire(
         self,
         name: str,

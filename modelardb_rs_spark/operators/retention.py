@@ -38,13 +38,15 @@ from modelardb_rs_spark.operators.compress import segments_frame
 from modelardb_rs_spark.types import ErrorBound, segment_schema
 
 
-def rewrite_straddling(
-    straddling: DataFrame, tag_columns: list[str], cutoff_us: int
+def refit_segments(
+    segments: DataFrame, tag_columns: list[str], min_ts_us: int | None = None
 ) -> DataFrame:
-    """Re-encode segments that straddle the cutoff: decode, drop points
-    before the cutoff, refit LOSSLESS (the input values are themselves
-    reconstructions, so lossless keeps them bit-stable). Arrow-batched;
-    within each batch, one decode+fit per (field, series)."""
+    """Decode segments per (field, series), optionally drop points
+    before ``min_ts_us``, and refit LOSSLESS — the input values are
+    themselves reconstructions, so lossless keeps them bit-stable.
+    Arrow-batched; within each batch, one decode+fit per series. Used
+    by retention (truncate-at-cutoff) and resegmentation (merge
+    overlapping segments after out-of-order ingest)."""
     out_schema = segment_schema(tag_columns)
     group_cols = ["field_column", *tag_columns]
 
@@ -62,8 +64,9 @@ def rewrite_straddling(
                 pts = decode_segments(g, tag_columns)
                 ts = pts["timestamp"].to_numpy()
                 vals = pts["value"].to_numpy()
-                mask = ts >= cutoff_us
-                ts, vals = ts[mask], vals[mask]
+                if min_ts_us is not None:
+                    mask = ts >= min_ts_us
+                    ts, vals = ts[mask], vals[mask]
                 if len(ts) == 0:
                     continue
                 order = np.argsort(ts, kind="stable")
@@ -74,7 +77,15 @@ def rewrite_straddling(
             else:
                 yield pd.DataFrame({f.name: [] for f in out_schema.fields})
 
-    return straddling.mapInPandas(rewrite, schema=out_schema)
+    return segments.mapInPandas(rewrite, schema=out_schema)
+
+
+def rewrite_straddling(
+    straddling: DataFrame, tag_columns: list[str], cutoff_us: int
+) -> DataFrame:
+    """Re-encode segments that straddle the retention cutoff: decode,
+    drop points before the cutoff, refit lossless."""
+    return refit_segments(straddling, tag_columns, min_ts_us=cutoff_us)
 
 
 def split_boundary_segments(
@@ -89,3 +100,35 @@ def split_boundary_segments(
         & (F.col("end_time") >= F.lit(int(cutoff_us)))
     )
     return keep_whole.unionByName(rewrite_straddling(straddle, tag_columns, cutoff_us))
+
+
+def merge_overlapping_segments(segments: DataFrame, tag_columns: list[str]) -> DataFrame:
+    """Resegmentation after out-of-order ingest: cross-batch late data
+    legally produces time-OVERLAPPING segments per series (the relaxed
+    semantics the reference shares, compression.rs:109-141) — correct,
+    but every read of that series then decodes and merges more segments
+    than it should, forever. This pass detects each series' overlaps
+    with one window (running-max of end_time vs next start_time),
+    passes clean series through VERBATIM, and decode+refits only the
+    overlapping ones into disjoint, time-ordered segments.
+
+    Cost: one shuffle on (field, series) for the window, plus
+    decode+fit proportional to the overlapping fraction — a series
+    that was always in order costs a window pass and nothing else.
+    """
+    from pyspark.sql import Window
+
+    keys = ["field_column", *tag_columns]
+    w = Window.partitionBy(*keys).orderBy("start_time", "end_time")
+    running_end = F.max("end_time").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    overlap = F.when(
+        running_end.isNotNull() & (F.col("start_time") <= running_end), 1
+    ).otherwise(0)
+    marked = segments.withColumn("__ov__", overlap).withColumn(
+        "__dirty__", F.max("__ov__").over(Window.partitionBy(*keys))
+    )
+    clean = marked.where(F.col("__dirty__") == 0).drop("__ov__", "__dirty__")
+    dirty = marked.where(F.col("__dirty__") == 1).drop("__ov__", "__dirty__")
+    return clean.unionByName(refit_segments(dirty, tag_columns))

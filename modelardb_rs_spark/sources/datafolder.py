@@ -459,6 +459,50 @@ class DataFolder:
             "version": version,
         }
 
+    def resegment(self, meta: TimeSeriesTableMetadata) -> dict:
+        """Merge overlapping segments created by out-of-order/backfill
+        ingest (operators/retention.py::merge_overlapping_segments):
+        clean series pass verbatim, overlapping series decode+refit
+        lossless into disjoint segments; ONE transactional commit
+        replaces the table's files (time-clustered like OPTIMIZE).
+        Run it per retention window on a live system, not as one
+        whole-history job. Returns {"files_before", "version"}."""
+        from modelardb_rs_spark.operators.retention import merge_overlapping_segments
+
+        name = meta.name
+        snap = self.log(name).snapshot()
+        if not snap.files:
+            return {"files_before": 0, "version": snap.version}
+        schema = segment_schema(meta.tag_columns)
+        table = self.table_path(name)
+        df = self.spark.read.option("basePath", table).parquet(
+            *[self.fs.join(table, p) for p in snap.paths]
+        )
+        df = df.withColumn("field_column", F.col("field_column").cast("short"))
+        for fld in schema.fields:
+            if fld.name not in df.columns:
+                df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        df = df.select(*[fld.name for fld in schema.fields])
+        merged = merge_overlapping_segments(df, meta.tag_columns)
+        sort_cols = ["field_column", *meta.tag_columns, "start_time"]
+
+        def write_staged(staged: str) -> None:
+            (
+                merged.repartitionByRange(
+                    max(1, len(snap.paths)), F.col("field_column"), F.col("start_time")
+                )
+                .sortWithinPartitions(*sort_cols)
+                .write.partitionBy("field_column")
+                .option("compression", "zstd")
+                .parquet(staged)
+            )
+
+        version = self._stage_and_commit(
+            name, write_staged, op="resegment", segment_stats=True,
+            remove=list(snap.paths),
+        )
+        return {"files_before": len(snap.paths), "version": version}
+
     def truncate(self, name: str) -> None:
         """Transactional truncate: one commit removing every live file.
         Data files stay on disk for time travel until vacuumed

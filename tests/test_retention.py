@@ -208,3 +208,59 @@ def test_downsample_expire_policy(engine, spark):
     rolled_sum2 = engine.table("p_daily").agg(F.sum("sum_v")).collect()[0][0]
     raw_sum2 = engine.table("p").agg(F.sum("v")).collect()[0][0]
     assert abs((rolled_sum2 + raw_sum2) - total) < 1e-6
+
+
+def test_resegment_merges_out_of_order(engine, spark):
+    """Two interleaved batches produce overlapping segments per series;
+    resegment merges them without changing a single point."""
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE z(timestamp TIMESTAMP, v FIELD, tag TAG)"
+    )
+    evens = [
+        Row(timestamp=TS0 + datetime.timedelta(seconds=i), v=float(i), tag="x")
+        for i in range(0, 1000, 2)
+    ]
+    odds = [
+        Row(timestamp=TS0 + datetime.timedelta(seconds=i), v=float(i), tag="x")
+        for i in range(1, 1000, 2)
+    ]
+    # a second, always-in-order series must pass through verbatim
+    clean = [
+        Row(timestamp=TS0 + datetime.timedelta(seconds=i), v=1.5, tag="c")
+        for i in range(500)
+    ]
+    engine.write("z", spark.createDataFrame(evens + clean))
+    engine.write("z", spark.createDataFrame(odds))
+
+    segs_before = engine.segments("z")
+    n_x_before = segs_before.where(F.col("tag") == "x").count()
+    clean_before = sorted(
+        map(tuple, segs_before.where(F.col("tag") == "c")
+            .select("start_time", "end_time", "value_count").collect())
+    )
+    pts_before = sorted(
+        (r["timestamp"], r["v"], r["tag"]) for r in engine.table("z").collect()
+    )
+    res = engine.resegment("z")
+    assert res["files_before"] >= 1
+    pts_after = sorted(
+        (r["timestamp"], r["v"], r["tag"]) for r in engine.table("z").collect()
+    )
+    assert pts_after == pts_before
+    segs_after = engine.segments("z")
+    # the interleaved series collapses to fewer, disjoint segments
+    x_after = segs_after.where(F.col("tag") == "x").select(
+        "start_time", "end_time"
+    ).orderBy("start_time").collect()
+    assert len(x_after) < n_x_before
+    for a, b in zip(x_after, x_after[1:]):
+        assert b["start_time"] > a["end_time"]
+    # the clean series' segments are byte-for-byte the same rows
+    clean_after = sorted(
+        map(tuple, segs_after.where(F.col("tag") == "c")
+            .select("start_time", "end_time", "value_count").collect())
+    )
+    assert clean_after == clean_before
+    # pushdown stats still agree after the rewrite
+    agg = engine.read_sql("SELECT count(v) AS n, round(sum(v), 2) AS s FROM z").collect()[0]
+    assert agg["n"] == len(pts_before)
