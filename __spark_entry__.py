@@ -1540,6 +1540,17 @@ def doc_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series lag-1 autocorrelation on daily buckets
+    (Engine.autocorrelate): does yesterday predict today, per event
+    type. Bucket means come from the resample pushdown."""
+    eng = _ts_engine(spark, sf_dir)
+    out = eng.autocorrelate("ts_events", "value", every="1 day", lag=1)
+    return out.select(
+        "series", "n_pairs", F.round("autocorr", 4).alias("autocorr")
+    )
+
+
 def sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted ANN index (operators/ann_index.py): build the IVF index
     ONCE per (process, sf_dir) as partitioned engine tables, then probe
@@ -1670,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_redacted": doc_pii_redacted,
         "doc_line_dedup": doc_line_dedup,
         "ts_correlation": ts_correlation,
+        "ts_autocorr": ts_autocorr,
         "sim_ivf_index": sim_ivf_index,
         "doc_unigram_lm": doc_unigram_lm,
         "ts_retention": ts_retention,
@@ -2886,6 +2898,19 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE (epoch_ns(ts) // 1000) >= epoch_us(TIMESTAMP '2024-01-08')
         GROUP BY event_type
+    """
+    oracles["ts_autocorr"] = """
+        WITH b AS (
+          SELECT event_type AS series,
+                 (epoch_ns(ts) // 1000) // 86400000000 AS bucket,
+                 avg(CAST(CAST(value AS FLOAT) AS DOUBLE)) AS v
+          FROM events GROUP BY 1, 2
+        )
+        SELECT l.series, CAST(count(*) AS BIGINT) AS n_pairs,
+               round(corr(l.v, r.v), 4) AS autocorr
+        FROM b l JOIN b r ON l.series = r.series AND r.bucket = l.bucket + 1
+        GROUP BY l.series
+        HAVING count(*) >= 2
     """
     oracles["ts_rollup_retention"] = """
         SELECT event_type AS etype,

@@ -512,6 +512,32 @@ class Engine:
         if stmt.kind == "drop":
             self.drop(stmt.tables[0], if_exists=stmt.if_exists)
             return None
+        if stmt.kind == "show_tables":
+            rows = [(n, k) for n, k in sorted(self.tables().items())]
+            return self.spark.createDataFrame(
+                rows or [], "table_name string, table_type string"
+            )
+        if stmt.kind == "describe":
+            name = stmt.tables[0]
+            kind = self.catalog.kind(name)
+            if kind == TableKind.NORMAL:
+                rows = [
+                    (f.name, f.dataType.simpleString(), "column")
+                    for f in self.catalog.normal_table_schema(name).fields
+                ]
+            else:
+                meta = self.catalog.time_series_metadata(name)
+                rows = [(meta.timestamp_column, "timestamp", "timestamp")]
+                for fname, bound in meta.field_columns.items():
+                    rows.append((fname, "float", f"field({bound.describe()})"))
+                rows += [
+                    (g.name, "float", f"field as ({g.expr_sql})")
+                    for g in meta.generated_columns
+                ]
+                rows += [(t, "string", "tag") for t in meta.tag_columns]
+            return self.spark.createDataFrame(
+                rows, "column_name string, data_type string, role string"
+            )
         if stmt.kind == "delete":
             table = stmt.tables[0]
             meta = self.catalog.time_series_metadata(table)
@@ -1159,6 +1185,34 @@ class Engine:
         )
         return bucketed_correlation(
             res, meta.tag_columns, "bucket", f"avg_{fname}", min_buckets
+        )
+
+    def autocorrelate(
+        self,
+        name: str,
+        field: str | None = None,
+        every="1 hour",
+        lag: int = 1,
+        start=None,
+        end=None,
+        tags: dict[str, str] | None = None,
+        min_pairs: int = 2,
+    ) -> DataFrame:
+        """Per-series lag autocorrelation over resampled buckets
+        (operators/correlate.py::autocorrelation): bucket means come
+        from the resample pushdown; ``lag`` counts buckets. Output:
+        (series, n_pairs, autocorr)."""
+        from modelardb_rs_spark.operators.correlate import autocorrelation
+
+        meta = self.catalog.time_series_metadata(name)
+        fname = field or meta.field_names[0]
+        every_us = _interval_us(every)
+        res = self.resample(
+            name, every_us, {fname: "avg"}, group_by=meta.tag_columns,
+            start=start, end=end, tags=tags,
+        )
+        return autocorrelation(
+            res, meta.tag_columns, lag * every_us, "bucket", f"avg_{fname}", min_pairs
         )
 
     def stats(self, name: str) -> DataFrame:

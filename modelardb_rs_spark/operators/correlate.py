@@ -79,3 +79,45 @@ def series_correlation(
         .agg(F.avg("v").alias("v"))
     )
     return bucketed_correlation(bucketed, series_cols, "bucket", "v", min_buckets)
+
+
+def autocorrelation(
+    bucketed: DataFrame,
+    series_cols: list[str],
+    lag_us: int,
+    bucket_col: str = "bucket",
+    value_col: str = "v",
+    min_pairs: int = 2,
+) -> DataFrame:
+    """Per-series lag autocorrelation from pre-bucketed means: Pearson
+    correlation of each series with itself shifted by exactly ``lag_us``
+    (missing buckets simply contribute no pair — the join is on the
+    exact lag distance, not "previous existing bucket"). One self-join
+    keyed on (series, bucket); corr partials combine map-side, one
+    state per series. Output: (series, n_pairs, autocorr)."""
+    dt = dict(bucketed.dtypes)[bucket_col]
+    b_us = (
+        F.unix_micros(F.col(bucket_col))
+        if dt.startswith("timestamp")
+        else F.col(bucket_col).cast("long")
+    )
+    series = F.concat_ws(" ", *[F.col(c) for c in series_cols])
+    base = bucketed.select(
+        series.alias("series"),
+        b_us.alias("__b__"),
+        F.col(value_col).cast("double").alias("v"),
+    ).where(F.col("v").isNotNull())
+    lead = base.select(
+        "series",
+        (F.col("__b__") - F.lit(int(lag_us))).alias("__b__"),
+        F.col("v").alias("v_lead"),
+    )
+    return (
+        base.join(lead, ["series", "__b__"])
+        .groupBy("series")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.corr("v", "v_lead").alias("autocorr"),
+        )
+        .where(F.col("n_pairs") >= min_pairs)
+    )

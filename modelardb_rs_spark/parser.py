@@ -44,6 +44,11 @@ _DROP = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_DESCRIBE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 # Retention DELETE: a single strictly-before (or at-most) predicate on
 # one column; anything else is rejected, not silently misread (the
 # engine is otherwise append-only, SURVEY §1.4).
@@ -235,6 +240,10 @@ def parse_statement(sql: str) -> ModelarStatement:
         return ModelarStatement(
             kind="drop", sql=sql, tables=[m["name"]], if_exists=bool(m["ifex"])
         )
+    if _SHOW_TABLES.match(sql):
+        return ModelarStatement(kind="show_tables", sql=sql)
+    if m := _DESCRIBE.match(sql):
+        return ModelarStatement(kind="describe", sql=sql, tables=[m["name"]])
     if m := _DELETE.match(sql):
         return ModelarStatement(
             kind="delete",

@@ -61,6 +61,15 @@ class ErrorBound:
     def is_lossless(self) -> bool:
         return self.kind == ErrorBoundKind.LOSSLESS
 
+    def describe(self) -> str:
+        """Human-readable form for DESCRIBE output: 'lossless', '0.5',
+        or '5.0%' — mirroring the DDL syntax."""
+        if self.kind == ErrorBoundKind.LOSSLESS:
+            return "lossless"
+        if self.kind == ErrorBoundKind.ABSOLUTE:
+            return f"{self.value:g}"
+        return f"{self.value:g}%"
+
     def to_json(self) -> dict:
         return {"kind": self.kind.value, "value": self.value}
 

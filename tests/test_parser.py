@@ -81,3 +81,22 @@ def test_create_normal_table_statement():
     # Spark-specific variants are not claimed by the dialect
     assert parse_statement("CREATE TABLE t USING parquet AS SELECT 1").kind == "passthrough"
     assert parse_statement("CREATE TIME SERIES TABLE t(timestamp TIMESTAMP, f FIELD)").kind == "create_time_series"
+
+
+def test_show_tables_and_describe(engine):
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE d(timestamp TIMESTAMP, a FIELD, b FIELD(0.5), "
+        "c FIELD(5.0%), g FIELD AS (a + b), t TAG)"
+    )
+    engine.create_table("n", "x INT, y STRING")
+    shown = {(r["table_name"], r["table_type"]) for r in engine.read_sql("SHOW TABLES").collect()}
+    assert shown == {("d", "time_series"), ("n", "normal")}
+    desc = {r["column_name"]: (r["data_type"], r["role"]) for r in engine.read_sql("DESCRIBE d").collect()}
+    assert desc["timestamp"] == ("timestamp", "timestamp")
+    assert desc["a"] == ("float", "field(lossless)")
+    assert desc["b"] == ("float", "field(0.5)")
+    assert desc["c"] == ("float", "field(5%)")
+    assert desc["g"][1].startswith("field as (")
+    assert desc["t"] == ("string", "tag")
+    descn = {r["column_name"]: r["data_type"] for r in engine.read_sql("DESC n").collect()}
+    assert descn == {"x": "int", "y": "string"}
