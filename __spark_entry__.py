@@ -1540,6 +1540,19 @@ def doc_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training quality gate
+    (operators/filtering.py): token floor + language allowlist + zero
+    PII over the planted corpus, reported as the per-rule rejection
+    histogram every pipeline owner tunes against."""
+    from modelardb_rs_spark.operators.filtering import FilterPolicy, rejection_stats
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    planted = _pii_corpus(docs)
+    policy = FilterPolicy(min_tokens=60, languages=("en", "de"), max_pii=0)
+    return rejection_stats(planted, policy)
+
+
 def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series lag-1 autocorrelation on daily buckets
     (Engine.autocorrelate): does yesterday predict today, per event
@@ -1684,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_autocorr": ts_autocorr,
         "sim_ivf_index": sim_ivf_index,
         "doc_unigram_lm": doc_unigram_lm,
+        "doc_quality_filter": doc_quality_filter,
         "ts_retention": ts_retention,
         "ts_rollup_retention": ts_rollup_retention,
         "q10_returned_items": q10_returned_items,
@@ -2898,6 +2912,46 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE (epoch_ns(ts) // 1000) >= epoch_us(TIMESTAMP '2024-01-08')
         GROUP BY event_type
+    """
+    oracles["doc_quality_filter"] = f"""
+        WITH d2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' reach user' || doc_id || '@' || source
+                           || '.org or 10.' || (doc_id % 256) || '.0.'
+                           || (doc_id % 100) || ' ssn 123-45-6789'
+                      ELSE text END AS text
+          FROM documents
+        ), sig AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok,
+                 {', '.join(f"{expr} AS c_{lang}" for lang, expr in lang_counts.items())},
+                 len(regexp_extract_all(text, '{_PII["email"]}'))
+                 + len(regexp_extract_all(text, '{_PII["ssn"]}'))
+                 + len(regexp_extract_all(text, '{_PII["phone"]}'))
+                 + len(regexp_extract_all(text, '{_PII["ipv4"]}')) AS npii
+          FROM d2
+        ), v AS (
+          SELECT doc_id,
+                 ntok < 60 AS r_tok,
+                 ({pred}) NOT IN ('en', 'de') AS r_lang,
+                 npii > 0 AS r_pii
+          FROM sig
+        )
+        SELECT 'too_few_tokens' AS reason,
+               CAST(sum(CASE WHEN r_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_docs FROM v
+        UNION ALL
+        SELECT 'wrong_language',
+               CAST(sum(CASE WHEN r_lang THEN 1 ELSE 0 END) AS BIGINT) FROM v
+        UNION ALL
+        SELECT 'pii', CAST(sum(CASE WHEN r_pii THEN 1 ELSE 0 END) AS BIGINT) FROM v
+        UNION ALL
+        SELECT 'kept',
+               CAST(sum(CASE WHEN NOT r_tok AND NOT r_lang AND NOT r_pii
+                             THEN 1 ELSE 0 END) AS BIGINT) FROM v
+        UNION ALL
+        SELECT 'total', count(*) FROM v
     """
     oracles["ts_autocorr"] = """
         WITH b AS (

@@ -101,3 +101,39 @@ def test_unigram_lm_scores(spark):
     assert math.isclose(out[3]["avg_logprob"], exp3, rel_tol=1e-12)
     # the all-rare-tokens doc scores lowest
     assert out[3]["avg_logprob"] < out[2]["avg_logprob"] < out[1]["avg_logprob"]
+
+
+def test_filter_corpus_and_stats(spark):
+    from modelardb_rs_spark.operators.filtering import (
+        FilterPolicy,
+        filter_corpus,
+        rejection_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the and of to is in that a " * 20),          # good english
+            (2, "der die und das ist nicht ein mit " * 20),   # german
+            (3, "short text"),                                # too few tokens
+            (4, "mail me at a@b.com " + "the and of to is a " * 20),  # pii
+            (5, ""),                                          # empty: no tokens
+        ],
+        "doc_id long, text string",
+    )
+    policy = FilterPolicy(
+        min_tokens=20, languages=("en",), max_pii=0, min_logprob=-20.0
+    )
+    kept = filter_corpus(docs, policy)
+    assert [r["doc_id"] for r in kept.orderBy("doc_id").collect()] == [1]
+    assert kept.columns == docs.columns
+    stats = {r["reason"]: r["n_docs"] for r in rejection_stats(docs, policy).collect()}
+    assert stats["total"] == 5 and stats["kept"] == 1
+    assert stats["too_few_tokens"] == 2      # docs 3 and 5
+    assert stats["wrong_language"] == 3      # doc 2 (de), docs 3 and 5 (und)
+    assert stats["pii"] == 1
+    assert stats["low_logprob"] == 1         # the empty doc has no LM row
+
+    # quality-score rule path
+    q_policy = FilterPolicy(min_quality=0.5)
+    qs = {r["reason"]: r["n_docs"] for r in rejection_stats(docs, q_policy).collect()}
+    assert qs["kept"] + qs["low_quality"] == 5
