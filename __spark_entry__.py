@@ -1540,6 +1540,25 @@ def doc_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_index_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted near-dup index (operators/dedup_index.py): even-id docs
+    become the kept corpus' signature index; odd-id docs are checked
+    against it — corpus-vs-batch dedup without re-reading corpus text."""
+    from modelardb_rs_spark.operators import dedup_index as ndi_ops
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    eng = Engine(spark, tempfile.mkdtemp(prefix="sparkmodelar_ndi_"))
+    ndi_ops.build_minhash_index(eng, "ndi", docs.where(F.col("doc_id") % 2 == 0))
+    hits = ndi_ops.near_dup_check(
+        eng, "ndi", docs.where(F.col("doc_id") % 2 == 1), min_est_jaccard=0.5
+    )
+    return hits.agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.count_distinct("doc_id").cast("long").alias("n_new_docs_matched"),
+        F.round(F.sum("est_jaccard"), 4).alias("est_total"),
+    )
+
+
 def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed pre-training quality gate
     (operators/filtering.py): token floor + language allowlist + zero
@@ -1698,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_index": sim_ivf_index,
         "doc_unigram_lm": doc_unigram_lm,
         "doc_quality_filter": doc_quality_filter,
+        "dedup_index_check": dedup_index_check,
         "ts_retention": ts_retention,
         "ts_rollup_retention": ts_rollup_retention,
         "q10_returned_items": q10_returned_items,
@@ -2913,6 +2933,36 @@ def oracle_sql() -> dict[str, str]:
         WHERE (epoch_ns(ts) // 1000) >= epoch_us(TIMESTAMP '2024-01-08')
         GROUP BY event_type
     """
+    est_expr = " + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(16))
+    oracles["dedup_index_check"] = (
+        _SHINGLE_CTE
+        + ", sig AS (SELECT doc_id, "
+        + ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16))
+        + " FROM sh GROUP BY doc_id),\n    bands AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, concat_ws('|', h{2 * b}, h{2 * b + 1}) AS bh FROM sig"
+            for b in range(8)
+        )
+        + """),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM bands n JOIN bands o ON n.band = o.band AND n.bh = o.bh
+        WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+    ),
+    est AS (
+        SELECT c.new_id, c.old_id,
+               round(("""
+        + est_expr
+        + """) / 16.0, 6) AS ej
+        FROM cand c JOIN sig a ON a.doc_id = c.new_id
+                    JOIN sig b ON b.doc_id = c.old_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(count(DISTINCT new_id) AS BIGINT) AS n_new_docs_matched,
+           round(sum(ej), 4) AS est_total
+    FROM est WHERE ej >= 0.5
+    """
+    )
     oracles["doc_quality_filter"] = f"""
         WITH d2 AS (
           SELECT doc_id,

@@ -170,15 +170,13 @@ def minhash_signatures(
     return ex.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_keys(
     signatures: DataFrame,
     bands: int = 4,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Banded LSH over MinHash signatures: documents sharing any band's
-    concatenated hash become a candidate pair. Equi-join on the band
-    key — the only shuffle keys are (band, band_hash), so the work is
-    proportional to bucket sizes, never all-pairs."""
+    """(id, band, band_hash) — each signature's banded LSH keys; docs
+    sharing any (band, band_hash) are near-dup candidates."""
     sig_cols = [c for c in signatures.columns if c != id_col]
     rows_per_band = len(sig_cols) // bands
     band_structs = F.array(
@@ -192,9 +190,21 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    exploded = signatures.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+    return signatures.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded LSH over MinHash signatures: documents sharing any band's
+    concatenated hash become a candidate pair. Equi-join on the band
+    key — the only shuffle keys are (band, band_hash), so the work is
+    proportional to bucket sizes, never all-pairs."""
+    exploded = band_keys(signatures, bands, id_col)
     l, r = exploded.alias("l"), exploded.alias("r")
     return (
         l.join(r, ["band", "band_hash"])

@@ -137,3 +137,35 @@ def test_filter_corpus_and_stats(spark):
     q_policy = FilterPolicy(min_quality=0.5)
     qs = {r["reason"]: r["n_docs"] for r in rejection_stats(docs, q_policy).collect()}
     assert qs["kept"] + qs["low_quality"] == 5
+
+
+def test_minhash_index_roundtrip(engine, spark):
+    from modelardb_rs_spark.operators.dedup_index import (
+        append_to_minhash_index,
+        build_minhash_index,
+        near_dup_check,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different content about spark engines " * 6)],
+        "doc_id long, text string",
+    )
+    stats = build_minhash_index(engine, "ndi", corpus)
+    assert stats["n_docs"] == 2
+
+    new = spark.createDataFrame(
+        [
+            (10, base + " tiny tail edit"),       # near-dup of doc 1
+            (11, "fresh unrelated text with novel words entirely " * 6),
+        ],
+        "doc_id long, text string",
+    )
+    hits = near_dup_check(engine, "ndi", new, min_est_jaccard=0.5).collect()
+    assert {(r["doc_id"], r["matched_id"]) for r in hits} == {(10, 1)}
+    assert all(r["est_jaccard"] >= 0.5 for r in hits)
+
+    # append the unique one; re-checking it now self-matches
+    append_to_minhash_index(engine, "ndi", new.where(F.col("doc_id") == 11))
+    again = near_dup_check(engine, "ndi", new.where(F.col("doc_id") == 11), 0.9)
+    assert {(r["doc_id"], r["matched_id"]) for r in again.collect()} == {(11, 11)}
