@@ -113,3 +113,33 @@ def test_sql_projection_prunes_reassembly(planned):
         )
     )
     assert "arrays_zip" in both
+
+
+def test_pii_plan_is_map_only(spark):
+    """PII counting must stay inside whole-stage codegen: no Exchange,
+    no Python stage — it runs at scan bandwidth at any scale."""
+    from modelardb_rs_spark.operators.pii import pii_counts
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = plan_of(pii_counts(docs))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_quality_signals_plan_has_no_python(spark):
+    from modelardb_rs_spark.operators.text import quality_features, unigram_lm_scores
+
+    docs = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    assert "Python" not in plan_of(quality_features(docs))
+    # the LM scorer shuffles (freq build + join) but never leaves the JVM
+    assert "Python" not in plan_of(unigram_lm_scores(docs))
+
+
+def test_line_dedup_plan_shuffles_only_on_keys(spark):
+    """Line dedup is O(total lines): its exchanges are hash shuffles on
+    the line/doc keys — no broadcast of corpus-sized data, no Python."""
+    from modelardb_rs_spark.operators.lines import remove_common_lines
+
+    docs = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = plan_of(remove_common_lines(docs))
+    assert "Python" not in plan
