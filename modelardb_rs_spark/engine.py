@@ -571,6 +571,7 @@ class Engine:
         if stmt.kind == "insert":
             self._insert(stmt)
             return None
+        sql = self._rewrite_time_travel(sql)
         rewritten = self._try_aggregate_pushdown(sql)
         if rewritten is not None:
             return rewritten
@@ -579,6 +580,45 @@ class Engine:
         # declined (extra clauses, calendar-mixed shapes, ...) get the
         # call inlined as epoch arithmetic so they still run
         return self.spark.sql(_inline_time_bucket_sql(sql))
+
+    _TT_VERSION = re.compile(
+        r"\b(?P<name>[A-Za-z_]\w*)\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)", re.IGNORECASE
+    )
+    _TT_TIMESTAMP = re.compile(
+        r"\b(?P<name>[A-Za-z_]\w*)\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_time_travel(self, sql: str) -> str:
+        """Delta-style time-travel SQL: ``FROM t VERSION AS OF 3`` /
+        ``FROM t TIMESTAMP AS OF '2024-01-02 00:00:00'`` — each clause
+        registers the historical snapshot as a temp view and the clause
+        collapses to that view's name (Engine.table version/timestamp_ms
+        does the snapshot resolution)."""
+        import datetime as _dt
+
+        def by_version(m: re.Match) -> str:
+            name, v = m["name"], int(m["v"])
+            if name not in self.catalog.tables():
+                return m.group(0)
+            view = f"{name}__asof_v{v}"
+            self.table(name, version=v).createOrReplaceTempView(view)
+            return view
+
+        def by_timestamp(m: re.Match) -> str:
+            name = m["name"]
+            if name not in self.catalog.tables():
+                return m.group(0)
+            t = _dt.datetime.fromisoformat(m["ts"])
+            if t.tzinfo is None:
+                t = t.replace(tzinfo=_dt.timezone.utc)
+            ms = int(t.timestamp() * 1000)
+            view = f"{name}__asof_t{ms}"
+            self.table(name, timestamp_ms=ms).createOrReplaceTempView(view)
+            return view
+
+        sql = self._TT_VERSION.sub(by_version, sql)
+        return self._TT_TIMESTAMP.sub(by_timestamp, sql)
 
     def _insert(self, stmt: ModelarStatement) -> None:
         """INSERT INTO t [(cols)] SELECT ... | VALUES ... — routed through

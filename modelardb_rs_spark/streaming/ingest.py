@@ -278,3 +278,58 @@ def streaming_distinct_documents(
             watermark_col, watermark
         ).dropDuplicatesWithinWatermark(["fingerprint"])
     return out.dropDuplicates(["fingerprint"])
+
+
+def start_near_dup_ingest(
+    engine,
+    index_name: str,
+    table: str,
+    stream: DataFrame,
+    checkpoint_dir: str,
+    min_est_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Streaming corpus-level near-dedup at the door: each micro-batch
+    is checked against the persisted MinHash signature index
+    (operators/dedup_index.py), survivors land in ``table`` AND extend
+    the index, duplicates are dropped. Within-batch near-dups are also
+    collapsed (the batch is deduped against itself before the index
+    grows). Exactly-once across restarts comes from the checkpoint plus
+    the transactional appends.
+
+    This is the production shape of dedup: the corpus is never
+    re-read — state is k signature strings per kept document, held in a
+    table rather than the state store so it survives independently of
+    the streaming query and is queryable/vacuumable like any table.
+    """
+    from modelardb_rs_spark.operators import dedup_index as ndi
+    from modelardb_rs_spark.operators.dedup import minhash_dedup_pairs
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        # collapse within-batch near-dups first (keep min id per pair)
+        pairs = minhash_dedup_pairs(
+            batch_df, threshold=min_est_jaccard, text_col=text_col, id_col=id_col
+        )
+        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        batch_df = batch_df.join(dropped, id_col, "left_anti")
+        # then drop anything matching the stored corpus
+        hits = ndi.near_dup_check(
+            engine, index_name, batch_df, min_est_jaccard, text_col, id_col
+        )
+        fresh = batch_df.join(
+            hits.select(id_col).distinct(), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            return
+        engine.write(table, fresh)
+        ndi.append_to_minhash_index(engine, index_name, fresh, text_col, id_col)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

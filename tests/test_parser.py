@@ -100,3 +100,39 @@ def test_show_tables_and_describe(engine):
     assert desc["t"] == ("string", "tag")
     descn = {r["column_name"]: r["data_type"] for r in engine.read_sql("DESC n").collect()}
     assert descn == {"x": "int", "y": "string"}
+
+
+def test_time_travel_sql(engine, spark):
+    """Delta-style VERSION AS OF / TIMESTAMP AS OF in SELECT."""
+    import time as _time
+
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE tt(timestamp TIMESTAMP, v FIELD, tag TAG)"
+    )
+    engine.write(
+        "tt",
+        spark.range(100).selectExpr(
+            "timestamp_micros(id * 1000000) AS timestamp",
+            "CAST(id AS FLOAT) AS v", "'a' AS tag",
+        ),
+    )
+    v1 = engine.folder.log("tt").snapshot().version
+    _time.sleep(0.05)
+    engine.write(
+        "tt",
+        spark.range(100, 150).selectExpr(
+            "timestamp_micros(id * 1000000) AS timestamp",
+            "CAST(id AS FLOAT) AS v", "'a' AS tag",
+        ),
+    )
+    now = engine.read_sql("SELECT count(v) AS n FROM tt").collect()[0]["n"]
+    assert now == 150
+    old = engine.read_sql(
+        f"SELECT count(v) AS n FROM tt VERSION AS OF {v1}"
+    ).collect()[0]["n"]
+    assert old == 100
+    # both snapshots in one statement
+    both = engine.read_sql(
+        f"SELECT (SELECT count(*) FROM tt) - (SELECT count(*) FROM tt VERSION AS OF {v1}) AS delta"
+    ).collect()[0]["delta"]
+    assert both == 50

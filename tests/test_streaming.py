@@ -256,3 +256,49 @@ def test_continuous_rollup_replayed_batch_is_skipped(engine, spark):
     assert not append_batch(engine, "r6", df, 7, "ts", "value", ["k"], 3_600_000_000)
     rows = read_rollup(engine, "r6", ["k"]).collect()
     assert len(rows) == 1 and rows[0].cnt == 30
+
+
+def test_streaming_near_dup_ingest(spark, engine, tmp_path):
+    """Micro-batches dedup against the persisted corpus index: exact
+    behaviors — within-batch collapse, cross-batch drop, survivors
+    extend both the table and the index."""
+    from modelardb_rs_spark.operators.dedup_index import build_minhash_index
+    from modelardb_rs_spark.streaming.ingest import start_near_dup_ingest
+
+    base = "the quick brown fox jumps over the lazy dog once more " * 5
+    other = "completely different material about columnar engines " * 5
+    engine.create_table("docs_clean", "doc_id BIGINT, text STRING")
+    build_minhash_index(
+        engine, "sndi",
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+    )
+
+    src = str(tmp_path / "nd_in")
+    os.makedirs(src)
+    # batch 1: a near-dup of the indexed doc, two copies of a new doc
+    spark.createDataFrame(
+        [
+            (10, base + " tail"),
+            (11, other),
+            (12, other + " tweak"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = start_near_dup_ingest(
+        engine, "sndi", "docs_clean", stream, str(tmp_path / "nd_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        kept1 = {r["doc_id"] for r in engine.table("docs_clean").collect()}
+        assert kept1 == {11}  # 10 matched corpus, 12 collapsed into 11
+        # batch 2: near-dup of doc 11 (now in the index) + a fresh doc
+        spark.createDataFrame(
+            [(20, other + " second tweak"), (21, "entirely novel words here " * 8)],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = {r["doc_id"] for r in engine.table("docs_clean").collect()}
+    assert kept == {11, 21}
