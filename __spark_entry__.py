@@ -1583,6 +1583,57 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series linear trend over daily bucket means: OLS slope (per
+    day), intercept, and R² via Spark's built-in regression aggregates
+    over the resample pushdown output — the 'is this sensor drifting'
+    read."""
+    eng = _ts_engine(spark, sf_dir)
+    res = eng.resample("ts_events", "1 day", {"value": "avg"}, group_by=["etype"])
+    day = (F.unix_micros("bucket") / F.lit(86_400_000_000.0)).alias("x")
+    return (
+        res.select("etype", day, F.col("avg_value").alias("y"))
+        .groupBy("etype")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.round(F.expr("regr_slope(y, x)"), 6).alias("slope_per_day"),
+            F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+            F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+        )
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: users who did A then (later) B then (later) C —
+    classic product-analytics sequence matching via per-user min-time
+    chaining (one aggregation, no self-joins over the event log)."""
+    (ev,) = _prep(spark, sf_dir, "events")
+    types = [r[0] for r in ev.select("event_type").distinct().orderBy("event_type").collect()]
+    a, b, c = types[0], types[1], types[2]
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == a, F.col("ts"))).alias("ta"),
+        F.count(F.when(F.col("event_type") == a, 1)).alias("na"),
+    )
+    tb = (
+        ev.join(per_user.select("user_id", "ta"), "user_id")
+        .where((F.col("event_type") == b) & (F.col("ts") > F.col("ta")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tb"))
+    )
+    tc = (
+        ev.join(tb, "user_id")
+        .where((F.col("event_type") == c) & (F.col("ts") > F.col("tb")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    return (
+        per_user.where(F.col("na") > 0)
+        .agg(F.count("*").cast("long").alias("did_a"))
+        .crossJoin(tb.agg(F.count("*").cast("long").alias("then_b")))
+        .crossJoin(tc.agg(F.count("*").cast("long").alias("then_c")))
+    )
+
+
 def sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted ANN index (operators/ann_index.py): build the IVF index
     ONCE per (process, sf_dir) as partitioned engine tables, then probe
@@ -1714,6 +1765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": doc_line_dedup,
         "ts_correlation": ts_correlation,
         "ts_autocorr": ts_autocorr,
+        "ts_trend": ts_trend,
+        "q_funnel": q_funnel,
         "sim_ivf_index": sim_ivf_index,
         "doc_unigram_lm": doc_unigram_lm,
         "doc_quality_filter": doc_quality_filter,
@@ -3002,6 +3055,44 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) AS BIGINT) FROM v
         UNION ALL
         SELECT 'total', count(*) FROM v
+    """
+    oracles["ts_trend"] = """
+        WITH b AS (
+          SELECT event_type AS etype,
+                 CAST((epoch_ns(ts) // 1000) // 86400000000 AS DOUBLE) AS x,
+                 avg(CAST(CAST(value AS FLOAT) AS DOUBLE)) AS y
+          FROM events GROUP BY 1, 2
+        )
+        SELECT etype, CAST(count(*) AS BIGINT) AS n_buckets,
+               round(regr_slope(y, x), 6) AS slope_per_day,
+               round(regr_intercept(y, x), 4) AS intercept,
+               round(regr_r2(y, x), 6) AS r2
+        FROM b GROUP BY etype
+    """
+    oracles["q_funnel"] = """
+        WITH t AS (
+          SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events
+        ), ty AS (
+          SELECT event_type, row_number() OVER (ORDER BY event_type) AS rn
+          FROM (SELECT DISTINCT event_type FROM events)
+        ), ua AS (
+          SELECT user_id, min(tus) AS ta FROM t
+          WHERE event_type = (SELECT event_type FROM ty WHERE rn = 1)
+          GROUP BY user_id
+        ), ub AS (
+          SELECT t.user_id, min(tus) AS tb FROM t JOIN ua USING (user_id)
+          WHERE event_type = (SELECT event_type FROM ty WHERE rn = 2)
+            AND tus > ta
+          GROUP BY t.user_id
+        ), uc AS (
+          SELECT t.user_id, min(tus) AS tc FROM t JOIN ub USING (user_id)
+          WHERE event_type = (SELECT event_type FROM ty WHERE rn = 3)
+            AND tus > tb
+          GROUP BY t.user_id
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM ua) AS did_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM ub) AS then_b,
+               (SELECT CAST(count(*) AS BIGINT) FROM uc) AS then_c
     """
     oracles["ts_autocorr"] = """
         WITH b AS (
