@@ -1583,6 +1583,35 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval prep (operators/rag.py): chunk the corpus,
+    embed every chunk (deterministic stub encoder), persist the IVF
+    index, and probe it with three query texts — the full
+    chunk→embed→index→search composition, value-checked cross-engine."""
+    from modelardb_rs_spark.operators import rag as rag_ops
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    eng = Engine(spark, tempfile.mkdtemp(prefix="sparkmodelar_rag_"))
+    rag_ops.build_rag_index(eng, "rag", docs)
+    queries = docs.where(F.col("doc_id").isin(10, 20, 30)).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 100).alias("query_text"),
+    )
+    return rag_ops.rag_search(eng, "rag", queries, k=5, nprobe=2)
+
+
+def ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal anomaly detection (Engine.seasonal_anomalies):
+    hourly bucket means flagged against the same hour on other days;
+    per-series anomaly counts."""
+    eng = _ts_engine(spark, sf_dir)
+    out = eng.seasonal_anomalies("ts_events", "value", every="1 hour", z=2.5)
+    return out.groupBy("etype").agg(
+        F.count("*").cast("long").alias("n_anomalies"),
+        F.round(F.sum(F.abs(F.col("zscore"))), 2).alias("z_mass"),
+    )
+
+
 def ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series linear trend over daily bucket means: OLS slope (per
     day), intercept, and R² via Spark's built-in regression aggregates
@@ -1766,11 +1795,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_correlation": ts_correlation,
         "ts_autocorr": ts_autocorr,
         "ts_trend": ts_trend,
+        "ts_seasonal": ts_seasonal,
         "q_funnel": q_funnel,
         "sim_ivf_index": sim_ivf_index,
         "doc_unigram_lm": doc_unigram_lm,
         "doc_quality_filter": doc_quality_filter,
         "dedup_index_check": dedup_index_check,
+        "doc_rag_pipeline": doc_rag_pipeline,
         "ts_retention": ts_retention,
         "ts_rollup_retention": ts_rollup_retention,
         "q10_returned_items": q10_returned_items,
@@ -2986,6 +3017,77 @@ def oracle_sql() -> dict[str, str]:
         WHERE (epoch_ns(ts) // 1000) >= epoch_us(TIMESTAMP '2024-01-08')
         GROUP BY event_type
     """
+    def _hex_int(expr: str, n: int) -> str:
+        """DuckDB: first n hex chars of md5-expr -> BIGINT (no conv())."""
+        return "(" + " + ".join(
+            f"(strpos('0123456789abcdef', substr({expr}, {1 + j}, 1)) - 1) * {16 ** (n - 1 - j)}"
+            for j in range(n)
+        ) + ")"
+
+    def _fake_emb_list(text_expr: str, dim: int = 8) -> str:
+        parts = []
+        for i in range(dim):
+            md5_expr = "md5('" + str(i) + ":' || " + text_expr + ")"
+            parts.append(
+                f"CAST(CAST({_hex_int(md5_expr, 8)} / 4294967296.0 - 0.5 AS FLOAT) AS DOUBLE)"
+            )
+        return "[" + ", ".join(parts) + "]"
+
+    oracles["doc_rag_pipeline"] = f"""
+        WITH d AS (
+          SELECT doc_id, text,
+                 CAST(trunc(greatest((length(text) - 33) / 224.0, 0)) AS BIGINT) AS kk
+          FROM documents
+        ), ch AS (
+          SELECT doc_id * 100000 + i AS vec_id,
+                 substr(text, CAST(i * 224 + 1 AS INT), 256) AS ct
+          FROM (SELECT doc_id, text, unnest(range(0, kk + 1)) AS i FROM d)
+        ), e AS (
+          SELECT vec_id,
+                 {_fake_emb_list('ct')} AS v,
+                 {_hex_int("md5(ct)", 4)} % 8 AS bucket
+          FROM ch
+        ), ex AS (
+          SELECT bucket, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e
+        ), cm AS (
+          SELECT bucket, i, avg(x) AS m FROM ex GROUP BY 1, 2
+        ), cent AS (
+          SELECT bucket,
+                 list_transform(list(CAST(m AS FLOAT) ORDER BY i),
+                                x -> CAST(x AS DOUBLE)) AS cv
+          FROM cm GROUP BY bucket
+        ), q AS (
+          SELECT doc_id AS query_id,
+                 {_fake_emb_list('substr(text, 1, 100)')} AS qv
+          FROM documents WHERE doc_id IN (10, 20, 30)
+        ), pc AS (
+          SELECT query_id, qv, bucket,
+                 list_dot_product(qv, cv) /
+                 (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS ccos
+          FROM q CROSS JOIN cent
+        ), pr AS (
+          SELECT query_id, qv, bucket,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY ccos DESC, bucket) AS prn
+          FROM pc
+        ), probes AS (
+          SELECT query_id, qv, bucket FROM pr WHERE prn <= 2
+        ), scored AS (
+          SELECT query_id, e.vec_id AS neighbor_id,
+                 round(list_dot_product(qv, e.v) /
+                       (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+          FROM probes JOIN e USING (bucket)
+          WHERE e.vec_id <> query_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
     est_expr = " + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(16))
     oracles["dedup_index_check"] = (
         _SHINGLE_CTE
@@ -3055,6 +3157,26 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) AS BIGINT) FROM v
         UNION ALL
         SELECT 'total', count(*) FROM v
+    """
+    oracles["ts_seasonal"] = """
+        WITH b AS (
+          SELECT event_type AS etype,
+                 (epoch_ns(ts) // 1000) // 3600000000 AS hb,
+                 avg(CAST(CAST(value AS FLOAT) AS DOUBLE)) AS v
+          FROM events GROUP BY 1, 2
+        ), h AS (
+          SELECT etype, hb, v, hb % 24 AS hod FROM b
+        ), s AS (
+          SELECT etype, hod, avg(v) AS mu, stddev_pop(v) AS sd, count(*) AS n
+          FROM h GROUP BY 1, 2
+        ), a AS (
+          SELECT h.etype, round((h.v - mu) / sd, 4) AS zs
+          FROM h JOIN s USING (etype, hod)
+          WHERE n >= 3 AND sd > 0 AND abs((h.v - mu) / sd) > 2.5
+        )
+        SELECT etype, CAST(count(*) AS BIGINT) AS n_anomalies,
+               round(sum(abs(zs)), 2) AS z_mass
+        FROM a GROUP BY etype
     """
     oracles["ts_trend"] = """
         WITH b AS (

@@ -1227,6 +1227,33 @@ class Engine:
             res, meta.tag_columns, "bucket", f"avg_{fname}", min_buckets
         )
 
+    def seasonal_anomalies(
+        self,
+        name: str,
+        field: str | None = None,
+        every="1 hour",
+        z: float = 3.0,
+        start=None,
+        end=None,
+        tags: dict[str, str] | None = None,
+        min_season_samples: int = 3,
+    ) -> DataFrame:
+        """Hour-of-day seasonal anomaly detection over resample buckets
+        (operators/anomaly.py::seasonal_bucket_anomalies): a bucket is
+        anomalous relative to the SAME hour on other days, not the
+        global mean. Bucket means come from the resample pushdown."""
+        from modelardb_rs_spark.operators.anomaly import seasonal_bucket_anomalies
+
+        meta = self.catalog.time_series_metadata(name)
+        fname = field or meta.field_names[0]
+        res = self.resample(
+            name, every, {fname: "avg"}, group_by=meta.tag_columns,
+            start=start, end=end, tags=tags,
+        )
+        return seasonal_bucket_anomalies(
+            res, meta.tag_columns, z, "bucket", f"avg_{fname}", min_season_samples
+        )
+
     def autocorrelate(
         self,
         name: str,

@@ -70,3 +70,53 @@ def zscore_outliers(
             score.alias("zscore"),
         )
     )
+
+
+def seasonal_bucket_anomalies(
+    bucketed: DataFrame,
+    series_cols: list[str],
+    z: float = 3.0,
+    bucket_col: str = "bucket",
+    value_col: str = "v",
+    min_season_samples: int = 3,
+) -> DataFrame:
+    """Seasonality-aware anomalies at bucket granularity: each bucket's
+    mean is compared against the baseline of ITS OWN season — the same
+    hour-of-day across all days — so a nightly batch-job spike is not
+    flagged just for being higher than the daily average.
+
+    Input: per-series bucket means (the resample pushdown output).
+    Two aggregations (per-season baseline, then the flag join); both
+    keyed by (series, season); no decode beyond what resample did.
+    Output: (series..., bucket, value, season_mean, season_std, zscore)
+    for buckets with |v − μ_season| > z·σ_season.
+    """
+    hod = F.hour(F.col(bucket_col))
+    base = (
+        bucketed.select(
+            *series_cols, F.col(bucket_col), hod.alias("__hod__"),
+            F.col(value_col).cast("double").alias("__v__"),
+        )
+    )
+    stats = base.groupBy(*series_cols, "__hod__").agg(
+        F.avg("__v__").alias("season_mean"),
+        F.stddev_pop("__v__").alias("season_std"),
+        F.count("*").alias("__n__"),
+    )
+    joined = base.join(stats, [*series_cols, "__hod__"])
+    zscore = (F.col("__v__") - F.col("season_mean")) / F.col("season_std")
+    return (
+        joined.where(
+            (F.col("__n__") >= min_season_samples)
+            & (F.col("season_std") > 0)
+            & (F.abs(zscore) > z)
+        )
+        .select(
+            *series_cols,
+            F.col(bucket_col),
+            F.col("__v__").alias("value"),
+            F.round("season_mean", 4).alias("season_mean"),
+            F.round("season_std", 4).alias("season_std"),
+            F.round(zscore, 4).alias("zscore"),
+        )
+    )

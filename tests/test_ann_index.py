@@ -70,3 +70,27 @@ def test_incremental_append(engine, emb):
     buckets = {r["ivf_bucket"] for r in engine.table("gidx__centroids").select("ivf_bucket").collect()}
     got = {r["ivf_bucket"] for r in vecs.select("ivf_bucket").distinct().collect()}
     assert got <= buckets
+
+
+def test_rag_pipeline_roundtrip(engine, spark):
+    """chunk -> embed -> index -> search: a query made from a document's
+    own prefix retrieves that document's first chunk at rank 1."""
+    from modelardb_rs_spark.operators import rag
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} " + f"word{i} " * 120) for i in range(20)],
+        "doc_id long, text string",
+    )
+    stats = rag.build_rag_index(engine, "ragidx", docs, chunk_chars=128, overlap_chars=16)
+    assert stats["n_vectors"] >= 20
+    # the stub encoder is a hash (no locality): only an EXACT chunk text
+    # reproduces a stored vector, so query with doc 7's first chunk
+    queries = docs.where(F.col("doc_id") == 7).select(
+        F.lit(7).alias("query_id"),
+        F.substring("text", 1, 128).alias("query_text"),
+    )
+    out = rag.rag_search(engine, "ragidx", queries, k=3, nprobe=8).collect()
+    assert len(out) == 3
+    top = min(out, key=lambda r: r["rank"])
+    assert top["neighbor_id"] // 100000 == 7
+    assert top["cos"] == 1.0
