@@ -72,9 +72,27 @@ def main() -> None:
     from modelardb_rs_spark.operators import dedup, text
 
     text.repetition_features(docs).orderBy(F.desc("top_bigram_frac")).show(3)
-    dedup.minhash_signatures(docs).select("doc_id", "minhash").show(
-        3, truncate=60
+    dedup.minhash_signatures(docs).select("doc_id", "h0", "h1").show(3, truncate=24)
+
+    print("== PII scrub + composed quality gate")
+    from modelardb_rs_spark.operators import pii
+    from modelardb_rs_spark.operators.filtering import FilterPolicy, rejection_stats
+
+    pii.pii_counts(docs).agg(F.sum("n_pii").alias("total_pii_spans")).show()
+    rejection_stats(docs, FilterPolicy(min_tokens=30, languages=("en",))).show()
+
+    print("== cross-series correlation and hour-of-day anomalies")
+    engine.correlate("events", "value", every="1 day").orderBy(
+        F.desc("corr")
+    ).show(3)
+    engine.seasonal_anomalies("events", "value", z=2.5).groupBy("etype").count().show()
+
+    print("== retention: roll up days older than the cutoff, expire the raw points")
+    engine.downsample_expire(
+        "events", "events_daily", "1 day", {"value": ["count", "sum"]}, "2024-01-15"
     )
+    engine.table("events_daily").orderBy("bucket", "etype").show(4)
+    engine.read_sql("SELECT count(value) AS raw_points_left FROM events").show()
 
     spark.stop()
 
