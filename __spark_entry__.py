@@ -1583,6 +1583,20 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table, top 20 (operators/ngrams.py) —
+    the vocab-build/audit statistic; occurrences not distinct-per-doc."""
+    from modelardb_rs_spark.operators.ngrams import top_ngrams
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    out = top_ngrams(docs, n=2, k=20)
+    return out.select(
+        "ngram",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
 def doc_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end retrieval prep (operators/rag.py): chunk the corpus,
     embed every chunk (deterministic stub encoder), persist the IVF
@@ -1801,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_lm": doc_unigram_lm,
         "doc_quality_filter": doc_quality_filter,
         "dedup_index_check": dedup_index_check,
+        "doc_top_ngrams": doc_top_ngrams,
         "doc_rag_pipeline": doc_rag_pipeline,
         "ts_retention": ts_retention,
         "ts_rollup_retention": ts_rollup_retention,
@@ -3033,6 +3048,22 @@ def oracle_sql() -> dict[str, str]:
             )
         return "[" + ", ".join(parts) + "]"
 
+    oracles["doc_top_ngrams"] = r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE trim(text) <> ''
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, len(t) - 1),
+                        i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))) AS ngram
+          FROM toks WHERE len(t) >= 2
+        )
+        SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM g GROUP BY ngram
+        ORDER BY n_occurrences DESC, ngram
+        LIMIT 20
+    """
     oracles["doc_rag_pipeline"] = f"""
         WITH d AS (
           SELECT doc_id, text,
