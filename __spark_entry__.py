@@ -1626,6 +1626,20 @@ def ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant periodicity per series (Engine.periodicity): single-bin
+    DFT power at candidate periods, pure Column algebra over hourly
+    resample means."""
+    eng = _ts_engine(spark, sf_dir)
+    out = eng.periodicity("ts_events", "value", every="1 hour")
+    return out.select(
+        F.col("series").alias("etype"),
+        (F.col("period_us") / 3_600_000_000).cast("long").alias("period_hours"),
+        "n",
+        F.round("power", 4).alias("power"),
+    )
+
+
 def ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series linear trend over daily bucket means: OLS slope (per
     day), intercept, and R² via Spark's built-in regression aggregates
@@ -1810,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_autocorr": ts_autocorr,
         "ts_trend": ts_trend,
         "ts_seasonal": ts_seasonal,
+        "ts_periodicity": ts_periodicity,
         "q_funnel": q_funnel,
         "sim_ivf_index": sim_ivf_index,
         "doc_unigram_lm": doc_unigram_lm,
@@ -3208,6 +3223,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT etype, CAST(count(*) AS BIGINT) AS n_anomalies,
                round(sum(abs(zs)), 2) AS z_mass
         FROM a GROUP BY etype
+    """
+    oracles["ts_periodicity"] = """
+        WITH b AS (
+          SELECT event_type AS etype,
+                 ((epoch_ns(ts) // 1000) // 3600000000) * 3600000000 AS t,
+                 avg(CAST(CAST(value AS FLOAT) AS DOUBLE)) AS v
+          FROM events GROUP BY 1, 2
+        ), c AS (
+          SELECT etype, t, v - avg(v) OVER (PARTITION BY etype) AS vc FROM b
+        ), ex AS (
+          SELECT etype, t, vc, unnest([21600000000, 43200000000,
+                                       86400000000, 604800000000]) AS p
+          FROM c
+        ), agg AS (
+          SELECT etype, p, count(*) AS n,
+                 sum(vc * cos(2 * pi() * (t % p) / p)) AS cs,
+                 sum(vc * sin(2 * pi() * (t % p) / p)) AS sn
+          FROM ex GROUP BY 1, 2
+        ), pw AS (
+          SELECT etype, p, n, (cs * cs + sn * sn) / (n * n) AS power,
+                 row_number() OVER (PARTITION BY etype
+                                    ORDER BY (cs * cs + sn * sn) / (n * n) DESC, p) AS rn
+          FROM agg
+        )
+        SELECT etype, CAST(p // 3600000000 AS BIGINT) AS period_hours,
+               CAST(n AS BIGINT) AS n, round(power, 4) AS power
+        FROM pw WHERE rn = 1
     """
     oracles["ts_trend"] = """
         WITH b AS (

@@ -1227,6 +1227,32 @@ class Engine:
             res, meta.tag_columns, "bucket", f"avg_{fname}", min_buckets
         )
 
+    def periodicity(
+        self,
+        name: str,
+        field: str | None = None,
+        every="1 hour",
+        periods=("6 hours", "12 hours", "1 day", "1 week"),
+        start=None,
+        end=None,
+        tags: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Dominant periodicity per series (operators/spectral.py):
+        single-bin DFT power at each candidate period as pure Column
+        algebra over resample-pushdown bucket means — 'is this sensor
+        daily or weekly' without an FFT library. Output: (series,
+        period_us, n, power) for each series' strongest candidate."""
+        from modelardb_rs_spark.operators.spectral import dominant_period
+
+        meta = self.catalog.time_series_metadata(name)
+        fname = field or meta.field_names[0]
+        res = self.resample(
+            name, every, {fname: "avg"}, group_by=meta.tag_columns,
+            start=start, end=end, tags=tags,
+        )
+        period_us = [_interval_us(p) for p in periods]
+        return dominant_period(res, meta.tag_columns, period_us, "bucket", f"avg_{fname}")
+
     def seasonal_anomalies(
         self,
         name: str,

@@ -79,3 +79,31 @@ def test_interpolation_join(spark):
     assert out[10_000_000] == 100.0          # exact match mid-series
     assert out[15_000_000] == 75.0           # descending segment
     assert out[25_000_000] is None           # after the span
+
+
+def test_spectral_dominant_period(spark):
+    import math as m
+
+    from modelardb_rs_spark.operators.spectral import dominant_period, spectral_power
+
+    hour = 3_600_000_000
+    day = 24 * hour
+    # 14 days of hourly samples: pure 24h sine for series 'daily',
+    # pure 12h sine for 'half'
+    rows = []
+    for h in range(14 * 24):
+        t = h * hour
+        rows.append(("daily", t, m.sin(2 * m.pi * t / day)))
+        rows.append(("half", t, m.sin(2 * m.pi * t / (day / 2))))
+    df = spark.createDataFrame(rows, "s string, bucket long, v double")
+    periods = [6 * hour, 12 * hour, day, 7 * day]
+    dom = {r["series"]: r["period_us"] for r in dominant_period(df, ["s"], periods).collect()}
+    assert dom == {"daily": day, "half": 12 * hour}
+    # power concentrates in the right bin: >10x the next candidate
+    p = {
+        (r["series"], r["period_us"]): r["power"]
+        for r in spectral_power(df, ["s"], periods).collect()
+    }
+    assert p[("daily", day)] > 10 * max(
+        v for (s, per), v in p.items() if s == "daily" and per != day
+    )
