@@ -72,8 +72,13 @@ def _fit_group(
     field_names: list[str],
     bounds: list[ErrorBound],
     tag_columns: list[str],
-) -> pd.DataFrame:
-    """Compress one pandas chunk holding one (or part of one) series."""
+    parts: list,
+) -> None:
+    """Compress one pandas chunk holding one (or part of one) series,
+    appending (fit columns, field index, tag values, n_segments) parts
+    for batch-level assembly — per-series DataFrame construction costs
+    ~17x the fit itself for small series, so it happens ONCE per Arrow
+    batch (_assemble), not once per series."""
     pdf = pdf.sort_values(ts_col, kind="stable")
     ts_us = pdf[ts_col].to_numpy()
     if np.issubdtype(ts_us.dtype, np.datetime64):
@@ -84,14 +89,44 @@ def _fit_group(
     for t in tag_columns:
         v = pdf[t].iloc[0] if len(pdf) else None
         tag_values[t] = None if v is None or (isinstance(v, float) and np.isnan(v)) else v
-    frames = []
     for idx, (fname, bound) in enumerate(zip(field_names, bounds)):
         values = pdf[fname].to_numpy(dtype=np.float32)
         cols = fit_series(ts_us, values, bound)
-        frames.append(segments_frame(cols, idx, tag_values, tag_columns))
-    if not frames:
+        n = len(cols["model_type_id"])
+        if n:
+            parts.append((cols, idx, tag_values, n))
+
+
+def _assemble(parts: list, tag_columns: list[str]) -> pd.DataFrame:
+    """One segment-schema DataFrame from many per-series fit parts:
+    concatenate the parallel column lists and run the dtype coercions a
+    single time for the whole Arrow batch."""
+    if not parts:
         return pd.DataFrame()
-    return pd.concat(frames, ignore_index=True)
+    out: dict[str, list] = {k: [] for k in parts[0][0]}
+    field_col: list[np.ndarray] = []
+    tag_cols: dict[str, list] = {t: [] for t in tag_columns}
+    for cols, idx, tag_values, n in parts:
+        for k, v in cols.items():
+            out[k].extend(v)
+        field_col.append(np.full(n, idx, dtype=np.int16))
+        for t in tag_columns:
+            tag_cols[t].extend([tag_values[t]] * n)
+    seg = pd.DataFrame(out)
+    seg["model_type_id"] = seg["model_type_id"].astype(np.int8)
+    seg["min_value"] = seg["min_value"].astype(np.float32)
+    seg["max_value"] = seg["max_value"].astype(np.float32)
+    seg["error"] = seg["error"].astype(np.float32)
+    seg["value_count"] = seg["value_count"].astype(np.int32)
+    seg["ts_kind"] = seg["ts_kind"].astype(np.int8)
+    # None (Gorilla) -> NaN under float astype; keep real nulls so the
+    # fast-path columns stay honestly absent for model-free segments
+    seg["param0"] = pd.array(seg["param0"], dtype=pd.Float32Dtype())
+    seg["param1"] = pd.array(seg["param1"], dtype=pd.Float64Dtype())
+    seg["field_column"] = np.concatenate(field_col)
+    for t in tag_columns:
+        seg[t] = tag_cols[t]
+    return seg
 
 
 def _fit_batch(
@@ -109,18 +144,15 @@ def _fit_batch(
     producing irregular, other-bucket-overlapping segments where the
     data is perfectly regular."""
     group_cols = tag_columns + (["__bucket__"] if "__bucket__" in pdf.columns else [])
+    parts: list = []
     if not group_cols:
-        return _fit_group(pdf, ts_col, field_names, bounds, tag_columns)
-    frames = [
-        _fit_group(g, ts_col, field_names, bounds, tag_columns)
-        # dropna=False: a null tag is still a series key — silently
-        # dropping those rows (pandas' default) would lose data
-        for _, g in pdf.groupby(group_cols, sort=False, dropna=False)
-    ]
-    frames = [f for f in frames if len(f)]
-    if not frames:
-        return pd.DataFrame()
-    return pd.concat(frames, ignore_index=True)
+        _fit_group(pdf, ts_col, field_names, bounds, tag_columns, parts)
+        return _assemble(parts, tag_columns)
+    # dropna=False: a null tag is still a series key — silently
+    # dropping those rows (pandas' default) would lose data
+    for _, g in pdf.groupby(group_cols, sort=False, dropna=False):
+        _fit_group(g, ts_col, field_names, bounds, tag_columns, parts)
+    return _assemble(parts, tag_columns)
 
 
 def compress(
