@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from modelardb_rs_spark.compression.decode import decode_segments
 from modelardb_rs_spark.compression.fitter import fit_series
-from modelardb_rs_spark.operators.compress import segments_frame
+
 from modelardb_rs_spark.types import ErrorBound, segment_schema
 
 
@@ -51,8 +51,10 @@ def refit_segments(
     group_cols = ["field_column", *tag_columns]
 
     def rewrite(batches):
+        from modelardb_rs_spark.operators.compress import _assemble
+
         for pdf in batches:
-            frames = []
+            parts = []
             for keys, g in pdf.groupby(group_cols, sort=False, dropna=False):
                 if not isinstance(keys, tuple):
                     keys = (keys,)
@@ -71,9 +73,11 @@ def refit_segments(
                     continue
                 order = np.argsort(ts, kind="stable")
                 cols = fit_series(ts[order], vals[order], ErrorBound.lossless())
-                frames.append(segments_frame(cols, field_idx, tag_values, tag_columns))
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                n = len(cols["model_type_id"])
+                if n:
+                    parts.append((cols, field_idx, tag_values, n))
+            if parts:
+                yield _assemble(parts, tag_columns)
             else:
                 yield pd.DataFrame({f.name: [] for f in out_schema.fields})
 
