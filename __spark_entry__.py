@@ -1660,6 +1660,24 @@ def ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a field out of the events JSON
+    props column (JVM-side get_json_object) and aggregate — the log
+    enrichment shape."""
+    (ev,) = _prep(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("total_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event funnel: users who did A then (later) B then (later) C —
     classic product-analytics sequence matching via per-user min-time
@@ -1825,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_trend": ts_trend,
         "ts_seasonal": ts_seasonal,
         "ts_periodicity": ts_periodicity,
+        "q_json_props": q_json_props,
         "q_funnel": q_funnel,
         "sim_ivf_index": sim_ivf_index,
         "doc_unigram_lm": doc_unigram_lm,
@@ -3223,6 +3242,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT etype, CAST(count(*) AS BIGINT) AS n_anomalies,
                round(sum(abs(zs)), 2) AS z_mass
         FROM a GROUP BY etype
+    """
+    oracles["q_json_props"] = """
+        SELECT event_type,
+               CAST(count(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n,
+               CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS total_k,
+               round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
+               CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+        FROM events GROUP BY event_type
     """
     oracles["ts_periodicity"] = """
         WITH b AS (
