@@ -264,3 +264,55 @@ def test_resegment_merges_out_of_order(engine, spark):
     # pushdown stats still agree after the rewrite
     agg = engine.read_sql("SELECT count(v) AS n, round(sum(v), 2) AS s FROM z").collect()[0]
     assert agg["n"] == len(pts_before)
+
+
+def test_expire_races_concurrent_appends(engine, spark):
+    """Appends racing an expire must all survive when their data is
+    after the cutoff — expire removes only snapshot-listed files, and
+    its commit retries cleanly around interleaved append commits."""
+    import threading
+
+    engine.read_sql("CREATE TIME SERIES TABLE rc(timestamp TIMESTAMP, v FIELD, tag TAG)")
+    old = [
+        Row(timestamp=TS0 + datetime.timedelta(minutes=m), v=1.0, tag="old")
+        for m in range(100)
+    ]
+    engine.write("rc", spark.createDataFrame(old))
+    cutoff = TS0 + datetime.timedelta(minutes=200)
+
+    errors = []
+
+    def appender(i):
+        try:
+            rows = [
+                Row(
+                    timestamp=cutoff + datetime.timedelta(minutes=i * 1000 + m),
+                    v=float(i),
+                    tag=f"t{i}",
+                )
+                for m in range(50)
+            ]
+            engine.write("rc", spark.createDataFrame(rows))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def expirer():
+        try:
+            engine.expire("rc", cutoff)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in range(3)]
+    threads.append(threading.Thread(target=expirer))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # every racing append survives; the pre-cutoff data is gone
+    # (run expire once more in case it won its race before some appends
+    # committed — idempotent either way)
+    engine.expire("rc", cutoff)
+    got = engine.table("rc").groupBy("tag").count().collect()
+    counts = {r["tag"]: r["count"] for r in got}
+    assert counts == {"t0": 50, "t1": 50, "t2": 50}
