@@ -85,11 +85,22 @@ def build_ivf_index(
     engine.create_table(vt, f"{id_col} BIGINT, {vec_col} ARRAY<FLOAT>, ivf_bucket INT")
     engine.create_table(ct, "ivf_bucket INT, centroid ARRAY<FLOAT>, n_vectors BIGINT")
     engine.write(vt, vectors, partition_by=["ivf_bucket"])
-    engine.write(ct, cents)
-    stats = engine.table(ct).agg(
-        F.count("*").alias("b"), F.sum("n_vectors").alias("n")
-    ).collect()[0]
-    return {"n_vectors": int(stats["n"] or 0), "n_buckets": int(stats["b"])}
+    # centroids ARE index metadata (n_buckets rows): collect once, write
+    # the local rows, and derive the build stats without another scan
+    cent_rows = [
+        (int(r["ivf_bucket"]), list(r["centroid"]), int(r["n_vectors"]))
+        for r in cents.collect()
+    ]
+    engine.write(
+        ct,
+        engine.spark.createDataFrame(
+            cent_rows, "ivf_bucket INT, centroid ARRAY<FLOAT>, n_vectors BIGINT"
+        ),
+    )
+    return {
+        "n_vectors": sum(r[2] for r in cent_rows),
+        "n_buckets": len(cent_rows),
+    }
 
 
 def append_to_ivf_index(
