@@ -581,6 +581,28 @@ class Engine:
         # call inlined as epoch arithmetic so they still run
         return self.spark.sql(_inline_time_bucket_sql(sql))
 
+    def explain_path(self, sql: str) -> str:
+        """Which execution path a statement takes — the API-level
+        analog of the reference's EXPLAIN showing whether its physical
+        rule fired: 'segment-stats pushdown' (metadata-only Column
+        aggregation, optionally bucketed/partial), or 'gridded view'
+        (full reconstruction under spark.sql), or the statement kind
+        for DDL/utility statements."""
+        stmt = parse_statement(sql)
+        if stmt.kind not in ("passthrough", "select"):
+            return stmt.kind
+        df = self._try_aggregate_pushdown(self._rewrite_time_travel(sql))
+        if df is not None:
+            bucketed = bool(re.search(r"time_bucket|date_trunc", sql, re.IGNORECASE))
+            kind = "bucketed resample" if bucketed else "simple aggregates"
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            partial = "MapInPandas" in plan or "ArrowEvalPython" in plan
+            return (
+                f"segment-stats pushdown ({kind}"
+                + (", partial: boundary/slow segments decode)" if partial else ", metadata-only)")
+            )
+        return "gridded view (reconstruction under spark.sql)"
+
     _TT_VERSION = re.compile(
         r"\b(?P<name>[A-Za-z_]\w*)\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)", re.IGNORECASE
     )

@@ -136,3 +136,28 @@ def test_time_travel_sql(engine, spark):
         f"SELECT (SELECT count(*) FROM tt) - (SELECT count(*) FROM tt VERSION AS OF {v1}) AS delta"
     ).collect()[0]["delta"]
     assert both == 50
+
+
+def test_explain_path(engine, spark):
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE ep(timestamp TIMESTAMP, v FIELD, tag TAG)"
+    )
+    engine.write(
+        "ep",
+        spark.range(200).selectExpr(
+            "timestamp_micros(id * 1000000) AS timestamp",
+            "CAST(id AS FLOAT) AS v", "'a' AS tag",
+        ),
+    )
+    p1 = engine.explain_path("SELECT count(v) AS n FROM ep")
+    assert p1.startswith("segment-stats pushdown (simple aggregates")
+    p2 = engine.explain_path(
+        "SELECT time_bucket('1 minute', timestamp) AS b, count(v) AS n "
+        "FROM ep GROUP BY time_bucket('1 minute', timestamp)"
+    )
+    assert p2.startswith("segment-stats pushdown (bucketed resample")
+    p3 = engine.explain_path(
+        "SELECT count(v) AS n FROM ep WHERE timestamp >= timestamp '1970-01-01'"
+    )
+    assert p3.startswith("gridded view")
+    assert engine.explain_path("SHOW TABLES") == "show_tables"
