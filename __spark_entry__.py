@@ -68,7 +68,7 @@ def _ts_engine(spark: SparkSession, sf_dir: str) -> Engine:
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     # version the cache by the DDL and the physical segment layout so
     # schema changes across rounds never read a stale /tmp data folder
-    ver = hashlib.md5(f"{_TS_TABLE_DDL}|layout=3".encode()).hexdigest()[:8]
+    ver = hashlib.md5(f"{_TS_TABLE_DDL}|layout=4".encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), "sparkmodelar_entry", f"{key}_{ver}")
     os.makedirs(root, exist_ok=True)
     # serialize the one-time build across concurrent query invocations;

@@ -43,6 +43,12 @@ class Catalog:
         self._dir = metadata_dir
         self._legacy_path = fs.join(metadata_dir, "tables.json")
         self._lock = threading.Lock()
+        # Versioned catalog files are immutable (create-exclusive), so
+        # the payload can be cached per version; freshness still comes
+        # from the directory listing every _latest() performs. Bytes are
+        # cached (not the parsed doc) because _commit mutates the doc it
+        # gets back.
+        self._payload_cache: tuple[int, bytes] | None = None
         fs.mkdirs(metadata_dir)
 
     def _versioned(self, version: int) -> str:
@@ -57,9 +63,13 @@ class Catalog:
             if m:
                 best = max(best, int(m.group(1)))
         if best >= 0:
-            return best, json.loads(
-                self._fs.read_bytes(self._versioned(best)).decode("utf-8")
-            )
+            cached = self._payload_cache
+            if cached is not None and cached[0] == best:
+                payload = cached[1]
+            else:
+                payload = self._fs.read_bytes(self._versioned(best))
+                self._payload_cache = (best, payload)
+            return best, json.loads(payload.decode("utf-8"))
         if self._fs.exists(self._legacy_path):
             return -1, json.loads(self._fs.read_bytes(self._legacy_path).decode("utf-8"))
         return -1, {"tables": {}}

@@ -454,6 +454,7 @@ class Engine:
             start_us=start_us,
             end_us=end_us,
             may_have_slow=info["may_have_slow"],
+            fast_fraction=info["fast_fraction"],
         )
 
     def register_views(self, for_sql: str | None = None) -> None:
@@ -774,6 +775,7 @@ class Engine:
                     list(meta.tag_columns),
                     which,
                     may_have_slow=info["may_have_slow"],
+                    fast_fraction=info["fast_fraction"],
                 )
                 # struct extremum: deterministic on timestamp ties
                 pick = F.max if which == "last" else F.min
@@ -841,7 +843,7 @@ class Engine:
                 segments, list(meta.tag_columns), bucket_us, aggs,
                 lo_us, hi_us, group_cols or None,
                 bucket_alias=bucket_alias, may_have_slow=info["may_have_slow"],
-                origin_us=bucket_origin,
+                origin_us=bucket_origin, fast_fraction=info["fast_fraction"],
             )
             keep = [bucket_alias] + group_cols + [a[2] for a in aggs]
             return out.select(*keep)
@@ -960,6 +962,7 @@ class Engine:
             end_us,
             group_by or None,
             may_have_slow=info["may_have_slow"],
+            fast_fraction=info["fast_fraction"],
         )
 
     def gapfill(
@@ -1004,7 +1007,7 @@ class Engine:
         segments = segments.where(
             F.col("field_column").isin([field_index[f] for f in wanted])
         )
-        return meta, segments, wanted, info["may_have_slow"]
+        return meta, segments, wanted, info
 
     def _named_field_output(self, out: DataFrame, meta, wanted: list[str]) -> DataFrame:
         """(field_column, timestamp µs, value) → (tags, field name,
@@ -1033,9 +1036,11 @@ class Engine:
         edge_points): segment metadata finds each series' edge segment;
         only those decode. Output: (*tags, field, timestamp, value),
         one row per (series, field)."""
-        meta, segments, wanted, may_slow = self._per_series_read(name, fields, tags)
+        meta, segments, wanted, info = self._per_series_read(name, fields, tags)
         out = grid_ops.edge_points(
-            segments, meta.tag_columns, which, may_have_slow=may_slow
+            segments, meta.tag_columns, which,
+            may_have_slow=info["may_have_slow"],
+            fast_fraction=info["fast_fraction"],
         )
         return self._named_field_output(out, meta, wanted)
 
@@ -1053,9 +1058,11 @@ class Engine:
         Output: (*tags, field, timestamp, value)."""
         from modelardb_rs_spark.operators.gapfill import value_at as value_at_op
 
-        meta, segments, wanted, may_slow = self._per_series_read(name, fields, tags)
+        meta, segments, wanted, info = self._per_series_read(name, fields, tags)
         out = value_at_op(
-            segments, meta.tag_columns, _to_us(at), method, may_have_slow=may_slow
+            segments, meta.tag_columns, _to_us(at), method,
+            may_have_slow=info["may_have_slow"],
+            fast_fraction=info["fast_fraction"],
         )
         return self._named_field_output(out, meta, wanted)
 
@@ -1072,8 +1079,12 @@ class Engine:
         (*tags, field, timestamp, value, zscore)."""
         from modelardb_rs_spark.operators.anomaly import zscore_outliers
 
-        meta, segments, wanted, may_slow = self._per_series_read(name, fields, tags)
-        out = zscore_outliers(segments, meta.tag_columns, z, may_have_slow=may_slow)
+        meta, segments, wanted, info = self._per_series_read(name, fields, tags)
+        out = zscore_outliers(
+            segments, meta.tag_columns, z,
+            may_have_slow=info["may_have_slow"],
+            fast_fraction=info["fast_fraction"],
+        )
         return self._outliers_named(out, meta, wanted)
 
     def _outliers_named(self, out: DataFrame, meta, wanted: list[str]) -> DataFrame:

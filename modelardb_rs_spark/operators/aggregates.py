@@ -248,6 +248,7 @@ def resample(
     bucket_alias: str = "bucket",
     may_have_slow: bool = True,
     origin_us: int = 0,
+    fast_fraction: float | None = None,
 ) -> DataFrame:
     """Time-bucket downsampling (``GROUP BY time_bucket``) with model-based
     pushdown — an operator past the reference's rewrite set (the reference
@@ -484,6 +485,7 @@ def resample(
         start_us,
         end_us,
         may_have_slow=may_have_slow,
+        fast_fraction=fast_fraction,
     )
     pt_shift = f"(timestamp - {O})" if O else "timestamp"
     pt_bucket = F.expr(f"timestamp_micros(timestamp - pmod({pt_shift}, {B}))")

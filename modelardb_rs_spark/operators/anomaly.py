@@ -22,6 +22,7 @@ def zscore_outliers(
     tag_columns: list[str],
     z: float = 3.0,
     may_have_slow: bool = True,
+    fast_fraction: float | None = None,
 ) -> DataFrame:
     """Outlier points per univariate series.
 
@@ -56,6 +57,7 @@ def zscore_outliers(
         .withColumn("field_column", F.col("field_column").cast("string")),
         carried,
         may_have_slow=may_have_slow,
+        fast_fraction=fast_fraction,
     )
     mu = F.col("__mu_s__").cast("double")
     sd = F.col("__sd_s__").cast("double")

@@ -27,6 +27,7 @@ def value_at(
     t_us: int,
     method: str = "linear",
     may_have_slow: bool = True,
+    fast_fraction: float | None = None,
 ) -> DataFrame:
     """Point-in-time lookup: the (interpolated) value of every series at
     one timestamp, decoding only O(series) candidate segments.
@@ -69,6 +70,7 @@ def value_at(
         cand.withColumn("field_column", F.col("field_column").cast("string")),
         keys,
         may_have_slow=may_have_slow,
+        fast_fraction=fast_fraction,
     )
     ts, v = F.col("timestamp"), F.col("value")
     prev_s = F.max(F.when(ts <= F.lit(t), F.struct(ts.alias("t"), v.alias("v"))))

@@ -84,12 +84,21 @@ def _grid_jvm(segments: DataFrame, tag_columns: list[str]) -> DataFrame:
     )
 
 
+# Below this fraction of JVM-decodable points the fast/slow split costs
+# more than it saves: each branch is a separate scan of the segment
+# files, so a near-empty fast branch pays a full extra scan to decode
+# almost nothing. Measured at sf0.1 the two-branch plan is ~20% slower
+# than single-branch when fast points are negligible.
+_FAST_BRANCH_MIN_FRACTION = 0.05
+
+
 def grid_univariate(
     segments: DataFrame,
     tag_columns: list[str],
     start_us: int | None = None,
     end_us: int | None = None,
     may_have_slow: bool = True,
+    fast_fraction: float | None = None,
 ) -> DataFrame:
     """Decode one field's segments into points (timestamp µs, value, tags).
 
@@ -97,7 +106,11 @@ def grid_univariate(
     reconstruct take the JVM fast path (_grid_jvm, no Python stage);
     Gorilla / irregular-timestamp segments go through the vectorized
     pandas decode. ``may_have_slow=False`` (proven from commit-log
-    per-file stats) drops the Python branch from the plan entirely.
+    per-file stats) drops the Python branch from the plan entirely;
+    ``fast_fraction`` (commit-log point counts) below
+    ``_FAST_BRANCH_MIN_FRACTION`` drops the JVM branch instead — the
+    pandas decode handles every model, and a near-empty fast branch
+    costs a second scan of the segment files for nothing.
     The exact point-level time predicate is re-applied after decode
     because segment pruning is inexact (reference grid_exec.rs
     re-filters the same way).
@@ -110,7 +123,13 @@ def grid_univariate(
             if len(pdf):
                 yield decode_segments(pdf, tag_columns)
 
-    if "param0" in segments.columns:
+    if (
+        may_have_slow
+        and fast_fraction is not None
+        and fast_fraction < _FAST_BRANCH_MIN_FRACTION
+    ):
+        points = segments.mapInPandas(decode, schema=out_schema)
+    elif "param0" in segments.columns:
         # null ts_kind/params (rows written before the fast-path columns
         # existed, read in a mixed snapshot) must fall to the slow branch
         fast_cond = (
@@ -138,6 +157,7 @@ def edge_points(
     tag_columns: list[str],
     which: str = "last",
     may_have_slow: bool = True,
+    fast_fraction: float | None = None,
 ) -> DataFrame:
     """First/last observation per series (the TimescaleDB ``first()`` /
     ``last()`` shape, which the reference answers by gridding and sorting
@@ -176,6 +196,7 @@ def edge_points(
         .withColumn("field_column", F.col("field_column").cast("string")),
         carried,
         may_have_slow=may_have_slow,
+        fast_fraction=fast_fraction,
     )
     return (
         pts.where(F.col("timestamp") == F.col("__edge__").cast("long"))
@@ -188,9 +209,10 @@ def latest_points(
     segments: DataFrame,
     tag_columns: list[str],
     may_have_slow: bool = True,
+    fast_fraction: float | None = None,
 ) -> DataFrame:
     """Last observation per series — see edge_points."""
-    return edge_points(segments, tag_columns, "last", may_have_slow)
+    return edge_points(segments, tag_columns, "last", may_have_slow, fast_fraction)
 
 
 def grid(
@@ -201,6 +223,7 @@ def grid(
     end_us: int | None = None,
     with_generated: bool = True,
     may_have_slow: bool = True,
+    fast_fraction: float | None = None,
 ) -> DataFrame:
     """Reconstruct the logical (query-schema) DataFrame from segments.
 
@@ -229,7 +252,9 @@ def grid(
     # through as a decode "tag" so one shuffle reassembles all fields.
     carried = tags + ["__field__"]
     wanted = wanted.withColumn("__field__", F.col("field_column").cast("string"))
-    univariate = grid_univariate(wanted, carried, start_us, end_us, may_have_slow)
+    univariate = grid_univariate(
+        wanted, carried, start_us, end_us, may_have_slow, fast_fraction
+    )
 
     if len(decode_fields) == 1:
         # Fast path: no reassembly shuffle needed.
@@ -240,11 +265,18 @@ def grid(
         # multiplicity of duplicate points from overlapping segment writes
         # (the reference's positional SortedJoinExec also emits one output
         # row per per-field input row, sorted_join_exec.rs:278-310);
-        # arrays_zip pads a missing field with NULL.
+        # arrays_zip pads a missing field with NULL. collect_list order
+        # after a shuffle is unspecified, so each array is sorted
+        # (ascending by value) before zipping: when overlapping writes
+        # leave two points at the same (timestamp, tags) with different
+        # values, cross-field pairing is value-rank ↔ value-rank — a
+        # documented, run-stable tie order instead of an arbitrary one.
         index_to_name = {str(field_index[f]): f for f in decode_fields}
         aggs = [
-            F.collect_list(
-                F.when(F.col("__field__") == F.lit(idx), F.col("value"))
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("__field__") == F.lit(idx), F.col("value"))
+                )
             ).alias(name)
             for idx, name in index_to_name.items()
         ]

@@ -55,28 +55,34 @@ class ConcurrentModificationError(RuntimeError):
 
 
 def _parquet_segment_stats(fs: HadoopFS, uri: str, size: int) -> dict | None:
-    """Per-file stats from the Parquet FOOTER — a few KB of ranged I/O,
+    """Per-file stats from the Parquet FOOTER plus three tiny columns —
     no Spark job. ``file:`` URIs read via pyarrow directly; other
     schemes go through a seekable Hadoop stream. Returns
     ``{"span": (min start_time, max end_time) | None,
-       "all_fast": bool | None}`` where ``all_fast`` means every segment
-    in the file is JVM-reconstructable (max model_type_id < GORILLA and
-    max ts_kind == 0) so readers can drop the Python decode branch.
+       "all_fast": bool | None,
+       "fast_points": int | None, "total_points": int | None}``.
+    ``all_fast`` means every segment in the file is JVM-reconstructable
+    (max model_type_id < GORILLA and max ts_kind == 0) so readers can
+    drop the Python decode branch; ``fast_points``/``total_points`` are
+    the decoded-point counts per branch (sum of value_count), letting
+    readers drop the JVM branch when fast points are negligible — each
+    extra branch is an extra scan of the segment files.
     Returns None (conservative) when the footer is unreadable."""
     import pyarrow.parquet as pq
 
+    stream = None
     try:
         if uri.startswith("file:"):
             from urllib.parse import urlparse
 
-            md = pq.read_metadata(urlparse(uri).path)
+            pf = pq.ParquetFile(urlparse(uri).path)
         else:
-            f = fs.open_seekable(uri, size)
-            try:
-                md = pq.read_metadata(f)
-            finally:
-                f.close()
+            stream = fs.open_seekable(uri, size)
+            pf = pq.ParquetFile(stream)
+        md = pf.metadata
     except Exception:
+        if stream is not None:
+            stream.close()
         return None
     lo = hi = None
     max_model = max_ts_kind = None
@@ -100,9 +106,32 @@ def _parquet_segment_stats(fs: HadoopFS, uri: str, size: int) -> dict | None:
     all_fast = None
     if max_model is not None and max_ts_kind is not None:
         all_fast = bool(int(max_model) < GORILLA_ID and int(max_ts_kind) == 0)
+    fast_points = total_points = None
+    try:
+        # Three narrow columns (two int8, one int32) — a few KB even for
+        # files holding 100k+ segments; the file handle is already open.
+        tbl = pf.read(columns=["model_type_id", "ts_kind", "value_count"])
+        import pyarrow.compute as pc
+
+        counts = tbl.column("value_count")
+        fast_mask = pc.and_(
+            pc.less(tbl.column("model_type_id"), GORILLA_ID),
+            pc.equal(pc.fill_null(tbl.column("ts_kind"), 1), 0),
+        )
+        total_points = int(pc.sum(counts).as_py() or 0)
+        fast_points = int(
+            pc.sum(pc.if_else(pc.fill_null(fast_mask, False), counts, 0)).as_py() or 0
+        )
+    except Exception:
+        pass
+    finally:
+        if stream is not None:
+            stream.close()
     return {
         "span": (int(lo), int(hi)) if lo is not None and hi is not None else None,
         "all_fast": all_fast,
+        "fast_points": fast_points,
+        "total_points": total_points,
     }
 
 
@@ -116,6 +145,7 @@ class DataFolder:
         self.fs.mkdirs(self.tables_dir)
         self.fs.mkdirs(self.metadata_dir)
         self._logs: dict[str, TransactionLog] = {}
+        self._df_cache: dict[tuple, DataFrame] = {}
 
     def table_path(self, name: str) -> str:
         return self.fs.join(self.tables_dir, name)
@@ -187,6 +217,9 @@ class DataFolder:
                     entry["min_start_time"], entry["max_end_time"] = st["span"]
                 if st["all_fast"] is not None:
                     entry["all_fast"] = st["all_fast"]
+                if st.get("total_points") is not None:
+                    entry["fast_points"] = st["fast_points"]
+                    entry["total_points"] = st["total_points"]
         remove_set = set(remove or [])
 
         def build(snap):
@@ -202,12 +235,34 @@ class DataFolder:
 
     # -------------------------------------------------------- read helpers
 
-    def _read_live(self, name: str, snapshot) -> DataFrame | None:
+    _DF_CACHE_MAX = 256
+
+    def _read_live(self, name: str, snapshot, schema=None) -> DataFrame | None:
+        """``schema`` (when the caller knows it, e.g. the segment layout)
+        skips footer-based schema inference at plan time and null-fills
+        columns absent from pre-upgrade files — at scale this avoids a
+        driver-side footer read per snapshot.
+
+        The resolved DataFrame is cached per (table, version, pruned
+        path set): DataFrames are immutable plans, and data files under
+        ``txn=`` staging are never rewritten in place, so the same live
+        set always reads the same bytes — repeated queries skip the
+        JVM-side DataSource resolution + file-index build entirely."""
         if not snapshot.files:
             return None
         table = self.table_path(name)
         paths = [self.fs.join(table, p) for p in snapshot.paths]
-        return self.spark.read.option("basePath", table).parquet(*paths)
+        key = (name, snapshot.version, hash(tuple(paths)), schema is not None)
+        df = self._df_cache.get(key)
+        if df is None:
+            reader = self.spark.read.option("basePath", table)
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.parquet(*paths)
+            if len(self._df_cache) >= self._DF_CACHE_MAX:
+                self._df_cache.clear()
+            self._df_cache[key] = df
+        return df
 
     # -- segments (time series tables) -------------------------------------
 
@@ -257,7 +312,11 @@ class DataFolder:
         ``info["may_have_slow"]`` is False only when every live file's
         commit-log stats prove all segments are JVM-reconstructable
         (model-typed, regular timestamps) — the grid view then omits the
-        Python decode branch from the plan entirely."""
+        Python decode branch from the plan entirely.
+        ``info["fast_fraction"]`` is the fraction of points decodable by
+        the JVM fast path, from commit-log point counts (None when any
+        live file lacks them) — the grid view drops the JVM branch (and
+        its second scan of the segment files) when it's negligible."""
         schema = segment_schema(meta.tag_columns)
         snap = self.log(meta.name).snapshot(version, timestamp_ms)
         if start_us is not None or end_us is not None or field_indexes is not None:
@@ -278,7 +337,12 @@ class DataFolder:
 
             snap.files = [f for f in snap.files if keep(f)]
         may_have_slow = any(not f.get("all_fast", False) for f in snap.files)
-        df = self._read_live(meta.name, snap)
+        fast_fraction = None
+        if snap.files and all(f.get("total_points") is not None for f in snap.files):
+            total = sum(f["total_points"] for f in snap.files)
+            fast = sum(f["fast_points"] for f in snap.files)
+            fast_fraction = (fast / total) if total else 1.0
+        df = self._read_live(meta.name, snap, schema=schema)
         if df is None:
             df = self.spark.createDataFrame([], schema)
         else:
@@ -291,7 +355,8 @@ class DataFolder:
                 if f.name not in df.columns:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
             df = df.select(*[f.name for f in schema.fields])
-        return (df, {"may_have_slow": may_have_slow}) if with_info else df
+        info = {"may_have_slow": may_have_slow, "fast_fraction": fast_fraction}
+        return (df, info) if with_info else df
 
     # -- normal tables ------------------------------------------------------
 
@@ -317,7 +382,7 @@ class DataFolder:
         timestamp_ms: int | None = None,
     ) -> DataFrame:
         snap = self.log(name).snapshot(version, timestamp_ms)
-        df = self._read_live(name, snap)
+        df = self._read_live(name, snap, schema=schema)
         if df is None:
             return self.spark.createDataFrame([], schema)
         return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])

@@ -65,6 +65,24 @@ class TransactionLog:
         self.fs = fs
         self.table_uri = table_uri.rstrip("/")
         self.log_uri = fs.join(self.table_uri, _LOG_DIR)
+        # Commit/checkpoint files are immutable once created
+        # (create-exclusive = putIfAbsent), so their parsed content can
+        # be cached for the life of this log handle: repeated snapshots
+        # (every query plans one) cost a single directory listing, not
+        # O(commits) JSON reads. Bounded: vacuum keeps the log itself
+        # bounded, and the cap below guards pathological histories.
+        self._json_cache: dict[str, dict] = {}
+
+    _JSON_CACHE_MAX = 65536
+
+    def _read_json_cached(self, uri: str) -> dict:
+        doc = self._json_cache.get(uri)
+        if doc is None:
+            doc = json.loads(self.fs.read_bytes(uri).decode("utf-8"))
+            if len(self._json_cache) >= self._JSON_CACHE_MAX:
+                self._json_cache.clear()
+            self._json_cache[uri] = doc
+        return doc
 
     # ----------------------------------------------------------- reading
 
@@ -96,12 +114,10 @@ class TransactionLog:
         return self._list_log()[0]
 
     def read_commit(self, version: int) -> dict:
-        return json.loads(self.fs.read_bytes(self._commit_uri(version)).decode("utf-8"))
+        return self._read_json_cached(self._commit_uri(version))
 
     def read_checkpoint(self, version: int) -> dict:
-        return json.loads(
-            self.fs.read_bytes(self._checkpoint_uri(version)).decode("utf-8")
-        )
+        return self._read_json_cached(self._checkpoint_uri(version))
 
     def commits(self) -> list[dict]:
         return [self.read_commit(v) for v in self.versions()]

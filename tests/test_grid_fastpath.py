@@ -123,3 +123,84 @@ def test_commit_log_records_all_fast(engine, spark):
         e for c in engine.folder.log("g").commits() for e in c.get("add", [])
     ]
     assert entries and not all(e.get("all_fast") is True for e in entries)
+
+
+def test_commit_log_records_point_counts(engine, spark):
+    """Every add entry records fast/total decoded-point counts, and
+    read_segments aggregates them into info["fast_fraction"]."""
+    rng = np.random.default_rng(11)
+    engine.read_sql("CREATE TIME SERIES TABLE pc(timestamp TIMESTAMP, v FIELD)")
+    rows = [
+        Row(timestamp=TS0 + datetime.timedelta(seconds=i), v=float(rng.standard_normal()))
+        for i in range(500)
+    ]
+    engine.write("pc", spark.createDataFrame(rows))
+    entries = [e for c in engine.folder.log("pc").commits() for e in c.get("add", [])]
+    assert entries
+    assert all(
+        isinstance(e.get("total_points"), int) and isinstance(e.get("fast_points"), int)
+        for e in entries
+    )
+    assert sum(e["total_points"] for e in entries) == 500
+    _, info = engine.segments("pc", with_info=True)
+    assert info["fast_fraction"] is not None
+    assert 0.0 <= info["fast_fraction"] <= 1.0
+
+
+def test_negligible_fast_fraction_drops_jvm_branch(engine, spark):
+    """A (nearly) all-Gorilla table must plan a single decode branch:
+    the near-empty JVM fast branch would cost a second scan of the
+    segment files to reconstruct almost nothing."""
+    rng = np.random.default_rng(13)
+    engine.read_sql("CREATE TIME SERIES TABLE ng(timestamp TIMESTAMP, v FIELD)")
+    rows = [
+        Row(timestamp=TS0 + datetime.timedelta(seconds=i), v=float(rng.standard_normal()))
+        for i in range(2000)
+    ]
+    engine.write("ng", spark.createDataFrame(rows))
+    _, info = engine.segments("ng", with_info=True)
+    assert info["fast_fraction"] is not None and info["fast_fraction"] < 0.05
+    plan = engine.table("ng")._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_multifield_duplicate_pairing_deterministic(engine, spark):
+    """Two writes leave duplicate points at the same (timestamp, tag)
+    with DIFFERENT values in both fields: cross-field pairing must be
+    value-rank <-> value-rank (sorted arrays before arrays_zip), stable
+    across runs — not whatever order collect_list happened to see
+    (reference positional semantics: sorted_join_exec.rs:278-310)."""
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE dup(timestamp TIMESTAMP, a FIELD, b FIELD, tag TAG)"
+    )
+    base = [
+        Row(timestamp=TS0 + datetime.timedelta(seconds=i), a=float(i), b=float(100 + i), tag="x")
+        for i in range(50)
+    ]
+    # overwrite-style second batch: same timestamps, different values
+    shadow = [
+        Row(timestamp=TS0 + datetime.timedelta(seconds=i), a=float(1000 + i), b=float(2000 + i), tag="x")
+        for i in range(50)
+    ]
+    engine.write("dup", spark.createDataFrame(base))
+    engine.write("dup", spark.createDataFrame(shadow))
+
+    def rows():
+        return sorted(
+            (r["tag"], int(r["timestamp"].timestamp() * 1_000_000), r["a"], r["b"])
+            for r in engine.table("dup").collect()
+        )
+
+    first = rows()
+    assert len(first) == 100
+    # value-rank pairing: the smaller a pairs with the smaller b
+    by_ts = {}
+    for tag, ts, a, b in first:
+        by_ts.setdefault(ts, []).append((a, b))
+    for ts, pairs in by_ts.items():
+        pairs.sort()
+        assert len(pairs) == 2
+        assert pairs[0][1] < pairs[1][1]  # a-rank matches b-rank
+    for _ in range(3):
+        assert rows() == first
