@@ -41,28 +41,69 @@ class ModelarFlightServer(flight.FlightServerBase):
         engine: Engine,
         location: str = "grpc://127.0.0.1:0",
         stream_batch_rows: int = 8192,
+        stream_wave_partitions: int = 16,
     ) -> None:
         super().__init__(location)
         self.engine = engine
         self.stream_batch_rows = stream_batch_rows
+        # Partitions collected per round in the streaming path; driver
+        # memory is bounded by one wave's packed IPC bytes.
+        self.stream_wave_partitions = stream_wave_partitions
 
     # -- queries -----------------------------------------------------------
 
     def _stream_batches(self, df):
-        """Yield Arrow batches from a partition-at-a-time row iterator —
-        driver memory stays bounded by one partition + one batch."""
+        """Yield Arrow batches partition-wise with bounded driver memory.
+
+        Arrow relay: each EXECUTOR packs its Arrow batches into
+        single-cell IPC payloads (``mapInArrow``), so the driver's
+        ``toLocalIterator`` crosses the Python row machinery once per
+        BATCH of ``stream_batch_rows`` rows, not once per data row —
+        the egress loop is Arrow end-to-end (executor → IPC bytes →
+        client) with memory bounded by one prefetched partition. The
+        reference streams channel-backed batches the same way
+        (remote.rs:729-743)."""
         from pyspark.sql.pandas.types import to_arrow_schema
 
         schema = to_arrow_schema(df.schema)
-        names = df.columns
-        buf: list[dict] = []
-        for row in df.toLocalIterator(prefetchPartitions=True):
-            buf.append({n: row[i] for i, n in enumerate(names)})
-            if len(buf) >= self.stream_batch_rows:
-                yield pa.RecordBatch.from_pylist(buf, schema=schema)
-                buf = []
-        if buf:
-            yield pa.RecordBatch.from_pylist(buf, schema=schema)
+        max_rows = self.stream_batch_rows
+
+        def pack(batches):
+            for batch in batches:
+                for lo in range(0, batch.num_rows, max_rows):
+                    piece = batch.slice(lo, max_rows)
+                    sink = pa.BufferOutputStream()
+                    with pa.ipc.new_stream(sink, piece.schema) as w:
+                        w.write_batch(piece)
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([sink.getvalue().to_pybytes()], type=pa.binary())],
+                        names=["ipc"],
+                    )
+
+        # Waved collection instead of toLocalIterator: toLocalIterator
+        # schedules ONE sequential job per partition (~scheduling latency
+        # × partitions); runJob over waves of K partitions keeps K-way
+        # parallelism per round while bounding driver memory to one
+        # wave's IPC bytes.
+        packed = df.mapInArrow(pack, schema="ipc binary")
+        rdd = packed.rdd
+        sc = self.engine.spark.sparkContext
+        nparts = rdd.getNumPartitions()
+        wave = max(1, self.stream_wave_partitions)
+        for start in range(0, nparts, wave):
+            parts = list(range(start, min(start + wave, nparts)))
+            payloads = sc.runJob(rdd, lambda it: [bytes(r[0]) for r in it], parts)
+            for payload in payloads:
+                for piece in pa.ipc.open_stream(pa.py_buffer(payload)):
+                    if piece.schema.equals(schema):
+                        yield piece
+                    else:  # defensive: worker-side Arrow type nuances
+                        yield (
+                            pa.Table.from_batches([piece])
+                            .cast(pa.schema(schema))
+                            .combine_chunks()
+                            .to_batches()[0]
+                        )
 
     def do_get(self, context, ticket: flight.Ticket):
         sql = ticket.ticket.decode("utf-8")

@@ -137,3 +137,36 @@ def test_time_bucket_and_edge_sql_over_flight(client):
     last = client.read("SELECT max_by(f, timestamp) AS lv FROM fb")
     assert last["lv"].to_pylist() == [29.0]
     client.drop("fb")
+
+
+def test_streamed_large_result_arrow_relay(engine):
+    """>100k-row result over the streaming path: arrives as many Arrow
+    batches (bounded driver memory — stream_batch_rows caps each), with
+    exact content. The relay is Arrow end-to-end: executors pack IPC
+    payloads, the driver never touches per-row Python objects."""
+    import modelardb_rs_spark.flight as fl
+
+    server = start_server(engine, stream_batch_rows=4096)
+    old = fl._COLLECT_RESULT_LIMIT
+    fl._COLLECT_RESULT_LIMIT = 0  # force the streaming path
+    try:
+        client = ModelarFlightClient(f"grpc://127.0.0.1:{server.port}")
+        engine.create_table("big2", "id BIGINT, v DOUBLE")
+        engine.spark.range(120_000).selectExpr(
+            "id", "id * 0.5 AS v"
+        ).createOrReplaceTempView("big2_src")
+        engine.read_sql("INSERT INTO big2 SELECT id, v FROM big2_src")
+        n = 0
+        total = 0.0
+        batches = 0
+        for b in client.read_batches("SELECT id, v FROM big2"):
+            assert b.num_rows <= 4096
+            n += b.num_rows
+            total += sum(b.column("v").to_pylist())
+            batches += 1
+        assert n == 120_000
+        assert batches >= 120_000 // 4096
+        assert total == sum(i * 0.5 for i in range(120_000))
+    finally:
+        fl._COLLECT_RESULT_LIMIT = old
+        server.shutdown()
