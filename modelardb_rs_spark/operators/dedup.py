@@ -264,6 +264,19 @@ def minhash_dedup_pairs(
     return verify_candidate_pairs(df, cands, threshold, n, text_col, id_col)
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Cut the iterative-join lineage: RELIABLE ``checkpoint()`` when
+    the session has a checkpoint directory (files on shared storage
+    survive executor loss — required on preemptible/spot clusters),
+    eager ``localCheckpoint()`` otherwise (executor-local blocks; a
+    lost executor makes the truncated lineage unrecoverable, so set
+    ``spark.sparkContext.setCheckpointDir(...)`` off-sandbox)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
@@ -286,7 +299,7 @@ def duplicate_clusters(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "cluster_id", F.col("id")
     )
-    labels = labels.localCheckpoint(eager=True)
+    labels = _truncate_lineage(labels)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -303,7 +316,7 @@ def duplicate_clusters(
             )
         )
         # truncate the growing lineage each round and check for fixpoint
-        updated = updated.localCheckpoint(eager=True)
+        updated = _truncate_lineage(updated)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "id")

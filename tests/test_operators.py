@@ -100,6 +100,37 @@ def test_duplicate_clusters(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8}
 
 
+def test_duplicate_clusters_survive_block_loss(spark):
+    """With a checkpoint directory configured, label propagation uses
+    RELIABLE checkpoints: dropping every cached block mid-lifetime
+    (simulated executor loss — the failure mode that kills
+    localCheckpoint on preemptible clusters) must not lose the result."""
+    import glob
+    import tempfile
+
+    sc = spark.sparkContext
+    ckpt = tempfile.mkdtemp(prefix="smdl_ckpt_")
+    sc.setCheckpointDir(ckpt)
+    try:
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+            "id_a long, id_b long",
+        )
+        labels = dedup_ops.duplicate_clusters(pairs)
+        expected = sorted(map(tuple, labels.collect()))
+        assert glob.glob(ckpt + "/*/rdd-*")  # reliable checkpoints written
+        # simulated loss: every persistent/localCheckpoint block dropped
+        for rdd in list(sc._jsc.getPersistentRDDs().values()):
+            rdd.unpersist(True)
+        spark.catalog.clearCache()
+        got = sorted(map(tuple, labels.collect()))
+        assert got == expected
+        assert {c for _, c in got} == {1, 10, 20}
+    finally:
+        # no unset API: point later tests at a throwaway shared-tmp dir
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="smdl_ckpt_"))
+
+
 def test_language_id(docs):
     pred = {r.doc_id: r.predicted_lang for r in text_ops.language_id(docs).collect()}
     assert pred[0] == "en"
