@@ -861,14 +861,28 @@ class Engine:
     # ------------------------------------------------------------- include
 
     def _include_select(self, stmt: ModelarStatement) -> DataFrame:
-        """INCLUDE 'folder'[, 'folder']+ SELECT ... — run the SELECT
-        against this engine and every included data folder, returning the
-        unordered union (reference parser.rs:465-492, remote.rs:91-119;
-        addresses here are data-folder paths rather than Flight URLs)."""
+        """INCLUDE 'address'[, 'address']+ SELECT ... — run the SELECT
+        against this engine and every included address, returning the
+        unordered union (reference parser.rs:465-492; the reference fans
+        the statement out to remote Flight nodes and merges the streams,
+        remote.rs:91-119).
+
+        Addresses: ``grpc://host:port`` executes remotely over Arrow
+        Flight (the included node runs the query; only its RESULT
+        crosses the wire, typically aggregate-sized); anything else is
+        opened as another data folder and queried by this session —
+        useful when folders share storage (e.g. two S3 roots) and the
+        cluster should scan both itself."""
         result = self.read_sql(stmt.select_sql)
         for addr in stmt.include_addresses:
-            other = Engine(self.spark, addr)
-            result = result.unionByName(other.read_sql(stmt.select_sql))
+            if addr.startswith(("grpc://", "grpc+tls://", "grpc+tcp://")):
+                from modelardb_rs_spark.flight import ModelarFlightClient
+
+                remote = ModelarFlightClient(addr).read(stmt.select_sql)
+                part = self.spark.createDataFrame(remote)
+            else:
+                part = Engine(self.spark, addr).read_sql(stmt.select_sql)
+            result = result.unionByName(part)
         return result
 
     # ---------------------------------------------------- convenience reads

@@ -194,6 +194,36 @@ def test_include_union(ts_engine, spark, tmp_path):
     assert sorted(r.n for r in out.collect()) == [10, 100]
 
 
+def test_include_over_flight_address(ts_engine, spark, tmp_path):
+    """INCLUDE 'grpc://...' fans the SELECT out to a live Flight node
+    and unions its Arrow result with the local one (reference
+    remote.rs:91-119)."""
+    from modelardb_rs_spark.engine import Engine
+    from modelardb_rs_spark.flight import start_server
+
+    other = Engine(spark, str(tmp_path / "flight_folder"))
+    other.read_sql(
+        "CREATE TIME SERIES TABLE ts(timestamp TIMESTAMP, field_1 FIELD, "
+        "field_2 FIELD(1.0), tag TAG)"
+    )
+    other.write("ts", make_points(spark, n=10))
+    server = start_server(other)
+    try:
+        out = ts_engine.read_sql(
+            f"INCLUDE 'grpc://127.0.0.1:{server.port}' "
+            "SELECT count(field_1) AS n FROM ts"
+        )
+        assert sorted(r.n for r in out.collect()) == [10, 100]
+        # mixed folder + Flight addresses in one statement
+        out2 = ts_engine.read_sql(
+            f"INCLUDE '{other.folder.root}', 'grpc://127.0.0.1:{server.port}' "
+            "SELECT count(field_1) AS n FROM ts"
+        )
+        assert sorted(r.n for r in out2.collect()) == [10, 10, 100]
+    finally:
+        server.shutdown()
+
+
 def test_copy_and_move(ts_engine, spark, tmp_path):
     from modelardb_rs_spark.engine import Engine
 
