@@ -62,36 +62,94 @@ def attach_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def decode_media(payload: bytes, media_type: str, fake: bool = False) -> np.ndarray:
-    """Decode one media payload to a pixel/sample array.
+# ------------------------------------------------------- codec registry
+#
+# A codec is ``fn(payload: bytes, media_type: str) -> np.ndarray`` of
+# uint8/float samples. Operators never hard-code a decoder: they take a
+# codec NAME, resolved per Arrow batch on the executor, so a real
+# decoder (PIL, soundfile, ffmpeg bindings) drops in with one
+# register_codec() call and zero operator changes. Registration is
+# module-level; executors re-import this module, so codecs registered
+# at import time (e.g. in a site package or a --py-files shim) are
+# visible cluster-wide. Codecs registered only on the driver AFTER
+# import ship with the closure instead (fn is captured by name lookup
+# at call time inside the UDF — see _resolve_codec).
 
-    STUB: real decoding requires image/audio codecs not present in this
-    environment; the ``fake`` codec interprets the payload bytes directly
-    as uint8 samples (deterministic, shape-stable) so the full pipeline
-    is testable.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "real media decoding requires codec libraries (PIL/ffmpeg) not "
-            "available in this environment; pass fake=True for the "
-            "deterministic byte-interpreting codec"
-        )
+_CODECS: dict[str, "callable"] = {}
+
+
+def register_codec(name: str, fn) -> None:
+    """Register ``fn(payload: bytes, media_type: str) -> np.ndarray``
+    under ``name``. Re-registering replaces (lets an application
+    override 'image' with a better decoder)."""
+    _CODECS[name] = fn
+
+
+def registered_codecs() -> list[str]:
+    return sorted(_CODECS)
+
+
+def _fake_codec(payload: bytes, media_type: str) -> np.ndarray:
+    """Deterministic stand-in: payload bytes ARE the samples — every
+    downstream feature is reproducible without real codec libraries."""
     return np.frombuffer(payload, dtype=np.uint8)
 
 
-def extract_features(media: DataFrame, fake_codec: bool = True) -> DataFrame:
+register_codec("fake", _fake_codec)
+
+try:  # real image codec, if the environment provides Pillow
+    from PIL import Image as _PILImage  # noqa: F401
+    import io as _io
+
+    def _pillow_codec(payload: bytes, media_type: str) -> np.ndarray:
+        return np.asarray(_PILImage.open(_io.BytesIO(payload)).convert("L")).ravel()
+
+    register_codec("image", _pillow_codec)
+except ImportError:  # container has no codecs; the seam stays, stubbed
+    pass
+
+
+def _resolve_codec(name: str):
+    fn = _CODECS.get(name)
+    if fn is None:
+        raise NotImplementedError(
+            f"no codec registered under {name!r} (have {registered_codecs()}); "
+            "real media decoding requires codec libraries (PIL/soundfile/"
+            "ffmpeg) — register one with register_codec(name, fn), or use "
+            "the deterministic 'fake' codec"
+        )
+    return fn
+
+
+def decode_media(payload: bytes, media_type: str, codec: str = "image", *, fake: bool | None = None) -> np.ndarray:
+    """Decode one media payload to a pixel/sample array via a registered
+    codec. ``fake=True`` is the backwards-compatible spelling of
+    ``codec='fake'``."""
+    if fake is not None:
+        codec = "fake" if fake else "image"
+    return _resolve_codec(codec)(payload, media_type)
+
+
+def extract_features(
+    media: DataFrame, fake_codec: bool | None = None, codec: str = "fake"
+) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
     ``mapInPandas`` so one task streams many records without
     materializing the whole partition; only (media_id, media_type,
-    payload) are read (column pruning)."""
+    payload) are read (column pruning). ``codec`` names a registered
+    decoder; the driver-registered function is captured in the UDF
+    closure, so late registrations work without shipping the module."""
+    if fake_codec is not None:
+        codec = "fake" if fake_codec else "image"
+    codec_fn = _resolve_codec(codec)  # fail fast on the driver
     src = media.select("media_id", "media_type", "payload")
 
     def extract(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, mtype, payload in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
-                samples = decode_media(bytes(payload), mtype, fake=fake_codec)
+                samples = codec_fn(bytes(payload), mtype)
                 hist = np.bincount(samples >> 4, minlength=16)
                 rows.append(
                     {

@@ -300,6 +300,41 @@ def test_decode_media_stub_raises():
         mm_ops.decode_media(b"\x00\x01", "image", fake=False)
 
 
+def test_codec_registry_plugs_into_operators(spark):
+    """A codec registered at runtime (here: an 'image decoder' that
+    doubles each byte — standing in for PIL) flows through
+    extract_features without touching the operator; the default 'fake'
+    path is unchanged."""
+    assert "fake" in mm_ops.registered_codecs()
+
+    def doubling_codec(payload, media_type):
+        import numpy as np
+
+        return (np.frombuffer(payload, dtype=np.uint8) // 2) * 2
+
+    mm_ops.register_codec("double", doubling_codec)
+    try:
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="alpha"), Row(doc_id=2, text="beta")]
+        )
+        media = mm_ops.attach_fake_media(docs)
+        via_custom = {
+            r.media_id: r.mean_byte
+            for r in mm_ops.extract_features(media, codec="double").collect()
+        }
+        via_fake = {
+            r.media_id: r.mean_byte
+            for r in mm_ops.extract_features(media, codec="fake").collect()
+        }
+        assert set(via_custom) == {1, 2}
+        for mid in via_custom:
+            assert via_custom[mid] <= via_fake[mid]  # rounded down
+        with pytest.raises(NotImplementedError, match="no codec registered"):
+            mm_ops.extract_features(media, codec="missing")
+    finally:
+        mm_ops._CODECS.pop("double", None)
+
+
 def test_chunk_documents_edges(spark):
     from modelardb_rs_spark.operators.text import chunk_documents
 
