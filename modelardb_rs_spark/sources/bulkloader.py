@@ -67,3 +67,100 @@ def export_parquet(
     writer.parquet(path)
     for s in post_sql or []:
         engine.read_sql(s)
+
+
+def export_delta(
+    engine: Engine,
+    sql: str,
+    path: str,
+    partition_by: list[str] | None = None,
+    pre_sql: list[str] | None = None,
+    post_sql: list[str] | None = None,
+) -> dict:
+    """Export a query result as a DELTA LAKE table readable by stock
+    Delta clients (delta-rs / ``deltalake`` / DuckDB ``delta_scan`` /
+    Spark+delta jars): Parquet data files plus a spec-conformant
+    ``_delta_log/00000000000000000000.json`` commit (protocol 1/2,
+    metaData with the Spark-JSON schemaString — the format Delta
+    specifies — and one add action per file with partitionValues).
+
+    The container ships no external Delta reader, so conformance is
+    asserted structurally in tests (actions schema, partition values,
+    file sizes, schemaString round-trip) — the log is written from the
+    PUBLIC Delta transaction-log spec
+    (https://github.com/delta-io/delta/blob/master/PROTOCOL.md).
+    Reference tables are native Delta the same way
+    (crates/modelardb_storage/src/data_folder/mod.rs:89-260).
+
+    Returns {"files": n, "rows": n}.
+    """
+    import json
+    import time
+    import uuid
+    from urllib.parse import unquote
+
+    for s in pre_sql or []:
+        engine.read_sql(s)
+    df = engine.read_sql(sql)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    for s in post_sql or []:
+        engine.read_sql(s)
+
+    from modelardb_rs_spark.sources.hadoopfs import HadoopFS
+
+    fs = HadoopFS(engine.spark, path)
+    root = fs.base.rstrip("/")
+    now_ms = int(time.time() * 1000)
+    adds = []
+    n_rows = 0
+    for info in fs.list_files_recursive(root):
+        if not info.path.endswith(".parquet"):
+            continue
+        rel = info.path[len(root) + 1 :]
+        part_values = {}
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                part_values[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+        adds.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": part_values,
+                    "size": info.size,
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    n_rows = df.count()
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": "Overwrite"},
+                "engineInfo": "modelardb_rs_spark bulkloader",
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": partition_by or [],
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        },
+        *adds,
+    ]
+    log_dir = fs.join(root, "_delta_log")
+    fs.mkdirs(log_dir)
+    payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+    fs.write_bytes(fs.join(log_dir, f"{0:020d}.json"), payload.encode("utf-8"))
+    return {"files": len(adds), "rows": n_rows}
