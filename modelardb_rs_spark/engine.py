@@ -203,6 +203,11 @@ class Engine:
         ensure_shipped(spark)
         self.folder = DataFolder(spark, data_folder)
         self.catalog = Catalog(self.folder.metadata_dir, self.folder.fs)
+        # EXPLAIN ANALYZE instrumentation: explain_path(analyze=True)
+        # installs accumulator-backed counters here for the duration of
+        # one instrumented execution; operators thread it into the
+        # decode paths (None = no instrumentation, zero overhead).
+        self._analyze_metrics: dict | None = None
 
     # ------------------------------------------------------------- catalog
 
@@ -455,6 +460,7 @@ class Engine:
             end_us=end_us,
             may_have_slow=info["may_have_slow"],
             fast_fraction=info["fast_fraction"],
+            metrics=self._analyze_metrics,
         )
 
     def register_views(self, for_sql: str | None = None) -> None:
@@ -582,27 +588,77 @@ class Engine:
         # call inlined as epoch arithmetic so they still run
         return self.spark.sql(_inline_time_bucket_sql(sql))
 
-    def explain_path(self, sql: str) -> str:
+    def explain_path(self, sql: str, analyze: bool = False) -> str:
         """Which execution path a statement takes — the API-level
         analog of the reference's EXPLAIN showing whether its physical
         rule fired: 'segment-stats pushdown' (metadata-only Column
         aggregation, optionally bucketed/partial), or 'gridded view'
         (full reconstruction under spark.sql), or the statement kind
-        for DDL/utility statements."""
+        for DDL/utility statements.
+
+        ``analyze=True`` EXECUTES the statement instrumented with
+        runtime counters (EXPLAIN ANALYZE — parity with the reference's
+        per-operator metrics, grid_exec.rs:439-518) and appends:
+        python-decoded segments/points and Arrow batches (exact, from
+        Spark accumulators inside the decode UDF) and JVM-fast-path
+        segments/points (from the segment metadata feeding that
+        branch)."""
         stmt = parse_statement(sql)
         if stmt.kind not in ("passthrough", "select"):
             return stmt.kind
-        df = self._try_aggregate_pushdown(self._rewrite_time_travel(sql))
-        if df is not None:
-            bucketed = bool(re.search(r"time_bucket|date_trunc", sql, re.IGNORECASE))
-            kind = "bucketed resample" if bucketed else "simple aggregates"
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            partial = "MapInPandas" in plan or "ArrowEvalPython" in plan
-            return (
-                f"segment-stats pushdown ({kind}"
-                + (", partial: boundary/slow segments decode)" if partial else ", metadata-only)")
+        if not analyze:
+            df = self._try_aggregate_pushdown(self._rewrite_time_travel(sql))
+            if df is not None:
+                return self._pushdown_path_of(sql, df)
+            return "gridded view (reconstruction under spark.sql)"
+
+        sc = self.spark.sparkContext
+        m = {
+            "python_segments": sc.accumulator(0),
+            "python_points": sc.accumulator(0),
+            "python_batches": sc.accumulator(0),
+            "fast_branches": [],
+        }
+        self._analyze_metrics = m
+        try:
+            df = self._try_aggregate_pushdown(self._rewrite_time_travel(sql))
+            path = (
+                self._pushdown_path_of(sql, df)
+                if df is not None
+                else "gridded view (reconstruction under spark.sql)"
             )
-        return "gridded view (reconstruction under spark.sql)"
+            if df is None:
+                df = self.read_sql(sql)
+            n_out = df.count()  # execute the instrumented plan
+        finally:
+            self._analyze_metrics = None
+        fast_segs = fast_pts = 0
+        for branch in m["fast_branches"]:
+            if branch is None:
+                continue
+            row = branch.agg(
+                F.count("*").alias("s"), F.sum("value_count").alias("p")
+            ).collect()[0]
+            fast_segs += row["s"] or 0
+            fast_pts += row["p"] or 0
+        return (
+            f"{path}\n"
+            f"analyze: output_rows={n_out}, "
+            f"python_decoded_segments={m['python_segments'].value}, "
+            f"python_decoded_points={m['python_points'].value}, "
+            f"python_arrow_batches={m['python_batches'].value}, "
+            f"jvm_fast_segments={fast_segs}, jvm_fast_points={fast_pts}"
+        )
+
+    def _pushdown_path_of(self, sql: str, df: DataFrame) -> str:
+        bucketed = bool(re.search(r"time_bucket|date_trunc", sql, re.IGNORECASE))
+        kind = "bucketed resample" if bucketed else "simple aggregates"
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        partial = "MapInPandas" in plan or "ArrowEvalPython" in plan
+        return (
+            f"segment-stats pushdown ({kind}"
+            + (", partial: boundary/slow segments decode)" if partial else ", metadata-only)")
+        )
 
     _TT_VERSION = re.compile(
         r"\b(?P<name>[A-Za-z_]\w*)\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)", re.IGNORECASE
@@ -844,6 +900,7 @@ class Engine:
                 lo_us, hi_us, group_cols or None,
                 bucket_alias=bucket_alias, may_have_slow=info["may_have_slow"],
                 origin_us=bucket_origin, fast_fraction=info["fast_fraction"],
+                metrics=self._analyze_metrics,
             )
             keep = [bucket_alias] + group_cols + [a[2] for a in aggs]
             return out.select(*keep)
@@ -851,7 +908,8 @@ class Engine:
             # two-sided range: stats for interior segments, decode only
             # the boundary ones (time_range_aggregates)
             out = agg_ops.time_range_aggregates(
-                segments, list(meta.tag_columns), aggs, lo_us, hi_us, group_cols or None
+                segments, list(meta.tag_columns), aggs, lo_us, hi_us,
+                group_cols or None, metrics=self._analyze_metrics,
             )
         else:
             out = agg_ops.segment_aggregates(segments, aggs, group_cols or None)
@@ -924,7 +982,8 @@ class Engine:
             lo = start_us if start_us is not None else -(2**62)
             hi = end_us if end_us is not None else 2**62
             return agg_ops.time_range_aggregates(
-                segments, meta.tag_columns, aggs, lo, hi, group_by or None
+                segments, meta.tag_columns, aggs, lo, hi, group_by or None,
+                metrics=self._analyze_metrics,
             )
 
         df = self.table(name, start=start, end=end)
@@ -977,6 +1036,7 @@ class Engine:
             group_by or None,
             may_have_slow=info["may_have_slow"],
             fast_fraction=info["fast_fraction"],
+            metrics=self._analyze_metrics,
         )
 
     def gapfill(

@@ -135,6 +135,7 @@ def time_range_aggregates(
     start_us: int,
     end_us: int,
     group_by_tags: list[str] | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Simple aggregates under a time-range predicate, answered mostly
     from segment statistics: segments fully inside [start, end]
@@ -231,6 +232,7 @@ def time_range_aggregates(
         tag_columns + ["__field__"],
         start_us,
         end_us,
+        metrics=metrics,
     )
     points_part = points.select(*group, *point_cols)
     u = stats_part.unionByName(points_part)
@@ -249,6 +251,7 @@ def resample(
     may_have_slow: bool = True,
     origin_us: int = 0,
     fast_fraction: float | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Time-bucket downsampling (``GROUP BY time_bucket``) with model-based
     pushdown — an operator past the reference's rewrite set (the reference
@@ -486,6 +489,7 @@ def resample(
         end_us,
         may_have_slow=may_have_slow,
         fast_fraction=fast_fraction,
+        metrics=metrics,
     )
     pt_shift = f"(timestamp - {O})" if O else "timestamp"
     pt_bucket = F.expr(f"timestamp_micros(timestamp - pmod({pt_shift}, {B}))")

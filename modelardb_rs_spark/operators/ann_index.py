@@ -46,6 +46,31 @@ def _centroids_table(index_name: str) -> str:
     return f"{index_name}__centroids"
 
 
+def _cached_centroids(engine, index_name: str) -> DataFrame:
+    """Centroids as a local-rows DataFrame, cached per engine instance
+    and centroid-table VERSION (they're index metadata — n_buckets tiny
+    rows). High-QPS probing then runs no centroid-table scan per call:
+    freshness costs one commit-log listing, and a rebuild/append bumps
+    the version so the cache refills itself."""
+    tbl = _centroids_table(index_name)
+    snap = engine.folder.log(tbl).snapshot()
+    cache = engine.__dict__.setdefault("_ann_centroid_cache", {})
+    # keyed by the live FILE SET, not the version number: a drop +
+    # rebuild restarts versions at 0 but stages under fresh txn= dirs
+    key = (tbl, snap.version, hash(tuple(sorted(snap.paths))))
+    if key not in cache:
+        for stale in [k for k in cache if k[0] == tbl]:
+            del cache[stale]
+        rows = [
+            (int(r["ivf_bucket"]), list(r["centroid"]))
+            for r in engine.table(tbl).select("ivf_bucket", "centroid").collect()
+        ]
+        cache[key] = rows
+    return engine.spark.createDataFrame(
+        cache[key], "ivf_bucket INT, centroid ARRAY<FLOAT>"
+    )
+
+
 def build_ivf_index(
     engine,
     index_name: str,
@@ -117,7 +142,7 @@ def append_to_ivf_index(
     drift from the true bucket means as appends accumulate, which is
     the standard IVF trade — rebuild with ``build_ivf_index`` when
     recall sags. Returns ``{"appended"}``."""
-    cents = engine.table(_centroids_table(index_name)).select("ivf_bucket", "centroid")
+    cents = _cached_centroids(engine, index_name)
     w = Window.partitionBy("__id__").orderBy(F.col("__ccos__").desc(), F.col("ivf_bucket"))
     assigned = (
         new_vectors.select(F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__"))
@@ -151,8 +176,10 @@ def ivf_index_topk(
     vectors table, so planning prunes every unprobed directory; the
     per-query restriction then rides the same probes join as the inline
     pipeline. Value-identical to ``ivf_topk`` over the same buckets.
+    Centroids come from the per-engine cache (_cached_centroids), so
+    probe-many workloads never re-scan the centroid table.
     """
-    cents = engine.table(_centroids_table(index_name)).select("ivf_bucket", "centroid")
+    cents = _cached_centroids(engine, index_name)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),

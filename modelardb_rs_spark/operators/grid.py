@@ -99,6 +99,7 @@ def grid_univariate(
     end_us: int | None = None,
     may_have_slow: bool = True,
     fast_fraction: float | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Decode one field's segments into points (timestamp µs, value, tags).
 
@@ -118,10 +119,28 @@ def grid_univariate(
     segments = prune_segments(segments, start_us, end_us)
     out_schema = grid_schema(tag_columns)
 
+    # EXPLAIN ANALYZE counters (engine.explain_path(analyze=True) —
+    # parity with the reference's per-operator metrics,
+    # grid_exec.rs:439-518): accumulators count what the PYTHON branch
+    # actually decoded; the JVM branch's work is recorded as the lazy
+    # segment frame feeding it, aggregated from metadata after the run.
+    acc_segs = metrics.get("python_segments") if metrics else None
+    acc_pts = metrics.get("python_points") if metrics else None
+    acc_batches = metrics.get("python_batches") if metrics else None
+
     def decode(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
             if len(pdf):
-                yield decode_segments(pdf, tag_columns)
+                out = decode_segments(pdf, tag_columns)
+                if acc_segs is not None:
+                    acc_segs.add(len(pdf))
+                    acc_pts.add(len(out))
+                    acc_batches.add(1)
+                yield out
+
+    def record_fast(fast_segments: DataFrame | None) -> None:
+        if metrics is not None:
+            metrics.setdefault("fast_branches", []).append(fast_segments)
 
     if (
         may_have_slow
@@ -138,7 +157,9 @@ def grid_univariate(
             & F.col("param0").isNotNull()
             & F.col("param1").isNotNull()
         )
-        points = _grid_jvm(segments.where(fast_cond), tag_columns)
+        fast_segments = segments.where(fast_cond)
+        record_fast(fast_segments)
+        points = _grid_jvm(fast_segments, tag_columns)
         if may_have_slow:
             slow = segments.where(~fast_cond).mapInPandas(decode, schema=out_schema)
             points = points.unionByName(slow)
@@ -224,6 +245,7 @@ def grid(
     with_generated: bool = True,
     may_have_slow: bool = True,
     fast_fraction: float | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Reconstruct the logical (query-schema) DataFrame from segments.
 
@@ -253,7 +275,7 @@ def grid(
     carried = tags + ["__field__"]
     wanted = wanted.withColumn("__field__", F.col("field_column").cast("string"))
     univariate = grid_univariate(
-        wanted, carried, start_us, end_us, may_have_slow, fast_fraction
+        wanted, carried, start_us, end_us, may_have_slow, fast_fraction, metrics
     )
 
     if len(decode_fields) == 1:

@@ -69,19 +69,24 @@ class TransactionLog:
         # (create-exclusive = putIfAbsent), so their parsed content can
         # be cached for the life of this log handle: repeated snapshots
         # (every query plans one) cost a single directory listing, not
-        # O(commits) JSON reads. Bounded: vacuum keeps the log itself
-        # bounded, and the cap below guards pathological histories.
-        self._json_cache: dict[str, dict] = {}
+        # O(commits) JSON reads. Entries are VALIDATED against the
+        # (size, mtime) the listing reports, so a table dropped and
+        # recreated at the same path (same version numbers, new bytes)
+        # never serves stale content. Bounded: vacuum keeps the log
+        # itself bounded, and the cap below guards pathological
+        # histories.
+        self._json_cache: dict[str, tuple[tuple[int, int], dict]] = {}
 
     _JSON_CACHE_MAX = 65536
 
-    def _read_json_cached(self, uri: str) -> dict:
-        doc = self._json_cache.get(uri)
-        if doc is None:
-            doc = json.loads(self.fs.read_bytes(uri).decode("utf-8"))
-            if len(self._json_cache) >= self._JSON_CACHE_MAX:
-                self._json_cache.clear()
-            self._json_cache[uri] = doc
+    def _read_json_validated(self, uri: str, stamp: tuple[int, int]) -> dict:
+        hit = self._json_cache.get(uri)
+        if hit is not None and hit[0] == stamp:
+            return hit[1]
+        doc = json.loads(self.fs.read_bytes(uri).decode("utf-8"))
+        if len(self._json_cache) >= self._JSON_CACHE_MAX:
+            self._json_cache.clear()
+        self._json_cache[uri] = (stamp, doc)
         return doc
 
     # ----------------------------------------------------------- reading
@@ -92,32 +97,39 @@ class TransactionLog:
     def _checkpoint_uri(self, version: int) -> str:
         return self.fs.join(self.log_uri, f"{version:020d}.checkpoint.json")
 
-    def _list_log(self) -> tuple[list[int], list[int]]:
-        """One directory listing → (commit versions, checkpoint versions),
-        both sorted. No JSON is read."""
-        commits, checkpoints = [], []
+    def _list_log(self) -> tuple[dict[int, tuple[int, int]], dict[int, tuple[int, int]]]:
+        """One directory listing → ({commit version: (size, mtime)},
+        {checkpoint version: (size, mtime)}). No JSON is read; the
+        stamps validate the content cache."""
+        commits: dict[int, tuple[int, int]] = {}
+        checkpoints: dict[int, tuple[int, int]] = {}
         for info in self.fs.list(self.log_uri):
             name = info.path.rsplit("/", 1)[-1]
+            stamp = (info.size, info.mtime_ms)
             if name.endswith(".checkpoint.json"):
                 try:
-                    checkpoints.append(int(name[: -len(".checkpoint.json")]))
+                    checkpoints[int(name[: -len(".checkpoint.json")])] = stamp
                 except ValueError:
                     continue
             elif name.endswith(".json"):
                 try:
-                    commits.append(int(name[: -len(".json")]))
+                    commits[int(name[: -len(".json")])] = stamp
                 except ValueError:
                     continue
-        return sorted(commits), sorted(checkpoints)
+        return commits, checkpoints
 
     def versions(self) -> list[int]:
-        return self._list_log()[0]
+        return sorted(self._list_log()[0])
 
     def read_commit(self, version: int) -> dict:
-        return self._read_json_cached(self._commit_uri(version))
+        """Uncached single-commit read (public/maintenance path)."""
+        return json.loads(self.fs.read_bytes(self._commit_uri(version)).decode("utf-8"))
 
     def read_checkpoint(self, version: int) -> dict:
-        return self._read_json_cached(self._checkpoint_uri(version))
+        """Uncached single-checkpoint read (public/maintenance path)."""
+        return json.loads(
+            self.fs.read_bytes(self._checkpoint_uri(version)).decode("utf-8")
+        )
 
     def commits(self) -> list[dict]:
         return [self.read_commit(v) for v in self.versions()]
@@ -140,19 +152,22 @@ class TransactionLog:
         reads, not O(all commits) — the difference between a constant
         and an unbounded cost on a long-lived table.
         """
-        commit_vs, cp_vs = self._list_log()
+        commits, checkpoints = self._list_log()
+        commit_vs = sorted(commits)
+        cp_vs = sorted(checkpoints)
         if timestamp_ms is not None:
             # target = the greatest version whose commit is at-or-before
             # the requested instant (Delta's time-travel rule)
             target = -1
             for v in commit_vs:
-                if self.read_commit(v)["timestamp_ms"] <= timestamp_ms:
+                doc = self._read_json_validated(self._commit_uri(v), commits[v])
+                if doc["timestamp_ms"] <= timestamp_ms:
                     target = max(target, v)
             if target == -1:
                 return Snapshot(version=-1)
             version = target
         if version is not None:
-            if version not in commit_vs and version not in cp_vs:
+            if version not in commits and version not in checkpoints:
                 raise ValueError(
                     f"version {version} does not exist for {self.table_uri} "
                     f"(have {commit_vs})"
@@ -163,13 +178,13 @@ class TransactionLog:
         live: dict[str, dict] = {}
         v = -1
         if base is not None:
-            cp = self.read_checkpoint(base)
+            cp = self._read_json_validated(self._checkpoint_uri(base), checkpoints[base])
             live = {entry["path"]: entry for entry in cp["files"]}
             v = cp["version"]
         for cv in commit_vs:
             if cv <= (base if base is not None else -1) or cv > version:
                 continue
-            self._apply(live, self.read_commit(cv))
+            self._apply(live, self._read_json_validated(self._commit_uri(cv), commits[cv]))
             v = cv
         return Snapshot(version=v, files=list(live.values()))
 
@@ -263,7 +278,7 @@ class TransactionLog:
         # checkpoint that is itself outside retention are unreachable by
         # any time travel the retention contract still promises — delete
         # them so the log dir (and snapshot listing) stays bounded.
-        _, cp_vs = self._list_log()
+        cp_vs = sorted(self._list_log()[1])
         base = None
         for cv in cp_vs:
             if self.read_checkpoint(cv)["timestamp_ms"] <= horizon_ms:

@@ -94,3 +94,29 @@ def test_rag_pipeline_roundtrip(engine, spark):
     top = min(out, key=lambda r: r["rank"])
     assert top["neighbor_id"] // 100000 == 7
     assert top["cos"] == 1.0
+
+
+def test_centroid_cache_versioned_per_engine(engine, emb):
+    """Probing twice reuses the per-engine centroid cache (no centroid
+    table re-read); a rebuild bumps the centroid-table version and the
+    cache refills with the new centroids."""
+    from modelardb_rs_spark.operators import ann_index as ai
+
+    ai.build_ivf_index(engine, "cidx", emb, bucket_col="label")
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    r1 = ai.ivf_index_topk(engine, "cidx", emb.limit(2), k=3, nprobe=2).collect()
+    cache = engine._ann_centroid_cache
+    assert len(cache) >= 1
+    key1 = next(k for k in cache if k[0] == "cidx__centroids")
+    rows1 = cache[key1]
+    r2 = ai.ivf_index_topk(engine, "cidx", emb.limit(2), k=3, nprobe=2).collect()
+    assert cache[key1] is rows1  # same cached rows object — no re-read
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    # rebuild: live file set changes, old key evicted, fresh rows cached
+    ai.build_ivf_index(engine, "cidx", emb, bucket_col="label")
+    ai.ivf_index_topk(engine, "cidx", emb.limit(2), k=3, nprobe=2).collect()
+    keys = [k for k in engine._ann_centroid_cache if k[0] == "cidx__centroids"]
+    assert keys and keys[0] != key1
+    assert key1 not in engine._ann_centroid_cache

@@ -161,3 +161,47 @@ def test_explain_path(engine, spark):
     )
     assert p3.startswith("gridded view")
     assert engine.explain_path("SHOW TABLES") == "show_tables"
+
+
+def test_explain_analyze_counters(engine, spark):
+    """EXPLAIN ANALYZE on a mixed fast/slow table: the linear series
+    decodes on the JVM fast path, the random series through the Python
+    decode — both counters must be nonzero and sum to the table
+    (reference metric parity: grid_exec.rs:439-518)."""
+    import re as _re
+
+    import numpy as np
+
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE ea(timestamp TIMESTAMP, v FIELD, tag TAG)"
+    )
+    rng = np.random.default_rng(5)
+    lin = spark.range(300).selectExpr(
+        "timestamp_micros(id * 1000000) AS timestamp",
+        "CAST(id AS FLOAT) AS v", "'linear' AS tag",
+    )
+    rnd = spark.createDataFrame(
+        [(i, float(rng.standard_normal())) for i in range(300)], "id long, x double"
+    ).selectExpr(
+        "timestamp_micros(id * 1000000) AS timestamp",
+        "CAST(x AS FLOAT) AS v", "'random' AS tag",
+    )
+    engine.write("ea", lin.unionByName(rnd))
+
+    out = engine.explain_path(
+        "SELECT count(v) AS n FROM ea WHERE timestamp >= timestamp '1970-01-01'",
+        analyze=True,
+    )
+    assert out.startswith("gridded view")
+    nums = {
+        k: int(v) for k, v in _re.findall(r"(\w+)=(\d+)", out.splitlines()[1])
+    }
+    assert nums["output_rows"] == 1
+    assert nums["python_decoded_points"] > 0
+    assert nums["jvm_fast_points"] > 0
+    assert nums["python_decoded_points"] + nums["jvm_fast_points"] == 600
+    assert nums["python_decoded_segments"] > 0
+    assert nums["jvm_fast_segments"] > 0
+    assert nums["python_arrow_batches"] >= 1
+    # un-instrumented runs carry no counters
+    assert engine._analyze_metrics is None
