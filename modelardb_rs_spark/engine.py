@@ -75,6 +75,18 @@ _INTERVAL_UNITS_US = {
 }
 
 
+def _contiguous_ranges(bucket_starts_us: list[int], every_us: int):
+    """Merge sorted bucket-start timestamps into [lo, hi] runs of
+    adjacent buckets (hi = last bucket's start)."""
+    runs: list[tuple[int, int]] = []
+    for b in sorted(bucket_starts_us):
+        if runs and b == runs[-1][1] + every_us:
+            runs[-1] = (runs[-1][0], b)
+        else:
+            runs.append((b, b))
+    return runs
+
+
 def _interval_us(every) -> int:
     """Accept a bucket width as µs int or an interval string ('15 minutes',
     '1 hour', '1 day')."""
@@ -257,12 +269,15 @@ class Engine:
         for n in names:
             self.folder.vacuum(n, retain_seconds)
 
-    def expire(self, name: str, older_than) -> dict:
+    def expire(self, name: str, older_than, not_before=None) -> dict:
         """Time-range retention: transactionally delete points with
         timestamp strictly before ``older_than`` (epoch-µs int, datetime,
         or ISO string). SQL form: ``DELETE FROM t WHERE ts < TIMESTAMP
-        '...'``. Whole-file removals are metadata-only; only cutoff-
-        straddling segments are re-encoded (lossless, value-stable) —
+        '...'``. ``not_before`` bounds the deletion below (delete only
+        [not_before, older_than) — used by policies that must preserve
+        late-arriving points under an already-processed watermark).
+        Whole-file removals are metadata-only; only window-straddling
+        segments are re-encoded (lossless, value-stable) —
         operators/retention.py. Expired files remain readable via time
         travel until VACUUM."""
         kind = self.catalog.kind(name)
@@ -275,7 +290,9 @@ class Engine:
         cutoff_us = _to_us(older_than)
         if cutoff_us is None:
             raise ValueError("expire requires a cutoff")
-        return self.folder.expire_segments_before(meta, cutoff_us)
+        return self.folder.expire_segments_before(
+            meta, cutoff_us, not_before_us=_to_us(not_before)
+        )
 
     def resegment(self, name: str) -> dict:
         """Merge time-overlapping segments left by out-of-order or
@@ -308,8 +325,19 @@ class Engine:
         policy watermark — a re-run after a crash between the rollup
         append and the expire rolls up nothing new and simply finishes
         the expire. The cutoff is aligned DOWN to a bucket edge so a
-        bucket is never half-rolled. Returns ``{"rolled_buckets",
-        "expired"}``.
+        bucket is never half-rolled.
+
+        Late data: out-of-order points landing BELOW the watermark
+        after a previous run are never silently destroyed. Buckets the
+        rollup does not have yet are rolled up from the late points and
+        appended — and when a bucket had no prior rollup row for ANY
+        group, its raw window is then expired too (the new rows were
+        computed from exactly that raw). Late points whose bucket was
+        already rolled (their peers are expired, so the bucket cannot
+        be recomputed exactly) are KEPT at raw resolution — the main
+        expire deletes only [watermark, cutoff). Returns
+        ``{"rolled_buckets", "expired", "late_rolled_buckets",
+        "late_points_kept"}``.
         """
         meta = self.catalog.time_series_metadata(name)
         every_us = _interval_us(every)
@@ -322,6 +350,51 @@ class Engine:
             wm = self.table(rollup_table).agg(F.max("bucket")).collect()[0][0]
             if wm is not None:
                 start_us = _to_us(wm) + every_us
+
+        late_rolled = 0
+        late_kept = 0
+        not_before = None
+        if start_us is not None:
+            # any raw below the watermark is late (its window was
+            # expired by an earlier run) — cheap segment-metadata probe
+            late_exists = (
+                self.segments(name, None, start_us - 1).limit(1).count() > 0
+            )
+            if late_exists:
+                not_before = start_us
+                late_res = self.resample(
+                    name, every_us, columns, group_by=group, end=start_us - 1
+                ).where(F.col("bucket") < F.timestamp_micros(F.lit(start_us)))
+                have = self.table(rollup_table).select("bucket", *group).distinct()
+                prior_buckets = {
+                    _to_us(r[0]) for r in have.select("bucket").distinct().collect()
+                }
+                new_rows = late_res.join(have, ["bucket"] + group, "left_anti")
+                late_rolled = new_rows.count()
+                if late_rolled:
+                    self.write(rollup_table, new_rows)
+                    # buckets with no prior rollup row for ANY group are
+                    # now FULLY represented by the rows just written —
+                    # expire their raw window (merged into contiguous
+                    # ranges, one commit each)
+                    all_new = sorted(
+                        b
+                        for (b,) in new_rows.select("bucket").distinct().collect()
+                        if _to_us(b) not in prior_buckets
+                    )
+                    for lo_b, hi_b in _contiguous_ranges(
+                        [_to_us(b) for b in all_new], every_us
+                    ):
+                        self.expire(name, hi_b + every_us, not_before=lo_b)
+                late_kept = (
+                    self.read_time_series_table(
+                        name,
+                        columns={meta.field_names[0]: "count"},
+                        end=start_us - 1,
+                    ).collect()[0][0]
+                    or 0
+                )
+
         rolled = 0
         if start_us is None or start_us < cutoff_us:
             res = self.resample(
@@ -333,11 +406,20 @@ class Engine:
             # resample prunes to [start, cutoff) via segment spans; the
             # bucket filter below is belt-and-braces for boundary segments
             res = res.where(F.col("bucket") < F.timestamp_micros(F.lit(cutoff_us)))
+            if start_us is not None:
+                res = res.where(
+                    F.col("bucket") >= F.timestamp_micros(F.lit(start_us))
+                )
             rolled = res.count()
             if rolled:
                 self.write(rollup_table, res)
-        expired = self.expire(name, cutoff_us)
-        return {"rolled_buckets": rolled, "expired": expired}
+        expired = self.expire(name, cutoff_us, not_before=not_before)
+        return {
+            "rolled_buckets": rolled,
+            "expired": expired,
+            "late_rolled_buckets": late_rolled,
+            "late_points_kept": late_kept,
+        }
 
     def optimize(self, name: str, target_file_bytes: int = 128 << 20) -> dict:
         """Compact small files into ~target-sized ones (one transactional

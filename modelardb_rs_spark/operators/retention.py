@@ -39,14 +39,19 @@ from modelardb_rs_spark.types import ErrorBound, segment_schema
 
 
 def refit_segments(
-    segments: DataFrame, tag_columns: list[str], min_ts_us: int | None = None
+    segments: DataFrame,
+    tag_columns: list[str],
+    min_ts_us: int | None = None,
+    drop_lo_us: int | None = None,
 ) -> DataFrame:
-    """Decode segments per (field, series), optionally drop points
-    before ``min_ts_us``, and refit LOSSLESS — the input values are
-    themselves reconstructions, so lossless keeps them bit-stable.
-    Arrow-batched; within each batch, one decode+fit per series. Used
-    by retention (truncate-at-cutoff) and resegmentation (merge
-    overlapping segments after out-of-order ingest)."""
+    """Decode segments per (field, series), optionally drop points in
+    the deletion window (``[drop_lo_us, min_ts_us)`` when both are
+    given, ``(-inf, min_ts_us)`` with only ``min_ts_us``), and refit
+    LOSSLESS — the input values are themselves reconstructions, so
+    lossless keeps them bit-stable. Arrow-batched; within each batch,
+    one decode+fit per series. Used by retention (truncate-at-cutoff,
+    ranged delete) and resegmentation (merge overlapping segments after
+    out-of-order ingest)."""
     out_schema = segment_schema(tag_columns)
     group_cols = ["field_column", *tag_columns]
 
@@ -68,6 +73,8 @@ def refit_segments(
                 vals = pts["value"].to_numpy()
                 if min_ts_us is not None:
                     mask = ts >= min_ts_us
+                    if drop_lo_us is not None:
+                        mask |= ts < drop_lo_us
                     ts, vals = ts[mask], vals[mask]
                 if len(ts) == 0:
                     continue
@@ -85,25 +92,43 @@ def refit_segments(
 
 
 def rewrite_straddling(
-    straddling: DataFrame, tag_columns: list[str], cutoff_us: int
+    straddling: DataFrame,
+    tag_columns: list[str],
+    cutoff_us: int,
+    not_before_us: int | None = None,
 ) -> DataFrame:
-    """Re-encode segments that straddle the retention cutoff: decode,
-    drop points before the cutoff, refit lossless."""
-    return refit_segments(straddling, tag_columns, min_ts_us=cutoff_us)
+    """Re-encode segments that straddle the deletion window: decode,
+    drop points in [not_before, cutoff) (all points before the cutoff
+    when ``not_before_us`` is None), refit lossless."""
+    return refit_segments(
+        straddling, tag_columns, min_ts_us=cutoff_us, drop_lo_us=not_before_us
+    )
 
 
 def split_boundary_segments(
-    boundary: DataFrame, tag_columns: list[str], cutoff_us: int
+    boundary: DataFrame,
+    tag_columns: list[str],
+    cutoff_us: int,
+    not_before_us: int | None = None,
 ) -> DataFrame:
     """Segments of boundary files, partitioned by their relation to the
-    cutoff: fully-old rows are dropped, fully-new rows pass verbatim,
-    straddling rows go through ``rewrite_straddling``."""
-    keep_whole = boundary.where(F.col("start_time") >= F.lit(int(cutoff_us)))
-    straddle = boundary.where(
-        (F.col("start_time") < F.lit(int(cutoff_us)))
-        & (F.col("end_time") >= F.lit(int(cutoff_us)))
+    deletion window [not_before, cutoff): fully-inside rows are
+    dropped, fully-outside rows pass verbatim, straddling rows go
+    through ``rewrite_straddling``. ``not_before_us=None`` is the plain
+    retention cutoff (delete everything before)."""
+    cut = F.lit(int(cutoff_us))
+    if not_before_us is None:
+        outside = F.col("start_time") >= cut
+        inside = F.col("end_time") < cut
+    else:
+        lo = F.lit(int(not_before_us))
+        outside = (F.col("start_time") >= cut) | (F.col("end_time") < lo)
+        inside = (F.col("start_time") >= lo) & (F.col("end_time") < cut)
+    keep_whole = boundary.where(outside)
+    straddle = boundary.where(~outside & ~inside)
+    return keep_whole.unionByName(
+        rewrite_straddling(straddle, tag_columns, cutoff_us, not_before_us)
     )
-    return keep_whole.unionByName(rewrite_straddling(straddle, tag_columns, cutoff_us))
 
 
 def merge_overlapping_segments(segments: DataFrame, tag_columns: list[str]) -> DataFrame:

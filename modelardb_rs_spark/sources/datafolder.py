@@ -455,14 +455,23 @@ class DataFolder:
         produced = len(self.log(name).read_commit(version).get("add", []))
         return {"compacted": len(small), "produced": produced, "version": version}
 
-    def expire_segments_before(self, meta: TimeSeriesTableMetadata, cutoff_us: int) -> dict:
+    def expire_segments_before(
+        self,
+        meta: TimeSeriesTableMetadata,
+        cutoff_us: int,
+        not_before_us: int | None = None,
+    ) -> dict:
         """Transactional time-range retention (DELETE WHERE timestamp <
-        cutoff) — see operators/retention.py for the three cost classes.
-        Files entirely before the cutoff are removed metadata-only from
-        the commit-log stats; boundary files are rewritten (verbatim for
-        fully-kept segments, lossless re-encode for straddlers); one
-        atomic commit covers both. Concurrent appends are untouched.
-        Returns {"files_removed", "files_rewritten", "version"}."""
+        cutoff, or WHERE not_before <= timestamp < cutoff when a lower
+        bound is given) — see operators/retention.py for the three cost
+        classes. Files entirely inside the deletion window are removed
+        metadata-only from the commit-log stats; boundary files are
+        rewritten (verbatim for fully-kept segments, lossless re-encode
+        for straddlers); one atomic commit covers both. Concurrent
+        appends are untouched. The lower bound exists for policies that
+        must preserve late-arriving points below an already-processed
+        watermark (Engine.downsample_expire). Returns
+        {"files_removed", "files_rewritten", "version"}."""
         from modelardb_rs_spark.operators.retention import split_boundary_segments
 
         name = meta.name
@@ -470,11 +479,19 @@ class DataFolder:
         old, boundary = [], []
         for f in snap.files:
             lo, hi = f.get("min_start_time"), f.get("max_end_time")
-            if hi is not None and hi < cutoff_us:
+            fully_inside = (
+                hi is not None
+                and hi < cutoff_us
+                and (not_before_us is None or (lo is not None and lo >= not_before_us))
+            )
+            untouched = (lo is not None and lo >= cutoff_us) or (
+                not_before_us is not None and hi is not None and hi < not_before_us
+            )
+            if fully_inside:
                 old.append(f["path"])
-            elif lo is None or lo < cutoff_us:
+            elif not untouched:
                 # conservative: stats-less files go through the rewrite,
-                # which keeps fully-new segments verbatim
+                # which keeps fully-outside segments verbatim
                 boundary.append(f["path"])
         if not old and not boundary:
             return {"files_removed": 0, "files_rewritten": 0, "version": snap.version}
@@ -503,7 +520,7 @@ class DataFolder:
             if fld.name not in df.columns:
                 df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
         df = df.select(*[fld.name for fld in schema.fields])
-        kept = split_boundary_segments(df, meta.tag_columns, cutoff_us)
+        kept = split_boundary_segments(df, meta.tag_columns, cutoff_us, not_before_us)
         sort_cols = ["field_column", *meta.tag_columns, "start_time"]
 
         def write_staged(staged: str) -> None:

@@ -295,41 +295,91 @@ def start_near_dup_ingest(
     (operators/dedup_index.py), survivors land in ``table`` AND extend
     the index, duplicates are dropped. Within-batch near-dups are also
     collapsed (the batch is deduped against itself before the index
-    grows). Exactly-once across restarts comes from the checkpoint plus
-    the transactional appends.
+    grows). Exactly-once across restarts: foreachBatch is at-least-once,
+    and the sink performs TWO appends (table, index), so replays are
+    made idempotent in three layers — a per-epoch marker table skips
+    fully-processed batches outright; each append is independently
+    gated by probing for the batch's representative id (appends are
+    atomic commits, so one present id implies the whole append landed);
+    and survivor computation is deterministic, so a replay regenerates
+    the same rows it gates on. Every crash window between the two
+    commits converges to exactly-once effects.
 
     This is the production shape of dedup: the corpus is never
     re-read — state is k signature strings per kept document, held in a
     table rather than the state store so it survives independently of
     the streaming query and is queryable/vacuumable like any table.
     """
-    from modelardb_rs_spark.operators import dedup_index as ndi
-    from modelardb_rs_spark.operators.dedup import minhash_dedup_pairs
+    epochs_table = f"{table}__ingest_epochs"
+    if epochs_table not in engine.tables():
+        engine.create_table(epochs_table, "epoch BIGINT")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        batch_df = batch_df.localCheckpoint(eager=True)
-        # collapse within-batch near-dups first (keep min id per pair)
-        pairs = minhash_dedup_pairs(
-            batch_df, threshold=min_est_jaccard, text_col=text_col, id_col=id_col
+        near_dup_ingest_batch(
+            engine, index_name, table, batch_df, epoch_id,
+            min_est_jaccard, text_col, id_col,
         )
-        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        batch_df = batch_df.join(dropped, id_col, "left_anti")
-        # then drop anything matching the stored corpus
-        hits = ndi.near_dup_check(
-            engine, index_name, batch_df, min_est_jaccard, text_col, id_col
-        )
-        fresh = batch_df.join(
-            hits.select(id_col).distinct(), id_col, "left_anti"
-        ).localCheckpoint(eager=True)
-        if fresh.isEmpty():
-            return
-        engine.write(table, fresh)
-        ndi.append_to_minhash_index(engine, index_name, fresh, text_col, id_col)
 
     return (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .start()
+    )
+
+
+def near_dup_ingest_batch(
+    engine,
+    index_name: str,
+    table: str,
+    batch_df: DataFrame,
+    epoch_id: int,
+    min_est_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the near-dup ingest — idempotent under replay
+    (see start_near_dup_ingest). Factored out so crash-window replays
+    are directly testable."""
+    from modelardb_rs_spark.operators import dedup_index as ndi
+    from modelardb_rs_spark.operators.dedup import minhash_dedup_pairs
+
+    epochs_table = f"{table}__ingest_epochs"
+
+    def _contains(tbl: str, col: str, val) -> bool:
+        return (
+            engine.table(tbl).where(F.col(col) == F.lit(val)).limit(1).count() > 0
+        )
+
+    if batch_df.isEmpty() or _contains(epochs_table, "epoch", int(epoch_id)):
+        return
+    batch_df = batch_df.localCheckpoint(eager=True)
+    # collapse within-batch near-dups first (keep min id per pair)
+    pairs = minhash_dedup_pairs(
+        batch_df, threshold=min_est_jaccard, text_col=text_col, id_col=id_col
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    batch_df = batch_df.join(dropped, id_col, "left_anti")
+    # then drop anything matching the stored corpus. On a replay where
+    # the prior attempt finished the index append, the batch's own
+    # signatures are in the index: every survivor self-hits, fresh is
+    # empty, and only the marker below is (re)written.
+    hits = ndi.near_dup_check(
+        engine, index_name, batch_df, min_est_jaccard, text_col, id_col
+    )
+    fresh = batch_df.join(
+        hits.select(id_col).distinct(), id_col, "left_anti"
+    ).localCheckpoint(eager=True)
+    if not fresh.isEmpty():
+        rep_id = fresh.agg(F.min(id_col)).collect()[0][0]
+        # each append is one atomic commit: the representative id being
+        # present means the whole append committed — a replay of the
+        # crash window between the two commits redoes only the missing
+        # one (survivor computation is deterministic)
+        if not _contains(table, id_col, rep_id):
+            engine.write(table, fresh)
+        if not _contains(ndi._sigs_table(index_name), id_col, rep_id):
+            ndi.append_to_minhash_index(engine, index_name, fresh, text_col, id_col)
+    engine.write(
+        epochs_table,
+        engine.spark.createDataFrame([(int(epoch_id),)], "epoch BIGINT"),
     )

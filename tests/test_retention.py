@@ -316,3 +316,65 @@ def test_expire_races_concurrent_appends(engine, spark):
     got = engine.table("rc").groupBy("tag").count().collect()
     counts = {r["tag"]: r["count"] for r in got}
     assert counts == {"t0": 50, "t1": 50, "t2": 50}
+
+
+def test_downsample_expire_keeps_late_data(engine, spark):
+    """Out-of-order points below the rollup watermark must never be
+    silently destroyed: a bucket the rollup lacks is rolled up from the
+    late points; late points in already-rolled buckets survive the
+    expire at raw resolution (the deletion window is bounded below by
+    the watermark)."""
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE lp(timestamp TIMESTAMP, v FIELD, tag TAG)"
+    )
+    rows = [
+        Row(timestamp=TS0 + datetime.timedelta(hours=6 * i), v=1.0, tag="a")
+        for i in range(40)  # days 0-9
+    ]
+    engine.write("lp", spark.createDataFrame(rows))
+    out = engine.downsample_expire(
+        "lp", "lp_daily", "1 day", {"v": ["count", "sum"]},
+        TS0 + datetime.timedelta(days=5),
+    )
+    assert out["rolled_buckets"] == 5 and out["late_points_kept"] == 0
+
+    # late arrivals BELOW the watermark: 2 into already-rolled day 2,
+    # 3 into day -1 (a bucket the rollup has never seen)
+    late = [
+        Row(timestamp=TS0 + datetime.timedelta(days=2, minutes=m), v=100.0, tag="a")
+        for m in (1, 2)
+    ] + [
+        Row(timestamp=TS0 - datetime.timedelta(hours=h), v=7.0, tag="a")
+        for h in (1, 2, 3)
+    ]
+    engine.write("lp", spark.createDataFrame(late))
+
+    out2 = engine.downsample_expire(
+        "lp", "lp_daily", "1 day", {"v": ["count", "sum"]},
+        TS0 + datetime.timedelta(days=7),
+    )
+    # days 5,6 rolled normally; day -1 caught up from late points and
+    # its raw window expired (fully represented by the new rollup row)
+    assert out2["rolled_buckets"] == 2
+    assert out2["late_rolled_buckets"] == 1
+    assert out2["late_points_kept"] == 2
+    daily = {
+        r["bucket"]: (r["count_v"], r["sum_v"])
+        for r in engine.table("lp_daily").collect()
+    }
+    day_minus1 = TS0 - datetime.timedelta(days=1)
+    assert daily[day_minus1.replace(tzinfo=None)] == (3, 21.0)
+    # raw: the 5 late points survive; the normally-expired range is gone
+    raw = engine.table("lp").select("timestamp", "v").collect()
+    raw_us = sorted(_us_ts(r["timestamp"]) for r in raw)
+    assert len([u for u in raw_us if u < _us(TS0 + datetime.timedelta(days=7))]) == 2
+    # day-2 late points specifically survived
+    assert sum(1 for r in raw if r["v"] == 100.0) == 2
+    # totals: rollup + surviving raw covers everything exactly once
+    rolled_sum = engine.table("lp_daily").agg(F.sum("sum_v")).collect()[0][0]
+    raw_sum = engine.table("lp").agg(F.sum("v")).collect()[0][0]
+    # rollup holds days 0-6 (7 buckets x 4 points) plus day -1 (21.0);
+    # raw holds days 7-9 plus the two kept late points in rolled day 2
+    assert abs(rolled_sum - (7 * 4 * 1.0 + 21.0)) < 1e-6
+    assert abs(raw_sum - (3 * 4 * 1.0 + 200.0)) < 1e-6
+    assert abs((rolled_sum + raw_sum) - (40 * 1.0 + 200.0 + 21.0)) < 1e-6

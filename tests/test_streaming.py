@@ -302,3 +302,53 @@ def test_streaming_near_dup_ingest(spark, engine, tmp_path):
         q.stop()
     kept = {r["doc_id"] for r in engine.table("docs_clean").collect()}
     assert kept == {11, 21}
+
+
+def test_near_dup_ingest_replay_is_idempotent(spark, engine):
+    """foreachBatch is at-least-once: a crash between the table append
+    and the index append must not duplicate rows when the batch
+    replays, and a fully-processed epoch must be skipped outright."""
+    from modelardb_rs_spark.operators import dedup_index as ndi
+    from modelardb_rs_spark.operators.dedup_index import build_minhash_index
+    from modelardb_rs_spark.streaming.ingest import near_dup_ingest_batch
+
+    base = "the quick brown fox jumps over the lazy dog once more " * 5
+    engine.create_table("docs_r", "doc_id BIGINT, text STRING")
+    engine.create_table("docs_r__ingest_epochs", "epoch BIGINT")
+    build_minhash_index(
+        engine, "rndi",
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+    )
+    batch = spark.createDataFrame(
+        [(10, "totally novel content about streams " * 8)],
+        "doc_id long, text string",
+    )
+
+    # crash window: table append commits, index append raises
+    real_append = ndi.append_to_minhash_index
+    calls = {"n": 0}
+
+    def crashing_append(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash between the two commits")
+        return real_append(*a, **kw)
+
+    ndi.append_to_minhash_index = crashing_append
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            near_dup_ingest_batch(engine, "rndi", "docs_r", batch, 0)
+        assert engine.table("docs_r").count() == 1  # docs landed
+        assert engine.table("docs_r__ingest_epochs").count() == 0  # no marker
+        # replay of the same epoch: no duplicate doc, index catches up
+        near_dup_ingest_batch(engine, "rndi", "docs_r", batch, 0)
+    finally:
+        ndi.append_to_minhash_index = real_append
+    assert engine.table("docs_r").count() == 1
+    sigs = engine.table("rndi__sigs")
+    assert sigs.where(F.col("doc_id") == 10).count() == 1
+    assert engine.table("docs_r__ingest_epochs").collect()[0]["epoch"] == 0
+    # a third delivery (marker present) is a pure no-op
+    near_dup_ingest_batch(engine, "rndi", "docs_r", batch, 0)
+    assert engine.table("docs_r").count() == 1
+    assert sigs.where(F.col("doc_id") == 10).count() == 1
