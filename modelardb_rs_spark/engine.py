@@ -629,6 +629,11 @@ class Engine:
             )
         if stmt.kind == "delete":
             table = stmt.tables[0]
+            if self.catalog.kind(table) != TableKind.TIME_SERIES:
+                raise ValueError(
+                    f"{table}: DELETE/expire supports time series tables only "
+                    "(normal tables are append-only; use TRUNCATE)"
+                )
             meta = self.catalog.time_series_metadata(table)
             if stmt.delete_column.lower() != meta.timestamp_column.lower():
                 raise ValueError(

@@ -35,11 +35,20 @@ def _norm(line: Column) -> Column:
 
 
 def explode_lines(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, line_no, line, norm) — one row per line of every document."""
+    """(id, line_no, line, norm) — one row per line of every document.
+    NULL text counts as empty: split(NULL) is NULL and posexplode would
+    emit no rows, silently dropping the document from every downstream
+    grouped output — coalescing keeps the one-row-per-document
+    contract of remove_common_lines."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.repartition(parallelism, F.col(id_col))
-        .select(F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+            ).alias("line_no", "line"),
+        )
         .withColumn("norm", _norm(F.col("line")))
     )
 

@@ -131,6 +131,40 @@ def split_boundary_segments(
     )
 
 
+def refit_series_grouped(dirty: DataFrame, tag_columns: list[str]) -> DataFrame:
+    """Whole-series lossless refit: ``applyInPandas`` per
+    (field_column, tags) group, so a series' segments are ALWAYS refit
+    together — unlike ``refit_segments``' mapInPandas, whose Arrow
+    batches (~10k rows) could split a many-segment series and refit it
+    in independent pieces, leaving the output still overlapping.
+    Memory per task is bounded by one series' segments (the price of
+    the disjointness postcondition)."""
+    out_schema = segment_schema(tag_columns)
+    keys = ["field_column", *tag_columns]
+
+    def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from modelardb_rs_spark.operators.compress import _assemble
+
+        field_idx = int(pdf["field_column"].iloc[0])
+        tag_values = {
+            t: (None if pd.isna(v) else v)
+            for t, v in ((t, pdf[t].iloc[0]) for t in tag_columns)
+        }
+        pts = decode_segments(pdf, tag_columns)
+        ts = pts["timestamp"].to_numpy()
+        vals = pts["value"].to_numpy()
+        if len(ts) == 0:
+            return pd.DataFrame({f.name: [] for f in out_schema.fields})
+        order = np.argsort(ts, kind="stable")
+        cols = fit_series(ts[order], vals[order], ErrorBound.lossless())
+        n = len(cols["model_type_id"])
+        if not n:
+            return pd.DataFrame({f.name: [] for f in out_schema.fields})
+        return _assemble([(cols, field_idx, tag_values, n)], tag_columns)
+
+    return dirty.groupBy(*keys).applyInPandas(fit_group, schema=out_schema)
+
+
 def merge_overlapping_segments(segments: DataFrame, tag_columns: list[str]) -> DataFrame:
     """Resegmentation after out-of-order ingest: cross-batch late data
     legally produces time-OVERLAPPING segments per series (the relaxed
@@ -160,4 +194,8 @@ def merge_overlapping_segments(segments: DataFrame, tag_columns: list[str]) -> D
     )
     clean = marked.where(F.col("__dirty__") == 0).drop("__ov__", "__dirty__")
     dirty = marked.where(F.col("__dirty__") == 1).drop("__ov__", "__dirty__")
-    return clean.unionByName(refit_segments(dirty, tag_columns))
+    # grouped refit: a dirty series is ALWAYS refit as one unit, so the
+    # 'disjoint, time-ordered' postcondition holds regardless of how
+    # many segments the series has (mapInPandas Arrow batches would
+    # split a >10k-segment series into independently-refit pieces)
+    return clean.unionByName(refit_series_grouped(dirty, tag_columns))

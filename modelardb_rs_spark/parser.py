@@ -50,13 +50,19 @@ _DESCRIBE = re.compile(
     re.IGNORECASE,
 )
 # Retention DELETE: a single strictly-before (or at-most) predicate on
-# one column; anything else is rejected, not silently misread (the
-# engine is otherwise append-only, SURVEY §1.4).
+# one column; anything else is rejected with a clear error, not
+# silently misread or passed through to Spark (the engine is otherwise
+# append-only, SURVEY §1.4). _DELETE_PREFIX catches every other
+# DELETE shape so it can be REFUSED instead of reaching spark.sql and
+# failing with an unrelated Catalyst error.
 _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+"
     r"(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*(?P<op><=?)\s*"
-    r"(?P<lit>TIMESTAMP\s*'[^']+'|\d+)\s*;?\s*$",
+    r"(?P<lit>(?:TIMESTAMP\s*|DATE\s*)?'[^']+'|\d+)\s*;?\s*$",
     re.IGNORECASE,
+)
+_DELETE_PREFIX = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)", re.IGNORECASE
 )
 _OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
@@ -252,6 +258,14 @@ def parse_statement(sql: str) -> ModelarStatement:
             delete_column=m["col"],
             delete_op=m["op"],
             delete_literal=m["lit"],
+        )
+    if m := _DELETE_PREFIX.match(sql):
+        raise ValueError(
+            f"unsupported DELETE on {m['name']!r}: only time-range retention "
+            "of the form DELETE FROM t WHERE <timestamp_col> < TIMESTAMP "
+            "'...' (or <=, or an epoch-µs integer, or DATE '...') is "
+            "supported — qualified columns, compound predicates, and "
+            "row-level deletes are not"
         )
     if m := _OPTIMIZE.match(sql):
         return ModelarStatement(

@@ -205,3 +205,27 @@ def test_explain_analyze_counters(engine, spark):
     assert nums["python_arrow_batches"] >= 1
     # un-instrumented runs carry no counters
     assert engine._analyze_metrics is None
+
+
+def test_delete_unsupported_shapes_are_refused(engine, spark):
+    """Non-matching DELETE forms raise a clear error instead of falling
+    through to spark.sql; DELETE on a normal table gets expire's
+    friendly table-kind message; DATE literals are accepted."""
+    engine.read_sql("CREATE TIME SERIES TABLE dl(timestamp TIMESTAMP, v FIELD)")
+    engine.create_table("dn", "id BIGINT")
+    with pytest.raises(ValueError, match="unsupported DELETE"):
+        engine.read_sql("DELETE FROM dl WHERE dl.timestamp < TIMESTAMP '2024-01-01'")
+    with pytest.raises(ValueError, match="unsupported DELETE"):
+        engine.read_sql(
+            "DELETE FROM dl WHERE timestamp < TIMESTAMP '2024-01-01' AND v > 3"
+        )
+    with pytest.raises(ValueError, match="time series tables only"):
+        engine.read_sql("DELETE FROM dn WHERE ts < TIMESTAMP '2024-01-01'")
+    engine.write(
+        "dl",
+        spark.range(10).selectExpr(
+            "timestamp_micros(id * 86400000000) AS timestamp", "CAST(id AS FLOAT) AS v"
+        ),
+    )
+    engine.read_sql("DELETE FROM dl WHERE timestamp < DATE '1970-01-05'")
+    assert engine.table("dl").count() == 6

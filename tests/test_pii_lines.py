@@ -169,3 +169,18 @@ def test_minhash_index_roundtrip(engine, spark):
     append_to_minhash_index(engine, "ndi", new.where(F.col("doc_id") == 11))
     again = near_dup_check(engine, "ndi", new.where(F.col("doc_id") == 11), 0.9)
     assert {(r["doc_id"], r["matched_id"]) for r in again.collect()} == {(11, 11)}
+
+
+def test_remove_common_lines_keeps_null_text_docs(spark):
+    """A document with NULL text must survive as an empty husk — one
+    output row per input row, as documented."""
+    from modelardb_rs_spark.operators.lines import remove_common_lines
+
+    docs = spark.createDataFrame(
+        [(1, "shared footer\nunique a"), (2, "shared footer\nunique b"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_common_lines(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3]["text"] == "" and out[3]["n_lines_kept"] == 1
+    assert "shared footer" not in out[1]["text"]

@@ -378,3 +378,42 @@ def test_downsample_expire_keeps_late_data(engine, spark):
     assert abs(rolled_sum - (7 * 4 * 1.0 + 21.0)) < 1e-6
     assert abs(raw_sum - (3 * 4 * 1.0 + 200.0)) < 1e-6
     assert abs((rolled_sum + raw_sum) - (40 * 1.0 + 200.0 + 21.0)) < 1e-6
+
+
+def test_resegment_whole_series_across_arrow_batches(engine, spark):
+    """A dirty series whose segments span many Arrow batches must still
+    come out disjoint: the grouped refit (applyInPandas per series)
+    cannot be split by the ~N-rows-per-batch Arrow boundary the old
+    mapInPandas path had."""
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE rs2(timestamp TIMESTAMP, v FIELD, tag TAG)"
+    )
+    # many tiny interleaved writes -> many overlapping segments, one series
+    for k in range(6):
+        rows = [
+            Row(
+                timestamp=TS0 + datetime.timedelta(seconds=6 * i + k),
+                v=float((i * 7 + k) % 13),
+                tag="s",
+            )
+            for i in range(40)
+        ]
+        engine.write("rs2", spark.createDataFrame(rows))
+    before = engine.table("rs2").collect()
+    old_batch = engine.spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    engine.spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        engine.resegment("rs2")
+    finally:
+        if old_batch is None:
+            engine.spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            engine.spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
+    # postcondition: per series, segments disjoint and time-ordered
+    segs = engine.segments("rs2").select("start_time", "end_time").collect()
+    spans = sorted((r["start_time"], r["end_time"]) for r in segs)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 < s2, f"overlap survived: ({s1},{e1}) vs ({s2},{e2})"
+    # and not a single point changed
+    after = engine.table("rs2").collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
