@@ -142,6 +142,22 @@ class TimeSeriesTableMetadata:
         """Stored field name -> physical field_column partition value."""
         return {name: i for i, name in enumerate(self.field_columns)}
 
+    def to_create_sql(self) -> str:
+        """Reconstruct the CREATE TIME SERIES TABLE statement (the
+        dialect parser round-trips it) — used to replicate tables to
+        cluster peers over the Flight CreateTable action."""
+        cols = [f"{self.timestamp_column} TIMESTAMP"]
+        for name, bound in self.field_columns.items():
+            if bound.kind == ErrorBoundKind.ABSOLUTE:
+                cols.append(f"{name} FIELD({bound.value})")
+            elif bound.kind == ErrorBoundKind.RELATIVE:
+                cols.append(f"{name} FIELD({bound.value}%)")
+            else:
+                cols.append(f"{name} FIELD")
+        cols += [f"{g.name} FIELD AS ({g.expr_sql})" for g in self.generated_columns]
+        cols += [f"{t} TAG" for t in self.tag_columns]
+        return f"CREATE TIME SERIES TABLE {self.name}({', '.join(cols)})"
+
     def insert_schema(self) -> T.StructType:
         """Schema of data the user writes: timestamp, stored fields, tags
         (generated columns excluded — reference types.rs:167-185)."""
