@@ -61,6 +61,21 @@ _TS_TABLE_DDL = (
 )
 
 
+# One long-lived Engine per (session id, folder root): a real
+# deployment holds an Engine open, and its snapshot/commit-log/reader
+# caches only pay off across calls — a fresh Engine per query would
+# re-resolve the same immutable state every time.
+_ENGINE_CACHE: dict = {}
+
+
+def _cached_engine(spark: SparkSession, root: str) -> Engine:
+    ck = (id(spark), root)
+    eng = _ENGINE_CACHE.get(ck)
+    if eng is None:
+        eng = _ENGINE_CACHE[ck] = Engine(spark, root)
+    return eng
+
+
 def _ts_engine(spark: SparkSession, sf_dir: str) -> Engine:
     import fcntl
     import hashlib
@@ -70,6 +85,10 @@ def _ts_engine(spark: SparkSession, sf_dir: str) -> Engine:
     # schema changes across rounds never read a stale /tmp data folder
     ver = hashlib.md5(f"{_TS_TABLE_DDL}|layout=4".encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), "sparkmodelar_entry", f"{key}_{ver}")
+    ck = (id(spark), root)
+    cached = _ENGINE_CACHE.get(ck)
+    if cached is not None and os.path.exists(os.path.join(root, ".build_done")):
+        return cached
     os.makedirs(root, exist_ok=True)
     # serialize the one-time build across concurrent query invocations;
     # the marker is written only after a successful ingest so a crashed
@@ -77,7 +96,7 @@ def _ts_engine(spark: SparkSession, sf_dir: str) -> Engine:
     marker = os.path.join(root, ".build_done")
     with open(os.path.join(root, ".build_lock"), "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
-        eng = Engine(spark, root)
+        eng = _cached_engine(spark, root)
         if not os.path.exists(marker):
             if "ts_events" in eng.tables():
                 eng.read_sql("DROP TABLE IF EXISTS ts_events")
@@ -92,6 +111,7 @@ def _ts_engine(spark: SparkSession, sf_dir: str) -> Engine:
             eng.write("ts_events", pts)
             with open(marker, "w") as m:
                 m.write("ok")
+    _ENGINE_CACHE[ck] = eng
     return eng
 
 
@@ -569,7 +589,7 @@ def ts_many_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, ".build_lock"), "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
-        eng = Engine(spark, root)
+        eng = _cached_engine(spark, root)
         if "user_series" not in eng.tables():
             eng.read_sql(
                 "CREATE TIME SERIES TABLE user_series(timestamp TIMESTAMP, value FIELD, uid TAG)"
@@ -643,7 +663,7 @@ def ts_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, ".build_lock"), "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
-        eng = Engine(spark, root)
+        eng = _cached_engine(spark, root)
         if "tt_events" not in eng.tables():
             eng.read_sql(
                 "CREATE TIME SERIES TABLE tt_events(timestamp TIMESTAMP, value FIELD, etype TAG)"
@@ -1726,7 +1746,7 @@ def sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = os.path.join(root, ".build_done")
     with open(os.path.join(root, ".build_lock"), "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
-        eng = Engine(spark, root)
+        eng = _cached_engine(spark, root)
         if not os.path.exists(marker):
             ann_ops.build_ivf_index(eng, "emb_idx", emb, bucket_col="label")
             with open(marker, "w") as m:
