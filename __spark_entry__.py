@@ -1543,6 +1543,38 @@ def ts_rollup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.join(raw, "etype")
 
 
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training (operators/packing.py::
+    pack_documents — the GPT concat-and-chunk shape): documents laid
+    end-to-end in ascending-id order, token stream cut into 512-token
+    sequences, one row per (document, sequence) overlap. The global
+    token offset is a two-pass distributed prefix sum (range partition
+    → per-partition totals → broadcast base offsets), never a
+    single-partition window. Exact oracle: the full overlap table."""
+    from modelardb_rs_spark.operators.packing import pack_documents
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return pack_documents(docs, 512)
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sampling (operators/packing.py::
+    stratified_sample): hash-deterministic keep rates per stratum —
+    the language-rebalancing step of a pre-training mix. Map-only,
+    reproducible across engines (exact oracle)."""
+    from modelardb_rs_spark.operators.packing import stratified_sample
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, {"en": 0.5, "de": 1.0}, "lang", default_rate=0.25, salt="mix"
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+        F.min("doc_id").alias("first_id"),
+    )
+
+
 def doc_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram LM quality scoring (operators/text.py::
     unigram_lm_scores — the CCNet-perplexity-filter analog): per-language
@@ -1867,6 +1899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel": q_funnel,
         "sim_ivf_index": sim_ivf_index,
         "doc_unigram_lm": doc_unigram_lm,
+        "doc_pack_sequences": doc_pack_sequences,
+        "doc_stratified_sample": doc_stratified_sample,
         "doc_quality_filter": doc_quality_filter,
         "dedup_index_check": dedup_index_check,
         "doc_top_ngrams": doc_top_ngrams,
@@ -3384,5 +3418,44 @@ def oracle_sql() -> dict[str, str]:
                round(avg(doc.alp), 4) AS avg_logprob
         FROM doc JOIN documents d USING (doc_id)
         GROUP BY d.lang
+    """
+    oracles["doc_pack_sequences"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+          FROM documents
+        ),
+        nz AS (SELECT doc_id, CAST(n AS BIGINT) AS n FROM toks WHERE n > 0),
+        placed AS (
+          SELECT doc_id, n,
+                 CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS s
+          FROM nz
+        ),
+        spans AS (
+          SELECT doc_id, n, s,
+                 unnest(range(s // 512, (s + n - 1) // 512 + 1)) AS seq_id
+          FROM placed
+        )
+        SELECT doc_id,
+               seq_id,
+               GREATEST(seq_id*512, s) - s AS doc_token_start,
+               LEAST((seq_id+1)*512, s+n) - s AS doc_token_end,
+               GREATEST(seq_id*512, s) - seq_id*512 AS seq_token_start,
+               LEAST((seq_id+1)*512, s+n) - GREATEST(seq_id*512, s) AS n_tokens
+        FROM spans
+    """
+    oracles["doc_stratified_sample"] = """
+        WITH kept AS (
+          SELECT * FROM documents
+          WHERE (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'mix')), 1, 8)) AS BIGINT) % 1000000)
+                < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 ELSE 0.25 END) * 1000000 AS BIGINT)
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+               min(doc_id) AS first_id
+        FROM kept GROUP BY lang
     """
     return oracles

@@ -1,0 +1,153 @@
+"""Sequence packing and stratified sampling — training-data batch prep.
+
+``pack_documents`` is the GPT-style concat-and-chunk packer: documents
+are laid end-to-end in a deterministic order (ascending id) and the
+token stream is cut into fixed-length sequences; the output says which
+token span of which document lands in which sequence. It needs a GLOBAL
+cumulative token offset, which a naive ``Window.orderBy(id)`` computes
+on a single partition — a non-starter at corpus scale. Here it is the
+classic two-pass distributed prefix sum instead:
+
+1. range-repartition by id (Spark samples split points; data stays
+   sorted within partitions),
+2. one narrow pass computes each PARTITION's token total (P rows to the
+   driver — P is the partition count, not the corpus),
+3. the driver prefix-sums those P totals into per-partition base
+   offsets, broadcast back as a literal map,
+4. a map-only pass adds base + within-partition cumsum, then each doc
+   explodes into the sequences its span overlaps.
+
+Wall-clock is two scans and one range shuffle regardless of corpus
+size; no stage ever sees more than its own partition.
+
+``stratified_sample`` extends text.deterministic_sample with per-group
+rates (e.g. downsample English, keep all code) — the standard
+language-balancing step. Map-only, hash-deterministic, exact-SQL
+reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from modelardb_rs_spark.operators.text import token_count
+
+
+def pack_documents(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk packing: one output row per (document, sequence)
+    overlap.
+
+    Output columns: (id_col, seq_id, doc_token_start, doc_token_end,
+    seq_token_start, n_tokens) — ``doc_token_*`` index into the
+    document's own tokens (end exclusive), ``seq_token_start`` is where
+    that slice begins inside sequence ``seq_id``. Documents with zero
+    tokens are dropped (they contribute nothing to any sequence).
+    Deterministic: the stream order is ascending ``id_col``.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    spark = df.sparkSession
+    n_tok = (
+        F.col(token_count_col)
+        if token_count_col
+        else token_count(F.col(text_col))
+    ).cast("long")
+    base = df.select(F.col(id_col), n_tok.alias("__n__")).where(F.col("__n__") > 0)
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    parted = base.repartitionByRange(P, id_col).sortWithinPartitions(id_col)
+    parted = parted.withColumn("__pid__", F.spark_partition_id())
+    # pin the partition layout: both passes below must see the SAME
+    # partition ids, so materialize the (id, n, pid) placement — two
+    # longs + an int per doc — instead of trusting range-exchange
+    # re-sampling to reproduce identical split points on re-execution
+    from modelardb_rs_spark.operators.dedup import _truncate_lineage
+
+    parted = _truncate_lineage(parted)
+
+    # pass 1: per-partition token totals (P tiny rows) -> base offsets
+    totals = {
+        r["__pid__"]: r["t"]
+        for r in parted.groupBy("__pid__").agg(F.sum("__n__").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offset_expr = F.lit(0).cast("long")
+    for pid, off in offsets.items():
+        offset_expr = F.when(F.col("__pid__") == pid, F.lit(off)).otherwise(offset_expr)
+
+    # pass 2: within-partition cumsum (bounded by one partition) + base
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__pid__")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = parted.select(
+        id_col,
+        "__n__",
+        (offset_expr + F.coalesce(F.sum("__n__").over(w), F.lit(0))).alias("__start__"),
+    )
+    # explode the doc's span into every sequence it overlaps
+    first_seq = (F.col("__start__") / seq_len).cast("long")
+    last_seq = ((F.col("__start__") + F.col("__n__") - 1) / seq_len).cast("long")
+    L = F.lit(int(seq_len)).cast("long")
+    out = placed.select(
+        id_col,
+        "__n__",
+        "__start__",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    slice_lo = F.greatest(F.col("seq_id") * L, F.col("__start__"))
+    slice_hi = F.least((F.col("seq_id") + 1) * L, F.col("__start__") + F.col("__n__"))
+    return out.select(
+        id_col,
+        "seq_id",
+        (slice_lo - F.col("__start__")).alias("doc_token_start"),
+        (slice_hi - F.col("__start__")).alias("doc_token_end"),
+        (slice_lo - F.col("seq_id") * L).alias("seq_token_start"),
+        (slice_hi - slice_lo).alias("n_tokens"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row with its stratum's probability, hash-deterministic
+    (stable across runs/partitionings/engines, exact SQL oracle).
+    ``rates`` maps stratum value -> keep fraction in [0, 1]; strata not
+    listed use ``default_rate``. Map-only."""
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {v}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    rate = F.lit(float(default_rate))
+    for k, v in rates.items():
+        rate = F.when(F.col(strata_col) == F.lit(k), F.lit(float(v))).otherwise(rate)
+    return df.where(bucket < (rate * 1_000_000).cast("long"))
