@@ -1543,6 +1543,17 @@ def ts_rollup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.join(raw, "etype")
 
 
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (operators/spans.py::duplicated_spans —
+    the suffix-array-span / Dolma-paragraph analog): merged token
+    intervals covered by any 10-gram occurring in >= 2 distinct
+    documents. Exact oracle: the full (doc, span) table."""
+    from modelardb_rs_spark.operators.spans import duplicated_spans
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return duplicated_spans(docs, span=10, min_dups=2)
+
+
 def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM training (operators/packing.py::
     pack_documents — the GPT concat-and-chunk shape): documents laid
@@ -1901,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_lm": doc_unigram_lm,
         "doc_pack_sequences": doc_pack_sequences,
         "doc_stratified_sample": doc_stratified_sample,
+        "doc_span_dedup": doc_span_dedup,
         "doc_quality_filter": doc_quality_filter,
         "dedup_index_check": dedup_index_check,
         "doc_top_ngrams": doc_top_ngrams,
@@ -3418,6 +3430,46 @@ def oracle_sql() -> dict[str, str]:
                round(avg(doc.alp), 4) AS avg_logprob
         FROM doc JOIN documents d USING (doc_id)
         GROUP BY d.lang
+    """
+    oracles["doc_span_dedup"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\s+') END AS t
+          FROM documents
+        ),
+        sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 10),
+        pos AS (SELECT unnest(range(0, (SELECT max(n) FROM sized))) AS p),
+        occ AS (
+          SELECT s.doc_id, pos.p AS pos,
+                 md5(array_to_string(s.t[pos.p + 1 : pos.p + 10], '')) AS gram
+          FROM sized s JOIN pos ON pos.p <= s.n - 10
+        ),
+        dup AS (
+          SELECT gram FROM occ GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        ),
+        hits AS (
+          SELECT o.doc_id, o.pos AS lo, o.pos + 10 AS hi
+          FROM occ o JOIN dup USING (gram)
+        ),
+        marked AS (
+          SELECT doc_id, lo, hi,
+                 CASE WHEN max(hi) OVER (PARTITION BY doc_id ORDER BY lo, hi
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                      OR lo > max(hi) OVER (PARTITION BY doc_id ORDER BY lo, hi
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      THEN 1 ELSE 0 END AS new_island
+          FROM hits
+        ),
+        islands AS (
+          SELECT doc_id, lo, hi,
+                 SUM(new_island) OVER (PARTITION BY doc_id ORDER BY lo, hi
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 0 FOLLOWING) AS island
+          FROM marked
+        )
+        SELECT doc_id, CAST(min(lo) AS BIGINT) AS span_start,
+               CAST(max(hi) AS BIGINT) AS span_end
+        FROM islands GROUP BY doc_id, island
     """
     oracles["doc_pack_sequences"] = r"""
         WITH toks AS (

@@ -48,6 +48,8 @@ HEADLINE = [
     "doc_pii",
     "doc_line_dedup",
     "doc_unigram_lm",
+    "doc_pack_sequences",
+    "doc_span_dedup",
     "ts_correlation",
 ]
 

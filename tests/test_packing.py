@@ -92,3 +92,58 @@ def test_stratified_sample_rates_and_determinism(spark):
     # a different salt gives an independent (different) sample
     other = stratified_sample(df, {"en": 0.5, "code": 1.0}, "lang", salt="x")
     assert sorted(map(tuple, other.collect())) != sorted(map(tuple, kept.collect()))
+
+
+# ---------------------------------------------------------------- spans
+
+
+def test_duplicated_spans_finds_shared_passage(spark):
+    from modelardb_rs_spark.operators.spans import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon"  # 5 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique one two {shared} tail1 tail2"),
+            (2, f"other words {shared} closing remark here"),
+            (3, "entirely different text with no repeats at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in duplicated_spans(docs, span=5, min_dups=2).collect()
+    }
+    # doc1: shared occupies tokens 3..8; doc2: tokens 2..7
+    assert spans == {1: (3, 8), 2: (2, 7)}
+
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, span=5, min_dups=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["text"] == "unique one two tail1 tail2"
+    assert out[2]["text"] == "other words closing remark here"
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[1]["n_tokens_removed"] == 5
+
+
+def test_duplicated_spans_merge_overlaps(spark):
+    """Two overlapping duplicated grams merge into ONE span; repeats
+    WITHIN a single document don't count toward min_dups (distinct-doc
+    threshold)."""
+    from modelardb_rs_spark.operators.spans import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x a b c d e y z"),   # shares grams (a b c d) and (b c d e)
+            (3, "p q r p q r p q"),   # self-repeats only
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(docs, span=4, min_dups=2).collect()
+    }
+    # doc1 tokens 0..5 (a..e), doc2 tokens 1..6 — one merged span each
+    assert spans == {(1, 0, 5), (2, 1, 6)}
