@@ -1543,6 +1543,36 @@ def ts_rollup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.join(raw, "etype")
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval overlap join (operators/interval.py):
+    duration intervals derived from events (length = value seconds),
+    even vs odd user_ids, exactly-once pair emission via anchor-bucket
+    attribution — the plan is a hash equi-join on the bucket key, never
+    the O(n·m) broadcast-nested-loop Spark would pick for a raw range
+    predicate. Oracle: the naive theta join aggregated identically."""
+    from modelardb_rs_spark.operators.interval import interval_join
+
+    (events,) = _prep(spark, sf_dir, "events")
+    iv = events.select(
+        "event_id",
+        "user_id",
+        F.col("event_type").alias("etype"),
+        F.unix_micros("ts").alias("start_us"),
+        (F.unix_micros("ts") + (F.col("value") * 1_000_000).cast("long") + 1).alias(
+            "end_us"
+        ),
+    )
+    left = iv.where(F.col("user_id") % 2 == 0)
+    right = iv.where(F.col("user_id") % 2 == 1)
+    pairs = interval_join(left, right, bucket_width_us=3_600_000_000)
+    return pairs.groupBy(
+        F.col("etype").alias("l_etype"), F.col("r_etype")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("event_id") + F.col("r_event_id")).alias("id_sum"),
+    )
+
+
 def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup (operators/spans.py::duplicated_spans —
     the suffix-array-span / Dolma-paragraph analog): merged token
@@ -1913,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": doc_pack_sequences,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_span_dedup": doc_span_dedup,
+        "q_interval_join": q_interval_join,
         "doc_quality_filter": doc_quality_filter,
         "dedup_index_check": dedup_index_check,
         "doc_top_ngrams": doc_top_ngrams,
@@ -3430,6 +3461,21 @@ def oracle_sql() -> dict[str, str]:
                round(avg(doc.alp), 4) AS avg_logprob
         FROM doc JOIN documents d USING (doc_id)
         GROUP BY d.lang
+    """
+    oracles["q_interval_join"] = """
+        WITH iv AS (
+          SELECT event_id, user_id, event_type AS etype,
+                 epoch_ns(ts) // 1000 AS start_us,
+                 (epoch_ns(ts) // 1000) + CAST(value * 1000000 AS BIGINT) + 1 AS end_us
+          FROM events
+        ),
+        l AS (SELECT * FROM iv WHERE user_id % 2 = 0),
+        r AS (SELECT * FROM iv WHERE user_id % 2 = 1)
+        SELECT l.etype AS l_etype, r.etype AS r_etype,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(l.event_id + r.event_id) AS BIGINT) AS id_sum
+        FROM l JOIN r ON l.start_us < r.end_us AND r.start_us < l.end_us
+        GROUP BY l.etype, r.etype
     """
     oracles["doc_span_dedup"] = r"""
         WITH toks AS (

@@ -147,3 +147,76 @@ def test_duplicated_spans_merge_overlaps(spark):
     }
     # doc1 tokens 0..5 (a..e), doc2 tokens 1..6 — one merged span each
     assert spans == {(1, 0, 5), (2, 1, 6)}
+
+
+# ------------------------------------------------------- interval join
+
+
+def test_interval_join_matches_naive(spark):
+    """Bucketized interval join == the O(n*m) theta join, for every
+    bucket width; pairs sharing several buckets emit exactly once."""
+    import random
+
+    from modelardb_rs_spark.operators.interval import interval_join
+
+    rng = random.Random(7)
+    lrows = [(i, rng.randrange(0, 1000), 0) for i in range(60)]
+    lrows = [(i, s, s + rng.randrange(1, 300)) for i, s, _ in lrows]
+    rrows = [(100 + i, rng.randrange(0, 1000), 0) for i in range(60)]
+    rrows = [(i, s, s + rng.randrange(1, 300)) for i, s, _ in rrows]
+    left = spark.createDataFrame(lrows, "lid long, start_us long, end_us long")
+    right = spark.createDataFrame(rrows, "rid long, start_us long, end_us long")
+
+    naive = {
+        (l[0], r[0])
+        for l in lrows
+        for r in rrows
+        if l[1] < r[2] and r[1] < l[2]
+    }
+    for width in (7, 64, 250, 5000):
+        got = {
+            (r["lid"], r["rid"])
+            for r in interval_join(left, right, width).collect()
+        }
+        assert got == naive, f"width={width}"
+    # exactly-once: row COUNT equals pair count (no dedup hidden)
+    assert interval_join(left, right, 64).count() == len(naive)
+
+
+def test_interval_join_extra_keys_and_half_open(spark):
+    from modelardb_rs_spark.operators.interval import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 0, 10), (2, "b", 0, 10)], "lid long, k string, start_us long, end_us long"
+    )
+    right = spark.createDataFrame(
+        [(3, "a", 5, 15), (4, "b", 10, 20)], "rid long, k string, start_us long, end_us long"
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join(left, right, 4, extra_on=["k"]).collect()
+    }
+    # (1,3) overlap with same key; (2,4) touch at 10 — half-open, no overlap
+    assert got == {(1, 3)}
+
+
+def test_interval_join_plans_a_hash_join(spark):
+    """The bucketized join must plan as a hash equi-join on the bucket
+    key — never BroadcastNestedLoopJoin/CartesianProduct, the O(n*m)
+    trap a raw range predicate produces."""
+    from modelardb_rs_spark.operators.interval import interval_join
+
+    left = spark.range(1000).selectExpr(
+        "id AS lid", "id * 100 AS start_us", "id * 100 + 250 AS end_us"
+    )
+    right = spark.range(1000).selectExpr(
+        "id + 5000 AS rid", "id * 90 AS start_us", "id * 90 + 400 AS end_us"
+    )
+    plan = (
+        interval_join(left, right, 1000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan
