@@ -627,6 +627,11 @@ class Engine:
             return self.spark.createDataFrame(
                 rows, "column_name string, data_type string, role string"
             )
+        if stmt.kind == "explain_analyze":
+            report = self.explain_path(stmt.select_sql, analyze=True)
+            return self.spark.createDataFrame(
+                [(line,) for line in report.splitlines()], "plan string"
+            )
         if stmt.kind == "delete":
             table = stmt.tables[0]
             if self.catalog.kind(table) != TableKind.TIME_SERIES:

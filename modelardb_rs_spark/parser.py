@@ -64,6 +64,12 @@ _DELETE = re.compile(
 _DELETE_PREFIX = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)", re.IGNORECASE
 )
+# EXPLAIN ANALYZE <stmt>: executes instrumented with runtime decode
+# counters (engine.explain_path(analyze=True)). Plain EXPLAIN stays a
+# passthrough to Spark's own EXPLAIN.
+_EXPLAIN_ANALYZE = re.compile(
+    r"^\s*EXPLAIN\s+ANALYZE\s+(?P<stmt>.+)$", re.IGNORECASE | re.DOTALL
+)
 _OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
     r"(?:\s+TARGET\s+(?P<target>\d+))?\s*;?\s*$",
@@ -250,6 +256,8 @@ def parse_statement(sql: str) -> ModelarStatement:
         return ModelarStatement(kind="show_tables", sql=sql)
     if m := _DESCRIBE.match(sql):
         return ModelarStatement(kind="describe", sql=sql, tables=[m["name"]])
+    if m := _EXPLAIN_ANALYZE.match(sql):
+        return ModelarStatement(kind="explain_analyze", sql=sql, select_sql=m["stmt"])
     if m := _DELETE.match(sql):
         return ModelarStatement(
             kind="delete",

@@ -229,3 +229,22 @@ def test_delete_unsupported_shapes_are_refused(engine, spark):
     )
     engine.read_sql("DELETE FROM dl WHERE timestamp < DATE '1970-01-05'")
     assert engine.table("dl").count() == 6
+
+
+def test_explain_analyze_sql(engine, spark):
+    """EXPLAIN ANALYZE over the SQL surface returns the instrumented
+    report as rows (counters included)."""
+    engine.read_sql("CREATE TIME SERIES TABLE exa(timestamp TIMESTAMP, v FIELD)")
+    engine.write(
+        "exa",
+        spark.range(100).selectExpr(
+            "timestamp_micros(id * 1000000) AS timestamp", "CAST(id AS FLOAT) AS v"
+        ),
+    )
+    rows = engine.read_sql(
+        "EXPLAIN ANALYZE SELECT count(v) AS n FROM exa "
+        "WHERE timestamp >= timestamp '1970-01-01'"
+    ).collect()
+    text = "\n".join(r["plan"] for r in rows)
+    assert "gridded view" in text and "output_rows=1" in text
+    assert "python_decoded_points=" in text and "jvm_fast_" in text
