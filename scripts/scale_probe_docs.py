@@ -69,6 +69,13 @@ def main() -> None:
         "quality_filter",
         rejection_stats(rep, FilterPolicy(min_tokens=20, languages=("en",), max_pii=0)),
     )
+    from modelardb_rs_spark.operators.packing import pack_documents
+    from modelardb_rs_spark.operators.spans import duplicated_spans
+
+    clock("pack_sequences", pack_documents(rep, 2048))
+    # worst case by construction: EVERY replica group shares its whole
+    # text, so nearly every token position is a duplicated 20-gram
+    clock("span_dedup", duplicated_spans(rep, span=20, min_dups=2))
 
     print(json.dumps({"n_copies": n, "docs": rows, "base_docs": base, **timings}))
 
