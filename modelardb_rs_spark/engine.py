@@ -75,6 +75,72 @@ _INTERVAL_UNITS_US = {
 }
 
 
+# SQL WHERE → view-constraint extraction (register_views). Deliberately
+# conservative: pushdown happens ONLY for a single pure-AND WHERE made
+# of simple terms — anything else (OR, NOT, BETWEEN — whose AND would
+# split wrong, parens/functions/subqueries, set operations, multiple
+# WHEREs) disables it entirely, because a restriction is only safe when
+# every conjunct is independently implied by the query.
+_FORBID_PUSHDOWN = re.compile(
+    r"\bOR\b|\bNOT\b|\bBETWEEN\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b|[()]",
+    re.IGNORECASE,
+)
+_WHERE_CLAUSE = re.compile(
+    r"\bWHERE\b(?P<clause>.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b|\bHAVING\b|\bLIMIT\b|\bWINDOW\b|;|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_TS_TERM = re.compile(
+    r"^(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*(?P<op>>=|<=|>|<)\s*"
+    r"TIMESTAMP\s*'(?P<lit>[^']+)'$",
+    re.IGNORECASE,
+)
+_TAG_TERM = re.compile(
+    r"^(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*=\s*'(?P<lit>[^']*)'$"
+)
+
+
+def _where_conjuncts(sql: str) -> list[str]:
+    """The WHERE clause's AND-conjunct terms, or [] when pushdown is
+    unsafe (see _FORBID_PUSHDOWN)."""
+    matches = _WHERE_CLAUSE.findall(sql)
+    if len(matches) != 1:
+        return []
+    clause = matches[0]
+    if _FORBID_PUSHDOWN.search(sql):
+        return []
+    return [t.strip() for t in re.split(r"\bAND\b", clause, flags=re.IGNORECASE)]
+
+
+def _view_constraints(terms: list[str], meta) -> tuple[int | None, int | None, dict]:
+    """(start_us, end_us, tag equality filters) implied for ``meta``'s
+    table by the conjunct terms; unrecognized terms are ignored (they
+    simply don't restrict)."""
+    start_us = end_us = None
+    tags: dict[str, str] = {}
+    ts_col = meta.timestamp_column.lower()
+    tag_cols = {t.lower(): t for t in meta.tag_columns}
+    for term in terms:
+        if m := _TS_TERM.match(term):
+            if m["col"].lower() != ts_col:
+                continue
+            try:
+                lit = _to_us(m["lit"])
+            except (ValueError, TypeError):
+                continue
+            op = m["op"]
+            if op in (">", ">="):
+                lo = lit + (1 if op == ">" else 0)
+                start_us = lo if start_us is None else max(start_us, lo)
+            else:
+                hi = lit - (1 if op == "<" else 0)
+                end_us = hi if end_us is None else min(end_us, hi)
+        elif m := _TAG_TERM.match(term):
+            col = tag_cols.get(m["col"].lower())
+            if col is not None:
+                tags[col] = m["lit"]
+    return start_us, end_us, tags
+
+
 def _contiguous_ranges(bucket_starts_us: list[int], every_us: int):
     """Merge sorted bucket-start timestamps into [lo, hi] runs of
     adjacent buckets (hi = last bucket's start)."""
@@ -515,9 +581,11 @@ class Engine:
         end=None,
         version: int | None = None,
         timestamp_ms: int | None = None,
+        tags: dict[str, str] | None = None,
     ) -> DataFrame:
         """The logical DataFrame of a table (time series tables gridded,
-        with optional projection + time-range segment pruning).
+        with optional projection + time-range segment pruning; ``tags``
+        equality filters apply to SEGMENTS, before any decode).
         `version`/`timestamp_ms` read an older commit-log snapshot (time
         travel, both table kinds)."""
         kind = self.catalog.kind(name)
@@ -528,12 +596,18 @@ class Engine:
                 version=version,
                 timestamp_ms=timestamp_ms,
             )
+            for t, v in (tags or {}).items():
+                df = df.where(F.col(t) == F.lit(v))
             return df.select(*fields) if fields else df
         meta = self.catalog.time_series_metadata(name)
         start_us, end_us = _to_us(start), _to_us(end)
         segments, info = self.segments(
             name, start_us, end_us, version, timestamp_ms, with_info=True
         )
+        for t, v in (tags or {}).items():
+            if t not in meta.tag_columns:
+                raise ValueError(f"{name}: {t!r} is not a tag column")
+            segments = segments.where(F.col(t) == F.lit(v))
         return grid_ops.grid(
             segments,
             meta,
@@ -562,19 +636,47 @@ class Engine:
         extra fields — never drops a referenced one. ``*`` anywhere, or
         no recognized field reference (e.g. bare ``count(*)``, whose
         multiplicity depends on every field), keeps the full view.
+
+        Predicate pushdown into the view: a statement whose single
+        WHERE clause is a pure AND-conjunction of simple terms (no OR /
+        NOT / BETWEEN / parens / set ops) gets its unqualified
+        timestamp bounds and tag equalities applied to the SEGMENT scan
+        before decode (_view_constraints) — every conjunct is implied
+        by the query, so restricting the view is always safe, and the
+        query re-applies its own WHERE on the decoded rows. A raw
+        ``SELECT * FROM t WHERE ts >= X`` then decodes only the pruned
+        segments instead of the whole table.
         """
         tokens: set[str] | None = None
         if for_sql is not None and "*" not in for_sql:
             tokens = {t.lower() for t in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", for_sql)}
+        terms = _where_conjuncts(for_sql) if for_sql is not None else []
+        if terms and self.spark.conf.get(
+            "spark.sql.session.timeZone", "UTC"
+        ) not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            # TIMESTAMP literals parse in the session zone; the µs-epoch
+            # segment bounds only line up under UTC — keep tag pushdown,
+            # drop the timestamp terms
+            terms = [t for t in terms if not _TS_TERM.match(t)]
         for name, kind in self.catalog.tables().items():
             fields = None
-            if tokens is not None and kind == TableKind.TIME_SERIES:
+            start_us = end_us = None
+            tag_filters: dict[str, str] = {}
+            if kind == TableKind.TIME_SERIES:
                 meta = self.catalog.time_series_metadata(name)
-                selectable = meta.field_names + [g.name for g in meta.generated_columns]
-                hit = [c for c in selectable if c.lower() in tokens]
-                if hit and len(hit) < len(selectable):
-                    fields = hit
-            self.table(name, fields=fields).createOrReplaceTempView(name)
+                if tokens is not None:
+                    selectable = meta.field_names + [g.name for g in meta.generated_columns]
+                    hit = [c for c in selectable if c.lower() in tokens]
+                    if hit and len(hit) < len(selectable):
+                        fields = hit
+                start_us, end_us, tag_filters = _view_constraints(terms, meta)
+            self.table(
+                name,
+                fields=fields,
+                start=start_us,
+                end=end_us,
+                tags=tag_filters or None,
+            ).createOrReplaceTempView(name)
 
     def read_sql(self, sql: str) -> DataFrame | None:
         """Execute one statement of the extended SQL dialect.

@@ -143,3 +143,82 @@ def test_line_dedup_plan_shuffles_only_on_keys(spark):
     docs = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
     plan = plan_of(remove_common_lines(docs))
     assert "Python" not in plan
+
+
+@pytest.fixture()
+def pushdown_table(engine, spark):
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE pt(timestamp TIMESTAMP, f1 FIELD, tag TAG)"
+    )
+    rows = [
+        Row(
+            timestamp=TS0 + datetime.timedelta(seconds=i),
+            f1=float(i),
+            tag="a" if i % 2 == 0 else "b",
+        )
+        for i in range(300)
+    ]
+    engine.write("pt", spark.createDataFrame(rows))
+    return engine
+
+
+def test_sql_where_pushes_range_and_tags_into_view(pushdown_table):
+    """A plain (non-aggregate) SELECT with an AND-only WHERE restricts
+    the SEGMENT scan: timestamp bounds prune via the interval rewrite
+    and tag equalities filter before decode."""
+    engine = pushdown_table
+    from pyspark.sql import functions as F
+
+    sql = (
+        "SELECT timestamp, f1 FROM pt "
+        "WHERE timestamp >= TIMESTAMP '2024-01-01 00:02:00' AND tag = 'a' "
+        "ORDER BY timestamp"
+    )
+    df = engine.read_sql(sql)
+    plan = plan_of(df)
+    # the segment-interval rewrite reached the scan subtree
+    assert "end_time" in plan
+    full = engine.table("pt", fields=["f1"])
+    exp = (
+        full.where((F.col("timestamp") >= "2024-01-01 00:02:00") & (F.col("tag") == "a"))
+        .select("timestamp", "f1")
+        .collect()
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, exp))
+
+
+def test_sql_where_pushdown_declines_unsafe_shapes(pushdown_table):
+    """OR / BETWEEN / UNION / multiple WHEREs keep the FULL view —
+    results must match the unrestricted semantics exactly."""
+    engine = pushdown_table
+    from pyspark.sql import functions as F
+
+    full = engine.table("pt", fields=["f1"]).select("timestamp", "f1", "tag")
+
+    q_or = engine.read_sql(
+        "SELECT timestamp, f1 FROM pt "
+        "WHERE timestamp >= TIMESTAMP '2024-01-01 00:03:00' OR tag = 'a'"
+    )
+    exp_or = full.where(
+        (F.col("timestamp") >= "2024-01-01 00:03:00") | (F.col("tag") == "a")
+    ).select("timestamp", "f1")
+    assert sorted(map(tuple, q_or.collect())) == sorted(map(tuple, exp_or.collect()))
+
+    q_union = engine.read_sql(
+        "SELECT count(*) AS n FROM ("
+        "SELECT timestamp FROM pt WHERE timestamp < TIMESTAMP '2024-01-01 00:02:00' "
+        "UNION ALL "
+        "SELECT timestamp FROM pt WHERE timestamp >= TIMESTAMP '2024-01-01 00:02:00') u"
+    )
+    assert q_union.collect()[0]["n"] == full.count()
+
+    q_between = engine.read_sql(
+        "SELECT count(*) AS n FROM pt WHERE timestamp BETWEEN "
+        "TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2024-01-01 00:01:00' AND tag = 'a'"
+    )
+    exp_b = full.where(
+        (F.col("timestamp") >= "2024-01-01 00:00:00")
+        & (F.col("timestamp") <= "2024-01-01 00:01:00")
+        & (F.col("tag") == "a")
+    ).count()
+    assert q_between.collect()[0]["n"] == exp_b
