@@ -94,6 +94,31 @@ def main() -> None:
     engine.table("events_daily").orderBy("bucket", "etype").show(4)
     engine.read_sql("SELECT count(value) AS raw_points_left FROM events").show()
 
+    print("== EXPLAIN ANALYZE: runtime decode counters over the SQL surface")
+    engine.read_sql(
+        "EXPLAIN ANALYZE SELECT count(value) AS n FROM events "
+        "WHERE timestamp >= TIMESTAMP '1970-01-01'"
+    ).show(truncate=False)
+
+    print("== training-data prep: pack token stream into 512-token sequences")
+    from modelardb_rs_spark.operators.packing import pack_documents, stratified_sample
+
+    pack_documents(docs, 512).groupBy("seq_id").agg(
+        F.sum("n_tokens").alias("tokens"), F.count("*").alias("docs")
+    ).orderBy("seq_id").show(4)
+
+    print("== language-stratified sampling (hash-deterministic)")
+    stratified_sample(docs, {"en": 0.5}, "lang", default_rate=1.0).groupBy(
+        "lang"
+    ).count().show()
+
+    print("== substring/span dedup: repeated passages inside unique docs")
+    from modelardb_rs_spark.operators.spans import duplicated_spans
+
+    duplicated_spans(docs, span=10, min_dups=2).groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens")
+    ).orderBy(F.desc("dup_tokens")).show(4)
+
     spark.stop()
 
 
