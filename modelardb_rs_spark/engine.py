@@ -286,6 +286,11 @@ class Engine:
         # one instrumented execution; operators thread it into the
         # decode paths (None = no instrumentation, zero overhead).
         self._analyze_metrics: dict | None = None
+        # (table, snapshot version) -> True when every series' segments
+        # are time-disjoint, proving no duplicate (timestamp, series)
+        # points exist — the multifield reassembly then uses a codegen
+        # pivot aggregate instead of collect_list+arrays_zip.
+        self._disjoint_cache: dict[tuple[str, int], bool] = {}
 
     # ------------------------------------------------------------- catalog
 
@@ -608,6 +613,9 @@ class Engine:
             if t not in meta.tag_columns:
                 raise ValueError(f"{name}: {t!r} is not a tag column")
             segments = segments.where(F.col(t) == F.lit(v))
+        no_dups = False
+        if len(meta.field_columns) > 1 and (fields is None or len(fields) > 1):
+            no_dups = self._no_duplicate_points(name, meta, info["version"])
         return grid_ops.grid(
             segments,
             meta,
@@ -617,7 +625,48 @@ class Engine:
             may_have_slow=info["may_have_slow"],
             fast_fraction=info["fast_fraction"],
             metrics=self._analyze_metrics,
+            no_duplicate_points=no_dups,
         )
+
+    # Above this file count the disjointness probe's metadata shuffle is
+    # no longer "a small planning job"; multifield reads then keep the
+    # always-correct collect_list reassembly.
+    _DISJOINT_PROBE_MAX_FILES = 10_000
+
+    def _no_duplicate_points(self, name: str, meta, version: int) -> bool:
+        """True iff every series' segments are pairwise time-disjoint at
+        ``version`` — which proves no duplicate (timestamp, series)
+        points (timestamps strictly increase inside a segment). Cached
+        per snapshot version; computed with ONE narrow metadata window
+        over the segment columns (never the payloads). Disjointness of
+        the full snapshot implies it for every pruned subset, so the
+        cached answer serves all time ranges and tag filters. A write
+        bumps the version and invalidates naturally."""
+        if version < 0:
+            return True
+        key = (name, version)
+        hit = self._disjoint_cache.get(key)
+        if hit is not None:
+            return hit
+        segments, info = self.segments(name, version=version, with_info=True)
+        if info["n_files"] > self._DISJOINT_PROBE_MAX_FILES:
+            result = False
+        else:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("field_column", *meta.tag_columns).orderBy(
+                "start_time", "end_time"
+            )
+            prev_end = F.max("end_time").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            )
+            flagged = segments.withColumn("__pe__", prev_end)
+            overlapping = flagged.where(
+                F.col("__pe__").isNotNull() & (F.col("start_time") <= F.col("__pe__"))
+            )
+            result = overlapping.limit(1).count() == 0
+        self._disjoint_cache[key] = result
+        return result
 
     def register_views(self, for_sql: str | None = None) -> None:
         """Register every catalog table as a Spark temp view (time series

@@ -246,6 +246,7 @@ def grid(
     may_have_slow: bool = True,
     fast_fraction: float | None = None,
     metrics: dict | None = None,
+    no_duplicate_points: bool = False,
 ) -> DataFrame:
     """Reconstruct the logical (query-schema) DataFrame from segments.
 
@@ -281,6 +282,18 @@ def grid(
     if len(decode_fields) == 1:
         # Fast path: no reassembly shuffle needed.
         out = univariate.withColumnRenamed("value", decode_fields[0]).drop("__field__")
+    elif no_duplicate_points:
+        # Commit-log-proven unique (timestamp, series) points: the
+        # reassembly is a plain pivot aggregate — whole-stage-codegen
+        # HashAggregate, no object collect_list buffers, no zip/explode.
+        # Value-identical to the general path because each group holds
+        # at most one value per field (max() of a singleton).
+        index_to_name = {str(field_index[f]): f for f in decode_fields}
+        aggs = [
+            F.max(F.when(F.col("__field__") == F.lit(idx), F.col("value"))).alias(name)
+            for idx, name in index_to_name.items()
+        ]
+        out = univariate.groupBy(*(["timestamp"] + tags)).agg(*aggs)
     else:
         # One shuffle on (timestamp, tags): collect each field's values as a
         # list, then zip+explode. Unlike groupBy+first, this preserves the

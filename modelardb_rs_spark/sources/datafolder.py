@@ -355,7 +355,12 @@ class DataFolder:
                 if f.name not in df.columns:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
             df = df.select(*[f.name for f in schema.fields])
-        info = {"may_have_slow": may_have_slow, "fast_fraction": fast_fraction}
+        info = {
+            "may_have_slow": may_have_slow,
+            "fast_fraction": fast_fraction,
+            "version": snap.version,
+            "n_files": len(snap.files),
+        }
         return (df, info) if with_info else df
 
     # -- normal tables ------------------------------------------------------

@@ -204,3 +204,46 @@ def test_multifield_duplicate_pairing_deterministic(engine, spark):
         assert pairs[0][1] < pairs[1][1]  # a-rank matches b-rank
     for _ in range(3):
         assert rows() == first
+
+
+def test_multifield_pivot_path_when_segments_disjoint(engine, spark):
+    """One write -> per-series disjoint segments -> the multifield
+    reassembly plans a codegen HashAggregate pivot (no ObjectHashAggregate
+    collect_list); a second overlapping write invalidates the proof and
+    the general path returns, still value-correct."""
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE mp(timestamp TIMESTAMP, a FIELD, b FIELD, tag TAG)"
+    )
+    rows = [
+        Row(timestamp=TS0 + datetime.timedelta(seconds=i), a=float(i), b=float(2 * i), tag="x")
+        for i in range(200)
+    ]
+    engine.write("mp", spark.createDataFrame(rows))
+    df = engine.table("mp")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" not in plan
+    assert "collect_list" not in plan
+    got = sorted((int(r["timestamp"].timestamp()), r["a"], r["b"]) for r in df.collect())
+    exp = sorted(
+        (int((TS0 + datetime.timedelta(seconds=i)).timestamp()), float(i), float(2 * i))
+        for i in range(200)
+    )
+    assert got == exp
+
+    # overlapping second write: duplicates possible -> general path
+    engine.write("mp", spark.createDataFrame(rows[:50]))
+    df2 = engine.table("mp")
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" in plan2 or "collect_list" in plan2
+    assert df2.count() == 250
+    # a disjoint APPEND (later time range) keeps the pivot path
+    rows2 = [
+        Row(timestamp=TS0 + datetime.timedelta(seconds=1000 + i), a=1.0, b=2.0, tag="x")
+        for i in range(10)
+    ]
+    engine.read_sql("CREATE TIME SERIES TABLE mp2(timestamp TIMESTAMP, a FIELD, b FIELD, tag TAG)")
+    engine.write("mp2", spark.createDataFrame(rows))
+    engine.write("mp2", spark.createDataFrame(rows2))
+    plan3 = engine.table("mp2")._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" not in plan3
+    assert engine.table("mp2").count() == 210
