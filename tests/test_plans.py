@@ -105,14 +105,16 @@ def test_sql_projection_prunes_reassembly(planned):
     plan = plan_of(df)
     assert "arrays_zip" not in plan and "ObjectHashAggregate" not in plan
     assert plan.count("Exchange") <= 1  # only the final GROUP BY shuffle
-    # both fields referenced -> the reassembly is back
+    # both fields referenced -> the reassembly is back (either shape:
+    # the codegen pivot when the snapshot proves unique points, or the
+    # duplicate-preserving collect_list+arrays_zip otherwise)
     both = plan_of(
         planned.read_sql(
             "SELECT count(a + b) AS n FROM p "
             "WHERE timestamp >= timestamp '1970-01-01'"
         )
     )
-    assert "arrays_zip" in both
+    assert "arrays_zip" in both or "max(CASE WHEN" in both
 
 
 def test_pii_plan_is_map_only(spark):
