@@ -220,3 +220,25 @@ def test_interval_join_plans_a_hash_join(spark):
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "HashJoin" in plan
+
+
+def test_pack_documents_property(spark):
+    """Property check across random corpora: every full sequence holds
+    exactly seq_len tokens, every doc's slices cover it exactly once and
+    contiguously, and the result matches the sequential reference."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(5):
+        L = rng.choice([1, 3, 8, 64])
+        counts = {
+            i: rng.choice([0, 1, L - 1 if L > 1 else 1, L, L + 1, 5 * L + 3])
+            for i in range(rng.randrange(1, 40))
+        }
+        df = spark.createDataFrame(
+            [(i, n) for i, n in counts.items()], "doc_id long, n_tok long"
+        )
+        got = sorted(
+            map(tuple, pack_documents(df, L, token_count_col="n_tok").collect())
+        )
+        assert got == _reference_pack(counts, L), f"trial={trial} L={L} {counts}"
