@@ -23,8 +23,10 @@ the reference repo (read-only at /root/reference).
 from modelardb_rs_spark.types import ErrorBound, TableKind, TimeSeriesTableMetadata
 from modelardb_rs_spark.engine import Engine
 from modelardb_rs_spark.session import make_spark
+from modelardb_rs_spark.cluster import Cluster
 
 __all__ = [
+    "Cluster",
     "Engine",
     "ErrorBound",
     "TableKind",
