@@ -56,12 +56,46 @@ class HadoopFS:
     def qualify(self, uri: str) -> str:
         return str(self._fs.makeQualified(self.path(uri)).toString())
 
+    @staticmethod
+    def _local_path(uri: str) -> str | None:
+        """OS path for ``file:`` URIs (None for any other scheme).
+        Listings on the local scheme go through ``os`` directly: a py4j
+        round-trip per FileStatus accessor costs ~1 ms each, so listing
+        a staged directory of 64 files costs ~0.3 s through the JVM and
+        ~1 ms natively. Object-store schemes keep the Hadoop path."""
+        if uri.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            return unquote(urlparse(uri).path)
+        if "://" not in uri and not uri.startswith("file:"):
+            return None  # scheme-less strings are always qualified first
+        return None
+
     # ------------------------------------------------------------ queries
 
     def exists(self, uri: str) -> bool:
         return bool(self._fs.exists(self.path(uri)))
 
     def list(self, uri: str) -> list[FileInfo]:
+        local = self._local_path(uri)
+        if local is not None:
+            import os
+
+            if not os.path.isdir(local):
+                return []
+            out = []
+            with os.scandir(local) as entries:
+                for e in entries:
+                    st = e.stat()
+                    out.append(
+                        FileInfo(
+                            path="file:" + e.path,
+                            is_dir=e.is_dir(),
+                            size=int(st.st_size),
+                            mtime_ms=int(st.st_mtime * 1000),
+                        )
+                    )
+            return out
         if not self.exists(uri):
             return []
         out = []
@@ -77,6 +111,26 @@ class HadoopFS:
         return out
 
     def list_files_recursive(self, uri: str) -> list[FileInfo]:
+        local = self._local_path(uri)
+        if local is not None:
+            import os
+
+            if not os.path.isdir(local):
+                return []
+            out = []
+            for dirpath, _dirs, files in os.walk(local):
+                for f in files:
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    out.append(
+                        FileInfo(
+                            path="file:" + p,
+                            is_dir=False,
+                            size=int(st.st_size),
+                            mtime_ms=int(st.st_mtime * 1000),
+                        )
+                    )
+            return out
         if not self.exists(uri):
             return []
         out = []
