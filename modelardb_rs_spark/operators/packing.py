@@ -72,18 +72,21 @@ def pack_documents(
 
     parted = _truncate_lineage(parted)
 
-    # pass 1: per-partition token totals (P tiny rows) -> base offsets
+    # pass 1: per-partition token totals (P tiny rows) -> base offsets,
+    # shipped back as a BROADCAST-joined P-row frame (a chained CASE
+    # WHEN literal would nest P expressions deep — a plan blowup at
+    # thousands of partitions; the tiny join is flat at any P)
     totals = {
         r["__pid__"]: r["t"]
         for r in parted.groupBy("__pid__").agg(F.sum("__n__").alias("t")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(totals):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += totals[pid]
-    offset_expr = F.lit(0).cast("long")
-    for pid, off in offsets.items():
-        offset_expr = F.when(F.col("__pid__") == pid, F.lit(off)).otherwise(offset_expr)
+    offsets_df = spark.createDataFrame(
+        offsets or [(0, 0)], "__pid__ int, __base__ long"
+    )
 
     # pass 2: within-partition cumsum (bounded by one partition) + base
     from pyspark.sql import Window
@@ -93,10 +96,12 @@ def pack_documents(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    placed = parted.select(
+    placed = parted.join(F.broadcast(offsets_df), "__pid__").select(
         id_col,
         "__n__",
-        (offset_expr + F.coalesce(F.sum("__n__").over(w), F.lit(0))).alias("__start__"),
+        (F.col("__base__") + F.coalesce(F.sum("__n__").over(w), F.lit(0))).alias(
+            "__start__"
+        ),
     )
     # explode the doc's span into every sequence it overlaps
     first_seq = (F.col("__start__") / seq_len).cast("long")
