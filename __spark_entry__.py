@@ -69,7 +69,7 @@ _ENGINE_CACHE: dict = {}
 
 
 def _cached_engine(spark: SparkSession, root: str) -> Engine:
-    ck = (id(spark), root)
+    ck = (spark.sparkContext.applicationId, root)
     eng = _ENGINE_CACHE.get(ck)
     if eng is None:
         eng = _ENGINE_CACHE[ck] = Engine(spark, root)
@@ -85,7 +85,7 @@ def _ts_engine(spark: SparkSession, sf_dir: str) -> Engine:
     # schema changes across rounds never read a stale /tmp data folder
     ver = hashlib.md5(f"{_TS_TABLE_DDL}|layout=4".encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), "sparkmodelar_entry", f"{key}_{ver}")
-    ck = (id(spark), root)
+    ck = (spark.sparkContext.applicationId, root)
     cached = _ENGINE_CACHE.get(ck)
     if cached is not None and os.path.exists(os.path.join(root, ".build_done")):
         return cached
