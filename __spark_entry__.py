@@ -1543,6 +1543,23 @@ def ts_rollup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.join(raw, "etype")
 
 
+def doc_span_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REMOVAL (operators/spans.py::remove_duplicated_spans): the
+    corpus rebuilt without duplicated passages. The oracle pins the
+    rebuilt text byte-for-byte (md5) plus kept/removed token counts —
+    one row per input document."""
+    from modelardb_rs_spark.operators.spans import remove_duplicated_spans
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    out = remove_duplicated_spans(docs, span=10, min_dups=2)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.col("n_tokens_kept").cast("long").alias("n_tokens_kept"),
+        F.col("n_tokens_removed").cast("long").alias("n_tokens_removed"),
+    )
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized interval overlap join (operators/interval.py):
     duration intervals derived from events (length = value seconds),
@@ -1943,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": doc_pack_sequences,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_span_dedup": doc_span_dedup,
+        "doc_span_cleaned": doc_span_cleaned,
         "q_interval_join": q_interval_join,
         "doc_quality_filter": doc_quality_filter,
         "dedup_index_check": dedup_index_check,
@@ -3461,6 +3479,46 @@ def oracle_sql() -> dict[str, str]:
                round(avg(doc.alp), 4) AS avg_logprob
         FROM doc JOIN documents d USING (doc_id)
         GROUP BY d.lang
+    """
+    oracles["doc_span_cleaned"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\s+') END AS t
+          FROM documents
+        ),
+        sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+        grams AS (
+          SELECT s.doc_id, pos.p AS pos,
+                 md5(array_to_string(s.t[pos.p + 1 : pos.p + 10], '')) AS gram
+          FROM (SELECT * FROM sized WHERE n >= 10) s
+          JOIN (SELECT unnest(range(0, (SELECT COALESCE(max(n),0) FROM sized))) AS p) pos
+            ON pos.p <= s.n - 10
+        ),
+        dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        hits AS (SELECT g.doc_id, g.pos AS lo, g.pos + 10 AS hi FROM grams g JOIN dup USING (gram)),
+        tok_rows AS (
+          SELECT s.doc_id, pos.p AS p, s.t[pos.p + 1] AS tok
+          FROM sized s
+          JOIN (SELECT unnest(range(0, (SELECT COALESCE(max(n),0) FROM sized))) AS p) pos
+            ON pos.p < s.n
+        ),
+        kept AS (
+          SELECT tr.doc_id, tr.p, tr.tok
+          FROM tok_rows tr
+          WHERE NOT EXISTS (
+            SELECT 1 FROM hits h WHERE h.doc_id = tr.doc_id AND tr.p >= h.lo AND tr.p < h.hi
+          )
+        ),
+        rebuilt AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS new_text, count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               md5(COALESCE(r.new_text, '')) AS text_md5,
+               CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+               CAST(s.n - COALESCE(r.n_kept, 0) AS BIGINT) AS n_tokens_removed
+        FROM sized s LEFT JOIN rebuilt r USING (doc_id)
     """
     oracles["q_interval_join"] = """
         WITH iv AS (
