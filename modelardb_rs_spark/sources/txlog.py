@@ -211,10 +211,183 @@ class TransactionLog:
             if self.fs.create_exclusive(self._commit_uri(version), payload):
                 if version > 0 and version % _CHECKPOINT_INTERVAL == 0:
                     self._write_checkpoint(snap, doc)
+                self._mirror_delta_log(version)
                 return version
         raise RuntimeError(
             f"could not commit to {self.table_uri} after {_MAX_COMMIT_ATTEMPTS} attempts"
         )
+
+    # --------------------------------------------------- Delta mirroring
+
+    # Stock-Delta interop: every commit is also mirrored as a real
+    # `_delta_log/<version>.json` per the PUBLIC Delta transaction-log
+    # spec (github.com/delta-io/delta PROTOCOL.md), so external engines
+    # with a Delta reader (delta-rs / deltalake / DuckDB delta_scan /
+    # Spark+jars) can open the LIVE table — reading the same segment
+    # Parquet the reference's native-Delta tables expose
+    # (crates/modelardb_storage/src/data_folder/mod.rs:89-260). The
+    # mirror is write-only and best-effort: OUR read path replays only
+    # `_txn/`, a crashed mirror write is healed on the next commit
+    # (every missing version is backfilled from the authoritative _txn
+    # docs — Delta readers require contiguous versions), and mirror
+    # failures never fail the commit.
+
+    _PA_TO_SPARK = {
+        "int8": "byte", "int16": "short", "int32": "integer", "int64": "long",
+        "float": "float", "double": "double", "bool": "boolean",
+        "string": "string", "large_string": "string",
+        "binary": "binary", "large_binary": "binary",
+    }
+
+    def _delta_log_dir(self) -> str:
+        return self.fs.join(self.table_uri, "_delta_log")
+
+    def _delta_schema(self, add_entries: list[dict]) -> tuple[str, list[str]] | None:
+        """(schemaString, partitionColumns) derived from one committed
+        Parquet footer + the staged path layout; None until a commit
+        with data files exists."""
+        for entry in add_entries:
+            rel = entry["path"]
+            parts = [seg.partition("=")[0] for seg in rel.split("/")[:-1] if "=" in seg]
+            uri = self.fs.join(self.table_uri, rel)
+            try:
+                import pyarrow.parquet as pq
+                from urllib.parse import urlparse
+
+                if uri.startswith("file:"):
+                    md = pq.read_schema(urlparse(uri).path)
+                else:
+                    f = self.fs.open_seekable(uri, entry.get("size", 0))
+                    try:
+                        md = pq.read_schema(f)
+                    finally:
+                        f.close()
+            except Exception:
+                continue
+            fields = []
+            for fld in md:
+                t = str(fld.type)
+                if t.startswith("timestamp"):
+                    spark_t = "timestamp"
+                else:
+                    spark_t = self._PA_TO_SPARK.get(t)
+                if spark_t is None:
+                    return None  # unmappable type: skip mirroring
+                fields.append(
+                    {"name": fld.name, "type": spark_t, "nullable": True, "metadata": {}}
+                )
+            for pc in parts:
+                spark_t = "integer" if pc == "field_column" else "string"
+                fields.append(
+                    {"name": pc, "type": spark_t, "nullable": True, "metadata": {}}
+                )
+            schema = json.dumps(
+                {"type": "struct", "fields": fields}, separators=(",", ":")
+            )
+            return schema, parts
+        return None
+
+    def _mirror_delta_log(self, up_to_version: int) -> None:
+        """Backfill `_delta_log/` with every missing version ≤
+        ``up_to_version`` from the authoritative _txn docs. Best-effort:
+        any failure leaves the mirror behind, to be healed next commit."""
+        try:
+            mirror_dir = self._delta_log_dir()
+            have = set()
+            for info in self.fs.list(mirror_dir):
+                name = info.path.rsplit("/", 1)[-1]
+                if name.endswith(".json"):
+                    try:
+                        have.add(int(name[: -len(".json")]))
+                    except ValueError:
+                        pass
+            missing = [v for v in range(up_to_version + 1) if v not in have]
+            if not missing:
+                return
+            schema_info = None
+            if 0 in missing:
+                # metaData needs a schema: derive from the first commit
+                # that carries data files (search forward)
+                for v in range(up_to_version + 1):
+                    try:
+                        doc = self.read_commit(v)
+                    except Exception:
+                        return
+                    if doc.get("add"):
+                        schema_info = self._delta_schema(doc["add"])
+                        if schema_info:
+                            break
+                if schema_info is None:
+                    return  # nothing mirrorable yet
+                self.fs.mkdirs(mirror_dir)
+            for v in missing:
+                try:
+                    doc = self.read_commit(v)
+                except Exception:
+                    return  # _txn version vacuumed away: cannot backfill
+                actions = [
+                    {
+                        "commitInfo": {
+                            "timestamp": doc["timestamp_ms"],
+                            "operation": doc.get("op", "append").upper(),
+                            "engineInfo": "modelardb_rs_spark txlog mirror",
+                        }
+                    }
+                ]
+                if v == 0:
+                    actions.append(
+                        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                    )
+                    schema, parts = schema_info
+                    actions.append(
+                        {
+                            "metaData": {
+                                "id": __import__("uuid").uuid4().hex,
+                                "format": {"provider": "parquet", "options": {}},
+                                "schemaString": schema,
+                                "partitionColumns": parts,
+                                "configuration": {},
+                                "createdTime": doc["timestamp_ms"],
+                            }
+                        }
+                    )
+                for entry in doc.get("add", []):
+                    rel = entry["path"]
+                    pv = {}
+                    for seg in rel.split("/")[:-1]:
+                        if "=" in seg:
+                            k, _, val = seg.partition("=")
+                            pv[k] = val
+                    actions.append(
+                        {
+                            "add": {
+                                "path": rel,
+                                "partitionValues": pv,
+                                "size": entry.get("size", 0),
+                                "modificationTime": doc["timestamp_ms"],
+                                "dataChange": True,
+                            }
+                        }
+                    )
+                for rel in doc.get("remove", []):
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": rel,
+                                "deletionTimestamp": doc["timestamp_ms"],
+                                "dataChange": True,
+                            }
+                        }
+                    )
+                payload = (
+                    "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
+                    + "\n"
+                ).encode("utf-8")
+                self.fs.create_exclusive(
+                    self.fs.join(mirror_dir, f"{v:020d}.json"), payload
+                )
+        except Exception:
+            pass
 
     def _write_checkpoint(self, base: Snapshot, commit: dict) -> None:
         """Materialize the live file set after `commit` (whose builder
