@@ -211,7 +211,7 @@ class TransactionLog:
             if self.fs.create_exclusive(self._commit_uri(version), payload):
                 if version > 0 and version % _CHECKPOINT_INTERVAL == 0:
                     self._write_checkpoint(snap, doc)
-                self._mirror_delta_log(version)
+                self._mirror_delta_log(version, doc)
                 return version
         raise RuntimeError(
             f"could not commit to {self.table_uri} after {_MAX_COMMIT_ATTEMPTS} attempts"
@@ -287,7 +287,7 @@ class TransactionLog:
             return schema, parts
         return None
 
-    def _mirror_delta_log(self, up_to_version: int) -> None:
+    def _mirror_delta_log(self, up_to_version: int, latest_doc: dict | None = None) -> None:
         """Backfill `_delta_log/` with every missing version ≤
         ``up_to_version`` from the authoritative _txn docs. Best-effort:
         any failure leaves the mirror behind, to be healed next commit."""
@@ -304,25 +304,35 @@ class TransactionLog:
             missing = [v for v in range(up_to_version + 1) if v not in have]
             if not missing:
                 return
+
+            def doc_of(v: int) -> dict:
+                if latest_doc is not None and v == up_to_version:
+                    return latest_doc
+                return self.read_commit(v)
+
             schema_info = None
             if 0 in missing:
                 # metaData needs a schema: derive from the first commit
-                # that carries data files (search forward)
-                for v in range(up_to_version + 1):
-                    try:
-                        doc = self.read_commit(v)
-                    except Exception:
-                        return
-                    if doc.get("add"):
-                        schema_info = self._delta_schema(doc["add"])
-                        if schema_info:
-                            break
+                # that carries data files (search forward); cached on
+                # the handle so steady-state commits never re-read it
+                schema_info = getattr(self, "_delta_schema_cache", None)
                 if schema_info is None:
-                    return  # nothing mirrorable yet
+                    for v in range(up_to_version + 1):
+                        try:
+                            doc = doc_of(v)
+                        except Exception:
+                            return
+                        if doc.get("add"):
+                            schema_info = self._delta_schema(doc["add"])
+                            if schema_info:
+                                break
+                    if schema_info is None:
+                        return  # nothing mirrorable yet
+                    self._delta_schema_cache = schema_info
                 self.fs.mkdirs(mirror_dir)
             for v in missing:
                 try:
-                    doc = self.read_commit(v)
+                    doc = doc_of(v)
                 except Exception:
                     return  # _txn version vacuumed away: cannot backfill
                 actions = [
