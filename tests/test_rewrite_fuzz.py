@@ -133,3 +133,39 @@ def test_fuzz_time_bucket_rewrite_matches_gridded(fuzz_engine):
         f_rows = canonical([tuple(r) for r in fast.collect()])
         s_rows = canonical([tuple(r) for r in ref.collect()])
         assert f_rows == s_rows, f"mismatch for {sql!r}"
+
+
+def test_fuzz_where_pushdown_matches_full_view(fuzz_engine):
+    """Fuzz the view predicate pushdown: for random WHERE shapes (AND
+    conjunctions, ORs, BETWEENs, >/>=/</<= bounds, tag equalities —
+    some push into the segment scan, some must decline), read_sql must
+    equal plain spark.sql over the UNRESTRICTED gridded views."""
+    import random as _random
+
+    rng = _random.Random(99)
+    ts = lambda s: f"TIMESTAMP '2024-01-01 00:{s:02d}:00'"
+    term_pool = [
+        lambda: f"timestamp >= {ts(rng.randint(0, 30))}",
+        lambda: f"timestamp > {ts(rng.randint(0, 30))}",
+        lambda: f"timestamp < {ts(rng.randint(5, 33))}",
+        lambda: f"timestamp <= {ts(rng.randint(5, 33))}",
+        lambda: f"site = 's{rng.randint(0, 3)}'",
+        lambda: f"unit = 'u{rng.randint(0, 2)}'",
+        lambda: f"a >= {rng.randint(0, 40)}",
+    ]
+    for trial in range(20):
+        n = rng.randint(1, 3)
+        terms = [rng.choice(term_pool)() for _ in range(n)]
+        glue = rng.choice([" AND ", " AND ", " OR "])  # mostly AND
+        where = glue.join(terms)
+        if rng.random() < 0.25:
+            where += f" AND timestamp BETWEEN {ts(2)} AND {ts(20)}"
+        sql = (
+            "SELECT site, count(a) AS n, round(sum(b), 4) AS s FROM fz "
+            f"WHERE {where} GROUP BY site"
+        )
+        got = canonical(fuzz_engine.read_sql(sql).collect(), 3)
+        # expected: the same statement over UNRESTRICTED views
+        fuzz_engine.register_views(for_sql=None)
+        exp = canonical(fuzz_engine.spark.sql(sql).collect(), 3)
+        assert got == exp, f"trial={trial} sql={sql}"
