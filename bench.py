@@ -50,6 +50,7 @@ HEADLINE = [
     "doc_unigram_lm",
     "doc_pack_sequences",
     "doc_span_dedup",
+    "q_interval_join",
     "ts_correlation",
 ]
 
