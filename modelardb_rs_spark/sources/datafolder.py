@@ -47,6 +47,10 @@ DEFAULT_RETENTION_SECONDS = 7 * 24 * 3600
 # and never rewritten by OPTIMIZE (Delta uses the same idea: minFileSize).
 _OPTIMIZE_SMALL_FRACTION = 0.75
 
+# Commits staging more files than this compute their per-file stats with
+# one distributed job instead of driver-side footer reads.
+_DRIVER_STATS_MAX_FILES = 64
+
 
 class ConcurrentModificationError(RuntimeError):
     """A transactional rewrite lost a race: files it read were removed
@@ -198,18 +202,25 @@ class DataFolder:
                 entry["field_column"] = int(m.group(1))
             add.append(entry)
         if segment_stats and add:
-            def stats_of(entry: dict):
-                return _parquet_segment_stats(
-                    self.fs, self.fs.join(table, entry["path"]), entry["size"]
-                )
-
-            if len(add) == 1:
-                stats = [stats_of(add[0])]
+            if len(add) > _DRIVER_STATS_MAX_FILES:
+                # wide commit: ONE distributed job computes every file's
+                # stats (narrow columns only) — the driver reading
+                # thousands of footers serially would become the commit
+                # bottleneck on a real cluster
+                stats = self._segment_stats_job(staged, staged_rel, add)
             else:
-                from concurrent.futures import ThreadPoolExecutor
+                def stats_of(entry: dict):
+                    return _parquet_segment_stats(
+                        self.fs, self.fs.join(table, entry["path"]), entry["size"]
+                    )
 
-                with ThreadPoolExecutor(min(16, len(add))) as pool:
-                    stats = list(pool.map(stats_of, add))
+                if len(add) == 1:
+                    stats = [stats_of(add[0])]
+                else:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(min(16, len(add))) as pool:
+                        stats = list(pool.map(stats_of, add))
             for entry, st in zip(add, stats):
                 if st is None:
                     continue
@@ -236,6 +247,52 @@ class DataFolder:
     # -------------------------------------------------------- read helpers
 
     _DF_CACHE_MAX = 256
+
+    def _segment_stats_job(
+        self, staged: str, staged_rel: str, add: list[dict]
+    ) -> list[dict | None]:
+        """Per-file commit stats via one Spark job over the staged
+        directory: group by input_file_name over FIVE narrow columns.
+        Same outputs as _parquet_segment_stats, computed where the data
+        lives — commit latency stays flat no matter how many files one
+        transaction stages."""
+        from modelardb_rs_spark.types import GORILLA_ID
+
+        df = self.spark.read.parquet(staged)
+        fast = (
+            (F.col("model_type_id") < F.lit(GORILLA_ID))
+            & (F.coalesce(F.col("ts_kind"), F.lit(1)) == F.lit(0))
+        )
+        rows = (
+            df.groupBy(F.input_file_name().alias("__f__"))
+            .agg(
+                F.min("start_time").alias("lo"),
+                F.max("end_time").alias("hi"),
+                F.max("model_type_id").alias("mm"),
+                F.max(F.coalesce(F.col("ts_kind"), F.lit(1))).alias("mk"),
+                F.sum("value_count").alias("tp"),
+                F.sum(F.when(fast, F.col("value_count")).otherwise(F.lit(0))).alias("fp"),
+            )
+            .collect()
+        )
+        by_rel: dict[str, dict] = {}
+        marker = staged_rel + "/"
+        for r in rows:
+            fname = r["__f__"]
+            idx = fname.find(marker)
+            if idx < 0:
+                continue
+            by_rel[fname[idx:]] = {
+                "span": (int(r["lo"]), int(r["hi"]))
+                if r["lo"] is not None and r["hi"] is not None
+                else None,
+                "all_fast": bool(int(r["mm"]) < GORILLA_ID and int(r["mk"]) == 0)
+                if r["mm"] is not None
+                else None,
+                "fast_points": int(r["fp"] or 0),
+                "total_points": int(r["tp"] or 0),
+            }
+        return [by_rel.get(entry["path"]) for entry in add]
 
     def _read_live(self, name: str, snapshot, schema=None) -> DataFrame | None:
         """``schema`` (when the caller knows it, e.g. the segment layout)

@@ -416,3 +416,34 @@ def test_delta_log_mirror_is_spec_conformant(ts_table, spark):
         int(f[: -len(".json")]) for f in os.listdir(log_dir) if f.endswith(".json")
     )
     assert versions2 == [0, 1, 2, 3, 4]
+
+
+def test_distributed_stats_job_matches_footer_path(ts_table, spark, monkeypatch):
+    """Wide commits compute per-file stats with one Spark job; the
+    recorded entries must be identical to the driver footer path's."""
+    import modelardb_rs_spark.sources.datafolder as dfm
+
+    ts_table.write("acid", points(spark, 300))  # footer path (few files)
+    footer_entries = {
+        e["path"]: (e.get("min_start_time"), e.get("max_end_time"),
+                    e.get("all_fast"), e.get("fast_points"), e.get("total_points"))
+        for c in ts_table.folder.log("acid").commits() for e in c.get("add", [])
+    }
+    assert footer_entries and all(v[4] is not None for v in footer_entries.values())
+
+    monkeypatch.setattr(dfm, "_DRIVER_STATS_MAX_FILES", 0)  # force the job path
+    ts_table.write("acid", points(spark, 300, offset=5000))
+    job_entries = {
+        e["path"]: (e.get("min_start_time"), e.get("max_end_time"),
+                    e.get("all_fast"), e.get("fast_points"), e.get("total_points"))
+        for c in ts_table.folder.log("acid").commits() for e in c.get("add", [])
+        if e["path"] not in footer_entries
+    }
+    assert job_entries
+    # same shapes and totals: both writes ingested identical data modulo
+    # the time offset, so per-write point totals must match
+    assert sum(v[4] for v in footer_entries.values()) == 300
+    assert sum(v[4] for v in job_entries.values()) == 300
+    assert all(v[0] is not None and v[2] is not None for v in job_entries.values())
+    # and reads (skipping + branch choice) work off the job-made stats
+    assert ts_table.read_sql("SELECT count(f) AS n FROM acid").collect()[0].n == 600
