@@ -1575,9 +1575,9 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("event_type").alias("etype"),
         F.unix_micros("ts").alias("start_us"),
-        (F.unix_micros("ts") + (F.col("value") * 1_000_000).cast("long") + 1).alias(
-            "end_us"
-        ),
+        (
+            F.unix_micros("ts") + F.floor(F.col("value") * 1_000_000).cast("long") + 1
+        ).alias("end_us"),
     )
     left = iv.where(F.col("user_id") % 2 == 0)
     right = iv.where(F.col("user_id") % 2 == 1)
@@ -3524,7 +3524,7 @@ def oracle_sql() -> dict[str, str]:
         WITH iv AS (
           SELECT event_id, user_id, event_type AS etype,
                  epoch_ns(ts) // 1000 AS start_us,
-                 (epoch_ns(ts) // 1000) + CAST(value * 1000000 AS BIGINT) + 1 AS end_us
+                 (epoch_ns(ts) // 1000) + CAST(floor(value * 1000000) AS BIGINT) + 1 AS end_us
           FROM events
         ),
         l AS (SELECT * FROM iv WHERE user_id % 2 = 0),

@@ -58,17 +58,22 @@ class Catalog:
         """(version, doc) of the newest catalog version; -1 + legacy file
         (or an empty catalog) when no versioned file exists yet."""
         best = -1
+        best_stamp = None
         for info in self._fs.list(self._dir):
             m = _VERSION_RE.search(info.path.rsplit("/", 1)[-1])
-            if m:
-                best = max(best, int(m.group(1)))
+            if m and int(m.group(1)) > best:
+                best = int(m.group(1))
+                best_stamp = (info.size, info.mtime_ms)
         if best >= 0:
+            # validated by the listing's (size, mtime) stamp, so a folder
+            # recreated at the same path (version numbers restart) never
+            # serves stale bytes
             cached = self._payload_cache
-            if cached is not None and cached[0] == best:
+            if cached is not None and cached[0] == (best, best_stamp):
                 payload = cached[1]
             else:
                 payload = self._fs.read_bytes(self._versioned(best))
-                self._payload_cache = (best, payload)
+                self._payload_cache = ((best, best_stamp), payload)
             return best, json.loads(payload.decode("utf-8"))
         if self._fs.exists(self._legacy_path):
             return -1, json.loads(self._fs.read_bytes(self._legacy_path).decode("utf-8"))

@@ -399,14 +399,14 @@ class Engine:
         bucket is never half-rolled.
 
         Late data: out-of-order points landing BELOW the watermark
-        after a previous run are never silently destroyed. Buckets the
-        rollup does not have yet are rolled up from the late points and
-        appended — and when a bucket had no prior rollup row for ANY
-        group, its raw window is then expired too (the new rows were
+        after a previous run are never silently destroyed. A bucket the
+        rollup has no row for in ANY group is rolled up from the late
+        points, appended, and its raw window expired (the new rows were
         computed from exactly that raw). Late points whose bucket was
-        already rolled (their peers are expired, so the bucket cannot
-        be recomputed exactly) are KEPT at raw resolution — the main
-        expire deletes only [watermark, cutoff). Returns
+        already rolled for some group stay at RAW resolution only —
+        never appended (a partial bucket row would double-represent the
+        bucket: counted once in the rollup and once in surviving raw) —
+        and the main expire deletes only [watermark, cutoff). Returns
         ``{"rolled_buckets", "expired", "late_rolled_buckets",
         "late_points_kept"}``.
         """
@@ -436,26 +436,34 @@ class Engine:
                 late_res = self.resample(
                     name, every_us, columns, group_by=group, end=start_us - 1
                 ).where(F.col("bucket") < F.timestamp_micros(F.lit(start_us)))
-                have = self.table(rollup_table).select("bucket", *group).distinct()
                 prior_buckets = {
-                    _to_us(r[0]) for r in have.select("bucket").distinct().collect()
+                    _to_us(r[0])
+                    for r in self.table(rollup_table)
+                    .select("bucket")
+                    .distinct()
+                    .collect()
                 }
-                new_rows = late_res.join(have, ["bucket"] + group, "left_anti")
+                # only buckets the rollup has NO row for (any group) are
+                # caught up — a bucket partially rolled earlier cannot
+                # accept new group rows without double-representing the
+                # late points (once in the rollup, once in the raw that
+                # must survive for the already-rolled groups)
+                have_buckets = self.spark.createDataFrame(
+                    [(b,) for b in sorted(prior_buckets)] or [(-(2**62),)],
+                    "b BIGINT",
+                ).select(F.timestamp_micros(F.col("b")).alias("bucket"))
+                new_rows = late_res.join(have_buckets, ["bucket"], "left_anti")
                 late_rolled = new_rows.count()
                 if late_rolled:
                     self.write(rollup_table, new_rows)
-                    # buckets with no prior rollup row for ANY group are
-                    # now FULLY represented by the rows just written —
-                    # expire their raw window (merged into contiguous
-                    # ranges, one commit each)
+                    # those buckets are now FULLY represented by the rows
+                    # just written — expire their raw window (merged into
+                    # contiguous ranges, one commit each)
                     all_new = sorted(
-                        b
+                        _to_us(b)
                         for (b,) in new_rows.select("bucket").distinct().collect()
-                        if _to_us(b) not in prior_buckets
                     )
-                    for lo_b, hi_b in _contiguous_ranges(
-                        [_to_us(b) for b in all_new], every_us
-                    ):
+                    for lo_b, hi_b in _contiguous_ranges(all_new, every_us):
                         self.expire(name, hi_b + every_us, not_before=lo_b)
                 late_kept = (
                     self.read_time_series_table(
@@ -587,12 +595,15 @@ class Engine:
         version: int | None = None,
         timestamp_ms: int | None = None,
         tags: dict[str, str] | None = None,
+        probe_duplicates: bool = True,
     ) -> DataFrame:
         """The logical DataFrame of a table (time series tables gridded,
         with optional projection + time-range segment pruning; ``tags``
         equality filters apply to SEGMENTS, before any decode).
         `version`/`timestamp_ms` read an older commit-log snapshot (time
-        travel, both table kinds)."""
+        travel, both table kinds). ``probe_duplicates=False`` skips the
+        point-uniqueness probe job (the multifield reassembly then uses
+        the always-correct duplicate-preserving path)."""
         kind = self.catalog.kind(name)
         if kind == TableKind.NORMAL:
             df = self.folder.read_normal(
@@ -614,7 +625,11 @@ class Engine:
                 raise ValueError(f"{name}: {t!r} is not a tag column")
             segments = segments.where(F.col(t) == F.lit(v))
         no_dups = False
-        if len(meta.field_columns) > 1 and (fields is None or len(fields) > 1):
+        if (
+            probe_duplicates
+            and len(meta.field_columns) > 1
+            and (fields is None or len(fields) > 1)
+        ):
             no_dups = self._no_duplicate_points(name, meta, info["version"])
         return grid_ops.grid(
             segments,
@@ -644,11 +659,14 @@ class Engine:
         bumps the version and invalidates naturally."""
         if version < 0:
             return True
-        key = (name, version)
+        segments, info = self.segments(name, version=version, with_info=True)
+        # keyed by the live FILE SET, not the version number alone: a
+        # drop + recreate restarts versions at 0 but stages under fresh
+        # txn= dirs, so a stale proof can never serve the new table
+        key = (name, version, info["paths_hash"])
         hit = self._disjoint_cache.get(key)
         if hit is not None:
             return hit
-        segments, info = self.segments(name, version=version, with_info=True)
         if info["n_files"] > self._DISJOINT_PROBE_MAX_FILES:
             result = False
         else:
@@ -711,6 +729,10 @@ class Engine:
             fields = None
             start_us = end_us = None
             tag_filters: dict[str, str] = {}
+            # tables the statement never names get no instrumentation
+            # (EXPLAIN ANALYZE counters must reflect the query, not the
+            # catalog) and no duplicate-uniqueness probe job
+            referenced = tokens is None or name.lower() in tokens
             if kind == TableKind.TIME_SERIES:
                 meta = self.catalog.time_series_metadata(name)
                 if tokens is not None:
@@ -719,13 +741,20 @@ class Engine:
                     if hit and len(hit) < len(selectable):
                         fields = hit
                 start_us, end_us, tag_filters = _view_constraints(terms, meta)
-            self.table(
-                name,
-                fields=fields,
-                start=start_us,
-                end=end_us,
-                tags=tag_filters or None,
-            ).createOrReplaceTempView(name)
+            saved_metrics = self._analyze_metrics
+            if not referenced:
+                self._analyze_metrics = None
+            try:
+                self.table(
+                    name,
+                    fields=fields,
+                    start=start_us,
+                    end=end_us,
+                    tags=tag_filters or None,
+                    probe_duplicates=referenced,
+                ).createOrReplaceTempView(name)
+            finally:
+                self._analyze_metrics = saved_metrics
 
     def read_sql(self, sql: str) -> DataFrame | None:
         """Execute one statement of the extended SQL dialect.

@@ -121,10 +121,14 @@ def _resolve_codec(name: str):
     return fn
 
 
-def decode_media(payload: bytes, media_type: str, codec: str = "image", *, fake: bool | None = None) -> np.ndarray:
+def decode_media(payload: bytes, media_type: str, codec: str = "fake", *, fake: bool | None = None) -> np.ndarray:
     """Decode one media payload to a pixel/sample array via a registered
-    codec. ``fake=True`` is the backwards-compatible spelling of
-    ``codec='fake'``."""
+    codec. Defaults align with extract_features (the deterministic
+    'fake' codec — the CI path); ``fake=False`` is the
+    backwards-compatible spelling of ``codec='image'`` and raises
+    NotImplementedError unless a real image codec is registered (Pillow
+    auto-registers when importable, replacing the stub contract with a
+    real decoder)."""
     if fake is not None:
         codec = "fake" if fake else "image"
     return _resolve_codec(codec)(payload, media_type)

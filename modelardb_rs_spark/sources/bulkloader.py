@@ -106,6 +106,9 @@ def export_delta(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    # row count from the WRITTEN files (Parquet metadata-only count) —
+    # never by re-executing the query, whose inputs post_sql may mutate
+    n_rows = engine.spark.read.parquet(path).count()
     for s in post_sql or []:
         engine.read_sql(s)
 
@@ -115,7 +118,6 @@ def export_delta(
     root = fs.base.rstrip("/")
     now_ms = int(time.time() * 1000)
     adds = []
-    n_rows = 0
     for info in fs.list_files_recursive(root):
         if not info.path.endswith(".parquet"):
             continue
@@ -136,7 +138,6 @@ def export_delta(
                 }
             }
         )
-    n_rows = df.count()
     actions = [
         {
             "commitInfo": {

@@ -417,6 +417,7 @@ class DataFolder:
             "fast_fraction": fast_fraction,
             "version": snap.version,
             "n_files": len(snap.files),
+            "paths_hash": hash(tuple(sorted(snap.paths))),
         }
         return (df, info) if with_info else df
 

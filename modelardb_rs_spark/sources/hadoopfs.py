@@ -67,9 +67,7 @@ class HadoopFS:
             from urllib.parse import unquote, urlparse
 
             return unquote(urlparse(uri).path)
-        if "://" not in uri and not uri.startswith("file:"):
-            return None  # scheme-less strings are always qualified first
-        return None
+        return None  # every other scheme keeps the Hadoop path
 
     # ------------------------------------------------------------ queries
 

@@ -291,6 +291,8 @@ class TransactionLog:
         """Backfill `_delta_log/` with every missing version ≤
         ``up_to_version`` from the authoritative _txn docs. Best-effort:
         any failure leaves the mirror behind, to be healed next commit."""
+        if getattr(self, "_mirror_disabled", False):
+            return
         try:
             mirror_dir = self._delta_log_dir()
             have = set()
@@ -321,6 +323,13 @@ class TransactionLog:
                         try:
                             doc = doc_of(v)
                         except Exception:
+                            # pre-mirror history vacuumed away: a stock
+                            # reader needs contiguous versions from 0
+                            # (we write no parquet checkpoints), so this
+                            # table cannot be mirrored — stop paying the
+                            # futile per-commit work; export_delta
+                            # remains the interop path for it
+                            self._mirror_disabled = True
                             return
                         if doc.get("add"):
                             schema_info = self._delta_schema(doc["add"])
@@ -334,6 +343,7 @@ class TransactionLog:
                 try:
                     doc = doc_of(v)
                 except Exception:
+                    self._mirror_disabled = True
                     return  # _txn version vacuumed away: cannot backfill
                 actions = [
                     {

@@ -248,3 +248,29 @@ def test_explain_analyze_sql(engine, spark):
     text = "\n".join(r["plan"] for r in rows)
     assert "gridded view" in text and "output_rows=1" in text
     assert "python_decoded_points=" in text and "jvm_fast_" in text
+
+
+def test_explain_analyze_counts_only_referenced_tables(engine, spark):
+    """Counters must reflect the QUERIED table only — an unrelated
+    catalog table contributes nothing (and no probe/agg jobs)."""
+    import re as _re
+
+    for t in ("eaa", "eab"):
+        engine.read_sql(
+            f"CREATE TIME SERIES TABLE {t}(timestamp TIMESTAMP, v FIELD, w FIELD)"
+        )
+        engine.write(
+            t,
+            spark.range(100).selectExpr(
+                "timestamp_micros(id * 1000000) AS timestamp",
+                "CAST(id AS FLOAT) AS v", "CAST(id * 2 AS FLOAT) AS w",
+            ),
+        )
+    out = engine.explain_path(
+        "SELECT count(v) AS n FROM eaa WHERE timestamp >= timestamp '1970-01-01'",
+        analyze=True,
+    )
+    nums = {k: int(x) for k, x in _re.findall(r"(\w+)=(\d+)", out.splitlines()[1])}
+    # both tables are all-JVM-decodable (linear); only eaa's 100 points
+    # may be counted — eab's 100 must not appear
+    assert nums["python_decoded_points"] + nums["jvm_fast_points"] == 100

@@ -417,3 +417,38 @@ def test_resegment_whole_series_across_arrow_batches(engine, spark):
     # and not a single point changed
     after = engine.table("rs2").collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_downsample_expire_late_new_group_in_rolled_bucket(engine, spark):
+    """A late point for a NEW tag group inside an already-rolled bucket
+    must NOT be appended to the rollup (that would double-represent it:
+    once rolled, once in the surviving raw) — it stays raw-only."""
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE lg(timestamp TIMESTAMP, v FIELD, tag TAG)"
+    )
+    rows = [
+        Row(timestamp=TS0 + datetime.timedelta(hours=6 * i), v=1.0, tag="a")
+        for i in range(24)  # days 0-5, tag a only
+    ]
+    engine.write("lg", spark.createDataFrame(rows))
+    engine.downsample_expire(
+        "lg", "lg_daily", "1 day", {"v": ["count", "sum"]},
+        TS0 + datetime.timedelta(days=3), group_by_tags=["tag"],
+    )
+    # late arrival: tag 'b' lands in rolled day 1
+    late = [Row(timestamp=TS0 + datetime.timedelta(days=1, minutes=5), v=50.0, tag="b")]
+    engine.write("lg", spark.createDataFrame(late))
+    out = engine.downsample_expire(
+        "lg", "lg_daily", "1 day", {"v": ["count", "sum"]},
+        TS0 + datetime.timedelta(days=4), group_by_tags=["tag"],
+    )
+    assert out["late_rolled_buckets"] == 0  # bucket already rolled for 'a'
+    assert out["late_points_kept"] == 1
+    # rollup has no 'b' rows; the late point survives at raw resolution
+    assert engine.table("lg_daily").where(F.col("tag") == "b").count() == 0
+    raw = engine.table("lg").where(F.col("tag") == "b").collect()
+    assert len(raw) == 1 and raw[0]["v"] == 50.0
+    # totals cover every point exactly once across the two resolutions
+    rolled_sum = engine.table("lg_daily").agg(F.sum("sum_v")).collect()[0][0]
+    raw_sum = engine.table("lg").agg(F.sum("v")).collect()[0][0]
+    assert abs((rolled_sum + raw_sum) - (24 * 1.0 + 50.0)) < 1e-6
