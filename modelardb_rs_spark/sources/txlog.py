@@ -287,127 +287,312 @@ class TransactionLog:
             return schema, parts
         return None
 
+    def _cached_schema_info(self, up_to_version: int, doc_of) -> tuple | None:
+        """(schemaString, partitionColumns), derived once from the first
+        commit carrying data files and cached on the handle."""
+        schema_info = getattr(self, "_delta_schema_cache", None)
+        if schema_info is not None:
+            return schema_info
+        for v in range(up_to_version + 1):
+            try:
+                doc = doc_of(v)
+            except Exception:
+                continue
+            if doc.get("add"):
+                schema_info = self._delta_schema(doc["add"])
+                if schema_info:
+                    self._delta_schema_cache = schema_info
+                    return schema_info
+        return None
+
     def _mirror_delta_log(self, up_to_version: int, latest_doc: dict | None = None) -> None:
         """Backfill `_delta_log/` with every missing version ≤
-        ``up_to_version`` from the authoritative _txn docs. Best-effort:
-        any failure leaves the mirror behind, to be healed next commit."""
+        ``up_to_version`` from the authoritative _txn docs; every
+        ``_CHECKPOINT_INTERVAL``-th version also writes a Delta PARQUET
+        checkpoint + ``_last_checkpoint`` so stock readers replay a
+        bounded suffix (and so a table whose pre-mirror history was
+        vacuumed can BOOTSTRAP from our own checkpoint instead of being
+        unmirrorable). Best-effort: any failure leaves the mirror
+        behind, to be healed next commit."""
         if getattr(self, "_mirror_disabled", False):
             return
         try:
             mirror_dir = self._delta_log_dir()
             have = set()
+            delta_cps = set()
             for info in self.fs.list(mirror_dir):
                 name = info.path.rsplit("/", 1)[-1]
-                if name.endswith(".json"):
+                if name.endswith(".checkpoint.parquet"):
+                    try:
+                        delta_cps.add(int(name[: -len(".checkpoint.parquet")]))
+                    except ValueError:
+                        pass
+                elif name.endswith(".json") and name != "_last_checkpoint":
                     try:
                         have.add(int(name[: -len(".json")]))
                     except ValueError:
                         pass
-            missing = [v for v in range(up_to_version + 1) if v not in have]
-            if not missing:
-                return
+            base = max(delta_cps, default=-1)
+            missing = [v for v in range(base + 1, up_to_version + 1) if v not in have]
 
             def doc_of(v: int) -> dict:
                 if latest_doc is not None and v == up_to_version:
                     return latest_doc
                 return self.read_commit(v)
 
-            schema_info = None
-            if 0 in missing:
-                # metaData needs a schema: derive from the first commit
-                # that carries data files (search forward); cached on
-                # the handle so steady-state commits never re-read it
-                schema_info = getattr(self, "_delta_schema_cache", None)
-                if schema_info is None:
-                    for v in range(up_to_version + 1):
-                        try:
-                            doc = doc_of(v)
-                        except Exception:
-                            # pre-mirror history vacuumed away: a stock
-                            # reader needs contiguous versions from 0
-                            # (we write no parquet checkpoints), so this
-                            # table cannot be mirrored — stop paying the
-                            # futile per-commit work; export_delta
-                            # remains the interop path for it
-                            self._mirror_disabled = True
-                            return
-                        if doc.get("add"):
-                            schema_info = self._delta_schema(doc["add"])
-                            if schema_info:
-                                break
-                    if schema_info is None:
-                        return  # nothing mirrorable yet
-                    self._delta_schema_cache = schema_info
-                self.fs.mkdirs(mirror_dir)
-            for v in missing:
-                try:
-                    doc = doc_of(v)
-                except Exception:
-                    self._mirror_disabled = True
-                    return  # _txn version vacuumed away: cannot backfill
-                actions = [
-                    {
-                        "commitInfo": {
-                            "timestamp": doc["timestamp_ms"],
-                            "operation": doc.get("op", "append").upper(),
-                            "engineInfo": "modelardb_rs_spark txlog mirror",
-                        }
-                    }
-                ]
-                if v == 0:
-                    actions.append(
-                        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-                    )
-                    schema, parts = schema_info
-                    actions.append(
-                        {
-                            "metaData": {
-                                "id": __import__("uuid").uuid4().hex,
-                                "format": {"provider": "parquet", "options": {}},
-                                "schemaString": schema,
-                                "partitionColumns": parts,
-                                "configuration": {},
-                                "createdTime": doc["timestamp_ms"],
-                            }
-                        }
-                    )
-                for entry in doc.get("add", []):
-                    rel = entry["path"]
-                    pv = {}
-                    for seg in rel.split("/")[:-1]:
-                        if "=" in seg:
-                            k, _, val = seg.partition("=")
-                            pv[k] = val
-                    actions.append(
-                        {
-                            "add": {
-                                "path": rel,
-                                "partitionValues": pv,
-                                "size": entry.get("size", 0),
-                                "modificationTime": doc["timestamp_ms"],
-                                "dataChange": True,
-                            }
-                        }
-                    )
-                for rel in doc.get("remove", []):
-                    actions.append(
-                        {
-                            "remove": {
-                                "path": rel,
-                                "deletionTimestamp": doc["timestamp_ms"],
-                                "dataChange": True,
-                            }
-                        }
-                    )
-                payload = (
-                    "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
-                    + "\n"
-                ).encode("utf-8")
-                self.fs.create_exclusive(
-                    self.fs.join(mirror_dir, f"{v:020d}.json"), payload
+            if missing:
+                self._mirror_missing(
+                    mirror_dir, missing, up_to_version, doc_of, first_is_origin=(base == -1)
                 )
+            # periodic Delta checkpoint: bounded replay for stock readers
+            if (
+                up_to_version > base
+                and up_to_version % _CHECKPOINT_INTERVAL == 0
+                and up_to_version not in delta_cps
+            ):
+                self._write_delta_checkpoint(mirror_dir, up_to_version, doc_of)
         except Exception:
             pass
+
+    def _mirror_missing(
+        self, mirror_dir: str, missing: list[int], up_to_version: int, doc_of,
+        first_is_origin: bool,
+    ) -> None:
+        schema_info = None
+        if first_is_origin and 0 in missing:
+            # metaData needs a schema: derive from the first commit
+            # that carries data files (search forward); cached on
+            # the handle so steady-state commits never re-read it
+            schema_info = self._cached_schema_info(up_to_version, doc_of)
+            if schema_info is None:
+                return  # nothing mirrorable yet
+        self.fs.mkdirs(mirror_dir)
+        for v in missing:
+            try:
+                doc = doc_of(v)
+            except Exception:
+                # _txn history vacuumed away: bootstrap from our own
+                # checkpoint as a Delta parquet checkpoint base; stock
+                # readers then start there via _last_checkpoint, and the
+                # re-run mirrors the JSON suffix after the new base
+                if self._bootstrap_delta_checkpoint(mirror_dir, up_to_version, doc_of):
+                    self._mirror_delta_log(up_to_version)
+                else:
+                    self._mirror_disabled = True
+                return
+            actions = [
+                {
+                    "commitInfo": {
+                        "timestamp": doc["timestamp_ms"],
+                        "operation": doc.get("op", "append").upper(),
+                        "engineInfo": "modelardb_rs_spark txlog mirror",
+                    }
+                }
+            ]
+            if v == 0 and first_is_origin:
+                actions.append(
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                )
+                actions.append(self._metadata_action(schema_info, doc["timestamp_ms"]))
+            for entry in doc.get("add", []):
+                actions.append(self._add_action(entry, doc["timestamp_ms"]))
+            for rel in doc.get("remove", []):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": doc["timestamp_ms"],
+                            "dataChange": True,
+                        }
+                    }
+                )
+            payload = (
+                "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
+                + "\n"
+            ).encode("utf-8")
+            self.fs.create_exclusive(
+                self.fs.join(mirror_dir, f"{v:020d}.json"), payload
+            )
+
+    @staticmethod
+    def _add_action(entry: dict, ts_ms: int) -> dict:
+        rel = entry["path"]
+        pv = {}
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                k, _, val = seg.partition("=")
+                pv[k] = val
+        return {
+            "add": {
+                "path": rel,
+                "partitionValues": pv,
+                "size": entry.get("size", 0),
+                "modificationTime": ts_ms,
+                "dataChange": True,
+            }
+        }
+
+    @staticmethod
+    def _metadata_action(schema_info: tuple, ts_ms: int) -> dict:
+        schema, parts = schema_info
+        import uuid as _uuid
+
+        return {
+            "metaData": {
+                "id": _uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": parts,
+                "configuration": {},
+                "createdTime": ts_ms,
+            }
+        }
+
+    def _write_delta_checkpoint(self, mirror_dir: str, version: int, doc_of) -> None:
+        """Delta PARQUET checkpoint at ``version`` (full live state, one
+        action struct per row — public PROTOCOL.md checkpoint schema)
+        plus the ``_last_checkpoint`` pointer. Stock readers then replay
+        only the JSON commits after it."""
+        snap = self.snapshot(version=version)
+        schema_info = self._cached_schema_info(version, doc_of)
+        if schema_info is None:
+            return
+        self._emit_delta_checkpoint(mirror_dir, version, snap.files, schema_info)
+
+    def _bootstrap_delta_checkpoint(self, mirror_dir: str, up_to_version: int, doc_of) -> bool:
+        """When pre-mirror _txn history was vacuumed, base the mirror on
+        OUR earliest reconstructable state: write a Delta parquet
+        checkpoint at our latest own-checkpoint version ≤ up_to and let
+        the next commit mirror the JSON suffix after it. Returns False
+        when no base exists (mirroring impossible)."""
+        _, cps = self._list_log()
+        bases = [c for c in cps if c <= up_to_version]
+        if not bases:
+            return False
+        c = max(bases)
+        try:
+            cp = self.read_checkpoint(c)
+        except Exception:
+            return False
+        schema_info = self._cached_schema_info(up_to_version, doc_of)
+        if schema_info is None:
+            schema_info = self._delta_schema(cp.get("files", []))
+            if schema_info is None:
+                return False
+            self._delta_schema_cache = schema_info
+        self.fs.mkdirs(mirror_dir)
+        self._emit_delta_checkpoint(mirror_dir, c, cp.get("files", []), schema_info)
+        return True
+
+    def _emit_delta_checkpoint(
+        self, mirror_dir: str, version: int, files: list[dict], schema_info: tuple
+    ) -> None:
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        now_ms = int(time.time() * 1000)
+        meta = self._metadata_action(schema_info, now_ms)["metaData"]
+        proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+        adds = [self._add_action(e, now_ms)["add"] for e in files]
+        n = 2 + len(adds)
+        rows = {
+            "protocol": [proto] + [None] * (n - 1),
+            "metaData": [None, meta] + [None] * (n - 2),
+            "add": [None, None] + adds,
+        }
+        pv_type = pa.map_(pa.string(), pa.string())
+        schema = pa.schema(
+            [
+                pa.field(
+                    "protocol",
+                    pa.struct(
+                        [
+                            pa.field("minReaderVersion", pa.int32()),
+                            pa.field("minWriterVersion", pa.int32()),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "metaData",
+                    pa.struct(
+                        [
+                            pa.field("id", pa.string()),
+                            pa.field(
+                                "format",
+                                pa.struct(
+                                    [
+                                        pa.field("provider", pa.string()),
+                                        pa.field("options", pv_type),
+                                    ]
+                                ),
+                            ),
+                            pa.field("schemaString", pa.string()),
+                            pa.field("partitionColumns", pa.list_(pa.string())),
+                            pa.field("configuration", pv_type),
+                            pa.field("createdTime", pa.int64()),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "add",
+                    pa.struct(
+                        [
+                            pa.field("path", pa.string()),
+                            pa.field("partitionValues", pv_type),
+                            pa.field("size", pa.int64()),
+                            pa.field("modificationTime", pa.int64()),
+                            pa.field("dataChange", pa.bool_()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+
+        def as_struct_rows(key, items):
+            out = []
+            for it in items:
+                if it is None:
+                    out.append(None)
+                elif key == "metaData":
+                    it = dict(it)
+                    it["format"] = {
+                        "provider": it["format"]["provider"],
+                        "options": list(it["format"]["options"].items()),
+                    }
+                    it["configuration"] = list(it["configuration"].items())
+                    out.append(it)
+                elif key == "add":
+                    it = dict(it)
+                    it["partitionValues"] = list(it["partitionValues"].items())
+                    out.append(it)
+                else:
+                    out.append(it)
+            return out
+
+        table = pa.table(
+            {
+                "protocol": pa.array(rows["protocol"], type=schema.field("protocol").type),
+                "metaData": pa.array(
+                    as_struct_rows("metaData", rows["metaData"]),
+                    type=schema.field("metaData").type,
+                ),
+                "add": pa.array(
+                    as_struct_rows("add", rows["add"]), type=schema.field("add").type
+                ),
+            }
+        )
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        self.fs.write_bytes(
+            self.fs.join(mirror_dir, f"{version:020d}.checkpoint.parquet"),
+            buf.getvalue(),
+        )
+        self.fs.write_bytes(
+            self.fs.join(mirror_dir, "_last_checkpoint"),
+            json.dumps({"version": version, "size": n}).encode("utf-8"),
+        )
 
     def _write_checkpoint(self, base: Snapshot, commit: dict) -> None:
         """Materialize the live file set after `commit` (whose builder

@@ -447,3 +447,64 @@ def test_distributed_stats_job_matches_footer_path(ts_table, spark, monkeypatch)
     assert all(v[0] is not None and v[2] is not None for v in job_entries.values())
     # and reads (skipping + branch choice) work off the job-made stats
     assert ts_table.read_sql("SELECT count(f) AS n FROM acid").collect()[0].n == 600
+
+
+def test_delta_mirror_parquet_checkpoint_and_bootstrap(spark, tmp_path):
+    """Every 16th mirrored version writes a Delta PARQUET checkpoint +
+    _last_checkpoint (bounded stock-reader replay); a table whose
+    pre-mirror history was vacuumed bootstraps its mirror from our own
+    checkpoint instead of being unmirrorable."""
+    import json as _json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from modelardb_rs_spark.sources.hadoopfs import HadoopFS
+    from modelardb_rs_spark.sources.txlog import TransactionLog
+
+    fs = HadoopFS(spark, str(tmp_path))
+    log = TransactionLog(fs, fs.join(fs.base, "t"))
+    data_dir = os.path.join(str(tmp_path), "t")
+    os.makedirs(os.path.join(data_dir, "txn=a"), exist_ok=True)
+    # real parquet files so the schema derivation works
+    spark.range(3).selectExpr("id AS start_time").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(data_dir, "txn=a"))
+    src = next(
+        f for f in os.listdir(os.path.join(data_dir, "txn=a")) if f.endswith(".parquet")
+    )
+    for i in range(18):
+        fname = f"txn=a/f{i}.parquet"
+        shutil.copy(
+            os.path.join(data_dir, "txn=a", src), os.path.join(data_dir, fname)
+        )
+        size = os.path.getsize(os.path.join(data_dir, fname))
+        log.commit(lambda snap, fname=fname, size=size: ("append", [{"path": fname, "size": size}], []))
+
+    dl = os.path.join(data_dir, "_delta_log")
+    cp = os.path.join(dl, f"{16:020d}.checkpoint.parquet")
+    assert os.path.isfile(cp)
+    lc = _json.load(open(os.path.join(dl, "_last_checkpoint")))
+    assert lc["version"] == 16
+    t = pq.read_table(cp)
+    assert {"protocol", "metaData", "add"} <= set(t.column_names)
+    adds = [r for r in t.column("add").to_pylist() if r is not None]
+    assert len(adds) == 17  # live files at version 16
+    assert all(dict(a["partitionValues"])["txn"] == "a" for a in adds)
+    protos = [r for r in t.column("protocol").to_pylist() if r is not None]
+    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+
+    # bootstrap: wipe the mirror AND retire pre-checkpoint _txn commits
+    shutil.rmtree(dl)
+    log.vacuum(0)  # drops commits 0..15 (superseded by checkpoint 16)
+    log2 = TransactionLog(fs, fs.join(fs.base, "t"))  # fresh handle
+    fname = "txn=a/f18.parquet"
+    shutil.copy(os.path.join(data_dir, "txn=a", src), os.path.join(data_dir, fname))
+    size = os.path.getsize(os.path.join(data_dir, fname))
+    log2.commit(lambda snap: ("append", [{"path": fname, "size": size}], []))
+    # mirror rebuilt from our checkpoint 16 + JSON for 17 and 18
+    names = set(os.listdir(dl))
+    assert f"{16:020d}.checkpoint.parquet" in names
+    assert f"{17:020d}.json" in names and f"{18:020d}.json" in names
+    assert f"{0:020d}.json" not in names  # history starts at the checkpoint
