@@ -1288,6 +1288,18 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor media resize through the codec registry
+    (operators/multimodal.py::resize_media): decoded samples viewed as
+    a (height, width) raster, resized to 4×4 — the resize step of an
+    image-preprocessing pipeline, map-only Arrow-batched. Exact oracle:
+    every output pixel."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    media = mm_ops.attach_fake_media(docs)
+    out = mm_ops.resize_media(media)
+    return out.select("media_id", F.posexplode("pixels").alias("p", "pixel"))
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (fake codec;
     rows-only driver check)."""
@@ -1945,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": doc_sample,
         "multimodal_metadata": multimodal_metadata,
         "multimodal_features": multimodal_features,
+        "multimodal_resize": multimodal_resize,
         "doc_pii": doc_pii,
         "doc_pii_redacted": doc_pii_redacted,
         "doc_line_dedup": doc_line_dedup,
@@ -2978,6 +2991,20 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CAST(CAST(value AS FLOAT) AS DOUBLE)), 2) AS sum_value,
                    count(*) AS n_within_bound
             FROM events
+        """,
+        "multimodal_resize": """
+            WITH m AS (
+              SELECT doc_id AS media_id, md5(text) AS hx,
+                     CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) + 1 AS width,
+                     CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) + 1 AS height
+              FROM documents
+            ),
+            pos AS (SELECT unnest(range(0, 16)) AS p)
+            SELECT m.media_id, CAST(pos.p AS INT) AS p,
+                   CAST(concat('0x', substr(m.hx,
+                        2 * CAST((( (pos.p // 4) * m.height // 4) * m.width
+                                  + ((pos.p % 4) * m.width // 4)) % 16 AS INT) + 1, 2)) AS INT) AS pixel
+            FROM m, pos
         """,
         "multimodal_features": """
             -- the fake codec's "pixels" ARE the md5 payload bytes, so the

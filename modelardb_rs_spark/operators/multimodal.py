@@ -169,6 +169,60 @@ def extract_features(
     return src.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("pixels", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, out_w: int = 4, out_h: int = 4, codec: str = "fake"
+) -> DataFrame:
+    """Nearest-neighbor resize through the codec registry: decode each
+    payload to samples, view them as a row-major (height, width) raster
+    (indices wrap modulo the sample count, so short payloads tile
+    deterministically), and emit the (out_h, out_w) raster row-major.
+
+    Arrow-batched ``mapInPandas`` over the pruned (id, payload,
+    width, height) columns — map-only, no shuffle; a real image codec
+    (Pillow) makes this true pixel resizing with zero operator changes.
+    """
+    if out_w < 1 or out_h < 1:
+        raise ValueError("target dimensions must be positive")
+    codec_fn = _resolve_codec(codec)
+    src = media.select("media_id", "media_type", "payload", "width", "height")
+
+    def rz(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rr, cc = np.meshgrid(np.arange(out_h), np.arange(out_w), indexing="ij")
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload, w, h in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"],
+                pdf["width"], pdf["height"],
+            ):
+                samples = codec_fn(bytes(payload), mtype)
+                n = max(len(samples), 1)
+                src_r = (rr * int(h)) // out_h
+                src_c = (cc * int(w)) // out_w
+                idx = (src_r * int(w) + src_c) % n
+                pixels = samples[idx.ravel()] if len(samples) else np.zeros(out_h * out_w, dtype=np.uint8)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "out_h": out_h,
+                        "out_w": out_w,
+                        "pixels": [int(x) for x in pixels],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return src.mapInPandas(rz, schema=RESIZE_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_nth: int = 4) -> DataFrame:
     """Frame sampling for video-like payloads: emit every nth 4-byte
     "frame" of the payload as its own row (map-only explode; the real

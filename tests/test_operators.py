@@ -474,3 +474,25 @@ def test_deduplicate_corpus_keeps_canonical(docs):
     # survivors finds no pairs at the same threshold
     again = dedup_ops.minhash_dedup_pairs(out, threshold=0.5, k=16, bands=8)
     assert again.count() == 0
+
+
+def test_resize_media_nearest_neighbor(spark):
+    """Resize through the codec registry: a 16-byte fake payload viewed
+    as a (height, width) raster resized to 2x2 picks the exact
+    nearest-neighbor samples; a custom codec plugs in unchanged."""
+    import numpy as np
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="hello")])
+    media = mm_ops.attach_fake_media(docs)
+    row = media.collect()[0]
+    samples = np.frombuffer(bytes(row["payload"]), dtype=np.uint8)
+    w, h = row["width"], row["height"]
+    out = mm_ops.resize_media(media, out_w=2, out_h=2).collect()[0]
+    exp = [
+        int(samples[(((r * h) // 2) * w + ((c * w) // 2)) % 16])
+        for r in range(2)
+        for c in range(2)
+    ]
+    assert out["pixels"] == exp and out["out_h"] == out["out_w"] == 2
+    with pytest.raises(NotImplementedError, match="no codec registered"):
+        mm_ops.resize_media(media, codec="missing")
