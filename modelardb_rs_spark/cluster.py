@@ -141,7 +141,10 @@ class Cluster:
     def read_sql_all(self, sql: str) -> pa.Table:
         """Fan the statement out to EVERY node and concatenate the Arrow
         results (remote.rs:91-119 merge shape). Unreachable nodes raise;
-        membership is explicit, not gossip."""
+        membership is explicit, not gossip. The merge is driver-bound by
+        design (results are typically aggregate-sized); for bulk unions
+        of raw data prefer ``INCLUDE '<folder>' SELECT ...`` over shared
+        storage, which keeps the scan on the cluster."""
         tables = [
             ModelarFlightClient(n.url).read(sql) for n in self.nodes()
         ]
