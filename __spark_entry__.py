@@ -1555,6 +1555,29 @@ def ts_rollup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.join(raw, "etype")
 
 
+def doc_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus cleaning — the composed production shape:
+    boilerplate line removal → PII redaction → duplicated-span removal
+    → minimum-length quality gate, each stage feeding the next's text.
+    The oracle reproduces the ENTIRE chain in one SQL statement and the
+    final text is md5-pinned per document — any drift in any stage, or
+    in how the stages compose, breaks the hash."""
+    from modelardb_rs_spark.operators.spans import remove_duplicated_spans
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    staged = _pii_corpus(_lined_corpus(docs))
+    lined = line_ops.remove_common_lines(staged, min_docs=2)
+    red = pii_ops.redact_documents(lined)
+    cleaned = remove_duplicated_spans(red, span=10, min_dups=2)
+    kept = cleaned.where(F.col("n_tokens_kept") >= 30)
+    return kept.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("text_md5"),
+        F.col("n_tokens_kept").cast("long").alias("n_tokens"),
+    )
+
+
 def doc_span_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span REMOVAL (operators/spans.py::remove_duplicated_spans): the
     corpus rebuilt without duplicated passages. The oracle pins the
@@ -1974,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": doc_stratified_sample,
         "doc_span_dedup": doc_span_dedup,
         "doc_span_cleaned": doc_span_cleaned,
+        "doc_clean_pipeline": doc_clean_pipeline,
         "q_interval_join": q_interval_join,
         "doc_quality_filter": doc_quality_filter,
         "dedup_index_check": dedup_index_check,
@@ -3506,6 +3530,85 @@ def oracle_sql() -> dict[str, str]:
                round(avg(doc.alp), 4) AS avg_logprob
         FROM doc JOIN documents d USING (doc_id)
         GROUP BY d.lang
+    """
+    oracles["doc_clean_pipeline"] = r"""
+        WITH staged AS (
+          SELECT doc_id, lang,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN ('SHARED HEADER' || chr(10) || substr(text, 1, 40)
+                            || chr(10) || chr(10) || text || chr(10) || 'footer ' || lang)
+                           || ' reach user' || doc_id || '@' || source
+                           || '.org or 10.' || (doc_id % 256) || '.0.'
+                           || (doc_id % 100) || ' ssn 123-45-6789'
+                      ELSE 'SHARED HEADER' || chr(10) || substr(text, 1, 40)
+                           || chr(10) || chr(10) || text || chr(10) || 'footer ' || lang
+                 END AS text
+          FROM documents
+        ),
+        ex AS (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS line_no
+          FROM staged
+        ),
+        normed AS (SELECT *, lower(regexp_replace(trim(line), '\s+', ' ', 'g')) AS norm FROM ex),
+        common AS (
+          SELECT norm FROM normed WHERE norm <> ''
+          GROUP BY norm HAVING count(DISTINCT doc_id) >= 2
+        ),
+        lined AS (
+          SELECT doc_id,
+                 coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                          FILTER (WHERE norm NOT IN (SELECT norm FROM common)), '') AS text
+          FROM normed GROUP BY doc_id
+        ),
+        red AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                     text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                     '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS text
+          FROM lined
+        ),
+        toks AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\s+') END AS t
+          FROM red
+        ),
+        sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+        grams AS (
+          SELECT s.doc_id, pos.p AS pos,
+                 md5(array_to_string(s.t[pos.p + 1 : pos.p + 10], '')) AS gram
+          FROM (SELECT * FROM sized WHERE n >= 10) s
+          JOIN (SELECT unnest(range(0, (SELECT COALESCE(max(n),0) FROM sized))) AS p) pos
+            ON pos.p <= s.n - 10
+        ),
+        dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        hits AS (SELECT g.doc_id, g.pos AS lo, g.pos + 10 AS hi FROM grams g JOIN dup USING (gram)),
+        tok_rows AS (
+          SELECT s.doc_id, pos.p AS p, s.t[pos.p + 1] AS tok
+          FROM sized s
+          JOIN (SELECT unnest(range(0, (SELECT COALESCE(max(n),0) FROM sized))) AS p) pos
+            ON pos.p < s.n
+        ),
+        kept_toks AS (
+          SELECT tr.doc_id, tr.p, tr.tok FROM tok_rows tr
+          WHERE NOT EXISTS (
+            SELECT 1 FROM hits h WHERE h.doc_id = tr.doc_id AND tr.p >= h.lo AND tr.p < h.hi
+          )
+        ),
+        rebuilt AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS new_text, count(*) AS n_kept
+          FROM kept_toks GROUP BY doc_id
+        )
+        SELECT s.doc_id, d.lang, md5(COALESCE(r.new_text, '')) AS text_md5,
+               CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_tokens
+        FROM sized s
+        LEFT JOIN rebuilt r USING (doc_id)
+        JOIN documents d ON d.doc_id = s.doc_id
+        WHERE COALESCE(r.n_kept, 0) >= 30
     """
     oracles["doc_span_cleaned"] = r"""
         WITH toks AS (
