@@ -51,6 +51,7 @@ HEADLINE = [
     "doc_pack_sequences",
     "doc_span_dedup",
     "q_interval_join",
+    "doc_clean_pipeline",
     "ts_correlation",
 ]
 
