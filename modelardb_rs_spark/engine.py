@@ -515,12 +515,29 @@ class Engine:
 
     # --------------------------------------------------------------- write
 
-    def write(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> None:
         """Append a DataFrame. Time series tables are compressed inline
         (reference Operations::write → try_compress_multivariate_time_series,
         modelardb_embedded/src/data_folder.rs:191-238). ``partition_by``
         (normal tables only) lays files out Hive-style on those columns
-        for planning-time partition pruning."""
+        for planning-time partition pruning.
+
+        ``txn=(app_id, version)`` makes the append idempotent under
+        at-least-once replay: the identifier is recorded ATOMICALLY in
+        the same commit as the data (Delta SetTransaction semantics),
+        and a write whose (app_id, version) the log already shows is a
+        no-op. Already-applied epochs are skipped before any Spark job
+        runs; a concurrent race is still caught at commit time."""
+        if txn is not None:
+            prev = self.last_txn_version(name, txn[0])
+            if prev is not None and prev >= txn[1]:
+                return
         kind = self.catalog.kind(name)
         if kind == TableKind.NORMAL:
             schema = self.catalog.normal_table_schema(name)
@@ -528,7 +545,7 @@ class Engine:
             cast = df.select(
                 *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
             )
-            self.folder.write_normal(name, cast, partition_by=partition_by)
+            self.folder.write_normal(name, cast, partition_by=partition_by, txn=txn)
             return
         if partition_by:
             raise ValueError("partition_by applies to normal tables only")
@@ -548,10 +565,15 @@ class Engine:
             cast = cast.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             segments = compress_ops.compress(cast, meta)
-            self.folder.write_segments(meta, segments)
+            self.folder.write_segments(meta, segments, txn=txn)
         finally:
             if cache_input:
                 cast.unpersist()
+
+    def last_txn_version(self, name: str, app_id: str) -> int | None:
+        """Latest SetTransaction-style version recorded for ``app_id``
+        on table ``name`` (None if never) — see ``write(txn=...)``."""
+        return self.folder.last_txn_version(name, app_id)
 
     @staticmethod
     def _check_columns(table: str, df: DataFrame, required: list[str]) -> None:

@@ -125,9 +125,12 @@ def append_to_minhash_index(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    txn: tuple[str, int] | None = None,
 ) -> dict:
-    """Add newly-kept documents' signatures (one atomic append)."""
+    """Add newly-kept documents' signatures (one atomic append).
+    ``txn`` passes a SetTransaction replay gate through to the commit
+    (see Engine.write) for exactly-once streaming ingest."""
     k, _, n = _params(engine, index_name)
     sigs = minhash_signatures(df, k, n, text_col, id_col)
-    engine.write(_sigs_table(index_name), sigs)
+    engine.write(_sigs_table(index_name), sigs, txn=txn)
     return {"appended": df.count()}

@@ -171,7 +171,8 @@ class DataFolder:
         op: str = "append",
         segment_stats: bool = False,
         remove: list[str] | None = None,
-    ) -> int:
+        txn: tuple[str, int] | None = None,
+    ) -> int | None:
         """Run `write_staged(staged_uri)` into a fresh txn= directory,
         then commit the produced parquet files atomically.
 
@@ -242,7 +243,16 @@ class DataFolder:
                 )
             return (op, add, sorted(remove_set))
 
-        return self.log(name).commit(build)
+        committed = self.log(name).commit(build, txn=txn)
+        if committed is None:
+            # txn already applied (at-least-once replay lost the race):
+            # the staged files are orphans no commit references; delete
+            # them now rather than waiting for vacuum
+            try:
+                self.fs.delete(staged, recursive=True)
+            except Exception:
+                pass
+        return committed
 
     # -------------------------------------------------------- read helpers
 
@@ -323,7 +333,12 @@ class DataFolder:
 
     # -- segments (time series tables) -------------------------------------
 
-    def write_segments(self, meta: TimeSeriesTableMetadata, segments: DataFrame) -> None:
+    def write_segments(
+        self,
+        meta: TimeSeriesTableMetadata,
+        segments: DataFrame,
+        txn: tuple[str, int] | None = None,
+    ) -> None:
         """Atomically append segment rows, partitioned by field_column,
         sorted within partitions by (tags..., start_time)."""
         # No repartition: the compressor already co-located each series'
@@ -344,7 +359,7 @@ class DataFolder:
                 .parquet(staged)
             )
 
-        self._stage_and_commit(meta.name, write_staged, segment_stats=True)
+        self._stage_and_commit(meta.name, write_staged, segment_stats=True, txn=txn)
 
     def read_segments(
         self,
@@ -423,11 +438,19 @@ class DataFolder:
 
     # -- normal tables ------------------------------------------------------
 
-    def write_normal(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+    def write_normal(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> None:
         """Atomically append rows to a normal table. ``partition_by``
         lays the files out Hive-style on those columns, so equality/IN
         filters on them prune whole directories at planning time (the
-        ANN index stores vectors partitioned by bucket this way)."""
+        ANN index stores vectors partitioned by bucket this way).
+        ``txn=(app_id, version)`` records a SetTransaction-style replay
+        gate atomically with the append (see TransactionLog.commit)."""
 
         def write_staged(staged: str) -> None:
             writer = df.write.option("compression", "zstd")
@@ -435,7 +458,14 @@ class DataFolder:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(staged)
 
-        self._stage_and_commit(name, write_staged)
+        self._stage_and_commit(name, write_staged, txn=txn)
+
+    def last_txn_version(self, name: str, app_id: str) -> int | None:
+        """Latest application-transaction version recorded for
+        ``app_id`` on table ``name`` (None if never recorded) — the
+        cheap pre-check streaming sinks use to skip a replayed epoch
+        before launching any Spark job."""
+        return self.log(name).snapshot().txns.get(app_id)
 
     def read_normal(
         self,

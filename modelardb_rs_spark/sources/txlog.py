@@ -54,6 +54,13 @@ _CHECKPOINT_INTERVAL = 16
 class Snapshot:
     version: int  # -1 for an empty log
     files: list[dict] = field(default_factory=list)  # live add-entries
+    # latest applied application-transaction version per appId — the
+    # Delta SetTransaction analog (PROTOCOL.md "Transaction Identifiers").
+    # Streaming sinks record (appId, epoch) ATOMICALLY with their append
+    # and gate replays on it, which is the only airtight idempotency
+    # marker: probing the data itself is foiled by id reuse, and a
+    # separate marker table is a second non-atomic commit.
+    txns: dict[str, int] = field(default_factory=dict)
 
     @property
     def paths(self) -> list[str]:
@@ -135,11 +142,16 @@ class TransactionLog:
         return [self.read_commit(v) for v in self.versions()]
 
     @staticmethod
-    def _apply(live: dict[str, dict], commit: dict) -> None:
+    def _apply(live: dict[str, dict], commit: dict, txns: dict[str, int] | None = None) -> None:
         for entry in commit.get("add", []):
             live[entry["path"]] = entry
         for path in commit.get("remove", []):
             live.pop(path, None)
+        t = commit.get("txn")
+        if t and txns is not None:
+            prev = txns.get(t["appId"])
+            if prev is None or t["version"] > prev:
+                txns[t["appId"]] = t["version"]
 
     def snapshot(
         self, version: int | None = None, timestamp_ms: int | None = None
@@ -176,26 +188,41 @@ class TransactionLog:
             version = max(commit_vs + cp_vs, default=-1)
         base = max((cv for cv in cp_vs if cv <= version), default=None)
         live: dict[str, dict] = {}
+        txns: dict[str, int] = {}
         v = -1
         if base is not None:
             cp = self._read_json_validated(self._checkpoint_uri(base), checkpoints[base])
             live = {entry["path"]: entry for entry in cp["files"]}
+            txns = dict(cp.get("txns", {}))
             v = cp["version"]
         for cv in commit_vs:
             if cv <= (base if base is not None else -1) or cv > version:
                 continue
-            self._apply(live, self._read_json_validated(self._commit_uri(cv), commits[cv]))
+            self._apply(live, self._read_json_validated(self._commit_uri(cv), commits[cv]), txns)
             v = cv
-        return Snapshot(version=v, files=list(live.values()))
+        return Snapshot(version=v, files=list(live.values()), txns=txns)
 
     # ---------------------------------------------------------- writing
 
-    def commit(self, build) -> int:
+    def commit(self, build, txn: tuple[str, int] | None = None) -> int | None:
         """Atomically append a commit. `build(snapshot) -> (op, add,
         remove)` is re-evaluated against a fresh snapshot on every
-        version-race retry, so remove-sets never reference stale state."""
+        version-race retry, so remove-sets never reference stale state.
+
+        ``txn=(app_id, app_version)`` records an application transaction
+        identifier IN the commit (Delta's SetTransaction action,
+        PROTOCOL.md "Transaction Identifiers"): if the snapshot already
+        shows ``app_id`` at ``app_version`` or newer, the commit is
+        SKIPPED and None is returned — the one-atomic-unit idempotency
+        gate at-least-once streaming replays need. The check re-runs
+        against the fresh snapshot on every version-race retry, so two
+        racing replays of the same epoch commit exactly once."""
         for _ in range(_MAX_COMMIT_ATTEMPTS):
             snap = self.snapshot()
+            if txn is not None:
+                prev = snap.txns.get(txn[0])
+                if prev is not None and prev >= txn[1]:
+                    return None  # already applied: replay no-op
             op, add, remove = build(snap)
             version = snap.version + 1
             doc = {
@@ -205,6 +232,8 @@ class TransactionLog:
                 "add": add,
                 "remove": remove,
             }
+            if txn is not None:
+                doc["txn"] = {"appId": txn[0], "version": int(txn[1])}
             payload = json.dumps(doc, separators=(",", ":")).encode("utf-8")
             if snap.version == -1:
                 self.fs.mkdirs(self.log_uri)
@@ -305,7 +334,12 @@ class TransactionLog:
                     return schema_info
         return None
 
-    def _mirror_delta_log(self, up_to_version: int, latest_doc: dict | None = None) -> None:
+    def _mirror_delta_log(
+        self,
+        up_to_version: int,
+        latest_doc: dict | None = None,
+        _bootstrapped: bool = False,
+    ) -> None:
         """Backfill `_delta_log/` with every missing version ≤
         ``up_to_version`` from the authoritative _txn docs; every
         ``_CHECKPOINT_INTERVAL``-th version also writes a Delta PARQUET
@@ -342,7 +376,8 @@ class TransactionLog:
 
             if missing:
                 self._mirror_missing(
-                    mirror_dir, missing, up_to_version, doc_of, first_is_origin=(base == -1)
+                    mirror_dir, missing, up_to_version, doc_of,
+                    first_is_origin=(base == -1), bootstrapped=_bootstrapped,
                 )
             # periodic Delta checkpoint: bounded replay for stock readers
             if (
@@ -356,7 +391,7 @@ class TransactionLog:
 
     def _mirror_missing(
         self, mirror_dir: str, missing: list[int], up_to_version: int, doc_of,
-        first_is_origin: bool,
+        first_is_origin: bool, bootstrapped: bool = False,
     ) -> None:
         schema_info = None
         if first_is_origin and 0 in missing:
@@ -374,9 +409,15 @@ class TransactionLog:
                 # _txn history vacuumed away: bootstrap from our own
                 # checkpoint as a Delta parquet checkpoint base; stock
                 # readers then start there via _last_checkpoint, and the
-                # re-run mirrors the JSON suffix after the new base
-                if self._bootstrap_delta_checkpoint(mirror_dir, up_to_version, doc_of):
-                    self._mirror_delta_log(up_to_version)
+                # re-run mirrors the JSON suffix after the new base.
+                # ONE bootstrap attempt per mirror pass: if a commit
+                # after the freshly-written base is still unreadable
+                # (corruption, partial vacuum), a second pass would loop
+                # forever — disable mirroring instead of recursing.
+                if not bootstrapped and self._bootstrap_delta_checkpoint(
+                    mirror_dir, up_to_version, doc_of
+                ):
+                    self._mirror_delta_log(up_to_version, _bootstrapped=True)
                 else:
                     self._mirror_disabled = True
                 return
@@ -394,6 +435,16 @@ class TransactionLog:
                     {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
                 )
                 actions.append(self._metadata_action(schema_info, doc["timestamp_ms"]))
+            if doc.get("txn"):
+                actions.append(
+                    {
+                        "txn": {
+                            "appId": doc["txn"]["appId"],
+                            "version": doc["txn"]["version"],
+                            "lastUpdated": doc["timestamp_ms"],
+                        }
+                    }
+                )
             for entry in doc.get("add", []):
                 actions.append(self._add_action(entry, doc["timestamp_ms"]))
             for rel in doc.get("remove", []):
@@ -432,14 +483,17 @@ class TransactionLog:
             }
         }
 
-    @staticmethod
-    def _metadata_action(schema_info: tuple, ts_ms: int) -> dict:
+    def _metadata_action(self, schema_info: tuple, ts_ms: int) -> dict:
         schema, parts = schema_info
         import uuid as _uuid
 
+        # Delta treats the table id as STABLE for the table's lifetime;
+        # readers may cache/validate by it. Derive it deterministically
+        # from the table URI so the v0 JSON commit and every parquet
+        # checkpoint (written at different times) agree.
         return {
             "metaData": {
-                "id": _uuid.uuid4().hex,
+                "id": str(_uuid.uuid5(_uuid.NAMESPACE_URL, self.table_uri)),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": schema,
                 "partitionColumns": parts,
@@ -457,7 +511,7 @@ class TransactionLog:
         schema_info = self._cached_schema_info(version, doc_of)
         if schema_info is None:
             return
-        self._emit_delta_checkpoint(mirror_dir, version, snap.files, schema_info)
+        self._emit_delta_checkpoint(mirror_dir, version, snap.files, schema_info, snap.txns)
 
     def _bootstrap_delta_checkpoint(self, mirror_dir: str, up_to_version: int, doc_of) -> bool:
         """When pre-mirror _txn history was vacuumed, base the mirror on
@@ -481,11 +535,18 @@ class TransactionLog:
                 return False
             self._delta_schema_cache = schema_info
         self.fs.mkdirs(mirror_dir)
-        self._emit_delta_checkpoint(mirror_dir, c, cp.get("files", []), schema_info)
+        self._emit_delta_checkpoint(
+            mirror_dir, c, cp.get("files", []), schema_info, cp.get("txns", {})
+        )
         return True
 
     def _emit_delta_checkpoint(
-        self, mirror_dir: str, version: int, files: list[dict], schema_info: tuple
+        self,
+        mirror_dir: str,
+        version: int,
+        files: list[dict],
+        schema_info: tuple,
+        txns: dict[str, int] | None = None,
     ) -> None:
         import io
 
@@ -496,11 +557,17 @@ class TransactionLog:
         meta = self._metadata_action(schema_info, now_ms)["metaData"]
         proto = {"minReaderVersion": 1, "minWriterVersion": 2}
         adds = [self._add_action(e, now_ms)["add"] for e in files]
-        n = 2 + len(adds)
+        txn_rows = [
+            {"appId": app, "version": int(v), "lastUpdated": now_ms}
+            for app, v in sorted((txns or {}).items())
+        ]
+        n = 2 + len(txn_rows) + len(adds)
+        pad = [None] * n
         rows = {
-            "protocol": [proto] + [None] * (n - 1),
-            "metaData": [None, meta] + [None] * (n - 2),
-            "add": [None, None] + adds,
+            "protocol": [proto] + pad[1:],
+            "metaData": [None, meta] + pad[2:],
+            "txn": [None, None] + txn_rows + [None] * len(adds),
+            "add": [None, None] + [None] * len(txn_rows) + adds,
         }
         pv_type = pa.map_(pa.string(), pa.string())
         schema = pa.schema(
@@ -532,6 +599,16 @@ class TransactionLog:
                             pa.field("partitionColumns", pa.list_(pa.string())),
                             pa.field("configuration", pv_type),
                             pa.field("createdTime", pa.int64()),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "txn",
+                    pa.struct(
+                        [
+                            pa.field("appId", pa.string()),
+                            pa.field("version", pa.int64()),
+                            pa.field("lastUpdated", pa.int64()),
                         ]
                     ),
                 ),
@@ -578,6 +655,7 @@ class TransactionLog:
                     as_struct_rows("metaData", rows["metaData"]),
                     type=schema.field("metaData").type,
                 ),
+                "txn": pa.array(rows["txn"], type=schema.field("txn").type),
                 "add": pa.array(
                     as_struct_rows("add", rows["add"]), type=schema.field("add").type
                 ),
@@ -601,11 +679,16 @@ class TransactionLog:
         replay time, never correctness; create-exclusive makes racing
         checkpointers idempotent."""
         live = {entry["path"]: entry for entry in base.files}
-        self._apply(live, commit)
+        txns = dict(base.txns)
+        self._apply(live, commit, txns)
         doc = {
             "version": commit["version"],
             "timestamp_ms": commit["timestamp_ms"],
             "files": list(live.values()),
+            # txn markers survive log truncation via the checkpoint, so
+            # replay-idempotency gates keep working after VACUUM drops
+            # the commits that originally recorded them
+            "txns": txns,
         }
         try:
             self.fs.create_exclusive(

@@ -296,14 +296,16 @@ def start_near_dup_ingest(
     the index, duplicates are dropped. Within-batch near-dups are also
     collapsed (the batch is deduped against itself before the index
     grows). Exactly-once across restarts: foreachBatch is at-least-once,
-    and the sink performs TWO appends (table, index), so replays are
-    made idempotent in three layers — a per-epoch marker table skips
-    fully-processed batches outright; each append is independently
-    gated by probing for the batch's representative id (appends are
-    atomic commits, so one present id implies the whole append landed);
-    and survivor computation is deterministic, so a replay regenerates
-    the same rows it gates on. Every crash window between the two
-    commits converges to exactly-once effects.
+    and the sink performs TWO appends (table, index), so each append
+    carries a SetTransaction-style ``txn=(app_id, epoch)`` marker
+    recorded ATOMICALLY in its commit (Delta PROTOCOL.md "Transaction
+    Identifiers"); a replayed epoch is a no-op at the commit layer, and
+    a crash window between the two commits redoes only the missing one
+    (survivor computation is deterministic, so the replay regenerates
+    the same rows). A per-epoch marker table additionally skips
+    fully-processed batches before any recompute. Unlike probing for a
+    representative doc id (the previous scheme), the txn gate is immune
+    to id reuse and to ids redelivered with different text.
 
     This is the production shape of dedup: the corpus is never
     re-read — state is k signature strings per kept document, held in a
@@ -370,15 +372,17 @@ def near_dup_ingest_batch(
         hits.select(id_col).distinct(), id_col, "left_anti"
     ).localCheckpoint(eager=True)
     if not fresh.isEmpty():
-        rep_id = fresh.agg(F.min(id_col)).collect()[0][0]
-        # each append is one atomic commit: the representative id being
-        # present means the whole append committed — a replay of the
-        # crash window between the two commits redoes only the missing
-        # one (survivor computation is deterministic)
-        if not _contains(table, id_col, rep_id):
-            engine.write(table, fresh)
-        if not _contains(ndi._sigs_table(index_name), id_col, rep_id):
-            ndi.append_to_minhash_index(engine, index_name, fresh, text_col, id_col)
+        # each append carries a txn=(app_id, epoch) marker committed
+        # atomically with the data: a replay of the crash window between
+        # the two commits redoes only the missing one (survivor
+        # computation is deterministic), and a fully-landed append is a
+        # no-op regardless of which doc ids the batch contains
+        app = f"near_dup_ingest::{index_name}::{table}"
+        engine.write(table, fresh, txn=(f"{app}::table", int(epoch_id)))
+        ndi.append_to_minhash_index(
+            engine, index_name, fresh, text_col, id_col,
+            txn=(f"{app}::index", int(epoch_id)),
+        )
     engine.write(
         epochs_table,
         engine.spark.createDataFrame([(int(epoch_id),)], "epoch BIGINT"),

@@ -352,3 +352,42 @@ def test_near_dup_ingest_replay_is_idempotent(spark, engine):
     near_dup_ingest_batch(engine, "rndi", "docs_r", batch, 0)
     assert engine.table("docs_r").count() == 1
     assert sigs.where(F.col("doc_id") == 10).count() == 1
+
+
+def test_near_dup_ingest_id_reuse_does_not_drop_batch(spark, engine):
+    """The replay gate must be batch-specific, not doc-id-specific: a
+    LATER epoch whose min surviving doc_id already exists in the table
+    (id reuse / redelivery with different text) must still append — a
+    doc-id probe would mistake it for an already-landed replay and
+    silently drop every survivor in the batch."""
+    from modelardb_rs_spark.operators.dedup_index import build_minhash_index
+    from modelardb_rs_spark.streaming.ingest import near_dup_ingest_batch
+
+    engine.create_table("docs_ru", "doc_id BIGINT, text STRING")
+    engine.create_table("docs_ru__ingest_epochs", "epoch BIGINT")
+    build_minhash_index(
+        engine, "rundi",
+        spark.createDataFrame(
+            [(1, "seed corpus text entirely unlike the batches " * 5)],
+            "doc_id long, text string",
+        ),
+    )
+    b0 = spark.createDataFrame(
+        [(10, "first epoch content about rivers and maps " * 8)],
+        "doc_id long, text string",
+    )
+    near_dup_ingest_batch(engine, "rundi", "docs_ru", b0, 0)
+    assert engine.table("docs_ru").count() == 1
+    # epoch 1 reuses doc_id 10 with unrelated (non-near-dup) text, plus
+    # a second fresh doc — both must land
+    b1 = spark.createDataFrame(
+        [
+            (10, "second epoch reuses the id with prose on volcanoes " * 8),
+            (20, "another brand new document about glaciers melting " * 8),
+        ],
+        "doc_id long, text string",
+    )
+    near_dup_ingest_batch(engine, "rundi", "docs_ru", b1, 1)
+    rows = engine.table("docs_ru").collect()
+    assert len(rows) == 3
+    assert sorted(r["doc_id"] for r in rows) == [10, 10, 20]

@@ -232,11 +232,11 @@ def test_optimize_aborts_on_concurrent_remove(ts_table, spark):
     real_commit = ts_table.folder.log("acid").commit
     fired = []
 
-    def racing_commit(build):
+    def racing_commit(build, txn=None):
         if not fired:
             fired.append(True)
             ts_table.folder.truncate("acid")
-        return real_commit(build)
+        return real_commit(build, txn=txn)
 
     ts_table.folder.log("acid").commit = racing_commit
     try:
@@ -508,3 +508,70 @@ def test_delta_mirror_parquet_checkpoint_and_bootstrap(spark, tmp_path):
     assert f"{16:020d}.checkpoint.parquet" in names
     assert f"{17:020d}.json" in names and f"{18:020d}.json" in names
     assert f"{0:020d}.json" not in names  # history starts at the checkpoint
+
+
+def test_txn_gate_is_atomic_and_survives_checkpoints(engine, spark):
+    """SetTransaction-style replay gates: a write carrying txn=(app, v)
+    commits once; the same (app, v) again is a no-op (no new version,
+    no new rows, no orphaned staged files); a HIGHER v commits; the txn
+    map survives log checkpoints so gates outlive VACUUM truncation."""
+    engine.create_table("txn_t", "id BIGINT")
+    df1 = spark.createDataFrame([(1,)], "id long")
+    engine.write("txn_t", df1, txn=("appA", 0))
+    assert engine.table("txn_t").count() == 1
+    assert engine.last_txn_version("txn_t", "appA") == 0
+    # replay of the same epoch: skipped entirely
+    engine.write("txn_t", spark.createDataFrame([(99,)], "id long"), txn=("appA", 0))
+    assert engine.table("txn_t").count() == 1
+    log = engine.folder.log("txn_t")
+    assert log.snapshot().version == 0
+    # a different app is independent; a newer epoch lands
+    engine.write("txn_t", spark.createDataFrame([(2,)], "id long"), txn=("appB", 0))
+    engine.write("txn_t", spark.createDataFrame([(3,)], "id long"), txn=("appA", 1))
+    assert engine.table("txn_t").count() == 3
+    assert engine.last_txn_version("txn_t", "appA") == 1
+    assert engine.last_txn_version("txn_t", "appB") == 0
+    # drive past a checkpoint boundary, then verify a snapshot replayed
+    # FROM the checkpoint still carries the txn map
+    from modelardb_rs_spark.sources import txlog as txlog_mod
+
+    for i in range(txlog_mod._CHECKPOINT_INTERVAL + 2):
+        engine.write("txn_t", spark.createDataFrame([(100 + i,)], "id long"))
+    snap = log.snapshot()
+    assert any(
+        v % txlog_mod._CHECKPOINT_INTERVAL == 0 and v > 0
+        for v in [snap.version]
+        for v in range(snap.version + 1)
+        if engine.folder.fs.exists(log._checkpoint_uri(v))
+    )
+    assert snap.txns.get("appA") == 1 and snap.txns.get("appB") == 0
+    # gate still holds after the checkpoint
+    engine.write("txn_t", spark.createDataFrame([(99,)], "id long"), txn=("appA", 1))
+    assert engine.table("txn_t").where(F.col("id") == 99).count() == 0
+
+
+def test_txn_gate_under_concurrent_replays(engine, spark):
+    """Two racing replays of the same epoch commit exactly once — the
+    gate re-checks against the fresh snapshot on every version-race
+    retry."""
+    engine.create_table("txn_race", "id BIGINT")
+    errors = []
+
+    def write(i):
+        try:
+            engine.write(
+                "txn_race",
+                spark.createDataFrame([(i,)], "id long"),
+                txn=("epoch-app", 7),
+            )
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=write, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert engine.table("txn_race").count() == 1
+    assert engine.folder.log("txn_race").snapshot().version == 0
