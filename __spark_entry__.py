@@ -3580,7 +3580,7 @@ def oracle_sql() -> dict[str, str]:
         sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
         grams AS (
           SELECT s.doc_id, pos.p AS pos,
-                 md5(array_to_string(s.t[pos.p + 1 : pos.p + 10], '')) AS gram
+                 md5(array_to_string(s.t[pos.p + 1 : pos.p + 10], ' ')) AS gram
           FROM (SELECT * FROM sized WHERE n >= 10) s
           JOIN (SELECT unnest(range(0, (SELECT COALESCE(max(n),0) FROM sized))) AS p) pos
             ON pos.p <= s.n - 10
@@ -3620,7 +3620,7 @@ def oracle_sql() -> dict[str, str]:
         sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
         grams AS (
           SELECT s.doc_id, pos.p AS pos,
-                 md5(array_to_string(s.t[pos.p + 1 : pos.p + 10], '')) AS gram
+                 md5(array_to_string(s.t[pos.p + 1 : pos.p + 10], ' ')) AS gram
           FROM (SELECT * FROM sized WHERE n >= 10) s
           JOIN (SELECT unnest(range(0, (SELECT COALESCE(max(n),0) FROM sized))) AS p) pos
             ON pos.p <= s.n - 10
@@ -3676,7 +3676,7 @@ def oracle_sql() -> dict[str, str]:
         pos AS (SELECT unnest(range(0, (SELECT max(n) FROM sized))) AS p),
         occ AS (
           SELECT s.doc_id, pos.p AS pos,
-                 md5(array_to_string(s.t[pos.p + 1 : pos.p + 10], '')) AS gram
+                 md5(array_to_string(s.t[pos.p + 1 : pos.p + 10], ' ')) AS gram
           FROM sized s JOIN pos ON pos.p <= s.n - 10
         ),
         dup AS (

@@ -705,6 +705,12 @@ class Engine:
                 F.col("__pe__").isNotNull() & (F.col("start_time") <= F.col("__pe__"))
             )
             result = overlapping.limit(1).count() == 0
+        # one entry per table: every write bumps the version, so keeping
+        # prior versions would grow without bound on a long-lived engine
+        # (time-travel reads of old versions just recompute — rare path)
+        stale = [k for k in self._disjoint_cache if k[0] == name and k != key]
+        for k in stale:
+            del self._disjoint_cache[k]
         self._disjoint_cache[key] = result
         return result
 

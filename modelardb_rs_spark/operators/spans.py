@@ -43,8 +43,13 @@ def _gram_occurrences(
     n = F.size("__t__")
     pos = F.explode(F.sequence(F.lit(0), n - F.lit(span))).alias("pos")
     with_pos = toks.where(n >= span).select(id_col, "__t__", pos)
+    # the separator must be a character no token can contain: tokens are
+    # whitespace-split, so a single space is airtight — a collision-prone
+    # separator would let distinct sequences with the same concatenation
+    # (['ab','c'] vs ['a','bc']) fuse into one gram and delete text that
+    # was never actually repeated
     gram = F.md5(
-        F.array_join(F.slice("__t__", F.col("pos") + 1, span), "")
+        F.array_join(F.slice("__t__", F.col("pos") + 1, span), " ")
     ).alias("gram")
     return with_pos.select(id_col, "pos", gram)
 
