@@ -141,16 +141,35 @@ class Cluster:
     def read_sql_all(self, sql: str) -> pa.Table:
         """Fan the statement out to EVERY node and concatenate the Arrow
         results (remote.rs:91-119 merge shape). Unreachable nodes raise;
-        membership is explicit, not gossip. The merge is driver-bound by
-        design (results are typically aggregate-sized); for bulk unions
-        of raw data prefer ``INCLUDE '<folder>' SELECT ...`` over shared
-        storage, which keeps the scan on the cluster."""
+        membership is explicit, not gossip. This convenience returns a
+        DRIVER-SIDE Arrow table, so it is for aggregate-sized results;
+        bulk unions should use ``read_sql_all_df`` (streamed,
+        bounded-memory relay) or ``INCLUDE '<folder>' SELECT ...`` over
+        shared storage, which keeps the scan on the cluster."""
         tables = [
             ModelarFlightClient(n.url).read(sql) for n in self.nodes()
         ]
         if not tables:
             return pa.table({})
         return pa.concat_tables(tables, promote_options="default")
+
+    def read_sql_all_df(self, sql: str):
+        """Fan out to every node and union the results as a DataFrame
+        with BOUNDED driver memory: each node's stream is relayed
+        batch-wise — aggregate-sized results build in memory, larger
+        ones spill to shared-storage staging that the EXECUTORS read
+        (flight.relay_to_dataframe). The driver holds at most one spill
+        buffer per node, never a whole result — the Spark-side analog
+        of the reference's incremental stream merge (remote.rs:91-119)."""
+        from modelardb_rs_spark.flight import relay_to_dataframe
+
+        result = None
+        for n in self.nodes():
+            part = relay_to_dataframe(self.engine, n.url, sql)
+            result = part if result is None else result.unionByName(part)
+        if result is None:
+            return self.engine.spark.createDataFrame([], "ok boolean")
+        return result
 
     # ----------------------------------------------------------------- DDL
 

@@ -339,6 +339,26 @@ class Engine:
         names = tables or list(self.catalog.tables())
         for n in names:
             self.folder.vacuum(n, retain_seconds)
+        if tables is None:
+            self._sweep_staging(retain_seconds)
+
+    def _sweep_staging(self, retain_seconds: int | None = None) -> None:
+        """Delete ``_staging/`` directories (Flight put spills, remote
+        relay spills) older than the retention window — the same
+        contract as vacuuming dead table files. Relay-backed DataFrames
+        stay readable until their staging ages out."""
+        import time as _time
+
+        from modelardb_rs_spark.sources.datafolder import DEFAULT_RETENTION_SECONDS
+
+        retain = DEFAULT_RETENTION_SECONDS if retain_seconds is None else retain_seconds
+        horizon_ms = int((_time.time() - retain) * 1000)
+        staging = self.folder.fs.join(self.folder.root, "_staging")
+        if not self.folder.fs.exists(staging):
+            return
+        for info in self.folder.fs.list(staging):
+            if info.is_dir and info.mtime_ms <= horizon_ms:
+                self.folder.fs.delete(info.path, recursive=True)
 
     def expire(self, name: str, older_than, not_before=None) -> dict:
         """Time-range retention: transactionally delete points with
@@ -1234,10 +1254,13 @@ class Engine:
         result = self.read_sql(stmt.select_sql)
         for addr in stmt.include_addresses:
             if addr.startswith(("grpc://", "grpc+tls://", "grpc+tcp://")):
-                from modelardb_rs_spark.flight import ModelarFlightClient
+                from modelardb_rs_spark.flight import relay_to_dataframe
 
-                remote = ModelarFlightClient(addr).read(stmt.select_sql)
-                part = self.spark.createDataFrame(remote)
+                # streamed relay: aggregate-sized results build in
+                # memory; larger ones spill batch-wise to shared-storage
+                # staging and are read by the executors — the driver
+                # never holds more than one spill buffer
+                part = relay_to_dataframe(self, addr, stmt.select_sql)
             else:
                 part = Engine(self.spark, addr).read_sql(stmt.select_sql)
             result = result.unionByName(part)

@@ -119,11 +119,74 @@ class ModelarFlightServer(flight.FlightServerBase):
 
     # -- ingest ------------------------------------------------------------
 
+    # Incoming do_put chunks accumulate to this many Arrow bytes before
+    # spilling one parquet file to staging — the driver-memory bound for
+    # uploads of any size.
+    put_spill_bytes = 32 << 20
+
     def do_put(self, context, descriptor: flight.FlightDescriptor, reader, writer):
+        """Ingest a record-batch upload with BOUNDED driver memory.
+
+        The reference streams do_put batches through a bounded channel
+        into the storage engine (remote.rs:750-794); the Spark-first
+        equivalent: iterate the reader chunk-by-chunk, spill every
+        ``put_spill_bytes`` of Arrow data as one parquet file into a
+        staging directory under the engine's data folder (shared
+        storage on a real cluster, so executors can read it), then
+        ingest the whole upload as ONE distributed ``spark.read.parquet``
+        + transactional commit. A multi-GB put holds at most one spill
+        buffer plus one in-flight batch on the driver — never the whole
+        upload — and the compressor sees a single large input instead
+        of per-chunk dribbles."""
+        import io
+        import uuid
+
+        import pyarrow.parquet as pq
+
         table_name = descriptor.path[0].decode("utf-8")
-        arrow_table = reader.read_all()
-        df = self.engine.spark.createDataFrame(arrow_table)
-        self.engine.write(table_name, df)
+        fs = self.engine.folder.fs
+        stage = fs.join(self.engine.folder.root, "_staging", f"put-{uuid.uuid4().hex[:16]}")
+        fs.mkdirs(stage)
+        try:
+            buf: list[pa.RecordBatch] = []
+            buf_bytes = 0
+            n_files = 0
+            schema = reader.schema
+
+            def flush() -> None:
+                nonlocal buf, buf_bytes, n_files
+                if not buf:
+                    return
+                sink = io.BytesIO()
+                pq.write_table(pa.Table.from_batches(buf, schema=schema), sink)
+                fs.write_bytes(
+                    fs.join(stage, f"chunk-{n_files:06d}.parquet"), sink.getvalue()
+                )
+                buf, buf_bytes = [], 0
+                n_files += 1
+
+            while True:
+                try:
+                    chunk = reader.read_chunk()
+                except StopIteration:
+                    break
+                batch = chunk.data
+                if batch is None or batch.num_rows == 0:
+                    continue
+                buf.append(batch)
+                buf_bytes += batch.nbytes
+                if buf_bytes >= self.put_spill_bytes:
+                    flush()
+            flush()
+            if n_files == 0:
+                return
+            df = self.engine.spark.read.parquet(stage)
+            self.engine.write(table_name, df)
+        finally:
+            try:
+                fs.delete(stage, recursive=True)
+            except Exception:
+                pass
 
     # -- actions -----------------------------------------------------------
 
@@ -211,6 +274,80 @@ def start_server(
     server = ModelarFlightServer(engine, f"grpc://127.0.0.1:{port}", stream_batch_rows)
     threading.Thread(target=server.serve, daemon=True).start()
     return server
+
+
+# Relayed remote results above this many Arrow bytes spill to staged
+# parquet instead of building an in-memory DataFrame.
+_RELAY_SPILL_BYTES = 32 << 20
+
+
+def relay_to_dataframe(
+    engine, address: str, sql: str, spill_bytes: int | None = None
+):
+    """Stream a remote Flight query result into a DataFrame with
+    BOUNDED driver memory (the reference merges remote streams
+    incrementally, remote.rs:91-119 — this is the Spark-side analog).
+
+    Small results (≤ ``spill_bytes`` of Arrow data) build one in-memory
+    DataFrame — the common aggregate-sized case, zero extra I/O. Larger
+    results spill incoming batches as parquet files into a staging
+    directory under the engine's data folder (shared storage on a real
+    cluster, so EXECUTORS read the relayed data — the driver only ever
+    holds one spill buffer) and return ``spark.read.parquet`` over it.
+    Staged relay directories are swept by ``Engine.vacuum`` once older
+    than the retention window, so a consumed result's files disappear
+    with the same contract as any other dead file."""
+    import io
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    if spill_bytes is None:
+        spill_bytes = _RELAY_SPILL_BYTES
+    reader = flight.connect(address).do_get(flight.Ticket(sql.encode("utf-8")))
+    schema = None
+    buf: list[pa.RecordBatch] = []
+    buf_bytes = 0
+    stage = None
+    n_files = 0
+    fs = engine.folder.fs
+
+    def flush() -> None:
+        nonlocal buf, buf_bytes, stage, n_files
+        if not buf:
+            return
+        if stage is None:
+            stage = fs.join(
+                engine.folder.root, "_staging", f"relay-{uuid.uuid4().hex[:16]}"
+            )
+            fs.mkdirs(stage)
+        sink = io.BytesIO()
+        pq.write_table(pa.Table.from_batches(buf, schema=schema), sink)
+        fs.write_bytes(fs.join(stage, f"chunk-{n_files:06d}.parquet"), sink.getvalue())
+        buf, buf_bytes = [], 0
+        n_files += 1
+
+    while True:
+        try:
+            chunk = reader.read_chunk()
+        except StopIteration:
+            break
+        batch = chunk.data
+        if batch is None:
+            continue
+        if schema is None:
+            schema = batch.schema
+        buf.append(batch)
+        buf_bytes += batch.nbytes
+        if buf_bytes >= spill_bytes:
+            flush()
+    if stage is None:
+        # in-memory fast path (includes the empty result)
+        if schema is None:
+            schema = reader.schema
+        return engine.spark.createDataFrame(pa.Table.from_batches(buf, schema=schema))
+    flush()
+    return engine.spark.read.parquet(stage)
 
 
 class ModelarFlightClient:

@@ -105,3 +105,41 @@ def test_register_rejects_bad_mode_and_dead_node(cluster_env):
         manager.register_node("grpc://127.0.0.1:1", "fog")
     with pytest.raises(Exception):
         manager.register_node("grpc://127.0.0.1:1", "edge")  # nothing listening
+
+
+def test_read_sql_all_df_streams_bulk_union(cluster_env, spark):
+    """The DataFrame fan-out must relay each node's result with bounded
+    driver memory: large per-node results spill to shared-storage
+    staging, small ones stay in memory — never a whole-cluster
+    concat_tables on the driver."""
+    from modelardb_rs_spark import flight as flight_mod
+
+    manager, edge_eng, cloud_eng, edge_srv, cloud_srv = cluster_env
+    manager.register_node(f"grpc://127.0.0.1:{edge_srv.port}", "edge")
+    manager.register_node(f"grpc://127.0.0.1:{cloud_srv.port}", "cloud")
+    for eng, base in ((edge_eng, 0), (cloud_eng, 1_000_000)):
+        eng.create_table("b", "id BIGINT")
+        eng.write("b", spark.range(base, base + 120_000).select("id"))
+    spills = []
+    fs = manager.engine.folder.fs
+    real_write_bytes = fs.write_bytes
+
+    def counting(uri, data):
+        if "/_staging/relay-" in uri:
+            spills.append(len(data))
+        return real_write_bytes(uri, data)
+
+    fs.write_bytes = counting
+    real_spill = flight_mod._RELAY_SPILL_BYTES
+    flight_mod._RELAY_SPILL_BYTES = 256 << 10
+    try:
+        df = manager.read_sql_all_df("SELECT id FROM b")
+        assert df.count() == 240_000
+        s = df.agg(F.sum("id").alias("s")).collect()[0]["s"]
+        expect = sum(range(120_000)) + sum(range(1_000_000, 1_120_000))
+        assert s == expect
+    finally:
+        flight_mod._RELAY_SPILL_BYTES = real_spill
+        fs.write_bytes = real_write_bytes
+    assert len(spills) >= 2, spills
+    assert max(spills) < 4 * (256 << 10), max(spills)

@@ -437,3 +437,59 @@ def test_series_spans_metadata_only(engine, spark):
     # metadata only: no decode, no Python stage
     plan = engine.series_spans("ss")._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "timestamps" not in plan
+
+
+def test_include_over_flight_streams_large_results(engine, spark, tmp_path):
+    """A >100k-row remote result must relay through bounded spill
+    chunks into shared-storage staging (executors read it), never a
+    whole-result read_all() on the driver — reference merges remote
+    streams incrementally (remote.rs:91-119)."""
+    from modelardb_rs_spark import flight as flight_mod
+    from modelardb_rs_spark.engine import Engine
+    from modelardb_rs_spark.flight import start_server
+
+    other = Engine(spark, str(tmp_path / "flight_big"))
+    other.create_table("wide", "id BIGINT, v DOUBLE")
+    n = 150_000
+    other.write(
+        "wide",
+        spark.range(n).select(
+            F.col("id"), (F.col("id") % 97).cast("double").alias("v")
+        ),
+    )
+    engine.create_table("wide", "id BIGINT, v DOUBLE")
+    engine.write(
+        "wide",
+        spark.range(5).select(F.col("id"), F.lit(0.0).alias("v")),
+    )
+    server = start_server(other)
+    spills = []
+    fs = engine.folder.fs
+    real_write_bytes = fs.write_bytes
+
+    def counting_write_bytes(uri, data):
+        if "/_staging/relay-" in uri:
+            spills.append(len(data))
+        return real_write_bytes(uri, data)
+
+    fs.write_bytes = counting_write_bytes
+    real_spill = flight_mod._RELAY_SPILL_BYTES
+    flight_mod._RELAY_SPILL_BYTES = 256 << 10  # force many spills
+    try:
+        out = engine.read_sql(
+            f"INCLUDE 'grpc://127.0.0.1:{server.port}' SELECT id, v FROM wide"
+        )
+        assert out.count() == n + 5
+        # remote sum landed intact through the staged relay
+        s = out.agg(F.sum("id").alias("s")).collect()[0]["s"]
+        assert s == n * (n - 1) // 2 + 10
+    finally:
+        flight_mod._RELAY_SPILL_BYTES = real_spill
+        fs.write_bytes = real_write_bytes
+        server.shutdown()
+    assert len(spills) >= 3, spills  # streamed, not one materialized blob
+    assert max(spills) < 4 * (256 << 10), max(spills)
+    # vacuum with retention 0 sweeps the consumed staging dirs
+    engine.vacuum(retain_seconds=0)
+    staging = fs.join(engine.folder.root, "_staging")
+    assert not fs.exists(staging) or not list(fs.list(staging))
