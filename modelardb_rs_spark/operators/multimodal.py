@@ -97,7 +97,108 @@ def _fake_codec(payload: bytes, media_type: str) -> np.ndarray:
 
 register_codec("fake", _fake_codec)
 
-try:  # real image codec, if the environment provides Pillow
+
+# --- real, dependency-free image decoders (BMP / PGM) -----------------
+#
+# The registry seam is only proven if a REAL decoder runs through it in
+# CI. BMP (uncompressed 8-bit palette / 24- and 32-bit) and PGM (P5/P2)
+# are simple enough to decode with the standard library + numpy, per
+# their public format specs — so the 'image' codec works out of the box
+# with zero third-party dependencies; Pillow (when importable) replaces
+# it with a full-format decoder, same contract.
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed BMP to row-major grayscale uint8 samples.
+
+    Supports the common Windows BITMAPINFOHEADER layout: 8-bit paletted
+    (palette's green channel as gray), 24-bit BGR, and 32-bit BGRX; rows
+    are 4-byte aligned and stored bottom-up (top-down when height is
+    negative). Color collapses to luma via integer BT.601
+    ((299R+587G+114B)//1000) so results are bit-reproducible anywhere.
+    """
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise ValueError(f"only uncompressed BMP supported (BI_RGB), got {compression}")
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * bpp // 8 + 3) & ~3
+    raster = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * height, offset=pixel_off)
+    raster = raster.reshape(height, row_bytes)
+    if not top_down:
+        raster = raster[::-1]
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        # palette entries are BGRX right after the DIB header
+        pal = np.frombuffer(payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size)
+        gray = pal.reshape(n_colors, 4)[:, 1]  # green channel as gray
+        return gray[raster[:, :width]].ravel()
+    if bpp in (24, 32):
+        step = bpp // 8
+        px = raster[:, : width * step].reshape(height, width, step)
+        b = px[:, :, 0].astype(np.uint32)
+        g = px[:, :, 1].astype(np.uint32)
+        r = px[:, :, 2].astype(np.uint32)
+        return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8).ravel()
+    raise ValueError(f"unsupported BMP bit depth {bpp}")
+
+
+def decode_pgm(payload: bytes) -> np.ndarray:
+    """Decode a PGM (P5 binary / P2 ASCII, maxval <= 255) to row-major
+    grayscale uint8 samples."""
+    # header tokens (magic, width, height, maxval) with '#' comments
+    pos = 0
+    tokens: list[bytes] = []
+    while len(tokens) < 4:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval > 255:
+        raise ValueError(f"only 8-bit PGM supported, maxval={maxval}")
+    if magic == b"P5":
+        pos += 1  # exactly one whitespace byte after maxval
+        return np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=pos)
+    if magic == b"P2":
+        vals = payload[pos:].split()
+        return np.array(vals[: w * h], dtype=np.uint8)
+    raise ValueError(f"not a PGM payload (magic {magic!r})")
+
+
+def _builtin_image_codec(payload: bytes, media_type: str) -> np.ndarray:
+    """Sniff the container by magic bytes and decode: BMP and PGM are
+    handled natively; anything else needs Pillow (which replaces this
+    codec entirely when importable)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] in (b"P5", b"P2"):
+        return decode_pgm(payload)
+    raise NotImplementedError(
+        "built-in image codec handles BMP and PGM; install Pillow for "
+        f"other formats (payload starts with {payload[:4]!r})"
+    )
+
+
+register_codec("image", _builtin_image_codec)
+
+try:  # Pillow upgrades 'image' to a full-format decoder when present
     from PIL import Image as _PILImage  # noqa: F401
     import io as _io
 
@@ -105,7 +206,7 @@ try:  # real image codec, if the environment provides Pillow
         return np.asarray(_PILImage.open(_io.BytesIO(payload)).convert("L")).ravel()
 
     register_codec("image", _pillow_codec)
-except ImportError:  # container has no codecs; the seam stays, stubbed
+except ImportError:  # no Pillow: the built-in BMP/PGM decoder stays
     pass
 
 

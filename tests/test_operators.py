@@ -496,3 +496,87 @@ def test_resize_media_nearest_neighbor(spark):
     assert out["pixels"] == exp and out["out_h"] == out["out_w"] == 2
     with pytest.raises(NotImplementedError, match="no codec registered"):
         mm_ops.resize_media(media, codec="missing")
+
+
+# ---------------------------------------------------- real image codec
+
+
+def _encode_bmp24(img: "np.ndarray") -> bytes:
+    """Minimal 24-bit uncompressed BMP encoder (test fixture): gray
+    value replicated into BGR, rows 4-byte padded, bottom-up."""
+    import struct
+
+    h, w = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for c in range(w):
+            v = int(img[r, c])
+            row += bytes((v, v, v))  # B G R
+        row += b"\x00" * (row_bytes - len(row))
+        raster += row
+    pixel_off = 14 + 40
+    size = pixel_off + len(raster)
+    header = b"BM" + struct.pack("<IHHI", size, 0, 0, pixel_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return bytes(header + dib + raster)
+
+
+def _encode_pgm_p5(img: "np.ndarray") -> bytes:
+    h, w = img.shape
+    return f"P5\n# test fixture\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def test_builtin_bmp_pgm_decoders_roundtrip():
+    """The dependency-free decoders must reproduce the exact raster —
+    including BMP row padding (width not divisible by 4) and bottom-up
+    row order, and PGM comments."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)  # w=7: padded rows
+    assert np.array_equal(mm_ops.decode_bmp(_encode_bmp24(img)), img.ravel())
+    assert np.array_equal(mm_ops.decode_pgm(_encode_pgm_p5(img)), img.ravel())
+    # P2 ASCII variant
+    p2 = ("P2\n7 5\n255\n" + " ".join(str(int(v)) for v in img.ravel())).encode()
+    assert np.array_equal(mm_ops.decode_pgm(p2), img.ravel())
+    # 24-bit color collapses via integer BT.601
+    import struct
+
+    color = _encode_bmp24(np.zeros((1, 1), dtype=np.uint8))
+    # rewrite the single pixel to BGR=(10, 200, 30)
+    color = color[:54] + bytes((10, 200, 30)) + color[57:]
+    expect = (299 * 30 + 587 * 200 + 114 * 10) // 1000
+    assert mm_ops.decode_bmp(color).tolist() == [expect]
+
+
+def test_real_image_codec_through_spark_operators(spark):
+    """The 'image' codec path — a REAL decoder, not the fake — must run
+    end-to-end through extract_features and resize_media, matching
+    numpy-computed oracles pixel-for-pixel."""
+    rng = np.random.default_rng(11)
+    imgs = {1: rng.integers(0, 256, (6, 9), dtype=np.uint8),
+            2: rng.integers(0, 256, (4, 4), dtype=np.uint8)}
+    rows = [
+        (1, "image", bytearray(_encode_bmp24(imgs[1])), 9, 6, 1),
+        (2, "image", bytearray(_encode_pgm_p5(imgs[2])), 4, 4, 1),
+    ]
+    media = spark.createDataFrame(rows, mm_ops.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm_ops.extract_features(media, codec="image").collect()}
+    for mid, img in imgs.items():
+        flat = img.ravel()
+        assert feats[mid]["n_bytes"] == flat.size
+        assert feats[mid]["mean_byte"] == pytest.approx(float(flat.mean()))
+        assert feats[mid]["std_byte"] == pytest.approx(float(flat.std()))
+        assert feats[mid]["byte_histogram"] == np.bincount(flat >> 4, minlength=16).tolist()
+    # nearest-neighbor resize against a pure-numpy oracle
+    out = {r["media_id"]: r for r in mm_ops.resize_media(media, out_w=3, out_h=2, codec="image").collect()}
+    for mid, img in imgs.items():
+        h, w = img.shape
+        rr, cc = np.meshgrid(np.arange(2), np.arange(3), indexing="ij")
+        expect = img[(rr * h) // 2, (cc * w) // 3].ravel().tolist()
+        assert out[mid]["pixels"] == expect
+
+
+def test_image_codec_rejects_unknown_container():
+    with pytest.raises(NotImplementedError, match="BMP and PGM"):
+        mm_ops.decode_media(b"\x89PNG\r\n\x1a\n....", "image", codec="image")
