@@ -291,6 +291,31 @@ class Engine:
         # points exist — the multifield reassembly then uses a codegen
         # pivot aggregate instead of collect_list+arrays_zip.
         self._disjoint_cache: dict[tuple[str, int], bool] = {}
+        self._ensure_checkpoint_dir()
+
+    def _ensure_checkpoint_dir(self) -> None:
+        """Default RELIABLE checkpointing: iterative operators (dedup
+        clustering, sequence packing) truncate lineage with
+        ``checkpoint()`` when the session has a checkpoint directory,
+        falling back to executor-local ``localCheckpoint()`` otherwise —
+        which dies with any lost executor on a preemptible cluster. So
+        when the data folder itself is durable shared storage (non-file
+        scheme: s3a/hdfs/abfs/gs/...), or the master is local (where
+        file: is reliable — it survives block eviction, and executor
+        loss means driver loss anyway), set the session's checkpoint dir
+        under the folder at init instead of leaving reliability opt-in.
+        Never overrides a directory the user already set; VACUUM sweeps
+        checkpoint data past the retention window."""
+        sc = self.spark.sparkContext
+        if sc.getCheckpointDir() is not None:
+            return
+        from urllib.parse import urlparse
+
+        scheme = urlparse(self.folder.root).scheme or "file"
+        if scheme != "file" or sc.master.startswith("local"):
+            sc.setCheckpointDir(
+                self.folder.fs.join(self.folder.root, "_checkpoints")
+            )
 
     # ------------------------------------------------------------- catalog
 
@@ -353,12 +378,13 @@ class Engine:
 
         retain = DEFAULT_RETENTION_SECONDS if retain_seconds is None else retain_seconds
         horizon_ms = int((_time.time() - retain) * 1000)
-        staging = self.folder.fs.join(self.folder.root, "_staging")
-        if not self.folder.fs.exists(staging):
-            return
-        for info in self.folder.fs.list(staging):
-            if info.is_dir and info.mtime_ms <= horizon_ms:
-                self.folder.fs.delete(info.path, recursive=True)
+        for sub in ("_staging", "_checkpoints"):
+            base = self.folder.fs.join(self.folder.root, sub)
+            if not self.folder.fs.exists(base):
+                continue
+            for info in self.folder.fs.list(base):
+                if info.is_dir and info.mtime_ms <= horizon_ms:
+                    self.folder.fs.delete(info.path, recursive=True)
 
     def expire(self, name: str, older_than, not_before=None) -> dict:
         """Time-range retention: transactionally delete points with

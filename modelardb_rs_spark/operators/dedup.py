@@ -269,8 +269,10 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     the session has a checkpoint directory (files on shared storage
     survive executor loss — required on preemptible/spot clusters),
     eager ``localCheckpoint()`` otherwise (executor-local blocks; a
-    lost executor makes the truncated lineage unrecoverable, so set
-    ``spark.sparkContext.setCheckpointDir(...)`` off-sandbox)."""
+    lost executor makes the truncated lineage unrecoverable). Engine
+    init sets a default checkpoint dir under the data folder whenever
+    that is safe (durable scheme, or local master), so the reliable
+    path is the default, not opt-in — see Engine._ensure_checkpoint_dir."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)

@@ -493,3 +493,25 @@ def test_include_over_flight_streams_large_results(engine, spark, tmp_path):
     engine.vacuum(retain_seconds=0)
     staging = fs.join(engine.folder.root, "_staging")
     assert not fs.exists(staging) or not list(fs.list(staging))
+
+
+def test_default_reliable_checkpoint_survives_block_loss(spark, tmp_path):
+    """Engine init must establish a reliable checkpoint directory
+    without user setup, and lineage pinned through _truncate_lineage
+    must survive losing every cached block (the executor-loss analog) —
+    localCheckpoint would die here."""
+    from modelardb_rs_spark.engine import Engine
+    from modelardb_rs_spark.operators.dedup import _truncate_lineage
+
+    eng = Engine(spark, str(tmp_path / "ckpt_folder"))
+    ckpt_dir = spark.sparkContext.getCheckpointDir()
+    assert ckpt_dir is not None  # set by Engine init, not the test
+    df = spark.range(10_000).withColumn("v", (F.col("id") * 2).cast("long"))
+    pinned = _truncate_lineage(df)
+    # simulate block loss mid-iteration: unpersist EVERY persistent RDD
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in jmap.values():
+        jrdd.unpersist()
+    spark.catalog.clearCache()
+    assert pinned.count() == 10_000
+    assert pinned.agg(F.sum("v").alias("s")).collect()[0]["s"] == 10_000 * 9_999
