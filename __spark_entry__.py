@@ -528,6 +528,18 @@ def ts_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.last_points("ts_events", fields=["value"])
 
 
+def ts_limit_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare LIMIT bounds the segment scan with a commit-log time cutoff
+    (engine._bare_limit + datafolder.limit_time_cutoff; reference
+    pushes LIMIT into the scan, time_series_table.rs:447 +
+    grid_exec.rs:239-246): only the file prefix that provably
+    reconstructs >= n rows is read. The oracle compares the
+    deterministic part — the row count of the limited scan."""
+    eng = _ts_engine(spark, sf_dir)
+    limited = eng.read_sql("SELECT timestamp, value, etype FROM ts_events LIMIT 500")
+    return limited.agg(F.count(F.lit(1)).alias("n"))
+
+
 def ts_tag_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tag-equality WHERE handled by the metadata-only aggregate rewrite
     (a superset of the reference's rule, which bails on any filter)."""
@@ -1924,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_time_range": ts_time_range,
         "ts_generated_column": ts_generated_column,
         "ts_tag_filter_pushdown": ts_tag_filter_pushdown,
+        "ts_limit_pushdown": ts_limit_pushdown,
         "ts_range_partial_pushdown": ts_range_partial_pushdown,
         "ts_multifield": ts_multifield,
         "ts_many_series": ts_many_series,
@@ -2427,6 +2440,10 @@ def oracle_sql() -> dict[str, str]:
                                   THEN pv + (nv - pv) * (b_us - pb) / (nb - pb)
                                   END), 2) AS filled_sum
             FROM f GROUP BY etype
+        """,
+        "ts_limit_pushdown": """
+            SELECT count(*) AS n
+            FROM (SELECT ts FROM events LIMIT 500) q
         """,
         "ts_latest": """
             WITH p AS (

@@ -99,6 +99,29 @@ _TAG_TERM = re.compile(
 )
 
 
+# Bare-LIMIT detection for scan pushdown: exactly `SELECT <row-wise
+# projection> FROM <table> LIMIT <n>` — no WHERE/GROUP/ORDER/JOIN/
+# DISTINCT/OFFSET/set-ops, and a paren-free projection (no aggregates
+# or windows), because only then is ANY n rows a correct answer.
+_BARE_LIMIT = re.compile(
+    r"^\s*SELECT\s+(?P<proj>[^()]*?)\s+FROM\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
+    r"\s+LIMIT\s+(?P<n>\d+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_FORBID_LIMIT_PUSHDOWN = re.compile(
+    r"\b(WHERE|GROUP|ORDER|HAVING|DISTINCT|JOIN|UNION|INTERSECT|EXCEPT|OFFSET|OVER|VALUES)\b",
+    re.IGNORECASE,
+)
+
+
+def _bare_limit(sql: str) -> tuple[str, int] | None:
+    """(table, n) when the statement is a bare LIMIT scan, else None."""
+    m = _BARE_LIMIT.match(sql)
+    if m is None or _FORBID_LIMIT_PUSHDOWN.search(sql):
+        return None
+    return m["table"], int(m["n"])
+
+
 def _where_conjuncts(sql: str) -> list[str]:
     """The WHERE clause's AND-conjunct terms, or [] when pushdown is
     unsafe (see _FORBID_PUSHDOWN)."""
@@ -815,6 +838,15 @@ class Engine:
                     if hit and len(hit) < len(selectable):
                         fields = hit
                 start_us, end_us, tag_filters = _view_constraints(terms, meta)
+                # LIMIT pushdown into the grid: a bare `SELECT ... FROM
+                # t LIMIT n` scans only the file prefix that provably
+                # reconstructs >= n rows (time cutoff from commit-log
+                # stats) — O(limit) segments decoded instead of the
+                # whole table (reference: time_series_table.rs:447)
+                if for_sql is not None and end_us is None and start_us is None:
+                    bl = _bare_limit(for_sql)
+                    if bl is not None and bl[0].lower() == name.lower():
+                        end_us = self.folder.limit_time_cutoff(name, bl[1])
             saved_metrics = self._analyze_metrics
             if not referenced:
                 self._analyze_metrics = None

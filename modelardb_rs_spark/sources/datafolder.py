@@ -361,6 +361,36 @@ class DataFolder:
 
         self._stage_and_commit(meta.name, write_staged, segment_stats=True, txn=txn)
 
+    def limit_time_cutoff(self, name: str, n: int) -> int | None:
+        """Inclusive end-time cutoff S (µs) such that reading only
+        points with timestamp <= S is guaranteed to reconstruct at
+        least ``n`` rows — the LIMIT-pushdown bound (reference pushes
+        LIMIT into the scan, time_series_table.rs:447 +
+        grid_exec.rs:239-246).
+
+        Driver-side over commit-log file stats, no I/O: walk files in
+        ``max_end_time`` order accumulating per-field ``total_points``;
+        the first S where ANY single field's accumulated count reaches
+        ``n`` works, because every reconstructed row at a timestamp
+        carries at least that field's multiplicity there — so rows with
+        ts <= S >= that field's point count <= S >= n. Unstatted files
+        are skipped conservatively (they can only ADD rows under S).
+        Returns None when stats can't prove ``n`` rows (small table,
+        missing stats) — caller scans everything."""
+        statted = [
+            f
+            for f in self.log(name).snapshot().files
+            if f.get("max_end_time") is not None and f.get("total_points")
+        ]
+        statted.sort(key=lambda f: f["max_end_time"])
+        acc: dict[int | None, int] = {}
+        for f in statted:
+            fc = f.get("field_column")
+            acc[fc] = acc.get(fc, 0) + f["total_points"]
+            if acc[fc] >= n:
+                return f["max_end_time"]
+        return None
+
     def read_segments(
         self,
         meta: TimeSeriesTableMetadata,

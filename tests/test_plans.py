@@ -224,3 +224,61 @@ def test_sql_where_pushdown_declines_unsafe_shapes(pushdown_table):
         & (F.col("tag") == "a")
     ).count()
     assert q_between.collect()[0]["n"] == exp_b
+
+
+def test_bare_limit_prunes_segment_files(engine, spark):
+    """`SELECT * FROM t LIMIT 10` must read O(limit) segment FILES, not
+    the whole table: the commit-log point counts bound the scan with a
+    time cutoff before Spark ever lists the data (reference pushes
+    LIMIT into the scan, time_series_table.rs:447)."""
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE lt(timestamp TIMESTAMP, a FIELD, b FIELD, tag TAG)"
+    )
+    for c in range(12):  # 12 commits -> >= 12 files per field
+        rows = [
+            Row(
+                timestamp=TS0 + datetime.timedelta(seconds=c * 1000 + i),
+                a=float(i),
+                b=float(i) * 3,
+                tag="t",
+            )
+            for i in range(500)
+        ]
+        engine.write("lt", spark.createDataFrame(rows))
+    engine.register_views()
+    full = len(engine.spark.table("lt").inputFiles())
+    assert full >= 12
+    sql = "SELECT * FROM lt LIMIT 10"
+    engine.register_views(for_sql=sql)
+    pruned = len(engine.spark.table("lt").inputFiles())
+    assert pruned <= max(2, full // 6), (pruned, full)
+    out = engine.read_sql(sql)
+    got = out.collect()
+    assert len(got) == 10
+    # every returned row is a genuine table row
+    engine.register_views()
+    full_rows = {
+        (r["timestamp"], r["a"], r["b"], r["tag"])
+        for r in engine.spark.table("lt").collect()
+    }
+    for r in got:
+        assert (r["timestamp"], r["a"], r["b"], r["tag"]) in full_rows
+    # larger-than-table LIMIT falls back to the full scan, full result
+    out_all = engine.read_sql("SELECT * FROM lt LIMIT 1000000")
+    assert out_all.count() == 6000
+
+
+def test_bare_limit_declines_unsafe_shapes(engine):
+    """Aggregates, WHERE, ORDER BY etc. must NOT trigger the limit
+    cutoff — any-n-rows is only a correct answer for a bare row scan."""
+    from modelardb_rs_spark.engine import _bare_limit
+
+    assert _bare_limit("SELECT * FROM t LIMIT 10") == ("t", 10)
+    assert _bare_limit("SELECT a, tag FROM t LIMIT 5") == ("t", 5)
+    assert _bare_limit("SELECT count(*) FROM t LIMIT 10") is None
+    assert _bare_limit("SELECT * FROM t WHERE a > 1 LIMIT 10") is None
+    assert _bare_limit("SELECT * FROM t ORDER BY a LIMIT 10") is None
+    assert _bare_limit("SELECT DISTINCT a FROM t LIMIT 10") is None
+    assert _bare_limit("SELECT * FROM t LIMIT 10 OFFSET 5") is None
+    assert _bare_limit("SELECT a FROM t JOIN u ON x = y LIMIT 3") is None
+    assert _bare_limit("SELECT max(a) OVER () FROM t LIMIT 2") is None
