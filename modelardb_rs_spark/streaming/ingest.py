@@ -48,6 +48,10 @@ def start_ingest(
         if batch_df.isEmpty():
             return
         engine.write(table, batch_df)
+        # streaming necessarily commits many small files; compact once
+        # the small-file threshold is crossed so read planning stays
+        # flat no matter how long the stream runs (SCALE.md lever)
+        engine.maybe_optimize(table)
 
     writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
     if trigger_seconds is not None:
@@ -213,6 +217,7 @@ def start_stateful_ingest(
         if batch_df.isEmpty():
             return
         engine.folder.write_segments(meta, batch_df)
+        engine.maybe_optimize(table)
 
     writer = segs.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
     if trigger_seconds is not None:

@@ -120,6 +120,7 @@ def start_continuous_rollup(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         append_batch(engine, table, batch_df, epoch_id, ts_col, value_col, keys, bucket_us)
+        engine.maybe_optimize(table)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint
@@ -159,10 +160,12 @@ def compact_rollup(engine, table: str, keys: list[str]) -> None:
     if staging in engine.tables():
         engine.drop(staging)
     create_rollup(engine, staging, keys)
-    src = engine.table(table)
-    seen_batches = {
-        r.batch_id for r in src.select("batch_id").distinct().collect()
-    }
+    # pin the source at the current commit-log version: the merge reads
+    # a frozen snapshot, and the concurrent-append guard below is a
+    # VERSION comparison — no collect() of batch ids, so guard cost
+    # stays constant no matter how many uncompacted batches accumulated
+    v0 = engine.folder.log(table).snapshot().version
+    src = engine.table(table, version=v0)
     merged = src.groupBy("bucket", *keys).agg(
         F.sum("cnt").alias("cnt"),
         F.sum("sum").alias("sum"),
@@ -173,14 +176,10 @@ def compact_rollup(engine, table: str, keys: list[str]) -> None:
     engine.write(staging, merged)
     # a stream may have appended while we merged: refuse rather than
     # silently discard those partials with the truncate
-    now_batches = {
-        r.batch_id
-        for r in engine.table(table).select("batch_id").distinct().collect()
-    }
-    if now_batches - seen_batches:
+    if engine.folder.log(table).snapshot().version != v0:
         engine.drop(staging)
         raise RuntimeError(
-            f"rollup {table!r} received new batches during compaction; "
+            f"rollup {table!r} received new commits during compaction; "
             "quiesce the stream and retry"
         )
     engine.truncate(table)

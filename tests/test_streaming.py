@@ -391,3 +391,43 @@ def test_near_dup_ingest_id_reuse_does_not_drop_batch(spark, engine):
     rows = engine.table("docs_ru").collect()
     assert len(rows) == 3
     assert sorted(r["doc_id"] for r in rows) == [10, 10, 20]
+
+
+def test_auto_optimize_keeps_streaming_file_count_flat(engine, spark, tmp_path):
+    """Long-running ingest must not accumulate unbounded small files:
+    once the small-file threshold is crossed the sink compacts, live
+    file count drops, and the read plan's input stays bounded — with
+    results unchanged (SCALE.md names OPTIMIZE as the lever that keeps
+    plan-time flat at 1000x file counts; this makes it automatic)."""
+    engine.read_sql("CREATE TIME SERIES TABLE ao(timestamp TIMESTAMP, f FIELD, tag TAG)")
+    engine.auto_optimize_small_files = 6
+    src = str(tmp_path / "ao_incoming")
+    os.makedirs(src)
+    stream = (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_ingest(engine, "ao", stream, str(tmp_path / "ao_ckpt"))
+    try:
+        for b in range(12):  # 12 commits, threshold 6: compaction fires
+            batch_rows(spark, b * 50, 50).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    history = engine.folder.history("ao")
+    assert any(h["op"] == "optimize" for h in history), [h["op"] for h in history]
+    live_files = len(engine.folder.log("ao").snapshot().files)
+    assert live_files < 12, live_files
+    assert engine.table("ao").count() == 600
+    total = engine.read_sql("SELECT sum(f) AS s FROM ao").collect()[0].s
+    assert total == sum(range(600))
+
+
+def test_maybe_optimize_below_threshold_is_noop(engine, spark):
+    engine.create_table("mo", "id BIGINT")
+    engine.auto_optimize_small_files = 10
+    for i in range(3):
+        engine.write("mo", spark.createDataFrame([(i,)], "id long"))
+    assert engine.maybe_optimize("mo") is None
+    assert len(engine.folder.history("mo")) == 3  # no optimize commit
