@@ -575,3 +575,151 @@ def test_txn_gate_under_concurrent_replays(engine, spark):
     assert not errors
     assert engine.table("txn_race").count() == 1
     assert engine.folder.log("txn_race").snapshot().version == 0
+
+
+# ---------------------------------------------------------------- mirror property test
+
+
+def _stage_small_parquet(fs, table_uri, rnd) -> tuple[str, int]:
+    """Write one real (tiny) parquet file into a fresh txn= staging dir;
+    returns (rel_path, size)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rel_dir = f"txn={rnd.getrandbits(64):016x}"
+    rel = f"{rel_dir}/part-{rnd.getrandbits(32):08x}.parquet"
+    n = rnd.randint(1, 5)
+    t = pa.table(
+        {
+            "id": pa.array(list(range(n)), pa.int64()),
+            "v": pa.array([rnd.random() for _ in range(n)], pa.float64()),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    data = buf.getvalue()
+    fs.mkdirs(fs.join(table_uri, rel_dir))
+    fs.write_bytes(fs.join(table_uri, rel), data)
+    return rel, len(data)
+
+
+def _replay_delta_mirror(table_dir: str):
+    """Replay _delta_log per the public Delta protocol: parquet
+    checkpoint via _last_checkpoint (if any) + the JSON suffix.
+    Returns (live_paths, txns, versions_replayed); asserts the suffix
+    is contiguous (stock readers refuse gaps)."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.isdir(log_dir):
+        return set(), {}, []
+    live: dict[str, dict] = {}
+    txns: dict[str, int] = {}
+    base = -1
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(lc):
+        base = _json.load(open(lc))["version"]
+        cp = pq.read_table(os.path.join(log_dir, f"{base:020d}.checkpoint.parquet"))
+        for row in cp.to_pylist():
+            if row.get("add"):
+                live[row["add"]["path"]] = row["add"]
+            if row.get("txn"):
+                t = row["txn"]
+                txns[t["appId"]] = max(txns.get(t["appId"], -1), t["version"])
+    versions = sorted(
+        int(f[: -len(".json")])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f != "_last_checkpoint"
+    )
+    suffix = [v for v in versions if v > base]
+    assert suffix == list(range(base + 1, base + 1 + len(suffix))), (base, suffix)
+    for v in suffix:
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                a = _json.loads(line)
+                if "add" in a:
+                    live[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+                elif "txn" in a:
+                    t = a["txn"]
+                    txns[t["appId"]] = max(txns.get(t["appId"], -1), t["version"])
+    return set(live), txns, suffix
+
+
+def test_delta_mirror_replay_matches_under_adversarial_sequences(spark):
+    """Property test: random interleavings of append / txn-append /
+    truncate / partial-expire / vacuum must leave a _delta_log whose
+    stock replay (checkpoint + contiguous JSON suffix) reproduces the
+    authoritative live file set AND txn map at every step."""
+    import tempfile
+    from urllib.parse import urlparse
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from modelardb_rs_spark.sources.hadoopfs import HadoopFS
+    from modelardb_rs_spark.sources.txlog import TransactionLog
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        ops=st.lists(
+            st.sampled_from(
+                ["append", "txn_append", "txn_replay", "truncate", "expire_one", "vacuum"]
+            ),
+            min_size=6,
+            max_size=20,
+        ),
+        seed=st.integers(0, 2**31),
+    )
+    def run(ops, seed):
+        import random
+
+        rnd = random.Random(seed)
+        root = tempfile.mkdtemp(prefix="smdl_mirror_prop_")
+        fs = HadoopFS(spark, root)
+        table_uri = fs.join(fs.base, "t")
+        fs.mkdirs(table_uri)
+        log = TransactionLog(fs, table_uri)
+        table_dir = urlparse(table_uri).path
+        # first op is always a data append so the mirror can derive a schema
+        app_epoch = 0
+        for op in ["append"] + ops:
+            if op in ("append", "txn_append", "txn_replay"):
+                rel, size = _stage_small_parquet(fs, table_uri, rnd)
+                txn = None
+                if op == "txn_append":
+                    app_epoch += 1
+                    txn = ("prop-app", app_epoch)
+                elif op == "txn_replay":
+                    txn = ("prop-app", app_epoch)  # duplicate: must skip
+                committed = log.commit(
+                    lambda snap: ("append", [{"path": rel, "size": size}], []),
+                    txn=txn,
+                )
+                if op == "txn_replay" and app_epoch > 0:
+                    assert committed is None
+            elif op == "truncate":
+                log.commit(lambda snap: ("truncate", [], list(snap.paths)))
+            elif op == "expire_one":
+                snap = log.snapshot()
+                if snap.paths:
+                    victim = rnd.choice(sorted(snap.paths))
+                    log.commit(lambda s: ("expire", [], [victim]))
+            elif op == "vacuum":
+                log.vacuum(0)
+            mirror_live, mirror_txns, _ = _replay_delta_mirror(table_dir)
+            snap = log.snapshot()
+            assert mirror_live == set(snap.paths), (op, mirror_live, snap.paths)
+            assert mirror_txns == snap.txns, (op, mirror_txns, snap.txns)
+
+    run()
