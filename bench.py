@@ -36,6 +36,7 @@ HEADLINE = [
     "ts_resample",
     "ts_latest",
     "ts_gapfill",
+    "ts_limit_pushdown",
     "doc_fingerprints",
     "doc_token_stats",
     "doc_langid",

@@ -46,24 +46,22 @@ class FilterPolicy:
 def _signals(
     df: DataFrame, policy: FilterPolicy, text_col: str, id_col: str
 ) -> DataFrame:
+    # Every per-document signal is a pure Column expression over the
+    # text — computed IN PLACE, never joined back by id. (An id join
+    # here shuffles the full text once per enabled rule: measured 30x
+    # wall at 4M docs before this change — scale_probe_docs N=800.)
+    # Only the unigram-LM floor genuinely needs corpus state (token
+    # frequencies), so only it joins.
     out = df
+    c = F.col(text_col)
     if policy.min_tokens is not None or policy.max_tokens is not None:
-        out = out.withColumn("__n_tok__", text_ops.token_count(F.col(text_col)))
+        out = out.withColumn("__n_tok__", text_ops.token_count(c))
     if policy.min_quality is not None:
-        q = text_ops.quality_features(
-            df.select(F.col(id_col), F.col(text_col))
-        ).select(F.col(id_col), F.col("quality_score").alias("__q__"))
-        out = out.join(q, id_col)
+        out = out.withColumn("__q__", text_ops.quality_score(c))
     if policy.languages is not None:
-        lid = text_ops.language_id(
-            df.select(F.col(id_col), F.col(text_col)), text_col
-        ).select(F.col(id_col), F.col("predicted_lang").alias("__lang__"))
-        out = out.join(lid, id_col)
+        out = out.withColumn("__lang__", text_ops.language_pred(c))
     if policy.max_pii is not None:
-        p = pii_ops.pii_counts(df, text_col, id_col).select(
-            F.col(id_col), F.col("n_pii").alias("__pii__")
-        )
-        out = out.join(p, id_col)
+        out = out.withColumn("__pii__", pii_ops.pii_total(c))
     if policy.min_logprob is not None:
         lm = text_ops.unigram_lm_scores(df, text_col, id_col).select(
             F.col(id_col), F.col("avg_logprob").alias("__lp__")

@@ -51,6 +51,16 @@ def pii_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     return out.withColumn("n_pii", total.cast("long"))
 
 
+def pii_total(c: Column) -> Column:
+    """Total PII span count as a pure Column expression (same
+    independent-pattern semantics as ``pii_counts``'s ``n_pii``)."""
+    total = None
+    for _, pat in PII_PATTERNS:
+        n = F.regexp_count(c, F.lit(pat)).cast("long")
+        total = n if total is None else total + n
+    return total
+
+
 def redact_pii(text: Column) -> Column:
     """Replace every PII span with a typed placeholder (``<EMAIL>``,
     ``<SSN>``, ...). Applied in PII_PATTERNS order: once an SSN becomes

@@ -47,8 +47,14 @@ def _gram_occurrences(
     # whitespace-split, so a single space is airtight — a collision-prone
     # separator would let distinct sequences with the same concatenation
     # (['ab','c'] vs ['a','bc']) fuse into one gram and delete text that
-    # was never actually repeated
-    gram = F.md5(
+    # was never actually repeated. xxhash64 (an 8-byte long) instead of
+    # md5 (a 32-char hex string): the gram column feeds the corpus-wide
+    # count shuffle — the ONE data-sized exchange in span dedup — and
+    # the narrow key shrinks it ~5x (measured at 4M docs, SCALE.md).
+    # The DuckDB oracles keep md5; outputs agree because only gram
+    # EQUALITY matters and both hashes are collision-free at any
+    # realistic corpus size.
+    gram = F.xxhash64(
         F.array_join(F.slice("__t__", F.col("pos") + 1, span), " ")
     ).alias("gram")
     return with_pos.select(id_col, "pos", gram)

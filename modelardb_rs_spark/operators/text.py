@@ -90,6 +90,40 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 4))
 
 
+def quality_score(c: Column) -> Column:
+    """The composite quality score as a pure Column expression —
+    bit-identical to ``quality_features``'s ``quality_score`` (same
+    intermediate rounding), without materializing the feature columns
+    or requiring a join."""
+    n_tok = token_count(c)
+    n_char = F.length(c)
+    stop = stopword_count(c, LANG_STOPWORDS["en"])
+    stop_ratio = F.round(
+        F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0)), 4
+    )
+    punct_ratio = F.round(
+        F.when(n_char > 0, punct_count(c) / n_char).otherwise(F.lit(0.0)), 4
+    )
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
+    )
+    return F.round(score, 4)
+
+
+def language_pred(c: Column) -> Column:
+    """The language-id prediction as a pure Column expression — usable
+    without a join wherever the text column is in scope (the quality
+    gate composes signals map-only this way)."""
+    counts = {lang: stopword_count(c, words) for lang, words in sorted(LANG_STOPWORDS.items())}
+    best_count = F.greatest(*counts.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = F.when(counts[lang] == best_count, F.lit(lang)).otherwise(pred)
+    return F.when(best_count == 0, F.lit("und")).otherwise(pred)
+
+
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "predicted_lang") -> DataFrame:
     """Heuristic language identification by stopword voting.
 
@@ -97,14 +131,7 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "predicted
     alphabetical tie-break (first language wins ties), 'und'
     (undetermined) when no stopword of any language occurs.
     """
-    c = F.col(text_col)
-    counts = {lang: stopword_count(c, words) for lang, words in sorted(LANG_STOPWORDS.items())}
-    best_count = F.greatest(*counts.values())
-    pred = F.lit("und")
-    for lang in sorted(LANG_STOPWORDS, reverse=True):
-        pred = F.when(counts[lang] == best_count, F.lit(lang)).otherwise(pred)
-    pred = F.when(best_count == 0, F.lit("und")).otherwise(pred)
-    return df.withColumn(out_col, pred)
+    return df.withColumn(out_col, language_pred(F.col(text_col)))
 
 
 def repetition_features(

@@ -392,3 +392,7 @@ def near_dup_ingest_batch(
         epochs_table,
         engine.spark.createDataFrame([(int(epoch_id),)], "epoch BIGINT"),
     )
+    # per-epoch appends are small; compact once the threshold trips so
+    # the corpus and index stay scannable over long-running streams
+    engine.maybe_optimize(table)
+    engine.maybe_optimize(ndi._sigs_table(index_name))
