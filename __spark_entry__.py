@@ -1279,6 +1279,24 @@ def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_summary(exact, approx, min_floor=None, avg_floor=0.4)
 
 
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN (operators/pq.py — the public
+    Jegou/Douze/Schmid construction, FAISS IndexPQ shape): 16x4-bit
+    codes per 64-dim vector (32x compression), ADC scoring over code
+    columns only, exact re-rank of a 50-candidate shortlist. Seeded
+    training + deterministic argmin make recall reproducible; floors
+    verified against brute force."""
+    from modelardb_rs_spark.operators import pq as pq_ops
+
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    books = pq_ops.train_pq_codebooks(emb, m=16, ks=16)
+    enc = pq_ops.encode_pq(emb, books)
+    queries = emb.where(F.col("vec_id") < 10)
+    approx = pq_ops.pq_topk(enc, books, queries, k=5, rerank=50)
+    exact = sim_ops.brute_force_topk(emb, queries, k=5)
+    return _recall_summary(exact, approx, min_floor=0.4, avg_floor=0.75)
+
+
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table random-hyperplane LSH: recall@5 vs brute force must
     clear floors (seeded hyperplanes make the pipeline deterministic)."""
@@ -1988,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": sim_ivf_topk,
         "sim_lsh_topk": sim_lsh_topk,
         "sim_ivf_trained": sim_ivf_trained,
+        "sim_pq_topk": sim_pq_topk,
         "doc_bpe_tokens": doc_bpe_tokens,
         "doc_chunks": doc_chunks,
         "doc_sample": doc_sample,
@@ -2987,6 +3006,11 @@ def oracle_sql() -> dict[str, str]:
         # seeded approximate indexes: the driver hash-checks the recall
         # floor indicators, which the deterministic pipelines always clear
         "sim_lsh_topk": """
+            SELECT CAST(10 AS BIGINT) AS n_queries,
+                   CAST(1 AS BIGINT) AS avg_recall_ok,
+                   CAST(1 AS BIGINT) AS min_recall_ok
+        """,
+        "sim_pq_topk": """
             SELECT CAST(10 AS BIGINT) AS n_queries,
                    CAST(1 AS BIGINT) AS avg_recall_ok,
                    CAST(1 AS BIGINT) AS min_recall_ok

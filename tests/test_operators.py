@@ -580,3 +580,50 @@ def test_real_image_codec_through_spark_operators(spark):
 def test_image_codec_rejects_unknown_container():
     with pytest.raises(NotImplementedError, match="BMP and PGM"):
         mm_ops.decode_media(b"\x89PNG\r\n\x1a\n....", "image", codec="image")
+
+
+# ------------------------------------------------------ product quantization
+
+
+def test_pq_encode_deterministic_and_bounded(spark):
+    from modelardb_rs_spark.operators import pq as pq_ops
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_ops.train_pq_codebooks(df, m=4, ks=8, sample=200)
+    assert len(books) == 4 and books[0].shape == (8, 4)
+    enc1 = {r["vec_id"]: r["pq_codes"] for r in pq_ops.encode_pq(df, books).collect()}
+    enc2 = {r["vec_id"]: r["pq_codes"] for r in pq_ops.encode_pq(df, books).collect()}
+    assert enc1 == enc2  # deterministic codes
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in enc1.values())
+    norms = {r["vec_id"]: r["pq_norm"] for r in pq_ops.encode_pq(df, books).collect()}
+    assert all(n > 0 for n in norms.values())
+
+
+def test_pq_topk_recall_with_rerank(spark):
+    """ADC + exact re-rank must recover most true neighbors; plain ADC
+    must at least return valid ranked rows (k per query, no self)."""
+    from modelardb_rs_spark.operators import pq as pq_ops
+    from modelardb_rs_spark.operators import similarity as sim_ops
+
+    rng = np.random.default_rng(5)
+    # clustered data: PQ's intended regime
+    centers = rng.normal(size=(10, 32)) * 4
+    rows = []
+    for i in range(400):
+        c = centers[i % 10]
+        rows.append((i, [float(x) for x in c + rng.normal(size=32) * 0.3]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_ops.train_pq_codebooks(df, m=8, ks=16, sample=400)
+    enc = pq_ops.encode_pq(df, books)
+    q = df.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in sim_ops.brute_force_topk(df, q, k=5).collect()}
+    plain = pq_ops.pq_topk(enc, books, q, k=5).collect()
+    assert len(plain) == 25
+    assert all(r["query_id"] != r["neighbor_id"] for r in plain)
+    rer = {(r["query_id"], r["neighbor_id"])
+           for r in pq_ops.pq_topk(enc, books, q, k=5, rerank=40).collect()}
+    recall = len(exact & rer) / len(exact)
+    assert recall >= 0.8, recall
