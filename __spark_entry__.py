@@ -540,6 +540,20 @@ def ts_limit_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return limited.agg(F.count(F.lit(1)).alias("n"))
 
 
+def ts_value_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-predicate pushdown to segment statistics: `WHERE value >= x`
+    prunes every segment whose max_value < x BEFORE decode (engine
+    _VAL_TERM -> table(value_filters=...); min_value/max_value are of
+    RECONSTRUCTED values, so lossy tables prune safely). The aggregate
+    projection is allowed because WHERE filters rows first — the
+    relaxed conjunct extractor only declines parens from FROM onward."""
+    eng = _ts_engine(spark, sf_dir)
+    return eng.read_sql(
+        "SELECT count(value) AS n, round(sum(value), 2) AS s "
+        "FROM ts_events WHERE value >= 200.0 AND etype = 'click'"
+    )
+
+
 def ts_tag_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tag-equality WHERE handled by the metadata-only aggregate rewrite
     (a superset of the reference's rule, which bails on any filter)."""
@@ -1955,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_generated_column": ts_generated_column,
         "ts_tag_filter_pushdown": ts_tag_filter_pushdown,
         "ts_limit_pushdown": ts_limit_pushdown,
+        "ts_value_filter_pushdown": ts_value_filter_pushdown,
         "ts_range_partial_pushdown": ts_range_partial_pushdown,
         "ts_multifield": ts_multifield,
         "ts_many_series": ts_many_series,
@@ -2459,6 +2474,11 @@ def oracle_sql() -> dict[str, str]:
                                   THEN pv + (nv - pv) * (b_us - pb) / (nb - pb)
                                   END), 2) AS filled_sum
             FROM f GROUP BY etype
+        """,
+        "ts_value_filter_pushdown": """
+            SELECT count(*) AS n, round(sum(CAST(value AS FLOAT)), 2) AS s
+            FROM events
+            WHERE CAST(value AS FLOAT) >= 200.0 AND event_type = 'click'
         """,
         "ts_limit_pushdown": """
             SELECT count(*) AS n

@@ -76,15 +76,23 @@ _INTERVAL_UNITS_US = {
 
 
 # SQL WHERE → view-constraint extraction (register_views). Deliberately
-# conservative: pushdown happens ONLY for a single pure-AND WHERE made
-# of simple terms — anything else (OR, NOT, BETWEEN — whose AND would
-# split wrong, parens/functions/subqueries, set operations, multiple
-# WHEREs) disables it entirely, because a restriction is only safe when
-# every conjunct is independently implied by the query.
+# conservative: pushdown happens ONLY for a single-SELECT statement with
+# a single pure-AND WHERE made of simple terms — anything else (OR, NOT,
+# BETWEEN — whose AND would split wrong, subqueries, set operations,
+# multiple WHEREs) disables it entirely, because a restriction is only
+# safe when every conjunct is independently implied by the query.
+# Parens are allowed ONLY in the projection (between SELECT and FROM):
+# aggregates/round()/windows there run AFTER the WHERE filters rows, so
+# the restriction still holds — but parens from FROM onward mean a
+# derived table or predicate subquery (`FROM (SELECT .. LIMIT ..)`,
+# `IN (SELECT ..)`) where restricting the base view can change WHICH
+# rows an inner LIMIT/aggregate sees, so those decline.
 _FORBID_PUSHDOWN = re.compile(
     r"\bOR\b|\bNOT\b|\bBETWEEN\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b|[()]",
     re.IGNORECASE,
 )
+_FROM_KW = re.compile(r"\bFROM\b", re.IGNORECASE)
+_SELECT_KW = re.compile(r"\bSELECT\b", re.IGNORECASE)
 _WHERE_CLAUSE = re.compile(
     r"\bWHERE\b(?P<clause>.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b|\bHAVING\b|\bLIMIT\b|\bWINDOW\b|;|$)",
     re.IGNORECASE | re.DOTALL,
@@ -96,6 +104,10 @@ _TS_TERM = re.compile(
 )
 _TAG_TERM = re.compile(
     r"^(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*=\s*'(?P<lit>[^']*)'$"
+)
+_VAL_TERM = re.compile(
+    r"^(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*(?P<op>>=|<=|>|<)\s*"
+    r"(?P<lit>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)$"
 )
 
 
@@ -129,19 +141,35 @@ def _where_conjuncts(sql: str) -> list[str]:
     if len(matches) != 1:
         return []
     clause = matches[0]
-    if _FORBID_PUSHDOWN.search(sql):
+    if len(_SELECT_KW.findall(sql)) != 1:
+        return []  # subquery somewhere: the restriction may not commute
+    from_m = _FROM_KW.search(sql)
+    if from_m is None:
+        return []
+    # projection parens (count(a), round(..)) are harmless — those
+    # expressions evaluate after WHERE; anything suspicious from FROM
+    # onward declines
+    if _FORBID_PUSHDOWN.search(sql, from_m.start()) or re.search(
+        r"\bOR\b|\bNOT\b|\bBETWEEN\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b",
+        sql[: from_m.start()],
+        re.IGNORECASE,
+    ):
         return []
     return [t.strip() for t in re.split(r"\bAND\b", clause, flags=re.IGNORECASE)]
 
 
-def _view_constraints(terms: list[str], meta) -> tuple[int | None, int | None, dict]:
-    """(start_us, end_us, tag equality filters) implied for ``meta``'s
-    table by the conjunct terms; unrecognized terms are ignored (they
-    simply don't restrict)."""
+def _view_constraints(
+    terms: list[str], meta
+) -> tuple[int | None, int | None, dict, list[tuple[str, str, float]]]:
+    """(start_us, end_us, tag equality filters, stored-field value
+    comparisons) implied for ``meta``'s table by the conjunct terms;
+    unrecognized terms are ignored (they simply don't restrict)."""
     start_us = end_us = None
     tags: dict[str, str] = {}
+    vals: list[tuple[str, str, float]] = []
     ts_col = meta.timestamp_column.lower()
     tag_cols = {t.lower(): t for t in meta.tag_columns}
+    field_cols = {f.lower(): f for f in meta.field_names}
     for term in terms:
         if m := _TS_TERM.match(term):
             if m["col"].lower() != ts_col:
@@ -161,7 +189,11 @@ def _view_constraints(terms: list[str], meta) -> tuple[int | None, int | None, d
             col = tag_cols.get(m["col"].lower())
             if col is not None:
                 tags[col] = m["lit"]
-    return start_us, end_us, tags
+        elif m := _VAL_TERM.match(term):
+            col = field_cols.get(m["col"].lower())
+            if col is not None:
+                vals.append((col, m["op"], float(m["lit"])))
+    return start_us, end_us, tags, vals
 
 
 def _contiguous_ranges(bucket_starts_us: list[int], every_us: int):
@@ -718,6 +750,7 @@ class Engine:
         timestamp_ms: int | None = None,
         tags: dict[str, str] | None = None,
         probe_duplicates: bool = True,
+        value_filters: list[tuple[str, str, float]] | None = None,
     ) -> DataFrame:
         """The logical DataFrame of a table (time series tables gridded,
         with optional projection + time-range segment pruning; ``tags``
@@ -725,7 +758,17 @@ class Engine:
         `version`/`timestamp_ms` read an older commit-log snapshot (time
         travel, both table kinds). ``probe_duplicates=False`` skips the
         point-uniqueness probe job (the multifield reassembly then uses
-        the always-correct duplicate-preserving path)."""
+        the always-correct duplicate-preserving path).
+
+        ``value_filters``: (field, op, literal) comparisons the caller's
+        query ALREADY applies to the output (AND conjuncts) — used to
+        prune segments by their min_value/max_value stats before decode
+        (``f > x`` drops every segment of f whose max_value <= x: it
+        can only yield rows the caller's filter discards). Applied only
+        when safe: a univariate view always is; the multifield
+        reassembly only under the no-duplicate-points proof, because
+        with duplicate timestamps the positional zip pairing would
+        shift when one duplicate's segment is pruned."""
         kind = self.catalog.kind(name)
         if kind == TableKind.NORMAL:
             df = self.folder.read_normal(
@@ -753,6 +796,23 @@ class Engine:
             and (fields is None or len(fields) > 1)
         ):
             no_dups = self._no_duplicate_points(name, meta, info["version"])
+        if value_filters:
+            multifield = len(meta.field_columns) > 1 and (fields is None or len(fields) > 1)
+            if not multifield or no_dups:
+                fidx = meta.field_index_of
+                for f, op, x in value_filters:
+                    stat = (
+                        F.col("max_value") >= F.lit(x)
+                        if op == ">="
+                        else F.col("max_value") > F.lit(x)
+                        if op == ">"
+                        else F.col("min_value") <= F.lit(x)
+                        if op == "<="
+                        else F.col("min_value") < F.lit(x)
+                    )
+                    segments = segments.where(
+                        (F.col("field_column") != F.lit(fidx[f])) | stat
+                    )
         return grid_ops.grid(
             segments,
             meta,
@@ -857,6 +917,7 @@ class Engine:
             fields = None
             start_us = end_us = None
             tag_filters: dict[str, str] = {}
+            value_filters: list[tuple[str, str, float]] = []
             # tables the statement never names get no instrumentation
             # (EXPLAIN ANALYZE counters must reflect the query, not the
             # catalog) and no duplicate-uniqueness probe job
@@ -868,7 +929,7 @@ class Engine:
                     hit = [c for c in selectable if c.lower() in tokens]
                     if hit and len(hit) < len(selectable):
                         fields = hit
-                start_us, end_us, tag_filters = _view_constraints(terms, meta)
+                start_us, end_us, tag_filters, value_filters = _view_constraints(terms, meta)
                 # LIMIT pushdown into the grid: a bare `SELECT ... FROM
                 # t LIMIT n` scans only the file prefix that provably
                 # reconstructs >= n rows (time cutoff from commit-log
@@ -889,6 +950,7 @@ class Engine:
                     end=end_us,
                     tags=tag_filters or None,
                     probe_duplicates=referenced,
+                    value_filters=value_filters or None,
                 ).createOrReplaceTempView(name)
             finally:
                 self._analyze_metrics = saved_metrics

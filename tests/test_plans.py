@@ -8,6 +8,7 @@ import datetime
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 TS0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
 
@@ -282,3 +283,46 @@ def test_bare_limit_declines_unsafe_shapes(engine):
     assert _bare_limit("SELECT * FROM t LIMIT 10 OFFSET 5") is None
     assert _bare_limit("SELECT a FROM t JOIN u ON x = y LIMIT 3") is None
     assert _bare_limit("SELECT max(a) OVER () FROM t LIMIT 2") is None
+
+
+def test_value_predicate_prunes_segments(planned):
+    """`WHERE a > x` must prune segments by max_value BEFORE decode —
+    the filter appears against the segment stats columns in the plan —
+    and results must stay exact (post-decode re-filter unchanged)."""
+    df = planned.read_sql("SELECT a FROM p WHERE a >= 450")
+    plan = plan_of(df)
+    assert "max_value" in plan  # stat pruning reached the segment scan
+    assert df.count() == 50  # a = 0..499: exactly 450..499 qualify
+    # the dual side: a < x prunes by min_value
+    df2 = planned.read_sql("SELECT a FROM p WHERE a < 50")
+    assert "min_value" in plan_of(df2)
+    assert df2.count() == 50
+    # a statement shape the conservative WHERE extractor declines (an
+    # OR) must not prune — and must still answer exactly
+    df3 = planned.read_sql("SELECT a FROM p WHERE a >= 450 OR a < 10")
+    assert "max_value" not in plan_of(df3)
+    assert df3.count() == 60
+
+
+def test_value_predicate_declines_on_duplicates(engine, spark):
+    """With duplicate (timestamp, series) points the multifield zip
+    pairing would shift if one duplicate's segment were pruned — the
+    pushdown must decline and results must match the unpruned answer."""
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE dupv(timestamp TIMESTAMP, a FIELD, b FIELD, tag TAG)"
+    )
+    rows = [
+        Row(timestamp=TS0, a=1.0, b=5.0, tag="t"),
+        Row(timestamp=TS0, a=9.0, b=7.0, tag="t"),  # duplicate ts
+        Row(timestamp=TS0 + datetime.timedelta(seconds=1), a=2.0, b=1.0, tag="t"),
+    ]
+    # two writes so the duplicates land in overlapping segments
+    engine.write("dupv", spark.createDataFrame([rows[0], rows[2]]))
+    engine.write("dupv", spark.createDataFrame([rows[1]]))
+    out = engine.read_sql(
+        "SELECT a, b FROM dupv WHERE a > 8 AND timestamp >= timestamp '1970-01-01'"
+    ).collect()
+    assert len(out) == 1 and out[0]["a"] == 9.0
+    # the pairing of (9.0, b) must equal the unpruned view's pairing
+    full = engine.table("dupv").where(F.col("a") > 8).collect()
+    assert {(r["a"], r["b"]) for r in out} == {(r["a"], r["b"]) for r in full}
