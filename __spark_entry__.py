@@ -2080,7 +2080,12 @@ WITH toks AS (
 _MINHASH_VERIFY_CTE = (
     _SHINGLE_CTE
     + ", sig AS (SELECT doc_id, "
-    + ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16))
+    + ", ".join(
+        f"min((CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT)"
+        f" + {i} * CAST('0x' || substr(md5(shingle), 8, 7) AS BIGINT))"
+        f" % 2147483647) AS h{i}"
+        for i in range(16)
+    )
     + " FROM sh GROUP BY doc_id),\n    bands AS ("
     + " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, concat_ws('|', h{2 * b}, h{2 * b + 1}) AS bh FROM sig"
@@ -2898,7 +2903,12 @@ def oracle_sql() -> dict[str, str]:
             , sig AS (
                 SELECT doc_id,
                 """
-        + ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8))
+        + ", ".join(
+        f"min((CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT)"
+        f" + {i} * CAST('0x' || substr(md5(shingle), 8, 7) AS BIGINT))"
+        f" % 2147483647) AS h{i}"
+        for i in range(8)
+    )
         + """
                 FROM sh GROUP BY doc_id
             ),
@@ -3384,7 +3394,12 @@ def oracle_sql() -> dict[str, str]:
     oracles["dedup_index_check"] = (
         _SHINGLE_CTE
         + ", sig AS (SELECT doc_id, "
-        + ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16))
+        + ", ".join(
+        f"min((CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT)"
+        f" + {i} * CAST('0x' || substr(md5(shingle), 8, 7) AS BIGINT))"
+        f" % 2147483647) AS h{i}"
+        for i in range(16)
+    )
         + " FROM sh GROUP BY doc_id),\n    bands AS ("
         + " UNION ALL ".join(
             f"SELECT doc_id, {b} AS band, concat_ws('|', h{2 * b}, h{2 * b + 1}) AS bh FROM sig"

@@ -156,18 +156,33 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
-    Permutation i is simulated by ``md5(i || ':' || shingle)`` and the
-    signature element is the lexicographic minimum — md5 is uniform
-    enough for Jaccard estimation and identical in every engine, so the
-    signatures are oracle-reproducible (unlike seeded murmur3).
+    ONE md5 per shingle, split into two 28-bit halves, drives all k
+    permutations by Kirsch-Mitzenmacher double hashing
+    (h_i = (h1 + i*h2) mod 2^31-1 — the public composite-hash result
+    from "Less Hashing, Same Performance", ESA 2006): 16x less hashing
+    CPU than the previous md5-per-permutation scheme, and BIGINT
+    signature elements instead of 32-char hex strings — ~4x narrower
+    aggregation state and shuffle. Measured at 4M docs (SCALE.md):
+    signatures 357->280s, index build 647->522s; candidate generation
+    is unchanged because the shingle explode, not hashing, dominates
+    it. Still oracle-reproducible: DuckDB parses the same hex
+    prefixes with CAST('0x'||substr(md5(s),..) AS BIGINT) and the
+    arithmetic stays inside 2^33 (no overflow in either engine).
     One explode + one groupBy; no pairwise work.
     """
     ex = explode_shingles(df, text_col, id_col, n)
+    base = F.md5(F.col("shingle"))
+    hashed = ex.select(
+        F.col(id_col),
+        F.conv(F.substring(base, 1, 7), 16, 10).cast("long").alias("__h1__"),
+        F.conv(F.substring(base, 8, 7), 16, 10).cast("long").alias("__h2__"),
+    )
+    P = 2147483647  # 2^31 - 1 (prime)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.min((F.col("__h1__") + F.lit(i) * F.col("__h2__")) % F.lit(P)).alias(f"h{i}")
         for i in range(k)
     ]
-    return ex.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def band_keys(

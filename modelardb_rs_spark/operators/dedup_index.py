@@ -13,8 +13,8 @@ documents against it:
     hits = near_dup_check(engine, "corpus_idx", new_docs)   # batch
     append_to_minhash_index(engine, "corpus_idx", new_uniques)
 
-Scale shape: the index holds k strings per KEPT doc (no text, no
-shingles); a check computes the new batch's signatures (one shuffle
+Scale shape: the index holds k BIGINT signature elements per KEPT doc
+(no text, no shingles); a check computes the new batch's signatures (one shuffle
 over its shingles), equi-joins band keys against the stored side
 (work proportional to bucket sizes, never |new| x |corpus|), and
 estimates Jaccard from the signatures themselves — matching signature
@@ -57,16 +57,34 @@ def build_minhash_index(
     for t in (st, mt):
         if t in engine.tables():
             engine.drop(t)
-    sig_ddl = ", ".join([f"{id_col} BIGINT"] + [f"h{i} STRING" for i in range(k)])
+    sig_ddl = ", ".join([f"{id_col} BIGINT"] + [f"h{i} BIGINT" for i in range(k)])
     engine.create_table(st, sig_ddl)
-    engine.create_table(mt, "k INT, bands INT, n INT")
+    engine.create_table(mt, "k INT, bands INT, n INT, scheme STRING")
     engine.write(st, sigs)
-    engine.write(mt, engine.spark.createDataFrame([(k, bands, n)], "k int, bands int, n int"))
+    engine.write(
+        mt,
+        engine.spark.createDataFrame(
+            [(k, bands, n, _HASH_SCHEME)], "k int, bands int, n int, scheme string"
+        ),
+    )
     return {"n_docs": engine.table(st).count()}
+
+
+# Signature hash-scheme version, persisted with the index: checks and
+# appends against an index built under a DIFFERENT scheme would silently
+# miss every duplicate (signatures never match), so mismatches raise.
+_HASH_SCHEME = "md5-km-v2"
 
 
 def _params(engine, index_name: str) -> tuple[int, int, int]:
     row = engine.table(_meta_table(index_name)).collect()[0]
+    scheme = row["scheme"] if "scheme" in row.__fields__ else "<pre-v2>"
+    if scheme != _HASH_SCHEME:
+        raise ValueError(
+            f"index {index_name!r} was built with hash scheme {scheme!r}; "
+            f"this engine computes {_HASH_SCHEME!r} — rebuild the index "
+            "(build_minhash_index) before checking or appending"
+        )
     return int(row["k"]), int(row["bands"]), int(row["n"])
 
 
