@@ -356,18 +356,24 @@ def unigram_lm_scores(
     score is its mean token log-probability (natural log; exp(-score)
     is the perplexity).
 
-    Scale shape: one shuffle to build the term-frequency table (keyed
-    by token, partial counts combine map-side), one token-keyed join to
-    score (heavy-hitter tokens are single hot keys the AQE skew handler
-    splits), one per-doc aggregation. O(total tokens) — no doc×doc or
-    vocabulary×doc work. Everything is Column algebra, so the whole
-    pipeline stays in the JVM.
+    Scale shape: everything past the explode works on DISTINCT
+    (doc, token) pairs, not token occurrences — one (id, tok) count
+    shuffle whose exchange is REUSED by both the term-frequency branch
+    and the scoring join (same subplan, Spark's exchange reuse), so the
+    corpus tokenizes once and the token-keyed join moves doc-term rows
+    (typically several times fewer than occurrences; repetitive docs
+    collapse the most). The per-doc score is the count-weighted mean —
+    identical values to the per-occurrence mean. Heavy-hitter tokens
+    are single hot keys the AQE skew handler splits. O(total tokens)
+    with no doc×doc or vocabulary×doc work; all Column algebra, fully
+    JVM-side.
 
     Output: (id_col, n_tokens, avg_logprob) — one row per document with
     at least one token.
     """
     ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    freq = ex.groupBy("tok").agg(F.count("*").alias("__cnt__"))
+    dtc = ex.groupBy(id_col, "tok").agg(F.count("*").alias("__c__"))
+    freq = dtc.groupBy("tok").agg(F.sum("__c__").alias("__cnt__"))
     totals = freq.agg(
         F.sum("__cnt__").cast("double").alias("__n__"),
         F.count("*").cast("double").alias("__v__"),
@@ -377,11 +383,11 @@ def unigram_lm_scores(
         / (F.col("__n__") + F.lit(float(alpha)) * F.col("__v__"))
     )
     return (
-        ex.join(freq, "tok")
+        dtc.join(freq, "tok")
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.avg(lp).alias("avg_logprob"),
+            F.sum("__c__").cast("long").alias("n_tokens"),
+            (F.sum(F.col("__c__") * lp) / F.sum("__c__")).alias("avg_logprob"),
         )
     )
