@@ -168,7 +168,13 @@ class Cluster:
             part = relay_to_dataframe(self.engine, n.url, sql)
             result = part if result is None else result.unionByName(part)
         if result is None:
-            return self.engine.spark.createDataFrame([], "ok boolean")
+            # Empty membership: return an empty frame with the QUERY'S
+            # schema (planned against the manager's own folder, where
+            # cluster tables are created first) so callers that
+            # unionByName or select columns behave identically to the
+            # populated case — a fabricated schema would fail or
+            # silently mis-shape downstream.
+            return self.engine.read_sql(sql).limit(0)
         return result
 
     # ----------------------------------------------------------------- DDL

@@ -49,6 +49,18 @@ from modelardb_rs_spark.types import TableKind, TimeSeriesTableMetadata
 _CACHE_WRITE_INPUT_LIMIT = 4 << 30
 
 
+def _normalize_fs_path(uri: str | None) -> str | None:
+    """Normalize a path/URI to ``netloc+path`` with no trailing slash so
+    ``file:/a/b``, ``file:///a/b`` and ``/a/b`` compare equal (Spark's
+    getCheckpointDir returns a resolved URI; FileInfo.path may not)."""
+    if not uri:
+        return None
+    from urllib.parse import urlparse
+
+    p = urlparse(uri)
+    return (p.netloc + p.path).rstrip("/")
+
+
 def _to_us(t) -> int | None:
     """Accept epoch-µs ints, datetimes, or ISO strings."""
     if t is None:
@@ -426,19 +438,40 @@ class Engine:
         """Delete ``_staging/`` directories (Flight put spills, remote
         relay spills) older than the retention window — the same
         contract as vacuuming dead table files. Relay-backed DataFrames
-        stay readable until their staging ages out."""
+        stay readable until their staging ages out.
+
+        Liveness guards: the active session's Spark checkpoint subtree
+        (``sc.getCheckpointDir()``) is never swept regardless of age —
+        deleting it would strand every lineage-truncated DataFrame
+        (dedup clustering, packing) mid-job — and age is judged by the
+        NEWEST file under each dir, not the dir entry's mtime, because
+        object stores report synthetic directory mtimes (often 0 or
+        creation time) that would make an actively-written dir look
+        stale. An empty dir falls back to the entry mtime."""
         import time as _time
 
         from modelardb_rs_spark.sources.datafolder import DEFAULT_RETENTION_SECONDS
 
         retain = DEFAULT_RETENTION_SECONDS if retain_seconds is None else retain_seconds
         horizon_ms = int((_time.time() - retain) * 1000)
+        live_ckpt = _normalize_fs_path(self.spark.sparkContext.getCheckpointDir())
         for sub in ("_staging", "_checkpoints"):
             base = self.folder.fs.join(self.folder.root, sub)
             if not self.folder.fs.exists(base):
                 continue
             for info in self.folder.fs.list(base):
-                if info.is_dir and info.mtime_ms <= horizon_ms:
+                if not info.is_dir:
+                    continue
+                path = _normalize_fs_path(info.path)
+                if live_ckpt and (
+                    path == live_ckpt
+                    or live_ckpt.startswith(path + "/")
+                    or path.startswith(live_ckpt + "/")
+                ):
+                    continue
+                files = self.folder.fs.list_files_recursive(info.path)
+                newest_ms = max((f.mtime_ms for f in files), default=info.mtime_ms)
+                if newest_ms <= horizon_ms:
                     self.folder.fs.delete(info.path, recursive=True)
 
     def expire(self, name: str, older_than, not_before=None) -> dict:
@@ -653,8 +686,11 @@ class Engine:
         df: DataFrame,
         partition_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
-    ) -> None:
-        """Append a DataFrame. Time series tables are compressed inline
+    ) -> int | None:
+        """Append a DataFrame. Returns the committed log version, or
+        None when a txn replay gate skipped the write (callers auditing
+        exactly-once behavior can distinguish applied from replayed).
+        Time series tables are compressed inline
         (reference Operations::write → try_compress_multivariate_time_series,
         modelardb_embedded/src/data_folder.rs:191-238). ``partition_by``
         (normal tables only) lays files out Hive-style on those columns
@@ -669,7 +705,7 @@ class Engine:
         if txn is not None:
             prev = self.last_txn_version(name, txn[0])
             if prev is not None and prev >= txn[1]:
-                return
+                return None
         kind = self.catalog.kind(name)
         if kind == TableKind.NORMAL:
             schema = self.catalog.normal_table_schema(name)
@@ -677,8 +713,9 @@ class Engine:
             cast = df.select(
                 *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
             )
-            self.folder.write_normal(name, cast, partition_by=partition_by, txn=txn)
-            return
+            return self.folder.write_normal(
+                name, cast, partition_by=partition_by, txn=txn
+            )
         if partition_by:
             raise ValueError("partition_by applies to normal tables only")
         meta = self.catalog.time_series_metadata(name)
@@ -697,7 +734,7 @@ class Engine:
             cast = cast.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             segments = compress_ops.compress(cast, meta)
-            self.folder.write_segments(meta, segments, txn=txn)
+            return self.folder.write_segments(meta, segments, txn=txn)
         finally:
             if cache_input:
                 cast.unpersist()

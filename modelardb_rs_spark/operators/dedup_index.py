@@ -150,5 +150,10 @@ def append_to_minhash_index(
     (see Engine.write) for exactly-once streaming ingest."""
     k, _, n = _params(engine, index_name)
     sigs = minhash_signatures(df, k, n, text_col, id_col)
-    engine.write(_sigs_table(index_name), sigs, txn=txn)
-    return {"appended": df.count()}
+    version = engine.write(_sigs_table(index_name), sigs, txn=txn)
+    if version is None:
+        # txn replay gate skipped the commit: nothing was appended, and
+        # reporting df.count() here would both mislead exactly-once
+        # audits and launch a pointless Spark job on the no-op path.
+        return {"appended": 0, "replayed": True}
+    return {"appended": df.count(), "replayed": False}

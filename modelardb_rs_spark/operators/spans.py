@@ -47,15 +47,20 @@ def _gram_occurrences(
     # whitespace-split, so a single space is airtight — a collision-prone
     # separator would let distinct sequences with the same concatenation
     # (['ab','c'] vs ['a','bc']) fuse into one gram and delete text that
-    # was never actually repeated. xxhash64 (an 8-byte long) instead of
-    # md5 (a 32-char hex string): the gram column feeds the corpus-wide
-    # count shuffle — the ONE data-sized exchange in span dedup — and
-    # the narrow key shrinks it ~5x (measured at 4M docs, SCALE.md).
-    # The DuckDB oracles keep md5; outputs agree because only gram
-    # EQUALITY matters and both hashes are collision-free at any
-    # realistic corpus size.
-    gram = F.xxhash64(
-        F.array_join(F.slice("__t__", F.col("pos") + 1, span), " ")
+    # was never actually repeated. The fingerprint is TWO independent
+    # xxhash64 longs (seeded differently) packed in one struct — a
+    # 16-byte fixed-width key, still ~2x narrower than the md5 hex
+    # strings that were the measured shuffle cliff at 4M docs
+    # (SCALE.md). One 64-bit hash is NOT enough at the 100 TB target:
+    # ~1e13 grams expect millions of 64-bit colliding pairs, each of
+    # which fuses two distinct grams and can silently delete text that
+    # was never repeated; 128 bits puts the expected collision count at
+    # ~1e-13. A gram fuses only if BOTH hashes collide. The DuckDB
+    # oracles keep md5; outputs agree because only gram EQUALITY
+    # matters.
+    s = F.array_join(F.slice("__t__", F.col("pos") + 1, span), " ")
+    gram = F.struct(
+        F.xxhash64(s).alias("h1"), F.xxhash64(s, F.lit(0x5BD1)).alias("h2")
     ).alias("gram")
     return with_pos.select(id_col, "pos", gram)
 

@@ -338,9 +338,11 @@ class DataFolder:
         meta: TimeSeriesTableMetadata,
         segments: DataFrame,
         txn: tuple[str, int] | None = None,
-    ) -> None:
+    ) -> int | None:
         """Atomically append segment rows, partitioned by field_column,
-        sorted within partitions by (tags..., start_time)."""
+        sorted within partitions by (tags..., start_time). Returns the
+        committed version, or None when a txn replay gate skipped the
+        commit."""
         # No repartition: the compressor already co-located each series'
         # segments in one task; an extra shuffle here would double the
         # write cost. Sorting by (field_column, tags..., start_time) keeps
@@ -359,7 +361,9 @@ class DataFolder:
                 .parquet(staged)
             )
 
-        self._stage_and_commit(meta.name, write_staged, segment_stats=True, txn=txn)
+        return self._stage_and_commit(
+            meta.name, write_staged, segment_stats=True, txn=txn
+        )
 
     def limit_time_cutoff(self, name: str, n: int) -> int | None:
         """Inclusive end-time cutoff S (µs) such that reading only
@@ -474,8 +478,10 @@ class DataFolder:
         df: DataFrame,
         partition_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
-    ) -> None:
-        """Atomically append rows to a normal table. ``partition_by``
+    ) -> int | None:
+        """Atomically append rows to a normal table. Returns the
+        committed version, or None when a txn replay gate skipped the
+        commit. ``partition_by``
         lays the files out Hive-style on those columns, so equality/IN
         filters on them prune whole directories at planning time (the
         ANN index stores vectors partitioned by bucket this way).
@@ -488,7 +494,7 @@ class DataFolder:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(staged)
 
-        self._stage_and_commit(name, write_staged, txn=txn)
+        return self._stage_and_commit(name, write_staged, txn=txn)
 
     def last_txn_version(self, name: str, app_id: str) -> int | None:
         """Latest application-transaction version recorded for

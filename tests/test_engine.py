@@ -515,3 +515,47 @@ def test_default_reliable_checkpoint_survives_block_loss(spark, tmp_path):
     spark.catalog.clearCache()
     assert pinned.count() == 10_000
     assert pinned.agg(F.sum("v").alias("s")).collect()[0]["s"] == 10_000 * 9_999
+
+
+def test_sweep_staging_liveness_guards(spark, engine):
+    """VACUUM's staging sweep must (a) never delete the active session's
+    Spark checkpoint subtree, even at retain 0, and (b) judge a dir's
+    age by its newest FILE, not the dir entry's mtime — object stores
+    report synthetic dir mtimes that make active dirs look stale."""
+    import os
+    import time
+
+    from urllib.parse import urlparse
+
+    fs = engine.folder.fs
+    root = engine.folder.root
+    lroot = urlparse(root).path or root
+    spark.sparkContext.setCheckpointDir(fs.join(root, "_checkpoints"))
+    ckpt = spark.sparkContext.getCheckpointDir()
+    pinned = spark.range(1000).checkpoint()
+    assert pinned.count() == 1000
+
+    old = time.time() - 30 * 86400
+    stale = os.path.join(lroot, "_staging", "relay-dead")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    os.utime(os.path.join(stale, "part-0.parquet"), (old, old))
+    os.utime(stale, (old, old))
+
+    # dir mtime forced stale, but the file inside is fresh => live
+    active = os.path.join(lroot, "_staging", "relay-live")
+    os.makedirs(active)
+    with open(os.path.join(active, "part-0.parquet"), "wb") as f:
+        f.write(b"y")
+    os.utime(active, (old, old))
+
+    engine.vacuum(retain_seconds=3600)
+    assert not os.path.exists(stale)
+    assert os.path.exists(active)  # newest-file mtime kept it alive
+
+    # retain 0 sweeps everything EXCEPT the live checkpoint subtree
+    engine.vacuum(retain_seconds=0)
+    assert not os.path.exists(active)
+    assert fs.exists(ckpt)
+    assert pinned.count() == 1000  # lineage-truncated frame still readable

@@ -166,9 +166,17 @@ def test_minhash_index_roundtrip(engine, spark):
     assert all(r["est_jaccard"] >= 0.5 for r in hits)
 
     # append the unique one; re-checking it now self-matches
-    append_to_minhash_index(engine, "ndi", new.where(F.col("doc_id") == 11))
-    again = near_dup_check(engine, "ndi", new.where(F.col("doc_id") == 11), 0.9)
+    uniq = new.where(F.col("doc_id") == 11)
+    first = append_to_minhash_index(engine, "ndi", uniq, txn=("appender", 1))
+    assert first == {"appended": 1, "replayed": False}
+    again = near_dup_check(engine, "ndi", uniq, 0.9)
     assert {(r["doc_id"], r["matched_id"]) for r in again.collect()} == {(11, 11)}
+    # replaying the same txn is a no-op and must SAY so — not report
+    # the input count as appended
+    replay = append_to_minhash_index(engine, "ndi", uniq, txn=("appender", 1))
+    assert replay == {"appended": 0, "replayed": True}
+    still = near_dup_check(engine, "ndi", uniq, 0.9)
+    assert still.count() == 1  # one stored copy, not two
 
 
 def test_remove_common_lines_keeps_null_text_docs(spark):
