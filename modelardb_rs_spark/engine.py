@@ -744,6 +744,30 @@ class Engine:
         on table ``name`` (None if never) — see ``write(txn=...)``."""
         return self.folder.last_txn_version(name, app_id)
 
+    def reconstructed_bytes_bound(self, name: str) -> int:
+        """Upper bound on the in-memory size of time-series table
+        ``name`` fully reconstructed to points — commit-log stats only,
+        no I/O, no jobs. Catalyst's plan estimate measures SEGMENT
+        bytes, which understate gridded output by the model compression
+        ratio (10-100x by design); collect-vs-stream decisions must use
+        this bound instead. Sums every live file's ``total_points``
+        times an estimated reconstructed row width (each per-field
+        point becomes at most one output row). Returns "huge" when any
+        live file lacks point stats, so callers take the scale-safe
+        streaming path on doubt."""
+        meta = self.catalog.time_series_metadata(name)
+        n_values = len(meta.field_columns) + len(meta.generated_columns)
+        # Arrow-ish widths: 8B timestamp + 8B per float value (incl.
+        # validity/padding) + ~20B per tag string.
+        row_width = 8 + 8 * n_values + 20 * len(meta.tag_columns)
+        total = 0
+        for f in self.folder.log(name).snapshot().files:
+            pts = f.get("total_points")
+            if not pts:
+                return 1 << 62
+            total += pts * row_width
+        return total
+
     @staticmethod
     def _check_columns(table: str, df: DataFrame, required: list[str]) -> None:
         missing = [c for c in required if c not in df.columns]

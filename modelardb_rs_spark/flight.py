@@ -111,11 +111,45 @@ class ModelarFlightServer(flight.FlightServerBase):
         if df is None:  # DDL/utility statement: empty result stream
             empty = pa.table({"ok": pa.array([True])})
             return flight.RecordBatchStream(empty)
-        if plan_size_bytes(df) <= _COLLECT_RESULT_LIMIT:
+        if self._result_bytes_bound(sql, df) <= _COLLECT_RESULT_LIMIT:
             return flight.RecordBatchStream(df.toArrow())
         from pyspark.sql.pandas.types import to_arrow_schema
 
         return flight.GeneratorStream(to_arrow_schema(df.schema), self._stream_batches(df))
+
+    def _result_bytes_bound(self, sql: str, df) -> int:
+        """Size bound deciding collect-vs-stream. Catalyst's
+        ``plan_size_bytes`` measures SEGMENT bytes for time-series
+        scans, but gridding expands segments to points by the model
+        compression ratio (10-100x by design) — a well-compressed
+        table's full scan can pass a plan-bytes check and then
+        ``toArrow()`` a multi-GB result onto the driver. So when the
+        optimized plan actually reconstructs points (the
+        explode-sequence fast path or the MapInPandas decode stage —
+        the stats-pushdown aggregate plans contain neither and keep the
+        fast path), the bound is raised to the commit log's total point
+        counts x row width for every referenced time-series table.
+        Over-streaming is safe; under-collecting is not."""
+        est = plan_size_bytes(df)
+        if est > _COLLECT_RESULT_LIMIT:
+            return est
+        try:
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+        except Exception:
+            return 1 << 62  # can't see the plan: stream on doubt
+        if "explode(sequence(" not in plan and "MapInPandas" not in plan:
+            return est
+        import re as _re
+
+        from modelardb_rs_spark.types import TableKind
+
+        bound = est
+        for name, kind in self.engine.catalog.tables().items():
+            if kind != TableKind.TIME_SERIES:
+                continue
+            if _re.search(rf"(?i)\b{_re.escape(name)}\b", sql):
+                bound = max(bound, self.engine.reconstructed_bytes_bound(name))
+        return bound
 
     # -- ingest ------------------------------------------------------------
 

@@ -47,11 +47,15 @@ def train_pq_codebooks(
 ) -> list[np.ndarray]:
     """Per-subspace codebooks: ``m`` arrays of shape (ks, D/m).
 
-    Deterministic: the sample is the ``sample`` lowest-id vectors and
-    Lloyd starts from a seeded choice — same corpus, same books."""
+    Deterministic WITHOUT sample bias: the sample is the ``sample``
+    vectors ranked by a seeded hash of their id — same corpus + seed,
+    same books — rather than the lowest ids, which correlate with
+    content whenever ids are assigned in time/source order (a drifting
+    corpus would train books on its oldest slice only). Ties on the
+    hash break by id so duplicate hash values stay deterministic."""
     rows = (
         corpus.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
         .limit(sample)
         .collect()
     )

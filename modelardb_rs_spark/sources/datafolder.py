@@ -159,6 +159,14 @@ class DataFolder:
             self._logs[name] = TransactionLog(self.fs, self.table_path(name))
         return self._logs[name]
 
+    def mirror_healthy(self, name: str) -> bool:
+        """Whether table ``name``'s stock-Delta mirror is still being
+        maintained (see TransactionLog.mirror_healthy). A False here
+        means external Delta readers are pinned at an old version while
+        this engine keeps working — check after VACUUM with aggressive
+        retention or any storage-level surgery on ``_txn`` history."""
+        return self.log(name).mirror_healthy
+
     def _has_data(self, name: str) -> bool:
         return bool(self.log(name).snapshot().files)
 
@@ -742,7 +750,10 @@ class DataFolder:
     def vacuum(self, name: str, retain_seconds: int | None = None) -> list[str]:
         """Delete files that left the live set before the retention
         horizon plus orphaned staging from crashed writes (reference
-        data_folder/mod.rs:582-686). Returns deleted URIs."""
+        data_folder/mod.rs:582-686). Returns deleted URIs. Aggressive
+        retention can retire history the stock-Delta mirror still
+        needed — check ``mirror_healthy(name)`` afterwards if external
+        Delta readers depend on this table."""
         if not self.fs.exists(self.table_path(name)):
             return []
         retain = DEFAULT_RETENTION_SECONDS if retain_seconds is None else retain_seconds

@@ -86,6 +86,16 @@ class TransactionLog:
 
     _JSON_CACHE_MAX = 65536
 
+    @property
+    def mirror_healthy(self) -> bool:
+        """False once the Delta mirror disabled itself (an unmirrorable
+        commit that a checkpoint bootstrap could not fix): this table's
+        JSON log stays authoritative and every engine query is
+        unaffected, but STOCK Delta readers stop seeing commits newer
+        than the last mirrored version. Surfaced so operators notice
+        instead of silently reading stale data downstream."""
+        return not getattr(self, "_mirror_disabled", False)
+
     def _read_json_validated(self, uri: str, stamp: tuple[int, int]) -> dict:
         hit = self._json_cache.get(uri)
         if hit is not None and hit[0] == stamp:
@@ -420,6 +430,21 @@ class TransactionLog:
                     self._mirror_delta_log(up_to_version, _bootstrapped=True)
                 else:
                     self._mirror_disabled = True
+                    # Loud, once: the JSON log stays authoritative, but
+                    # stock Delta readers silently stop seeing commits
+                    # newer than the last mirrored version.
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "Delta mirror for %s disabled: commit %d is "
+                        "unreadable and a checkpoint bootstrap did not "
+                        "help; stock Delta readers are pinned at the "
+                        "last mirrored version (the table's own JSON "
+                        "log is unaffected). Check mirror_healthy / "
+                        "repair the _txn history to re-enable.",
+                        self.table_uri,
+                        v,
+                    )
                 return
             actions = [
                 {

@@ -225,3 +225,44 @@ def test_streamed_put_bounded_driver_memory(engine):
     # staging directory is cleaned up after the commit
     staging = fs.join(engine.folder.root, "_staging")
     assert not [i for i in fs.list(staging)] if fs.exists(staging) else True
+
+
+def test_do_get_collect_bound_uses_reconstructed_size(engine, monkeypatch):
+    """The collect-vs-stream decision must bound by the RECONSTRUCTED
+    result size (commit-log point counts x row width), not Catalyst's
+    segment-bytes estimate: a well-compressed table's full scan can
+    look tiny at the plan level and then toArrow() a huge gridded
+    result onto the driver. A stats-pushdown aggregate (no grid stage)
+    must still take the fast collect path."""
+    import pyarrow.flight as fl
+
+    from modelardb_rs_spark import flight as flight_mod
+
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE hc(timestamp TIMESTAMP, f FIELD, tag TAG)"
+    )
+    spark = engine.spark
+    # 60k constant points: PMC-Mean compresses these to a handful of
+    # segments, so plan bytes are tiny while the gridded result is not
+    pts = spark.range(60_000).selectExpr(
+        "timestamp_micros(id * 1000000) AS timestamp",
+        "CAST(7.5 AS float) AS f",
+        "'a' AS tag",
+    )
+    engine.write("hc", pts)
+
+    server = flight_mod.ModelarFlightServer(engine)
+    try:
+        monkeypatch.setattr(flight_mod, "_COLLECT_RESULT_LIMIT", 256 << 10)
+        scan = server.do_get(None, fl.Ticket(b"SELECT timestamp, f FROM hc"))
+        agg = server.do_get(None, fl.Ticket(b"SELECT count(f) AS n FROM hc"))
+        # full scan grids -> bound blows past the limit -> streamed
+        assert isinstance(scan, fl.GeneratorStream), type(scan)
+        # pushdown aggregate has no grid stage -> collect fast path
+        assert isinstance(agg, fl.RecordBatchStream), type(agg)
+        # sanity on the bound itself: far above segment plan bytes
+        df = engine.read_sql("SELECT timestamp, f FROM hc")
+        bound = server._result_bytes_bound("SELECT timestamp, f FROM hc", df)
+        assert bound >= 60_000 * 16
+    finally:
+        server.shutdown()

@@ -723,3 +723,60 @@ def test_delta_mirror_replay_matches_under_adversarial_sequences(spark):
             assert mirror_txns == snap.txns, (op, mirror_txns, snap.txns)
 
     run()
+
+
+def test_delta_mirror_disable_warns_and_surfaces(spark, tmp_path, monkeypatch, caplog):
+    """When the mirror can't make progress (unreadable history, failed
+    bootstrap) it must disable itself LOUDLY — one warning — and expose
+    the state via mirror_healthy, instead of silently stranding stock
+    Delta readers at an old version. The authoritative JSON log keeps
+    working throughout."""
+    import logging
+    import os
+    import shutil
+
+    from modelardb_rs_spark.sources.hadoopfs import HadoopFS
+    from modelardb_rs_spark.sources.txlog import TransactionLog
+
+    fs = HadoopFS(spark, str(tmp_path))
+    log = TransactionLog(fs, fs.join(fs.base, "t"))
+    data_dir = os.path.join(str(tmp_path), "t")
+    os.makedirs(os.path.join(data_dir, "txn=a"), exist_ok=True)
+    spark.range(3).selectExpr("id AS start_time").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(data_dir, "txn=a"))
+    src = next(
+        f for f in os.listdir(os.path.join(data_dir, "txn=a")) if f.endswith(".parquet")
+    )
+
+    def commit_copy(lg, i):
+        fname = f"txn=a/f{i}.parquet"
+        shutil.copy(os.path.join(data_dir, "txn=a", src), os.path.join(data_dir, fname))
+        size = os.path.getsize(os.path.join(data_dir, fname))
+        lg.commit(lambda snap: ("append", [{"path": fname, "size": size}], []))
+
+    for i in range(18):
+        commit_copy(log, i)
+    dl = os.path.join(data_dir, "_delta_log")
+    # wipe the mirror and retire pre-checkpoint history, then force the
+    # bootstrap to fail: the next mirror pass cannot make progress
+    shutil.rmtree(dl)
+    log.vacuum(0)
+    log2 = TransactionLog(fs, fs.join(fs.base, "t"))
+    monkeypatch.setattr(
+        TransactionLog, "_bootstrap_delta_checkpoint", lambda self, *a: False
+    )
+    assert log2.mirror_healthy
+    with caplog.at_level(logging.WARNING, logger="modelardb_rs_spark.sources.txlog"):
+        commit_copy(log2, 18)
+    assert not log2.mirror_healthy
+    warned = [r for r in caplog.records if "Delta mirror" in r.getMessage()]
+    assert len(warned) == 1 and "disabled" in warned[0].getMessage()
+    # once, not per commit — and the JSON log stays fully functional
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="modelardb_rs_spark.sources.txlog"):
+        commit_copy(log2, 19)
+    assert not [r for r in caplog.records if "Delta mirror" in r.getMessage()]
+    snap = log2.snapshot()
+    assert snap.version == 19
+    assert "txn=a/f19.parquet" in snap.paths
