@@ -188,12 +188,11 @@ def pq_topk(
             F.round(ip / (F.col("__qn__") * F.greatest(F.col("pq_norm"), F.lit(1e-12))), 6),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    shortlist = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= (rerank or k))
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    from modelardb_rs_spark.operators.similarity import ranked_topk
+
+    # corpus-sized scored set: ranked_topk plans as a two-phase rank
+    # limit (partial map-side top-k, tiny exchange) — see its docstring
+    shortlist = ranked_topk(scored, rerank or k)
     if rerank is None:
         return shortlist
     # exact re-rank of the shortlist only: |Q|·rerank raw-vector rows
@@ -222,9 +221,4 @@ def pq_topk(
             ),
         )
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return ranked_topk(exact, k)

@@ -40,6 +40,39 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def ranked_topk(
+    scored: DataFrame,
+    k: int,
+    key_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    score_col: str = "cos",
+) -> DataFrame:
+    """Per-key top-k over a scored pair set — the ANN scoring paths'
+    final rank, shared so every variant ranks identically (score desc,
+    id asc, deterministic ties).
+
+    Expressed as the canonical ``row_number().over(partitionBy(key))
+    <= k`` filter ON PURPOSE: Spark >= 3.5 plans exactly this shape as
+    a TWO-PHASE rank limit (SPARK-37099 — ``WindowGroupLimit Partial``
+    before the exchange, ``Final`` after), so each input partition
+    forwards only its k best rows per key and the exchange carries
+    ~partitions x keys x k rows, never the corpus-sized scored set; no
+    reducer sorts more than its survivors even when queries are few.
+    A hand-rolled salted two-phase window is strictly worse here: same
+    map-side work, but salts x more survivors through an EXTRA
+    exchange. The pushdown applies while k <=
+    ``spark.sql.optimizer.windowGroupLimitThreshold`` (default 1000 —
+    far above any ANN k/rerank); the plan shape is pinned by
+    tests/test_plans.py::test_ann_rank_is_two_phase so a regression
+    can't silently reintroduce the full shuffle-and-sort."""
+    w = Window.partitionBy(key_col).orderBy(F.col(score_col).desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(key_col, id_col, score_col, "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -73,12 +106,7 @@ def brute_force_topk(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return ranked_topk(scored, k)
 
 
 def ivf_topk(
@@ -175,12 +203,7 @@ def probe_topk(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return ranked_topk(scored, k)
 
 
 def kmeans_buckets(
@@ -347,12 +370,7 @@ def lsh_topk(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return ranked_topk(scored, k)
 
 
 def cosine_threshold_pairs(

@@ -326,3 +326,26 @@ def test_value_predicate_declines_on_duplicates(engine, spark):
     # the pairing of (9.0, b) must equal the unpruned view's pairing
     full = engine.table("dupv").where(F.col("a") > 8).collect()
     assert {(r["a"], r["b"]) for r in out} == {(r["a"], r["b"]) for r in full}
+
+
+def test_ann_rank_is_two_phase(spark):
+    """The ANN paths' shared top-k rank (similarity.ranked_topk) must
+    plan as Spark's two-phase rank limit: a PARTIAL WindowGroupLimit
+    before the exchange (each input partition forwards only its k best
+    rows per query — the exchange never carries the corpus-sized
+    scored set) and the FINAL limit + window after it. Pinning the
+    shape catches regressions like an ordering expression the
+    optimizer declines or k above windowGroupLimitThreshold."""
+    from modelardb_rs_spark.operators import similarity
+    from modelardb_rs_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 4)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    partial = plan.index("row_number(), 5, Partial")
+    final = plan.index("row_number(), 5, Final")
+    exchange = plan.index("Exchange hashpartitioning(query_id")
+    # executedPlan prints top-down: Final < Exchange < Partial
+    assert final < exchange < partial, plan
+    assert out.count() == 4 * 5
