@@ -1924,6 +1924,41 @@ def sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ops.ivf_index_topk(eng, "emb_idx", queries, k=5, nprobe=2)
 
 
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition over the persisted index (the FAISS IndexIVFPQ
+    shape, Jegou/Douze/Schmid TPAMI 2011 SV): coarse-assign vectors to
+    IVF buckets, product-quantize the RESIDUALS, and answer queries by
+    ADC-scanning ONLY the nprobe probed buckets' code columns
+    (planning-time partition pruning + column pruning drop every other
+    bucket and the raw vectors; plan-asserted in tests/test_ann_index
+    .py), then exact re-rank of a 50-candidate shortlist. The flat
+    pq_topk scan shrinks by n_buckets/nprobe. Seeded build; recall
+    floors vs brute force."""
+    import fcntl
+
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_annidx", f"{key}_v1")
+    os.makedirs(root, exist_ok=True)
+    marker = os.path.join(root, ".pq_kmeans_build_done")
+    with open(os.path.join(root, ".build_lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        eng = _cached_engine(spark, root)
+        if not os.path.exists(marker):
+            ann_ops.build_ivfpq_index(
+                eng, "emb_pq_idx", emb, bucket_col=None, n_buckets=8, m=8, ks=16
+            )
+            with open(marker, "w") as mk:
+                mk.write("ok")
+    queries = emb.where(F.col("vec_id") < 10)
+    approx = ann_ops.ivfpq_topk(eng, "emb_pq_idx", queries, k=5, nprobe=3, rerank=50)
+    exact = sim_ops.brute_force_topk(emb, queries, k=5)
+    # floors mirror sim_ivf_trained: recall here is governed by the
+    # coarse probing (nprobe/n_buckets), not the PQ codes — the exact
+    # re-rank recovers near-exact ranking WITHIN the probed buckets
+    return _recall_summary(exact, approx, min_floor=None, avg_floor=0.4)
+
+
 def ts_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-series Pearson correlation on daily buckets
     (Engine.correlate → operators/correlate.py): bucket means come from
@@ -2039,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_props": q_json_props,
         "q_funnel": q_funnel,
         "sim_ivf_index": sim_ivf_index,
+        "sim_ivfpq_topk": sim_ivfpq_topk,
         "doc_unigram_lm": doc_unigram_lm,
         "doc_pack_sequences": doc_pack_sequences,
         "doc_stratified_sample": doc_stratified_sample,
@@ -3225,6 +3261,7 @@ def oracle_sql() -> dict[str, str]:
     # the persisted index probes the same buckets with the same math as
     # the inline pipeline, so it shares sim_ivf_topk's oracle verbatim
     oracles["sim_ivf_index"] = oracles["sim_ivf_topk"]
+    oracles["sim_ivfpq_topk"] = oracles["sim_ivf_trained"]
     oracles["q_interp_join"] = """
         WITH r AS (
             SELECT event_type AS etype, epoch_ns(ts) // 1000 AS t,

@@ -45,6 +45,7 @@ HEADLINE = [
     "sim_bruteforce_topk",
     "sim_threshold_count",
     "sim_ivf_index",
+    "sim_ivfpq_topk",
     "multimodal_features",
     "doc_pii",
     "doc_line_dedup",
@@ -117,6 +118,9 @@ def main() -> None:
     t0 = time.time()
     qs["sim_ivf_index"](spark, sf_dir).count()
     timings["ann_index_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    qs["sim_ivfpq_topk"](spark, sf_dir).count()
+    timings["ivfpq_index_build"] = round(time.time() - t0, 3)
 
     for name in HEADLINE:
         fn = qs[name]

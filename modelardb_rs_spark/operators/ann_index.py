@@ -156,8 +156,285 @@ def append_to_ivf_index(
             F.col("ivf_bucket"),
         )
     )
+    if _pqbooks_table(index_name) in engine.tables():
+        # IVF-PQ index: appended vectors must also carry codes — encode
+        # residuals against the FIXED books + centroids (classic IVFPQ
+        # add; books drift from new data the same way centroids do)
+        from modelardb_rs_spark.operators import pq as pq_ops
+        from modelardb_rs_spark.operators.similarity import dot
+
+        books = _cached_pq_books(engine, index_name)
+        cent_df = cents.select("ivf_bucket", F.col("centroid").alias("__c__"))
+        resid = assigned.join(F.broadcast(cent_df), "ivf_bucket").withColumn(
+            "__resid__",
+            F.zip_with(
+                F.col(vec_col), F.col("__c__"), lambda x, y: (x - y).cast("float")
+            ),
+        )
+        enc = pq_ops.encode_pq(resid, books, vec_col="__resid__")
+        recon = F.zip_with(
+            F.col("__c__"),
+            pq_ops.reconstruct_pq(books, F.col("pq_codes")),
+            lambda c, r: c.cast("double") + r,
+        )
+        assigned = enc.withColumn("pq_norm", F.sqrt(dot(recon, recon))).select(
+            id_col, vec_col, "ivf_bucket", "pq_codes", "pq_norm"
+        )
     engine.write(_vectors_table(index_name), assigned, partition_by=["ivf_bucket"])
     return {"appended": new_vectors.count()}
+
+
+def _pqbooks_table(index_name: str) -> str:
+    return f"{index_name}__pqbooks"
+
+
+def _cached_pq_books(engine, index_name: str):
+    """PQ codebooks as numpy arrays (list of (ks, D/m) per subspace),
+    cached per engine instance and books-table file set — index
+    metadata, m x ks tiny rows, same caching contract as
+    _cached_centroids."""
+    import numpy as np
+
+    tbl = _pqbooks_table(index_name)
+    snap = engine.folder.log(tbl).snapshot()
+    cache = engine.__dict__.setdefault("_ann_pqbooks_cache", {})
+    key = (tbl, snap.version, hash(tuple(sorted(snap.paths))))
+    if key not in cache:
+        for stale in [k for k in cache if k[0] == tbl]:
+            del cache[stale]
+        rows = engine.table(tbl).select("subspace", "code", "centroid").collect()
+        m = max(r["subspace"] for r in rows) + 1
+        ks = max(r["code"] for r in rows) + 1
+        books = [np.zeros((ks, len(rows[0]["centroid"]))) for _ in range(m)]
+        for r in rows:
+            books[r["subspace"]][r["code"]] = np.asarray(list(r["centroid"]))
+        cache[key] = books
+    return cache[key]
+
+
+def build_ivfpq_index(
+    engine,
+    index_name: str,
+    corpus: DataFrame,
+    bucket_col: str | None = None,
+    n_buckets: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample: int = 4096,
+    iters: int = 10,
+) -> dict:
+    """Persisted IVF-PQ index — the FAISS ``IndexIVFPQ`` composition
+    (Jégou/Douze/Schmid TPAMI 2011 §V): coarse-quantize each vector to
+    an IVF bucket, then product-quantize its RESIDUAL (x - centroid)
+    with codebooks shared across buckets. Probing ADC-scans only the
+    ``nprobe`` probed buckets' code columns — the flat ``pq_topk``
+    scan shrinks by n_buckets/nprobe, the missing piece that made it a
+    scan ceiling at billions of vectors.
+
+    Storage is a strict SUPERSET of ``build_ivf_index``'s layout: the
+    vectors table gains ``pq_codes``/``pq_norm`` columns (still
+    Hive-partitioned by ``ivf_bucket``, raw vectors kept for exact
+    re-rank), plus a tiny ``<index>__pqbooks`` table — so
+    ``ivf_index_topk`` (exact-within-probed-buckets) keeps working on
+    an IVF-PQ index unchanged, and ``ivfpq_topk`` reads codes only.
+    Residual encoding beats raw-vector PQ on recall because residuals
+    concentrate near zero once the bucket centroid is subtracted."""
+    from modelardb_rs_spark.operators import pq as pq_ops
+    from modelardb_rs_spark.operators.similarity import dot
+
+    if bucket_col is None:
+        bucketed = kmeans_buckets(
+            corpus, k=n_buckets, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+        bucket_src = "ivf_bucket"
+    else:
+        bucketed, bucket_src = corpus, bucket_col
+    vectors = bucketed.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(bucket_src).cast("int").alias("ivf_bucket"),
+    )
+    cents = bucket_centroids(vectors, vec_col, "ivf_bucket").join(
+        vectors.groupBy("ivf_bucket").agg(
+            F.count("*").cast("long").alias("n_vectors")
+        ),
+        "ivf_bucket",
+    )
+    # centroids are index metadata (n_buckets rows): one collect, then
+    # broadcast-join the residual computation
+    cent_rows = [
+        (int(r["ivf_bucket"]), list(r["centroid"]), int(r["n_vectors"]))
+        for r in cents.collect()
+    ]
+    spark = engine.spark
+    cent_df = spark.createDataFrame(
+        [(b, c) for b, c, _ in cent_rows], "ivf_bucket INT, __c__ ARRAY<FLOAT>"
+    )
+    resid = vectors.join(F.broadcast(cent_df), "ivf_bucket").withColumn(
+        "__resid__",
+        F.zip_with(
+            F.col(vec_col), F.col("__c__"), lambda x, y: (x - y).cast("float")
+        ),
+    )
+    books = pq_ops.train_pq_codebooks(
+        resid, m=m, ks=ks, vec_col="__resid__", id_col=id_col,
+        sample=sample, iters=iters, seed=seed,
+    )
+    enc = pq_ops.encode_pq(resid, books, vec_col="__resid__")
+    # exact reconstructed-vector norm |c_b + dec(codes)| stored per row
+    # (encode_pq's pq_norm is the RESIDUAL's norm — not what cosine
+    # ranking needs here)
+    recon = F.zip_with(
+        F.col("__c__"),
+        pq_ops.reconstruct_pq(books, F.col("pq_codes")),
+        lambda c, r: c.cast("double") + r,
+    )
+    rows = enc.withColumn("pq_norm", F.sqrt(dot(recon, recon))).select(
+        id_col, vec_col, "ivf_bucket", "pq_codes", "pq_norm"
+    )
+
+    vt, ct, bt = _vectors_table(index_name), _centroids_table(index_name), _pqbooks_table(index_name)
+    for t in (vt, ct, bt):
+        if t in engine.tables():
+            engine.drop(t)
+    engine.create_table(
+        vt,
+        f"{id_col} BIGINT, {vec_col} ARRAY<FLOAT>, ivf_bucket INT, "
+        "pq_codes ARRAY<INT>, pq_norm DOUBLE",
+    )
+    engine.create_table(ct, "ivf_bucket INT, centroid ARRAY<FLOAT>, n_vectors BIGINT")
+    engine.create_table(bt, "subspace INT, code INT, centroid ARRAY<FLOAT>")
+    engine.write(vt, rows, partition_by=["ivf_bucket"])
+    engine.write(
+        ct,
+        spark.createDataFrame(
+            cent_rows, "ivf_bucket INT, centroid ARRAY<FLOAT>, n_vectors BIGINT"
+        ),
+    )
+    book_rows = [
+        (s, j, [float(x) for x in books[s][j]])
+        for s in range(len(books))
+        for j in range(books[s].shape[0])
+    ]
+    engine.write(
+        bt,
+        spark.createDataFrame(book_rows, "subspace INT, code INT, centroid ARRAY<FLOAT>"),
+    )
+    return {
+        "n_vectors": sum(r[2] for r in cent_rows),
+        "n_buckets": len(cent_rows),
+        "m": len(books),
+        "ks": int(books[0].shape[0]),
+    }
+
+
+def ivfpq_topk(
+    engine,
+    index_name: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k against a persisted IVF-PQ index: ADC
+    only WITHIN the probed buckets.
+
+    Driver-side (index metadata, no jobs): each query scores the
+    cached centroids, keeps ``nprobe`` buckets, and precomputes one
+    query-only m x ks lookup table plus a per-(query, bucket) scalar
+    q.c_b — valid because q.(c_b + r) = q.c_b + q.r. The union of
+    probed buckets becomes a static IN-filter on the partitioned
+    vectors table (planning-time partition pruning, plan-asserted),
+    the per-query restriction is a broadcast equi-join on
+    ``ivf_bucket``, and scoring reads ONLY (id, bucket, codes, norm) —
+    column pruning drops the raw vectors. ``rerank=N`` re-ranks an
+    N-candidate shortlist with true cosine, reading raw vectors for
+    |Q| x N rows out of the probed partitions only."""
+    import numpy as np
+
+    from modelardb_rs_spark.operators import pq as pq_ops
+    from modelardb_rs_spark.operators.similarity import dot, norm, ranked_topk
+
+    books = _cached_pq_books(engine, index_name)
+    cents = {
+        int(r["ivf_bucket"]): np.asarray(list(r["centroid"]))
+        for r in _cached_centroids(engine, index_name).collect()
+    }
+    qrows = queries.select(id_col, vec_col).collect()
+    lut_rows = []
+    for r in qrows:
+        qv = np.asarray(list(r[1]), dtype=np.float64)
+        qn = float(np.sqrt((qv**2).sum()))
+        lut = pq_ops.query_lut(books, qv)
+        sims = sorted(
+            (
+                (-(qv @ c) / (np.sqrt((c**2).sum()) or 1.0), b)
+                for b, c in cents.items()
+            )
+        )[:nprobe]
+        for _, b in sims:
+            lut_rows.append((int(r[0]), b, float(qv @ cents[b]), qn, lut))
+    luts = engine.spark.createDataFrame(
+        lut_rows,
+        "query_id long, ivf_bucket int, __qdotc__ double, __qn__ double, "
+        "__lut__ array<double>",
+    )
+    probed = sorted({b for _, b, *_ in lut_rows})
+    codes = (
+        engine.table(_vectors_table(index_name))
+        .where(F.col("ivf_bucket").isin(probed))
+        .select(
+            F.col(id_col).alias("neighbor_id"), "ivf_bucket", "pq_codes", "pq_norm"
+        )
+    )
+    ip = F.col("__qdotc__") + pq_ops.adc_inner_product(books)
+    scored = (
+        codes.join(F.broadcast(luts), "ivf_bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                ip / (F.col("__qn__") * F.greatest(F.col("pq_norm"), F.lit(1e-12))),
+                6,
+            ),
+        )
+    )
+    shortlist = ranked_topk(scored, rerank or k)
+    if rerank is None:
+        return shortlist
+    qv_df = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv__"),
+        norm(F.col(vec_col)).alias("__qn2__"),
+    )
+    cv = (
+        engine.table(_vectors_table(index_name))
+        .where(F.col("ivf_bucket").isin(probed))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv__"),
+            norm(F.col(vec_col)).alias("__cn2__"),
+        )
+    )
+    exact = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(F.broadcast(qv_df), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("__qv__"), F.col("__cv__"))
+                / (F.col("__qn2__") * F.col("__cn2__")),
+                6,
+            ),
+        )
+    )
+    return ranked_topk(exact, k)
 
 
 def ivf_index_topk(

@@ -130,6 +130,50 @@ def encode_pq(
     ).withColumn("pq_norm", F.sqrt(norm_sq)).drop(*[f"__pq{s}__" for s in range(m)])
 
 
+def query_lut(books: list[np.ndarray], qv: np.ndarray) -> list[float]:
+    """Flattened m x ks ADC lookup table for one query: subspace inner
+    products q_s . c_{s,j}. Shared by the flat PQ scan and the IVF-PQ
+    composition (there the SAME query-only table serves every probed
+    bucket, because q.(c_b + r) = q.c_b + q.r splits the bucket term
+    out as a per-(query, bucket) scalar)."""
+    m = len(books)
+    ks = books[0].shape[0]
+    sub_d = books[0].shape[1]
+    return [
+        float(qv[s * sub_d : (s + 1) * sub_d] @ books[s][j])
+        for s in range(m)
+        for j in range(ks)
+    ]
+
+
+def adc_inner_product(books: list[np.ndarray]) -> "F.Column":
+    """Column: sum of the m LUT lookups selected by ``pq_codes`` —
+    expects ``__lut__`` (array<double>, from query_lut) and
+    ``pq_codes`` in scope."""
+    m = len(books)
+    ks = books[0].shape[0]
+    ip = F.lit(0.0)
+    for s in range(m):
+        ip = ip + F.element_at(
+            F.col("__lut__"), F.lit(s * ks) + F.element_at("pq_codes", s + 1) + 1
+        )
+    return ip
+
+
+def reconstruct_pq(books: list[np.ndarray], codes_col) -> "F.Column":
+    """Full-D reconstructed vector (array<double>) from PQ codes: each
+    subspace's selected centroid, concatenated. Literal centroid
+    arrays, JVM-only — used once at index-build time to store exact
+    reconstructed norms."""
+    parts = []
+    for s, book in enumerate(books):
+        cents = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+        )
+        parts.append(F.element_at(cents, F.element_at(codes_col, s + 1) + 1))
+    return F.concat(*parts)
+
+
 def pq_topk(
     encoded: DataFrame,
     books: list[np.ndarray],
@@ -154,32 +198,20 @@ def pq_topk(
     TRUE cosine ranks only those N rows — the raw vectors are read for
     |Q|·N rows instead of the whole corpus, trading a sliver of I/O for
     near-exact recall."""
-    m = len(books)
-    ks = books[0].shape[0]
-    sub_d = books[0].shape[1]
     qrows = queries.select(id_col, vec_col).collect()
     spark = encoded.sparkSession
     lut_rows = []
     for r in qrows:
         qv = np.asarray(list(r[1]), dtype=np.float64)
         qn = float(np.sqrt((qv**2).sum()))
-        lut = [
-            float(qv[s * sub_d : (s + 1) * sub_d] @ books[s][j])
-            for s in range(m)
-            for j in range(ks)
-        ]
-        lut_rows.append((int(r[0]), qn, lut))
+        lut_rows.append((int(r[0]), qn, query_lut(books, qv)))
     luts = spark.createDataFrame(
         lut_rows, "query_id long, __qn__ double, __lut__ array<double>"
     )
     c = encoded.select(
         F.col(id_col).alias("neighbor_id"), "pq_codes", "pq_norm"
     )
-    ip = F.lit(0.0)
-    for s in range(m):
-        ip = ip + F.element_at(
-            F.col("__lut__"), F.lit(s * ks) + F.element_at("pq_codes", s + 1) + 1
-        )
+    ip = adc_inner_product(books)
     scored = (
         c.crossJoin(F.broadcast(luts))
         .where(F.col("neighbor_id") != F.col("query_id"))

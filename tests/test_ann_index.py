@@ -120,3 +120,56 @@ def test_centroid_cache_versioned_per_engine(engine, emb):
     keys = [k for k in engine._ann_centroid_cache if k[0] == "cidx__centroids"]
     assert keys and keys[0] != key1
     assert key1 not in engine._ann_centroid_cache
+
+
+def test_ivfpq_build_probe_recall_and_determinism(engine, emb):
+    stats = ann_index.build_ivfpq_index(
+        engine, "pqidx", emb, bucket_col="label", m=8, ks=16
+    )
+    assert stats["n_vectors"] == emb.count()
+    assert stats["m"] == 8 and stats["ks"] == 16
+    queries = emb.where(F.col("vec_id") < 8)
+    approx = ann_index.ivfpq_topk(engine, "pqidx", queries, k=5, nprobe=4, rerank=30)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.4
+    again = ann_index.ivfpq_topk(engine, "pqidx", queries, k=5, nprobe=4, rerank=30)
+    assert sorted(map(tuple, approx.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_ivfpq_probe_prunes_partitions_and_reads_codes_only(engine, emb):
+    ann_index.build_ivfpq_index(engine, "pqidx2", emb, bucket_col="label")
+    queries = emb.where(F.col("vec_id") == 0)
+    out = ann_index.ivfpq_topk(engine, "pqidx2", queries, k=3, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # ADC scan: partition filter on ivf_bucket AND no raw embedding read
+    scan = plan.split("__vectors")[-1]
+    assert "ivf_bucket" in scan.split("PartitionFilters")[1][:120]
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    assert "pq_codes" in read_schema and "embedding" not in read_schema
+    assert out.count() == 3
+
+
+def test_ivf_probe_still_works_on_ivfpq_index(engine, emb):
+    """The IVF-PQ layout is a superset of the IVF one: the exact
+    within-probed-buckets probe must keep working unchanged."""
+    ann_index.build_ivfpq_index(engine, "pqidx3", emb, bucket_col="label")
+    queries = emb.where(F.col("vec_id") < 8)
+    inline = similarity.ivf_topk(emb, queries, k=5, nprobe=2, bucket_col="label")
+    persisted = ann_index.ivf_index_topk(engine, "pqidx3", queries, k=5, nprobe=2)
+    assert sorted(map(tuple, inline.collect())) == sorted(map(tuple, persisted.collect()))
+
+
+def test_ivfpq_append_encodes_codes(engine, emb):
+    first = emb.where(F.col("vec_id") < 400)
+    rest = emb.where(F.col("vec_id") >= 400)
+    ann_index.build_ivfpq_index(engine, "pqidx4", first, bucket_col="label")
+    stats = ann_index.append_to_ivf_index(engine, "pqidx4", rest)
+    assert stats["appended"] == rest.count()
+    vt = engine.table("pqidx4__vectors")
+    assert vt.where(F.col("pq_codes").isNull() | F.col("pq_norm").isNull()).count() == 0
+    # an appended vector is findable via the code path
+    probe = emb.where(F.col("vec_id") == 450)
+    out = ann_index.ivfpq_topk(engine, "pqidx4", probe, k=5, nprobe=3, rerank=30)
+    assert out.count() == 5
