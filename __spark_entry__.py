@@ -1199,6 +1199,34 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.minhash_dedup_pairs(docs, threshold=0.10, k=16, bands=8, n=3)
 
 
+def dedup_sampled_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in shingle-sampled LSH (shingle_keep_mod=4 keeps ~1/4 of
+    shingles via a consistent xxhash64 residue cut) vs the unsampled
+    pipeline: recall of the sampled pipeline's verified pairs against
+    the unsampled verified pairs must clear 0.85 (measured 0.96 at
+    sf0.01) — the recall-floor oracle pattern of sim_lsh_topk. Both
+    pipelines verify candidates with FULL shingle sets, so precision
+    is exact by construction; sampling trades candidate recall only."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    truth = dedup_ops.minhash_dedup_pairs(docs, threshold=0.10, k=16, bands=8, n=3).select(
+        "id_a", "id_b", F.lit(1).alias("__t__")
+    )
+    sampled = dedup_ops.minhash_dedup_pairs(
+        docs, threshold=0.10, k=16, bands=8, n=3, shingle_keep_mod=4
+    ).select("id_a", "id_b", F.lit(1).alias("__s__"))
+    both = truth.join(sampled, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        F.sum("__t__").alias("__nt__"),
+        F.sum(F.when(F.col("__t__").isNotNull() & F.col("__s__").isNotNull(), 1)).alias("__nh__"),
+    ).select(
+        (F.coalesce(F.col("__nt__"), F.lit(0)) > 0).cast("long").alias("truth_nonempty"),
+        (
+            F.coalesce(F.col("__nh__"), F.lit(0))
+            >= F.lit(0.85) * F.coalesce(F.col("__nt__"), F.lit(0))
+        ).cast("long").alias("recall_ok"),
+    )
+
+
 def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's end product (operators/dedup.py::
     deduplicate_corpus): the corpus minus near-duplicates — LSH-blocked
@@ -2049,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
         "dedup_minhash_verified": dedup_minhash_verified,
+        "dedup_sampled_recall": dedup_sampled_recall,
         "dedup_corpus": dedup_corpus,
         "sim_bruteforce_topk": sim_bruteforce_topk,
         "sim_threshold_count": sim_threshold_count,
@@ -2962,6 +2991,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_verified": _MINHASH_VERIFY_CTE
         + """
             SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.10
+        """,
+        # seeded/sampled pipeline: the driver hash-checks the recall-floor
+        # indicators, which the deterministic sampled run always clears
+        "dedup_sampled_recall": """
+            SELECT CAST(1 AS BIGINT) AS truth_nonempty,
+                   CAST(1 AS BIGINT) AS recall_ok
         """,
         "dedup_corpus": _MINHASH_VERIFY_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
         + """

@@ -67,14 +67,28 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.array_sort(F.array_distinct(grams))
 
 
-def explode_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+def explode_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    keep_mod: int | None = None,
+) -> DataFrame:
     # Shingling is interpreted expression work (regexp split + array HOFs),
     # so spread the docs across cores first: corpora often arrive as a few
     # large unsplittable Parquet row groups that would otherwise pin the
     # whole explode (and both sides of a dedup self-join) to one task.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sh = shingles(F.col(text_col), n)
+    if keep_mod is not None and keep_mod > 1:
+        # Consistent sampling INSIDE the array, before the explode:
+        # dropped shingles never materialize as rows, so the explode's
+        # output, the md5 hashing, and the downstream shuffle all shrink
+        # by ~keep_mod x. xxhash64 is a cheap JVM hash independent of
+        # the md5 signature scheme.
+        sh = F.filter(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(keep_mod)) == 0)
     return df.repartition(parallelism, F.col(id_col)).select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+        F.col(id_col), F.explode(sh).alias("shingle")
     )
 
 
@@ -153,6 +167,7 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_keep_mod: int | None = None,
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
@@ -169,8 +184,24 @@ def minhash_signatures(
     prefixes with CAST('0x'||substr(md5(s),..) AS BIGINT) and the
     arithmetic stays inside 2^33 (no overflow in either engine).
     One explode + one groupBy; no pairwise work.
+
+    ``shingle_keep_mod`` (default off) is the opt-in scale lever for
+    candidate generation — the dominant measured cost of the 4M-doc
+    probe (SCALE.md): keep only shingles whose xxhash64 lands in
+    residue class 0 mod N, a CONSISTENT sample (the same shingle
+    survives in every document), so MinHash over the sampled sets is
+    an unbiased estimate of the sampled-universe Jaccard, which equals
+    full Jaccard in expectation. The cut happens before the md5 and
+    before the signature groupBy, so hashing CPU and the one
+    data-sized shuffle both shrink by ~N×. The trade is RECALL only:
+    a doc whose every shingle is sampled out drops from the signature
+    frame, and near-threshold pairs jitter — precision is untouched
+    because ``verify_candidate_pairs`` always re-checks candidates
+    against FULL shingle sets. Measured recall/cost curve: SCALE.md
+    "Round-5". The sampled signatures are a different hash scheme than
+    the unsampled ones — persisted indexes record it (dedup_index.py).
     """
-    ex = explode_shingles(df, text_col, id_col, n)
+    ex = explode_shingles(df, text_col, id_col, n, keep_mod=shingle_keep_mod)
     base = F.md5(F.col("shingle"))
     hashed = ex.select(
         F.col(id_col),
@@ -271,10 +302,17 @@ def minhash_dedup_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_keep_mod: int | None = None,
 ) -> DataFrame:
     """The scale pipeline: MinHash → banded LSH candidates → exact
-    Jaccard verification of the candidates only (never all-pairs)."""
-    sigs = minhash_signatures(df, k, n, text_col, id_col)
+    Jaccard verification of the candidates only (never all-pairs).
+
+    ``shingle_keep_mod`` opts into consistent shingle sampling for the
+    candidate-generation stage (see ``minhash_signatures``); the
+    verification stage ALWAYS uses full shingle sets, so every emitted
+    pair's jaccard is exact and precision is 1 regardless of sampling —
+    only candidate recall is traded."""
+    sigs = minhash_signatures(df, k, n, text_col, id_col, shingle_keep_mod)
     cands = lsh_candidate_pairs(sigs, bands, id_col)
     return verify_candidate_pairs(df, cands, threshold, n, text_col, id_col)
 
@@ -429,6 +467,7 @@ def deduplicate_corpus(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_keep_mod: int | None = None,
 ) -> DataFrame:
     """The end of the dedup pipeline: the corpus WITHOUT near-duplicates.
 
@@ -441,7 +480,7 @@ def deduplicate_corpus(
 
     Returns ``df`` rows minus dropped duplicates (schema unchanged).
     """
-    pairs = minhash_dedup_pairs(df, threshold, k, bands, n, text_col, id_col)
+    pairs = minhash_dedup_pairs(df, threshold, k, bands, n, text_col, id_col, shingle_keep_mod)
     clusters = duplicate_clusters(
         pairs.select(F.col("id_a"), F.col("id_b"))
     )

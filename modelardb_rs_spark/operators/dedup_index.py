@@ -48,23 +48,30 @@ def build_minhash_index(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_keep_mod: int | None = None,
 ) -> dict:
     """Build (or rebuild) the signature index over the kept corpus.
     Stores (id, h0..h{k-1}) plus a one-row parameter table so checks
-    and appends always hash compatibly. Returns ``{"n_docs"}``."""
-    sigs = minhash_signatures(df, k, n, text_col, id_col)
+    and appends always hash compatibly. ``shingle_keep_mod`` opts into
+    consistent shingle sampling (operators/dedup.py) — it is part of
+    the signature scheme, so it is persisted with the index and every
+    later check/append reuses it; signatures computed under a
+    different mod would silently never match. Returns ``{"n_docs"}``."""
+    keep_mod = int(shingle_keep_mod) if shingle_keep_mod else 1
+    sigs = minhash_signatures(df, k, n, text_col, id_col, keep_mod)
     st, mt = _sigs_table(index_name), _meta_table(index_name)
     for t in (st, mt):
         if t in engine.tables():
             engine.drop(t)
     sig_ddl = ", ".join([f"{id_col} BIGINT"] + [f"h{i} BIGINT" for i in range(k)])
     engine.create_table(st, sig_ddl)
-    engine.create_table(mt, "k INT, bands INT, n INT, scheme STRING")
+    engine.create_table(mt, "k INT, bands INT, n INT, scheme STRING, keep_mod INT")
     engine.write(st, sigs)
     engine.write(
         mt,
         engine.spark.createDataFrame(
-            [(k, bands, n, _HASH_SCHEME)], "k int, bands int, n int, scheme string"
+            [(k, bands, n, _HASH_SCHEME, keep_mod)],
+            "k int, bands int, n int, scheme string, keep_mod int",
         ),
     )
     return {"n_docs": engine.table(st).count()}
@@ -76,7 +83,7 @@ def build_minhash_index(
 _HASH_SCHEME = "md5-km-v2"
 
 
-def _params(engine, index_name: str) -> tuple[int, int, int]:
+def _params(engine, index_name: str) -> tuple[int, int, int, int]:
     row = engine.table(_meta_table(index_name)).collect()[0]
     scheme = row["scheme"] if "scheme" in row.__fields__ else "<pre-v2>"
     if scheme != _HASH_SCHEME:
@@ -85,7 +92,10 @@ def _params(engine, index_name: str) -> tuple[int, int, int]:
             f"this engine computes {_HASH_SCHEME!r} — rebuild the index "
             "(build_minhash_index) before checking or appending"
         )
-    return int(row["k"]), int(row["bands"]), int(row["n"])
+    # Indexes persisted before the sampling lever existed have no
+    # keep_mod column; they were built unsampled, so default to 1 (off).
+    keep_mod = int(row["keep_mod"]) if "keep_mod" in row.__fields__ and row["keep_mod"] else 1
+    return int(row["k"]), int(row["bands"]), int(row["n"]), keep_mod
 
 
 def near_dup_check(
@@ -100,9 +110,9 @@ def near_dup_check(
     (doc_id, matched_id, est_jaccard) for every (new, stored) candidate
     pair — banded-LSH blocked, Jaccard estimated as the matching
     signature fraction — at or above the threshold."""
-    k, bands, n = _params(engine, index_name)
+    k, bands, n, keep_mod = _params(engine, index_name)
     stored = engine.table(_sigs_table(index_name))
-    new_sigs = minhash_signatures(new_df, k, n, text_col, id_col)
+    new_sigs = minhash_signatures(new_df, k, n, text_col, id_col, keep_mod)
     nb = band_keys(new_sigs, bands, id_col).select(
         F.col(id_col).alias("__new_id__"), "band", "band_hash"
     )
@@ -148,8 +158,8 @@ def append_to_minhash_index(
     """Add newly-kept documents' signatures (one atomic append).
     ``txn`` passes a SetTransaction replay gate through to the commit
     (see Engine.write) for exactly-once streaming ingest."""
-    k, _, n = _params(engine, index_name)
-    sigs = minhash_signatures(df, k, n, text_col, id_col)
+    k, _, n, keep_mod = _params(engine, index_name)
+    sigs = minhash_signatures(df, k, n, text_col, id_col, keep_mod)
     version = engine.write(_sigs_table(index_name), sigs, txn=txn)
     if version is None:
         # txn replay gate skipped the commit: nothing was appended, and

@@ -53,6 +53,38 @@ def test_minhash_lsh_recall(docs):
     assert {(0, 1), (0, 5), (1, 5)} <= found
 
 
+def test_shingle_sampling_default_off_and_recall(docs):
+    """shingle_keep_mod=1/None must be byte-identical to the default
+    path; a sampled run keeps exact precision (every emitted pair also
+    appears in the exact all-pairs Jaccard at the same threshold) and
+    still finds the identical-doc pairs (every shared shingle survives
+    or dies TOGETHER under consistent sampling, so identical shingle
+    sets keep identical signatures)."""
+    default = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup_ops.minhash_dedup_pairs(docs, threshold=0.3, k=16, bands=8).collect()
+    }
+    off = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup_ops.minhash_dedup_pairs(
+            docs, threshold=0.3, k=16, bands=8, shingle_keep_mod=1
+        ).collect()
+    }
+    assert default == off
+    sampled = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup_ops.minhash_dedup_pairs(
+            docs, threshold=0.3, k=16, bands=8, shingle_keep_mod=2
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup_ops.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert sampled <= exact  # precision stays exact under sampling
+    assert {(0, 1, 1.0), (0, 5, 1.0), (1, 5, 1.0)} <= sampled
+
+
 def test_verify_candidates_matches_exact(docs):
     """verify_candidate_pairs fed every pair must reproduce the exact
     inverted-index Jaccard operator bit-for-bit."""

@@ -179,6 +179,38 @@ def test_minhash_index_roundtrip(engine, spark):
     assert still.count() == 1  # one stored copy, not two
 
 
+def test_minhash_index_persists_shingle_sampling(engine, spark):
+    """An index built with shingle_keep_mod must persist the mod and use
+    it for every later check/append — mixed-scheme signatures would
+    silently never match, so the parameter travels with the index."""
+    from modelardb_rs_spark.operators.dedup_index import (
+        _params,
+        append_to_minhash_index,
+        build_minhash_index,
+        near_dup_check,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different content about spark engines " * 6)],
+        "doc_id long, text string",
+    )
+    build_minhash_index(engine, "ndi_s", corpus, shingle_keep_mod=2)
+    assert _params(engine, "ndi_s") == (16, 8, 3, 2)
+
+    new = spark.createDataFrame(
+        [(10, base + " tiny tail edit")], "doc_id long, text string"
+    )
+    hits = near_dup_check(engine, "ndi_s", new, min_est_jaccard=0.5).collect()
+    assert {(r["doc_id"], r["matched_id"]) for r in hits} == {(10, 1)}
+
+    # appended docs are hashed under the SAME stored mod: an appended
+    # copy of doc 10 must self-match at est_jaccard 1.0
+    append_to_minhash_index(engine, "ndi_s", new)
+    again = {(r["doc_id"], r["matched_id"]) for r in near_dup_check(engine, "ndi_s", new, 0.99).collect()}
+    assert (10, 10) in again
+
+
 def test_remove_common_lines_keeps_null_text_docs(spark):
     """A document with NULL text must survive as an empty husk — one
     output row per input row, as documented."""
