@@ -1644,12 +1644,15 @@ class Engine:
         """First/last observation per series (operators/grid.py::
         edge_points): segment metadata finds each series' edge segment;
         only those decode. Output: (*tags, field, timestamp, value),
-        one row per (series, field)."""
+        one row per (series, field) — duplicate edge points from
+        overlapping writes collapse to a deterministic MAX(value) here;
+        the operator itself preserves reference multiplicity."""
         meta, segments, wanted, info = self._per_series_read(name, fields, tags)
         out = grid_ops.edge_points(
             segments, meta.tag_columns, which,
             may_have_slow=info["may_have_slow"],
             fast_fraction=info["fast_fraction"],
+            collapse_duplicates=True,
         )
         return self._named_field_output(out, meta, wanted)
 

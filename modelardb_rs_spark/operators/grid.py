@@ -179,6 +179,7 @@ def edge_points(
     which: str = "last",
     may_have_slow: bool = True,
     fast_fraction: float | None = None,
+    collapse_duplicates: bool = False,
 ) -> DataFrame:
     """First/last observation per series (the TimescaleDB ``first()`` /
     ``last()`` shape, which the reference answers by gridding and sorting
@@ -191,8 +192,14 @@ def edge_points(
     Scale shape: one window over the narrow metadata columns selects
     O(series) segment rows out of the whole table — a 100 TB table with
     10 M series decodes 10 M segments' worth of binary, not the table.
-    Duplicate points at the same edge timestamp collapse to MAX(value)
-    for determinism.
+
+    Multiplicity matches the reference's positional reassembly
+    (sorted_join_exec.rs:278-310): when overlapping segment writes tie
+    at the edge bound, EVERY decoded edge row is emitted — exactly the
+    rows a grid-everything-and-filter plan would produce. Aggregating
+    consumers collapse naturally; row-per-series consumers (e.g.
+    Engine.last_points) pass ``collapse_duplicates=True`` for a
+    deterministic MAX(value) per (series, field, timestamp).
 
     Output: (*tags, field_column, timestamp µs, value).
     """
@@ -219,11 +226,17 @@ def edge_points(
         may_have_slow=may_have_slow,
         fast_fraction=fast_fraction,
     )
-    return (
-        pts.where(F.col("timestamp") == F.col("__edge__").cast("long"))
-        .groupBy(*tag_columns, F.col("field_column").cast("int").alias("field_column"), "timestamp")
-        .agg(F.max("value").alias("value"))
+    out = pts.where(F.col("timestamp") == F.col("__edge__").cast("long")).select(
+        *tag_columns,
+        F.col("field_column").cast("int").alias("field_column"),
+        "timestamp",
+        "value",
     )
+    if collapse_duplicates:
+        out = out.groupBy(*tag_columns, "field_column", "timestamp").agg(
+            F.max("value").alias("value")
+        )
+    return out
 
 
 def latest_points(
@@ -231,9 +244,12 @@ def latest_points(
     tag_columns: list[str],
     may_have_slow: bool = True,
     fast_fraction: float | None = None,
+    collapse_duplicates: bool = False,
 ) -> DataFrame:
     """Last observation per series — see edge_points."""
-    return edge_points(segments, tag_columns, "last", may_have_slow, fast_fraction)
+    return edge_points(
+        segments, tag_columns, "last", may_have_slow, fast_fraction, collapse_duplicates
+    )
 
 
 def grid(

@@ -388,6 +388,41 @@ def test_last_points_per_series(engine, spark):
     assert got2["b"] == 777.0 and got2["a"] == 99.0
 
 
+def test_edge_points_preserve_duplicate_multiplicity(engine, spark):
+    """Overlapping writes that tie at the edge bound: the OPERATOR emits
+    every decoded edge row (reference positional-zip multiplicity,
+    sorted_join_exec.rs:278-310), while the last_points API collapses to
+    one deterministic row per series (documented contract)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from modelardb_rs_spark.operators import grid as grid_ops
+
+    t0 = datetime.datetime(2024, 3, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        Row(timestamp=t0 + datetime.timedelta(seconds=i), value=float(i), sensor="a")
+        for i in range(10)
+    ]
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE dupe(timestamp TIMESTAMP, value FIELD, sensor TAG)"
+    )
+    engine.write("dupe", spark.createDataFrame(rows))
+    # duplicate write of the same window: two segments tie at the edge
+    engine.write("dupe", spark.createDataFrame(rows))
+
+    segments, info = engine.segments("dupe", with_info=True)
+    raw = grid_ops.edge_points(
+        segments, ["sensor"], "last",
+        may_have_slow=info["may_have_slow"], fast_fraction=info["fast_fraction"],
+    ).collect()
+    assert len(raw) == 2  # both edge rows survive
+    assert {(r.sensor, r.value) for r in raw} == {("a", 9.0)}
+
+    api = engine.last_points("dupe").collect()
+    assert len(api) == 1 and api[0].value == 9.0
+
+
 def test_first_points_per_series(engine, spark):
     import datetime
 
