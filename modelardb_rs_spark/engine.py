@@ -1132,9 +1132,11 @@ class Engine:
         runtime counters (EXPLAIN ANALYZE — parity with the reference's
         per-operator metrics, grid_exec.rs:439-518) and appends:
         python-decoded segments/points and Arrow batches (exact, from
-        Spark accumulators inside the decode UDF) and JVM-fast-path
+        Spark accumulators inside the decode UDF), JVM-fast-path
         segments/points (from the segment metadata feeding that
-        branch)."""
+        branch), and the inline per-model-type point breakdown
+        (``rows_created_by_model_type`` — the reference GridStream's
+        metric, grid_exec.rs:439-451)."""
         stmt = parse_statement(sql)
         if stmt.kind not in ("passthrough", "select"):
             return stmt.kind
@@ -1144,11 +1146,16 @@ class Engine:
                 return self._pushdown_path_of(sql, df)
             return "gridded view (reconstruction under spark.sql)"
 
+        from modelardb_rs_spark.types import GORILLA_ID, PMC_MEAN_ID, SWING_ID
+
         sc = self.spark.sparkContext
         m = {
             "python_segments": sc.accumulator(0),
             "python_points": sc.accumulator(0),
             "python_batches": sc.accumulator(0),
+            "python_points_by_model": {
+                i: sc.accumulator(0) for i in (PMC_MEAN_ID, SWING_ID, GORILLA_ID)
+            },
             "fast_branches": [],
         }
         self._analyze_metrics = m
@@ -1164,22 +1171,33 @@ class Engine:
             n_out = df.count()  # execute the instrumented plan
         finally:
             self._analyze_metrics = None
+        by_model = {
+            mid: acc.value for mid, acc in m["python_points_by_model"].items()
+        }
         fast_segs = fast_pts = 0
         for branch in m["fast_branches"]:
             if branch is None:
                 continue
-            row = branch.agg(
+            rows = branch.groupBy("model_type_id").agg(
                 F.count("*").alias("s"), F.sum("value_count").alias("p")
-            ).collect()[0]
-            fast_segs += row["s"] or 0
-            fast_pts += row["p"] or 0
+            ).collect()
+            for row in rows:
+                fast_segs += row["s"] or 0
+                fast_pts += row["p"] or 0
+                mid = int(row["model_type_id"])
+                by_model[mid] = by_model.get(mid, 0) + (row["p"] or 0)
+        model_names = {PMC_MEAN_ID: "pmc_mean", SWING_ID: "swing", GORILLA_ID: "gorilla"}
+        by_model_str = ", ".join(
+            f"{model_names.get(mid, f'model{mid}')}={n}" for mid, n in sorted(by_model.items())
+        )
         return (
             f"{path}\n"
             f"analyze: output_rows={n_out}, "
             f"python_decoded_segments={m['python_segments'].value}, "
             f"python_decoded_points={m['python_points'].value}, "
             f"python_arrow_batches={m['python_batches'].value}, "
-            f"jvm_fast_segments={fast_segs}, jvm_fast_points={fast_pts}"
+            f"jvm_fast_segments={fast_segs}, jvm_fast_points={fast_pts}\n"
+            f"rows_created_by_model_type: {by_model_str}"
         )
 
     def _pushdown_path_of(self, sql: str, df: DataFrame) -> str:

@@ -127,6 +127,7 @@ def grid_univariate(
     acc_segs = metrics.get("python_segments") if metrics else None
     acc_pts = metrics.get("python_points") if metrics else None
     acc_batches = metrics.get("python_batches") if metrics else None
+    acc_by_model = metrics.get("python_points_by_model") if metrics else None
 
     def decode(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
@@ -136,6 +137,16 @@ def grid_univariate(
                     acc_segs.add(len(pdf))
                     acc_pts.add(len(out))
                     acc_batches.add(1)
+                if acc_by_model is not None:
+                    # rows created per model type (reference GridStream
+                    # metric, grid_exec.rs:439-451): a segment decodes
+                    # exactly value_count points, so the per-model split
+                    # comes from the batch metadata.
+                    per = pdf.groupby("model_type_id")["value_count"].sum()
+                    for mt, cnt in per.items():
+                        acc = acc_by_model.get(int(mt))
+                        if acc is not None:
+                            acc.add(int(cnt))
                 yield out
 
     def record_fast(fast_segments: DataFrame | None) -> None:

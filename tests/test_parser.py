@@ -203,6 +203,17 @@ def test_explain_analyze_counters(engine, spark):
     assert nums["python_decoded_segments"] > 0
     assert nums["jvm_fast_segments"] > 0
     assert nums["python_arrow_batches"] >= 1
+    # inline per-model-type breakdown (reference GridStream
+    # rows_created_by_model_type, grid_exec.rs:439-451): the linear
+    # series reconstructs from PMC-Mean/Swing models, the random series
+    # from Gorilla — together they account for every point.
+    model_line = next(
+        line for line in out.splitlines() if line.startswith("rows_created_by_model_type:")
+    )
+    models = {k: int(v) for k, v in _re.findall(r"(\w+)=(\d+)", model_line)}
+    assert models["gorilla"] > 0
+    assert models["pmc_mean"] + models["swing"] > 0
+    assert sum(models.values()) == 600
     # un-instrumented runs carry no counters
     assert engine._analyze_metrics is None
 
