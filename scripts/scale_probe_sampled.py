@@ -1,15 +1,18 @@
 """Shingle-sampling scale probe: measure the candidate-generation
 cost drop AND the recall floor of the opt-in `shingle_keep_mod` lever
 (operators/dedup.py) on the bounded-dup-group corpus used by
-scale_probe_docs.py (replicas 0..3 are TRUE near-dups; later replicas
-share no shingles, so the duplicate-group size stays bounded at 4 as
-N grows — real-corpus behavior).
+scale_probe_docs.py (replicas 0..3 of every base doc are TRUE
+near-dups — Jaccard ~0.97 by construction; later replicas weave a
+replica-unique token that destroys cross-group similarity).
 
-For each mod in MODS:
-  - time signatures + banded LSH candidate pairs (the ~1300s line of
-    the round-4 probe) under that mod,
-  - verify the sampled candidates exactly (full shingles) and report
-    recall against the UNSAMPLED pipeline's verified pairs.
+Because the duplicate groups are constructed, the ground truth needs
+no verification pass: the true pair set is exactly
+{(base + i*10M, base + j*10M) : i < j <= 3} per base doc. For each
+mod in MODS the probe times signatures + banded LSH candidate pairs
+(the ~1300s line of the round-4 probe at N=800) and reports
+candidate-level recall against that constructed truth — the precise
+quantity sampling trades (verification is exact and unsampled in the
+pipeline, so pair precision is structural).
 
 Usage: python scripts/scale_probe_sampled.py [N] [sf_dir] [mods_csv]
 """
@@ -23,6 +26,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 from modelardb_rs_spark.operators import dedup as dedup_ops
 from modelardb_rs_spark.session import make_spark
 from modelardb_rs_spark.sources.testdata import load_table
@@ -30,7 +35,7 @@ from scale_probe_docs import replicate
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 800
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     mods = [int(m) for m in (sys.argv[3].split(",") if len(sys.argv) > 3 else ["1", "4", "8"])]
     spark = make_spark(app_name="sparkmodelar-sampled-probe")
@@ -44,36 +49,35 @@ def main() -> None:
     )
     rows = rep.count()
 
-    out = {"n_copies": n, "docs": rows, "mods": {}}
-    truth = None
+    # Constructed truth: every unordered pair of replicas 0..3 per base.
+    pairs_ij = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    truth = (
+        docs.select("doc_id")
+        .crossJoin(spark.createDataFrame(pairs_ij, "i int, j int"))
+        .select(
+            (F.col("doc_id") + F.col("i") * 10_000_000).alias("id_a"),
+            (F.col("doc_id") + F.col("j") * 10_000_000).alias("id_b"),
+        )
+        .persist()
+    )
+    n_truth = truth.count()
+
+    out = {"n_copies": n, "docs": rows, "true_pairs": n_truth, "mods": {}}
     for mod in mods:
         t0 = time.time()
         sigs = dedup_ops.minhash_signatures(rep, k=16, n=3, shingle_keep_mod=mod)
-        cands = dedup_ops.lsh_candidate_pairs(sigs, bands=8)
+        cands = dedup_ops.lsh_candidate_pairs(sigs, bands=8).persist()
         n_cands = cands.count()
         cand_secs = round(time.time() - t0, 2)
-
-        t0 = time.time()
-        verified = dedup_ops.verify_candidate_pairs(rep, cands, threshold=0.5).select(
-            "id_a", "id_b"
-        ).persist()
-        n_pairs = verified.count()
-        verify_secs = round(time.time() - t0, 2)
-
+        hits = truth.join(cands, ["id_a", "id_b"], "left_semi").count()
         entry = {
             "candidate_secs": cand_secs,
-            "verify_secs": verify_secs,
             "n_candidates": n_cands,
-            "n_verified_pairs": n_pairs,
+            "recall_of_true_pairs": round(hits / max(n_truth, 1), 4),
         }
-        if mod == 1 or truth is None:
-            truth = verified
-            entry["recall_vs_unsampled"] = 1.0 if mod == 1 else None
-        else:
-            hits = truth.join(verified, ["id_a", "id_b"], "left_semi").count()
-            entry["recall_vs_unsampled"] = round(hits / max(truth.count(), 1), 4)
+        cands.unpersist()
         out["mods"][str(mod)] = entry
-        print(json.dumps({"progress": mod, **entry}), flush=True)
+        print(json.dumps({"mod": mod, **entry}), flush=True)
 
     print(json.dumps(out))
 
