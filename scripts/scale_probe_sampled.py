@@ -64,18 +64,32 @@ def main() -> None:
 
     out = {"n_copies": n, "docs": rows, "true_pairs": n_truth, "mods": {}}
     for mod in mods:
+        # ONE pass over the candidate set: the band join + distinct run
+        # exactly as in production (that IS the measured cost), but the
+        # result streams through a broadcast-join flag + partial count —
+        # persisting billions of candidate pairs just to count them twice
+        # is what filled the disk on the first attempt at this probe.
         t0 = time.time()
         sigs = dedup_ops.minhash_signatures(rep, k=16, n=3, shingle_keep_mod=mod)
-        cands = dedup_ops.lsh_candidate_pairs(sigs, bands=8).persist()
-        n_cands = cands.count()
+        cands = dedup_ops.lsh_candidate_pairs(sigs, bands=8)
+        agg = (
+            cands.join(
+                F.broadcast(truth.withColumn("__t__", F.lit(1))),
+                ["id_a", "id_b"],
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_cands"),
+                F.count("__t__").alias("hits"),
+            )
+            .first()
+        )
         cand_secs = round(time.time() - t0, 2)
-        hits = truth.join(cands, ["id_a", "id_b"], "left_semi").count()
         entry = {
             "candidate_secs": cand_secs,
-            "n_candidates": n_cands,
-            "recall_of_true_pairs": round(hits / max(n_truth, 1), 4),
+            "n_candidates": agg["n_cands"],
+            "recall_of_true_pairs": round(agg["hits"] / max(n_truth, 1), 4),
         }
-        cands.unpersist()
         out["mods"][str(mod)] = entry
         print(json.dumps({"mod": mod, **entry}), flush=True)
 
