@@ -1998,6 +1998,76 @@ def ts_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain re-weighting (operators/mixing.py::
+    domain_mix): resample the corpus so three sources hit 60/30/10
+    target shares — scarce domains repeat for whole epochs plus a
+    hash-decided fractional epoch, abundant ones subsample. Map-only
+    after one tiny per-stratum count broadcast; exact oracle (the
+    factor arithmetic and md5 keep-decision reproduce bit-for-bit in
+    DuckDB)."""
+    from modelardb_rs_spark.operators.mixing import domain_mix
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    mixed = domain_mix(
+        docs, {"src0": 0.6, "src1": 0.3, "src2": 0.1}, "source", salt="mix5"
+    )
+    return mixed.select("doc_id", "source", "epoch")
+
+
+def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards
+    (operators/mixing.py::shuffle_shards): hash-assigned shard plus
+    md5-order position within the shard — the shuffle-once-at-write
+    layout. The rank window partitions BY shard, so the sort
+    parallelizes and no global single-partition window exists; exact
+    oracle."""
+    from modelardb_rs_spark.operators.mixing import shuffle_shards
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return shuffle_shards(docs, 8, salt="s5").select("doc_id", "shard", "pos")
+
+
+def sim_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 scalar quantization of the
+    embedding corpus (operators/quantize.py): fit scales in one narrow
+    aggregate, quantize map-only, and report per-vector reconstruction
+    fidelity (max abs error + cosine to the original) — the cheap
+    4x-compression tier under PQ. Exact oracle: DuckDB reproduces the
+    scales, codes, and error reductions bit-for-bit (index-order
+    array reductions on both sides)."""
+    from modelardb_rs_spark.operators.quantize import int8_reconstruction_stats
+
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    return int8_reconstruction_stats(emb)
+
+
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (operators/similarity.py::
+    semantic_dedup, Abbas et al. 2023): k-means clusters cap pairwise
+    work at ~N^2/k, cosine>=threshold pairs within clusters form
+    connected components, one representative survives per component.
+    The corpus is the embeddings table plus a 1.001-scaled copy of
+    every 7th vector — cosine exactly 1 and near-zero L2 offset, so
+    each copy co-clusters with its original and the TRUE kept set is
+    known in closed form (the originals); the data's own max pairwise
+    cosine is ~0.51, far below threshold. Exact oracle on the kept
+    ids."""
+    from modelardb_rs_spark.operators.similarity import semantic_dedup
+
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    dups = emb.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.001)).cast("float")
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.unionByName(dups)
+    kept = semantic_dedup(corpus, threshold=0.999, n_clusters=8)
+    return kept.select("vec_id").orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2120,6 +2190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q18_large_orders": q18_large_orders,
         "q_interp_join": q_interp_join,
+        "doc_domain_mix": doc_domain_mix,
+        "doc_shuffle_shards": doc_shuffle_shards,
+        "sim_int8_quantize": sim_int8_quantize,
+        "sim_semantic_dedup": sim_semantic_dedup,
     }
 
 
@@ -3891,5 +3965,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n_chars) AS BIGINT) AS kept_chars,
                min(doc_id) AS first_id
         FROM kept GROUP BY lang
+    """
+    oracles["doc_domain_mix"] = """
+        WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+        tot AS (SELECT count(*) AS n FROM documents),
+        w(source, wt) AS (VALUES ('src0', 0.6), ('src1', 0.3), ('src2', 0.1)),
+        f AS (
+          SELECT cnt.source, (w.wt / 1.0) * tot.n / cnt.c AS factor
+          FROM cnt JOIN w USING (source), tot
+        ),
+        reps AS (
+          SELECT d.doc_id, d.source, f.factor, u.epoch
+          FROM documents d JOIN f USING (source),
+               LATERAL (SELECT unnest(generate_series(
+                   0, CAST(greatest(ceil(f.factor) - 1, 0) AS BIGINT))) AS epoch) u
+        )
+        SELECT doc_id, source, CAST(epoch AS INT) AS epoch FROM reps
+        WHERE epoch < floor(factor)
+           OR CAST(concat('0x', substr(md5(concat_ws(':',
+                CAST(doc_id AS VARCHAR), CAST(epoch AS VARCHAR), 'mix5')), 1, 8)) AS BIGINT)
+              % 1000000 < (factor - floor(factor)) * 1000000
+    """
+    oracles["doc_shuffle_shards"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(CAST(concat('0x', substr(md5(concat_ws(':',
+                     CAST(doc_id AS VARCHAR), 's5')), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+                 md5(concat(CAST(doc_id AS VARCHAR), 's5')) AS k
+          FROM documents
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1 AS INT) AS pos
+        FROM t
+    """
+    oracles["sim_int8_quantize"] = """
+        WITH ex AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                 unnest(embedding) AS x
+          FROM embeddings
+        ),
+        sc AS (SELECT dim, max(abs(x)) / 127.0 AS scale FROM ex GROUP BY dim),
+        dq AS (
+          SELECT vec_id, x,
+                 CASE WHEN scale > 0
+                      THEN greatest(-127.0, least(127.0, round(x / scale, 0))) * scale
+                      ELSE 0.0 END AS y
+          FROM ex JOIN sc USING (dim) ORDER BY vec_id, dim
+        )
+        SELECT vec_id, round(max(abs(x - y)), 6) AS max_abs_err,
+               round(sum(CAST(x AS DOUBLE) * y)
+                     / (sqrt(sum(CAST(x AS DOUBLE) * x)) * sqrt(sum(y * y))), 6)
+                 AS cos_to_original
+        FROM dq GROUP BY vec_id
+    """
+    # the planted 1.001-scaled copies (cosine exactly 1, co-clustered by
+    # construction) are precisely the dropped set, so the kept corpus is
+    # exactly the original embeddings table
+    oracles["sim_semantic_dedup"] = """
+        SELECT vec_id FROM embeddings ORDER BY vec_id
     """
     return oracles

@@ -1,0 +1,143 @@
+"""Corpus mixing and training-order operators: deterministic domain
+re-weighting (up/down-sampling to target proportions) and hash-sharded
+global shuffle — the last-mile steps of a pre-training data pipeline,
+downstream of cleaning/dedup and upstream of sequence packing.
+
+Everything here is hash-deterministic (md5 over ids, no RNG state), so
+outputs are stable across runs, partitionings, and engines — the same
+contract as ``text.deterministic_sample`` / ``packing.stratified_sample``
+and the property that makes exact DuckDB oracles possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_bucket(*cols, salt: str = "", mod: int = 1_000_000):
+    """First 8 md5 hex chars of the ':'-joined inputs as a long in
+    [0, mod) — the cross-engine-reproducible uniform hash used by every
+    sampling decision in this module (DuckDB computes the identical
+    value via CAST('0x'||substr(md5(..),1,8) AS BIGINT))."""
+    key = F.concat_ws(":", *[c.cast("string") for c in cols], F.lit(salt))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % mod
+
+
+def domain_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    target_total: int | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Resample the corpus so each stratum's share matches ``weights``
+    — the mixture-building step of a pre-training pipeline (the public
+    Pile/Dolma recipes express their corpus as exactly this: domain →
+    target proportion, with scarce domains repeated for multiple epochs
+    and abundant ones subsampled).
+
+    Each stratum ``s`` gets a replication factor
+    ``f_s = (w_s / sum(w)) * T / count_s`` where ``T`` is
+    ``target_total`` (default: the input row count, so the output is
+    the same size re-proportioned). Rows are kept ``floor(f_s)`` whole
+    epochs plus one fractional epoch with probability ``frac(f_s)``,
+    decided by a per-(row, epoch) hash — so ``f_s = 2.3`` means every
+    row appears twice and ~30% of rows a third time, and the expected
+    stratum share is exactly ``w_s``. Strata absent from ``weights``
+    are dropped (weight 0).
+
+    Output: the input columns plus ``epoch`` (int, 0-based replica
+    index) — downstream shuffling treats each (row, epoch) as an
+    independent training example.
+
+    Scale shape: one tiny per-stratum count aggregate (map-side
+    combine, |strata| rows) broadcast-joined back, then a map-only
+    ``explode(sequence(...))`` whose output is exactly the kept
+    replicas — no shuffle of the corpus itself, no driver action at
+    plan time. The factor arithmetic runs in JVM doubles in a fixed
+    order, so the DuckDB oracle reproduces it bit-for-bit.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for k, v in weights.items():
+        if v < 0:
+            raise ValueError(f"weight for {k!r} must be >= 0, got {v}")
+    sumw = float(sum(weights.values()))
+    if sumw <= 0:
+        raise ValueError("weights must sum to a positive value")
+
+    wt = F.lit(0.0)
+    for k, v in weights.items():
+        wt = F.when(F.col(strata_col) == F.lit(k), F.lit(float(v))).otherwise(wt)
+
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__cnt__"))
+    total = df.agg(F.count("*").alias("__tot__"))
+    if target_total is not None:
+        total = total.select(F.lit(int(target_total)).cast("long").alias("__tot__"))
+
+    with_f = (
+        df.join(F.broadcast(counts), strata_col)
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__f__",
+            (wt / F.lit(sumw))
+            * F.col("__tot__").cast("double")
+            / F.col("__cnt__").cast("double"),
+        )
+        .where(F.col("__f__") > 0)
+    )
+    reps = F.floor(F.col("__f__")).cast("int")
+    frac = F.col("__f__") - F.floor(F.col("__f__"))
+    # long-vs-double comparison on purpose: casting the threshold to a
+    # long would TRUNCATE in Spark but ROUND in DuckDB — promoting the
+    # hash to double keeps the keep-decision bit-identical across engines
+    keep_frac = _hash_bucket(F.col(id_col), F.col("epoch"), salt=salt) < (
+        frac * 1_000_000
+    )
+    return (
+        with_f.withColumn(
+            "epoch",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(F.ceil("__f__").cast("int") - 1, F.lit(0))
+                )
+            ),
+        )
+        .where((F.col("epoch") < reps) | keep_frac)
+        .drop("__cnt__", "__tot__", "__f__")
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` training shards:
+    every row gets a ``shard`` (hash of its id, so shard sizes are
+    binomially equal) and a ``pos`` (its 0-based rank within the shard
+    under md5 order) — the standard "shuffle once at write time" layout
+    where readers stream shards sequentially and the hash order IS the
+    global shuffle.
+
+    Scale shape: the rank window partitions BY SHARD, so the sort
+    parallelizes across shards (pick n_shards ≈ a small multiple of the
+    cluster's cores and no shard outgrows a task); there is never a
+    single-partition global window. One shuffle on the shard key, which
+    the write needs anyway to lay shards out contiguously. Changing
+    ``salt`` gives an independent reshuffle for the next training run.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    shard = _hash_bucket(F.col(id_col), salt=salt, mod=n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("__key__", id_col)
+    return (
+        df.withColumn("__key__", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .drop("__key__")
+    )

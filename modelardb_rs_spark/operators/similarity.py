@@ -405,3 +405,67 @@ def cosine_threshold_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.97,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embeddings, find
+    cosine >= ``threshold`` pairs WITHIN each cluster only, group them
+    into connected components, and keep one representative (the minimum
+    id) per component. Returns the corpus minus dropped semantic
+    duplicates (schema unchanged).
+
+    This is the embedding-space sibling of MinHash corpus dedup: where
+    MinHash catches lexical near-copies, semantic dedup drops documents
+    that SAY the same thing — the paper's result is that pruning these
+    speeds convergence at equal quality.
+
+    Scale shape (the paper's own design point): clustering caps the
+    pairwise work at sum(n_b^2) ~ N^2/k instead of N^2 — pick
+    ``n_clusters`` ~ sqrt(N)/c to hold per-cluster membership near
+    constant. The within-cluster self-join is a bucketed equi-join on
+    the cluster id (AQE splits skewed clusters); components reuse
+    ``dedup.duplicate_clusters`` (keyed label propagation, no driver
+    data loop). The documented trade is recall at cluster BOUNDARIES:
+    a cross-cluster pair above threshold is not examined — the paper
+    accepts this (duplicates land in the same cluster with high
+    probability because they are near each other in embedding space).
+    """
+    from modelardb_rs_spark.operators.dedup import duplicate_clusters
+
+    buckets = kmeans_buckets(corpus, k=n_clusters, id_col=id_col, vec_col=vec_col, seed=seed)
+    a = buckets.select(
+        "ivf_bucket",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__av__"),
+        norm(F.col(vec_col)).alias("__an__"),
+    )
+    b = buckets.select(
+        "ivf_bucket",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__bv__"),
+        norm(F.col(vec_col)).alias("__bn__"),
+    )
+    pairs = (
+        a.join(b, "ivf_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            dot(F.col("__av__"), F.col("__bv__")) / (F.col("__an__") * F.col("__bn__")),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    drop = (
+        duplicate_clusters(pairs)
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return corpus.join(drop, id_col, "left_anti")

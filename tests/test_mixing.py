@@ -1,0 +1,171 @@
+"""Domain mixing, shard shuffling, int8 quantization, semantic dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from modelardb_rs_spark.operators.mixing import domain_mix, shuffle_shards
+from modelardb_rs_spark.operators.quantize import (
+    int8_reconstruction_stats,
+    int8_scales,
+    quantize_int8,
+)
+from modelardb_rs_spark.operators.similarity import semantic_dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"src{i % 4}", f"doc {i}") for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string").persist()
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    # seeded gaussian directions: max natural pairwise cosine is 0.775
+    # (verified), so the only cos>=0.999 pairs are ones a test plants
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(60)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").persist()
+
+
+class TestDomainMix:
+    def test_whole_epochs_and_fraction(self, docs):
+        # 4 strata x 100 docs; weights give factors 2.0, 1.0, 0.6, 0 (dropped)
+        out = domain_mix(
+            docs, {"src0": 0.5, "src1": 0.25, "src2": 0.15}, "source", salt="t"
+        ).persist()
+        by = {
+            r["source"]: (r["n"], r["eps"])
+            for r in out.groupBy("source")
+            .agg(F.count("*").alias("n"), F.countDistinct("epoch").alias("eps"))
+            .collect()
+        }
+        # factor 2.222...: every doc twice, ~22% a third time
+        n0, eps0 = by["src0"]
+        assert eps0 == 3 and 200 < n0 < 260
+        # factor 1.11..: every doc once, ~11% twice
+        n1, eps1 = by["src1"]
+        assert eps1 == 2 and 100 < n1 < 140
+        # factor 0.66..: a ~2/3 subsample, epoch 0 only
+        n2, eps2 = by["src2"]
+        assert eps2 == 1 and 40 < n2 < 90
+        assert "src3" not in by  # weight 0 -> dropped
+        out.unpersist()
+
+    def test_deterministic_and_salt_independent(self, docs):
+        w = {"src0": 0.7, "src1": 0.3}
+        a = set(map(tuple, domain_mix(docs, w, "source", salt="a")
+                    .select("doc_id", "epoch").collect()))
+        b = set(map(tuple, domain_mix(docs, w, "source", salt="a")
+                    .select("doc_id", "epoch").collect()))
+        c = set(map(tuple, domain_mix(docs, w, "source", salt="b")
+                    .select("doc_id", "epoch").collect()))
+        assert a == b
+        assert a != c  # different salt resamples the fractional epochs
+
+    def test_target_total_scales_output(self, docs):
+        out = domain_mix(docs, {"src0": 1.0}, "source", target_total=50, salt="t")
+        assert 35 < out.count() < 65  # factor 0.5 over 100 docs
+
+    def test_validation(self, docs):
+        with pytest.raises(ValueError):
+            domain_mix(docs, {}, "source")
+        with pytest.raises(ValueError):
+            domain_mix(docs, {"src0": -1.0}, "source")
+
+
+class TestShuffleShards:
+    def test_positions_contiguous_per_shard(self, docs):
+        out = shuffle_shards(docs, 4, salt="s").persist()
+        assert out.count() == 400
+        stats = out.groupBy("shard").agg(
+            F.min("pos").alias("lo"), F.max("pos").alias("hi"), F.count("*").alias("n")
+        ).collect()
+        assert {r["shard"] for r in stats} == {0, 1, 2, 3}
+        for r in stats:
+            assert r["lo"] == 0 and r["hi"] == r["n"] - 1  # dense 0..n-1
+        out.unpersist()
+
+    def test_deterministic_order(self, docs):
+        a = sorted(map(tuple, shuffle_shards(docs, 4, salt="s")
+                       .select("doc_id", "shard", "pos").collect()))
+        b = sorted(map(tuple, shuffle_shards(docs, 4, salt="s")
+                       .select("doc_id", "shard", "pos").collect()))
+        assert a == b
+
+    def test_salt_reshuffles(self, docs):
+        a = dict((r["doc_id"], (r["shard"], r["pos"]))
+                 for r in shuffle_shards(docs, 4, salt="x").collect())
+        b = dict((r["doc_id"], (r["shard"], r["pos"]))
+                 for r in shuffle_shards(docs, 4, salt="y").collect())
+        assert a != b
+
+    def test_validation(self, docs):
+        with pytest.raises(ValueError):
+            shuffle_shards(docs, 0)
+
+
+class TestInt8Quantize:
+    def test_codes_in_range_and_schema(self, vecs):
+        out = quantize_int8(vecs).persist()
+        assert out.columns[:3] == ["vec_id", "int8_codes", "embedding"]
+        mx = out.select(
+            F.max(F.array_max(F.transform("int8_codes", lambda c: F.abs(c)))).alias("m")
+        ).first()["m"]
+        assert mx <= 127
+        out.unpersist()
+
+    def test_extreme_value_hits_127(self, vecs):
+        # the per-dim max |x| quantizes to exactly +-127 by construction
+        codes = {r["vec_id"]: r["int8_codes"] for r in quantize_int8(vecs).collect()}
+        flat = [c for arr in codes.values() for c in arr]
+        assert max(flat) == 127 or min(flat) == -127
+
+    def test_zero_dimension_keeps_code_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0, 2.0]), (2, [0.0, -4.0])], "vec_id long, embedding array<float>"
+        )
+        rows = {r["vec_id"]: r["int8_codes"] for r in quantize_int8(df).collect()}
+        assert rows[1][0] == 0 and rows[2][0] == 0
+        assert rows[2][1] == -127
+
+    def test_reconstruction_fidelity(self, vecs):
+        stats = int8_reconstruction_stats(vecs).collect()
+        assert len(stats) == 60
+        scales = {r["dim"]: r["scale"] for r in int8_scales(vecs).collect()}
+        half_lsb = max(scales.values()) / 2 + 1e-9
+        for r in stats:
+            assert r["max_abs_err"] <= half_lsb
+            assert r["cos_to_original"] > 0.999
+
+    def test_external_scales_reused(self, spark, vecs):
+        # quantizing a new batch with the corpus' scales keeps codes comparable
+        sc = int8_scales(vecs)
+        batch = spark.createDataFrame(
+            [(100, [1.0] * 16)], "vec_id long, embedding array<float>"
+        )
+        out = quantize_int8(batch, scales=sc).collect()
+        assert len(out[0]["int8_codes"]) == 16
+
+
+class TestSemanticDedup:
+    def test_planted_duplicates_dropped(self, vecs):
+        dups = vecs.where(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform("embedding", lambda x: (x * F.lit(1.001)).cast("float")).alias(
+                "embedding"
+            ),
+        )
+        corpus = vecs.unionByName(dups)
+        kept = {r["vec_id"] for r in semantic_dedup(
+            corpus, threshold=0.999, n_clusters=4
+        ).select("vec_id").collect()}
+        # every original survives; every planted copy (cos=1 with its
+        # lower-id original, co-clustered by the near-zero L2 offset) drops
+        assert all(i in kept for i in range(60))
+        assert all((i + 1000) not in kept for i in range(0, 60, 5))
+
+    def test_no_pairs_above_threshold_is_identity(self, vecs):
+        kept = semantic_dedup(vecs, threshold=1.1, n_clusters=4)
+        assert kept.count() == 60
