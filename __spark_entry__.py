@@ -3966,12 +3966,24 @@ def oracle_sql() -> dict[str, str]:
                min(doc_id) AS first_id
         FROM kept GROUP BY lang
     """
-    oracles["doc_domain_mix"] = """
+    # Inject the SAME normalized double literals the Spark plan uses
+    # (mixing.normalized_weights is the single normalization site;
+    # repr() round-trips doubles exactly), and the same left-to-right
+    # double op order — raw DECIMAL weights divided in-engine can differ
+    # in the last ulp and flip hash-boundary keep decisions at scale.
+    from modelardb_rs_spark.operators.mixing import normalized_weights
+
+    _mix_w = normalized_weights({"src0": 0.6, "src1": 0.3, "src2": 0.1})
+    _mix_vals = ", ".join(
+        f"('{k}', CAST({v!r} AS DOUBLE))" for k, v in _mix_w.items()
+    )
+    oracles["doc_domain_mix"] = f"""
         WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
         tot AS (SELECT count(*) AS n FROM documents),
-        w(source, wt) AS (VALUES ('src0', 0.6), ('src1', 0.3), ('src2', 0.1)),
+        w(source, wt) AS (VALUES {_mix_vals}),
         f AS (
-          SELECT cnt.source, (w.wt / 1.0) * tot.n / cnt.c AS factor
+          SELECT cnt.source,
+                 w.wt * CAST(tot.n AS DOUBLE) / CAST(cnt.c AS DOUBLE) AS factor
           FROM cnt JOIN w USING (source), tot
         ),
         reps AS (

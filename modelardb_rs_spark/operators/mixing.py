@@ -24,6 +24,23 @@ def _hash_bucket(*cols, salt: str = "", mod: int = 1_000_000):
     return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % mod
 
 
+def normalized_weights(weights: dict[str, float]) -> dict[str, float]:
+    """Validate and normalize a domain-weight dict to sum ~1 in Python
+    doubles — the SINGLE place mixture weights are normalized, so the
+    Spark plan and any cross-engine oracle can both inject identical
+    double literals (``repr`` of these values round-trips exactly) and
+    stay bit-identical through the keep-decision boundary."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for k, v in weights.items():
+        if v < 0:
+            raise ValueError(f"weight for {k!r} must be >= 0, got {v}")
+    sumw = float(sum(weights.values()))
+    if sumw <= 0:
+        raise ValueError("weights must sum to a positive value")
+    return {k: float(v) / sumw for k, v in weights.items()}
+
+
 def domain_mix(
     df: DataFrame,
     weights: dict[str, float],
@@ -56,38 +73,36 @@ def domain_mix(
     combine, |strata| rows) broadcast-joined back, then a map-only
     ``explode(sequence(...))`` whose output is exactly the kept
     replicas — no shuffle of the corpus itself, no driver action at
-    plan time. The factor arithmetic runs in JVM doubles in a fixed
-    order, so the DuckDB oracle reproduces it bit-for-bit.
+    plan time. When ``target_total`` is given, the corpus-count
+    aggregate is skipped entirely (the literal replaces it).
+
+    Cross-engine determinism: weights are normalized ONCE here in
+    Python doubles (``normalized_weights``); the plan then computes
+    ``w_norm * T / count`` left-to-right in doubles. An exact oracle
+    must inject the SAME normalized double literals (``repr(w)``
+    round-trips exactly) and the same operation order — dividing raw
+    weights by sum(w) inside the other engine can differ in the last
+    ulp (e.g. 0.6+0.3+0.1 sums to 0.9999999999999999) and flip
+    keep-decisions at the ``hash < frac*1e6`` boundary.
     """
-    if not weights:
-        raise ValueError("weights must be non-empty")
-    for k, v in weights.items():
-        if v < 0:
-            raise ValueError(f"weight for {k!r} must be >= 0, got {v}")
-    sumw = float(sum(weights.values()))
-    if sumw <= 0:
-        raise ValueError("weights must sum to a positive value")
+    norm = normalized_weights(weights)
 
     wt = F.lit(0.0)
-    for k, v in weights.items():
-        wt = F.when(F.col(strata_col) == F.lit(k), F.lit(float(v))).otherwise(wt)
+    for k, v in norm.items():
+        wt = F.when(F.col(strata_col) == F.lit(k), F.lit(v)).otherwise(wt)
 
     counts = df.groupBy(strata_col).agg(F.count("*").alias("__cnt__"))
-    total = df.agg(F.count("*").alias("__tot__"))
-    if target_total is not None:
-        total = total.select(F.lit(int(target_total)).cast("long").alias("__tot__"))
+    joined = df.join(F.broadcast(counts), strata_col)
+    if target_total is None:
+        total = df.agg(F.count("*").alias("__tot__"))
+        joined = joined.crossJoin(F.broadcast(total))
+        tot_col = F.col("__tot__").cast("double")
+    else:
+        tot_col = F.lit(float(int(target_total)))
 
-    with_f = (
-        df.join(F.broadcast(counts), strata_col)
-        .crossJoin(F.broadcast(total))
-        .withColumn(
-            "__f__",
-            (wt / F.lit(sumw))
-            * F.col("__tot__").cast("double")
-            / F.col("__cnt__").cast("double"),
-        )
-        .where(F.col("__f__") > 0)
-    )
+    with_f = joined.withColumn(
+        "__f__", wt * tot_col / F.col("__cnt__").cast("double")
+    ).where(F.col("__f__") > 0)
     reps = F.floor(F.col("__f__")).cast("int")
     frac = F.col("__f__") - F.floor(F.col("__f__"))
     # long-vs-double comparison on purpose: casting the threshold to a

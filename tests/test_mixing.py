@@ -1,9 +1,15 @@
 """Domain mixing, shard shuffling, int8 quantization, semantic dedup."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
-from modelardb_rs_spark.operators.mixing import domain_mix, shuffle_shards
+from modelardb_rs_spark.operators.mixing import (
+    domain_mix,
+    normalized_weights,
+    shuffle_shards,
+)
 from modelardb_rs_spark.operators.quantize import (
     int8_reconstruction_stats,
     int8_scales,
@@ -73,6 +79,69 @@ class TestDomainMix:
             domain_mix(docs, {}, "source")
         with pytest.raises(ValueError):
             domain_mix(docs, {"src0": -1.0}, "source")
+
+    def test_target_total_skips_corpus_count(self, docs):
+        # with an explicit target the plan must not aggregate the corpus
+        # for its size — the literal replaces the count entirely
+        plan = domain_mix(
+            docs, {"src0": 1.0}, "source", target_total=50, salt="t"
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.lower().count("aggregate") == 1  # the per-stratum counts only
+
+    def test_boundary_weights_bit_identical_to_duckdb(self, spark):
+        # Weights {0.6, 0.3, 0.1} sum to 0.9999999999999999 in doubles —
+        # the exact case where normalizing in one engine but not the
+        # other flips keep-decisions at the hash < frac*1e6 boundary.
+        # Both sides here inject the SAME normalized double literals
+        # (mixing.normalized_weights is the single normalization site),
+        # so the kept (doc_id, source, epoch) sets must match EXACTLY
+        # at sf0.1, not just statistically.
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        path = os.path.join(sf_dir, "documents.parquet")
+        if not os.path.exists(path):
+            pytest.skip("driver testdata not present")
+        import duckdb
+
+        w = {"src0": 0.6, "src1": 0.3, "src2": 0.1}
+        assert sum(w.values()) == 0.9999999999999999  # the boundary case
+        docs = spark.read.parquet(path)
+        got = {
+            (r["doc_id"], r["source"], r["epoch"])
+            for r in domain_mix(docs, w, "source", salt="mix5")
+            .select("doc_id", "source", "epoch")
+            .collect()
+        }
+        vals = ", ".join(
+            f"('{k}', CAST({v!r} AS DOUBLE))"
+            for k, v in normalized_weights(w).items()
+        )
+        sql = f"""
+            WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+            tot AS (SELECT count(*) AS n FROM documents),
+            w(source, wt) AS (VALUES {vals}),
+            f AS (
+              SELECT cnt.source,
+                     w.wt * CAST(tot.n AS DOUBLE) / CAST(cnt.c AS DOUBLE) AS factor
+              FROM cnt JOIN w USING (source), tot
+            ),
+            reps AS (
+              SELECT d.doc_id, d.source, f.factor, u.epoch
+              FROM documents d JOIN f USING (source),
+                   LATERAL (SELECT unnest(generate_series(
+                       0, CAST(greatest(ceil(f.factor) - 1, 0) AS BIGINT))) AS epoch) u
+            )
+            SELECT doc_id, source, CAST(epoch AS INT) AS epoch FROM reps
+            WHERE epoch < floor(factor)
+               OR CAST(concat('0x', substr(md5(concat_ws(':',
+                    CAST(doc_id AS VARCHAR), CAST(epoch AS VARCHAR), 'mix5')), 1, 8)) AS BIGINT)
+                  % 1000000 < (factor - floor(factor)) * 1000000
+        """
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+        )
+        want = set(map(tuple, con.execute(sql).fetchall()))
+        assert got == want
 
 
 class TestShuffleShards:
