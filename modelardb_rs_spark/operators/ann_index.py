@@ -134,6 +134,7 @@ def append_to_ivf_index(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Incrementally grow a persisted index: assign each new vector to
     its nearest EXISTING centroid (no retrain — classic IVF add) and
@@ -141,7 +142,10 @@ def append_to_ivf_index(
     Centroids stay fixed, so every prior probe plan remains valid; they
     drift from the true bucket means as appends accumulate, which is
     the standard IVF trade — rebuild with ``build_ivf_index`` when
-    recall sags. Returns ``{"appended"}``."""
+    recall sags. ``txn`` passes a SetTransaction replay gate through to
+    the commit (see Engine.write) for exactly-once streaming appends —
+    same contract as ``dedup_index.append_to_minhash_index``. Returns
+    ``{"appended", "replayed"}``."""
     cents = _cached_centroids(engine, index_name)
     w = Window.partitionBy("__id__").orderBy(F.col("__ccos__").desc(), F.col("ivf_bucket"))
     assigned = (
@@ -180,8 +184,15 @@ def append_to_ivf_index(
         assigned = enc.withColumn("pq_norm", F.sqrt(dot(recon, recon))).select(
             id_col, vec_col, "ivf_bucket", "pq_codes", "pq_norm"
         )
-    engine.write(_vectors_table(index_name), assigned, partition_by=["ivf_bucket"])
-    return {"appended": new_vectors.count()}
+    version = engine.write(
+        _vectors_table(index_name), assigned, partition_by=["ivf_bucket"], txn=txn
+    )
+    if version is None:
+        # txn replay gate skipped the commit: nothing was appended, and
+        # reporting new_vectors.count() would both mislead exactly-once
+        # audits and launch a pointless Spark job on the no-op path.
+        return {"appended": 0, "replayed": True}
+    return {"appended": new_vectors.count(), "replayed": False}
 
 
 def _pqbooks_table(index_name: str) -> str:

@@ -72,6 +72,35 @@ def test_incremental_append(engine, emb):
     assert got <= buckets
 
 
+def test_append_txn_replay_is_exactly_once(engine, emb):
+    # At-least-once delivery replays the same (app_id, epoch) append:
+    # the SetTransaction gate must skip the duplicate commit WITHOUT
+    # launching a count job, and report appended=0/replayed=True —
+    # same contract as dedup_index.append_to_minhash_index.
+    first = emb.where(F.col("vec_id") < 400)
+    batch = emb.where(F.col("vec_id") >= 400)
+    ann_index.build_ivf_index(engine, "txidx", first, bucket_col="label")
+    stats1 = ann_index.append_to_ivf_index(
+        engine, "txidx", batch, txn=("stream-app", 1)
+    )
+    assert stats1 == {"appended": batch.count(), "replayed": False}
+    n_after_first = engine.table("txidx__vectors").count()
+
+    # replay of the same epoch: no-op, no duplicate rows
+    stats2 = ann_index.append_to_ivf_index(
+        engine, "txidx", batch, txn=("stream-app", 1)
+    )
+    assert stats2 == {"appended": 0, "replayed": True}
+    assert engine.table("txidx__vectors").count() == n_after_first
+
+    # a LATER epoch from the same app still applies
+    stats3 = ann_index.append_to_ivf_index(
+        engine, "txidx", batch.limit(5), txn=("stream-app", 2)
+    )
+    assert stats3["replayed"] is False and stats3["appended"] == 5
+    assert engine.table("txidx__vectors").count() == n_after_first + 5
+
+
 def test_rag_pipeline_roundtrip(engine, spark):
     """chunk -> embed -> index -> search: a query made from a document's
     own prefix retrieves that document's first chunk at rank 1."""
