@@ -4010,6 +4010,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1 AS INT) AS pos
         FROM t
     """
+    # Order-INDEPENDENT float reductions: the dot products reduce
+    # dim-ordered lists left-to-right via list_reduce — the exact
+    # sequential order Spark's F.aggregate uses (0.0 + t0 == t0 in
+    # doubles) — instead of a grouped sum() whose addition order
+    # DuckDB's parallel hash aggregate is free to permute.
     oracles["sim_int8_quantize"] = """
         WITH ex AS (
           SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
@@ -4018,17 +4023,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         sc AS (SELECT dim, max(abs(x)) / 127.0 AS scale FROM ex GROUP BY dim),
         dq AS (
-          SELECT vec_id, x,
+          SELECT vec_id, dim, x,
                  CASE WHEN scale > 0
                       THEN greatest(-127.0, least(127.0, round(x / scale, 0))) * scale
                       ELSE 0.0 END AS y
-          FROM ex JOIN sc USING (dim) ORDER BY vec_id, dim
+          FROM ex JOIN sc USING (dim)
+        ),
+        v AS (
+          SELECT vec_id,
+                 list(abs(x - y) ORDER BY dim) AS errs,
+                 list(CAST(x AS DOUBLE) * y ORDER BY dim) AS xy,
+                 list(CAST(x AS DOUBLE) * x ORDER BY dim) AS xx,
+                 list(y * y ORDER BY dim) AS yy
+          FROM dq GROUP BY vec_id
         )
-        SELECT vec_id, round(max(abs(x - y)), 6) AS max_abs_err,
-               round(sum(CAST(x AS DOUBLE) * y)
-                     / (sqrt(sum(CAST(x AS DOUBLE) * x)) * sqrt(sum(y * y))), 6)
+        SELECT vec_id, round(list_max(errs), 6) AS max_abs_err,
+               round(list_reduce(xy, (a, b) -> a + b)
+                     / (sqrt(list_reduce(xx, (a, b) -> a + b))
+                        * sqrt(list_reduce(yy, (a, b) -> a + b))), 6)
                  AS cos_to_original
-        FROM dq GROUP BY vec_id
+        FROM v
     """
     # the planted 1.001-scaled copies (cosine exactly 1, co-clustered by
     # construction) are precisely the dropped set, so the kept corpus is

@@ -36,6 +36,26 @@ def _scales_array(scales: DataFrame):
     )
 
 
+def _guard_scales_len(vec_col: str, result):
+    """Fail loudly when the broadcast scales array's length mismatches a
+    vector: ``zip_with`` would silently null-pad and the ``otherwise(0)``
+    zero-dimension branch would then emit all-zero codes for the excess
+    dims — a wrong-scales bug (e.g. scales fit on a different-dimension
+    corpus) must surface as an error, not as corrupt codes."""
+    return F.when(
+        F.size(F.col(vec_col)) != F.size(F.col("__scales__")),
+        F.raise_error(
+            F.concat_ws(
+                " ",
+                F.lit("int8 quantization: scales length"),
+                F.size(F.col("__scales__")).cast("string"),
+                F.lit("!= vector length"),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        ),
+    ).otherwise(result)
+
+
 def quantize_int8(
     corpus: DataFrame,
     scales: DataFrame | None = None,
@@ -48,7 +68,8 @@ def quantize_int8(
     input column). Map-only after the one tiny scales broadcast;
     ``scales`` defaults to ``int8_scales(corpus)`` but should be the
     TRAINING corpus' scales when quantizing a query/append batch, so
-    codes stay comparable."""
+    codes stay comparable. A scales/vector length mismatch raises
+    (``_guard_scales_len``) instead of silently zero-padding codes."""
     sc = _scales_array(int8_scales(corpus, vec_col) if scales is None else scales)
     q = F.zip_with(
         F.col(vec_col),
@@ -63,7 +84,12 @@ def quantize_int8(
     others = [c for c in corpus.columns if c not in (id_col, vec_col)]
     return (
         corpus.crossJoin(F.broadcast(sc))
-        .select(F.col(id_col), q.alias("int8_codes"), vec_col, *others)
+        .select(
+            F.col(id_col),
+            _guard_scales_len(vec_col, q).alias("int8_codes"),
+            vec_col,
+            *others,
+        )
         .drop("__scales__")
     )
 
@@ -94,7 +120,9 @@ def int8_reconstruction_stats(
             * s,
         ).otherwise(F.lit(0.0)),
     )
-    with_dq = corpus.crossJoin(F.broadcast(sc)).withColumn("__dq__", dq)
+    with_dq = corpus.crossJoin(F.broadcast(sc)).withColumn(
+        "__dq__", _guard_scales_len(vec_col, dq)
+    )
     err = F.array_max(
         F.zip_with(F.col(vec_col), F.col("__dq__"), lambda x, y: F.abs(x - y))
     )

@@ -208,6 +208,18 @@ class TestInt8Quantize:
             assert r["max_abs_err"] <= half_lsb
             assert r["cos_to_original"] > 0.999
 
+    def test_mismatched_scales_length_raises(self, spark, vecs):
+        # scales fit on a 16-dim corpus must not silently zero-pad an
+        # 8-dim batch (zip_with null-padding) — it must raise
+        sc = int8_scales(vecs)  # 16 dims
+        batch = spark.createDataFrame(
+            [(1, [1.0] * 8)], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(Exception, match="scales length"):
+            quantize_int8(batch, scales=sc).collect()
+        with pytest.raises(Exception, match="scales length"):
+            int8_reconstruction_stats(batch, scales=sc).collect()
+
     def test_external_scales_reused(self, spark, vecs):
         # quantizing a new batch with the corpus' scales keeps codes comparable
         sc = int8_scales(vecs)
