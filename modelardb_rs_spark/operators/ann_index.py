@@ -351,6 +351,7 @@ def ivfpq_topk(
     rerank: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k against a persisted IVF-PQ index: ADC
     only WITHIN the probed buckets.
@@ -365,18 +366,26 @@ def ivfpq_topk(
     ``ivf_bucket``, and scoring reads ONLY (id, bucket, codes, norm) —
     column pruning drops the raw vectors. ``rerank=N`` re-ranks an
     N-candidate shortlist with true cosine, reading raw vectors for
-    |Q| x N rows out of the probed partitions only."""
+    |Q| x N rows out of the probed partitions only. The query-set
+    collect is bounded by ``max_queries`` (default
+    ``similarity.MAX_COLLECTED_QUERIES``; over-limit raises — use
+    ``ivf_index_topk`` for large query tables)."""
     import numpy as np
 
     from modelardb_rs_spark.operators import pq as pq_ops
-    from modelardb_rs_spark.operators.similarity import dot, norm, ranked_topk
+    from modelardb_rs_spark.operators.similarity import (
+        collect_query_rows,
+        dot,
+        norm,
+        ranked_topk,
+    )
 
     books = _cached_pq_books(engine, index_name)
     cents = {
         int(r["ivf_bucket"]): np.asarray(list(r["centroid"]))
         for r in _cached_centroids(engine, index_name).collect()
     }
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = collect_query_rows(queries, id_col, vec_col, max_queries)
     lut_rows = []
     for r in qrows:
         qv = np.asarray(list(r[1]), dtype=np.float64)

@@ -182,12 +182,15 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: int | None = None,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via ADC over PQ codes.
 
     Queries collect driver-side (few — the broadcast-queries shape of
-    brute_force_topk); each gets an m×ks inner-product lookup table
-    shipped as one literal array. The corpus side reads ONLY
+    brute_force_topk), bounded by ``max_queries`` (default
+    ``similarity.MAX_COLLECTED_QUERIES``; over-limit raises — see
+    ``collect_query_rows``); each gets an m×ks inner-product lookup
+    table shipped as one literal array. The corpus side reads ONLY
     (id, pq_codes, pq_norm): scoring is m `element_at` lookups per
     pair, then one per-query window ranks. Output matches
     brute_force_topk: (query_id, neighbor_id, cos, rank) with cos the
@@ -198,7 +201,9 @@ def pq_topk(
     TRUE cosine ranks only those N rows — the raw vectors are read for
     |Q|·N rows instead of the whole corpus, trading a sliver of I/O for
     near-exact recall."""
-    qrows = queries.select(id_col, vec_col).collect()
+    from modelardb_rs_spark.operators.similarity import collect_query_rows
+
+    qrows = collect_query_rows(queries, id_col, vec_col, max_queries)
     spark = encoded.sparkSession
     lut_rows = []
     for r in qrows:

@@ -40,6 +40,36 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+MAX_COLLECTED_QUERIES = 4096
+
+
+def collect_query_rows(
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int | None = None,
+):
+    """Driver-side query-set collect for the LUT-broadcast ANN serving
+    paths (``pq.pq_topk``, ``ann_index.ivfpq_topk``), bounded so a
+    mistakenly-large query TABLE fails with a clear error instead of
+    building |Q| per-query lookup tables on the driver. The bound is
+    enforced with a ``limit(n+1)`` collect — no separate count job.
+    For query sets beyond the bound, the distributed-query paths
+    (``ivf_index_topk`` / ``brute_force_topk``) are the right tool;
+    callers with a deliberate larger broadcast budget pass
+    ``max_queries`` explicitly."""
+    bound = MAX_COLLECTED_QUERIES if max_queries is None else int(max_queries)
+    rows = queries.select(id_col, vec_col).limit(bound + 1).collect()
+    if len(rows) > bound:
+        raise ValueError(
+            f"query set exceeds {bound} rows: this ANN path collects queries "
+            "driver-side to broadcast per-query LUTs; use ivf_index_topk or "
+            "brute_force_topk for large query tables, or raise max_queries "
+            "explicitly"
+        )
+    return rows
+
+
 def ranked_topk(
     scored: DataFrame,
     k: int,

@@ -165,6 +165,12 @@ def test_ivfpq_build_probe_recall_and_determinism(engine, emb):
     assert len(e & a) / len(e) >= 0.4
     again = ann_index.ivfpq_topk(engine, "pqidx", queries, k=5, nprobe=4, rerank=30)
     assert sorted(map(tuple, approx.collect())) == sorted(map(tuple, again.collect()))
+    # the driver-side query collect is bounded: an over-limit query
+    # TABLE raises with a pointer at the distributed-query paths
+    import pytest
+
+    with pytest.raises(ValueError, match="query set exceeds"):
+        ann_index.ivfpq_topk(engine, "pqidx", emb, k=5, max_queries=50)
 
 
 def test_ivfpq_probe_prunes_partitions_and_reads_codes_only(engine, emb):

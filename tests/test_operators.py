@@ -659,3 +659,8 @@ def test_pq_topk_recall_with_rerank(spark):
            for r in pq_ops.pq_topk(enc, books, q, k=5, rerank=40).collect()}
     recall = len(exact & rer) / len(exact)
     assert recall >= 0.8, recall
+    # the driver-side query collect is bounded: an over-limit query
+    # TABLE raises instead of building |Q| LUTs on the driver
+    with pytest.raises(ValueError, match="query set exceeds"):
+        pq_ops.pq_topk(enc, books, df, k=5, max_queries=100)
+    assert len(pq_ops.pq_topk(enc, books, q, k=5, max_queries=5).collect()) == 25
