@@ -242,19 +242,35 @@ def kmeans_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    fit_sample: int | None = None,
 ) -> DataFrame:
     """Train an IVF coarse quantizer with Spark MLlib KMeans and assign
     every vector its bucket — the index-build step for ``ivf_topk`` when
     no natural cluster column exists. Returns the corpus plus an
-    ``ivf_bucket`` int column; training runs on a sample-sized driver fit
-    (MLlib distributes the iterations), assignment is a map-only
-    transform."""
+    ``ivf_bucket`` int column; assignment is a map-only transform.
+
+    ``fit_sample`` bounds the TRAINING set: the fit runs on that many
+    vectors ranked by a seeded hash of their id (the
+    ``pq.train_pq_codebooks`` sampling contract — deterministic and
+    content-unbiased, unlike lowest-ids-first on a corpus whose ids
+    track ingest time), while assignment still covers every vector.
+    Coarse centroids converge on a sample (k << sample works fine);
+    iterating MLlib over the full corpus buys nothing at 100TB scale.
+    Default None keeps the historical full-corpus fit for small/exact
+    callers."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     with_vec = corpus.withColumn("__mlvec__", array_to_vector(F.col(vec_col).cast("array<double>")))
+    fit_input = with_vec
+    if fit_sample is not None:
+        fit_input = (
+            with_vec.select(id_col, "__mlvec__")
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+            .limit(int(fit_sample))
+        )
     model = KMeans(k=k, seed=seed, featuresCol="__mlvec__", predictionCol="ivf_bucket").fit(
-        with_vec
+        fit_input
     )
     return model.transform(with_vec).drop("__mlvec__")
 
@@ -444,6 +460,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    fit_sample: int = 65536,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cluster the embeddings, find
@@ -460,35 +478,59 @@ def semantic_dedup(
     Scale shape (the paper's own design point): clustering caps the
     pairwise work at sum(n_b^2) ~ N^2/k instead of N^2 — pick
     ``n_clusters`` ~ sqrt(N)/c to hold per-cluster membership near
-    constant. The within-cluster self-join is a bucketed equi-join on
-    the cluster id (AQE splits skewed clusters); components reuse
-    ``dedup.duplicate_clusters`` (keyed label propagation, no driver
-    data loop). The documented trade is recall at cluster BOUNDARIES:
-    a cross-cluster pair above threshold is not examined — the paper
-    accepts this (duplicates land in the same cluster with high
-    probability because they are near each other in embedding space).
+    constant. The KMeans fit runs on a bounded seeded hash-ordered
+    sample (``fit_sample``, the ``pq.train_pq_codebooks`` contract) —
+    never a full-corpus MLlib iterate — and ``assignments`` skips the
+    fit entirely by reusing an EXISTING clustering as a DataFrame of
+    (id_col, ivf_bucket), e.g. a persisted ANN index's
+    ``<name>__vectors`` table (``ann_index.build_ivf_index``), so one
+    clustering serves both search and dedup. The within-cluster
+    self-join carries IDS ONLY (narrow rows through the bucket-keyed
+    exchange, where a whole cluster lands on one task); exact-cosine
+    verification re-attaches vectors by id afterwards — uniformly
+    hash-partitioned wide rows, the ``embedding_near_dup_pairs`` shape.
+    Components reuse ``dedup.duplicate_clusters`` (keyed label
+    propagation, no driver data loop). The documented trade is recall
+    at cluster BOUNDARIES: a cross-cluster pair above threshold is not
+    examined — the paper accepts this (duplicates land in the same
+    cluster with high probability because they are near each other in
+    embedding space). Measured fit/pairwise scaling: SCALE.md
+    "Round-7".
     """
     from modelardb_rs_spark.operators.dedup import duplicate_clusters
 
-    buckets = kmeans_buckets(corpus, k=n_clusters, id_col=id_col, vec_col=vec_col, seed=seed)
-    a = buckets.select(
-        "ivf_bucket",
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__av__"),
-        norm(F.col(vec_col)).alias("__an__"),
-    )
-    b = buckets.select(
-        "ivf_bucket",
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__bv__"),
-        norm(F.col(vec_col)).alias("__bn__"),
-    )
-    pairs = (
+    if assignments is not None:
+        buckets = corpus.select(id_col).join(
+            assignments.select(id_col, "ivf_bucket"), id_col
+        )
+    else:
+        buckets = kmeans_buckets(
+            corpus,
+            k=n_clusters,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            fit_sample=fit_sample,
+        ).select(id_col, "ivf_bucket")
+    a = buckets.select("ivf_bucket", F.col(id_col).alias("id_a"))
+    b = buckets.select("ivf_bucket", F.col(id_col).alias("id_b"))
+    cands = (
         a.join(b, "ivf_bucket")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid__"),
+        F.col(vec_col).alias("__v__"),
+        norm(F.col(vec_col)).alias("__n__"),
+    )
+    pairs = (
+        cands.join(vecs.withColumnRenamed("__vid__", "id_a"), "id_a")
+        .withColumnsRenamed({"__v__": "__av__", "__n__": "__an__"})
+        .join(vecs.withColumnRenamed("__vid__", "id_b"), "id_b")
         .withColumn(
             "cos",
-            dot(F.col("__av__"), F.col("__bv__")) / (F.col("__an__") * F.col("__bn__")),
+            dot(F.col("__av__"), F.col("__v__")) / (F.col("__an__") * F.col("__n__")),
         )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b")

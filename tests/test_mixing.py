@@ -250,3 +250,38 @@ class TestSemanticDedup:
     def test_no_pairs_above_threshold_is_identity(self, vecs):
         kept = semantic_dedup(vecs, threshold=1.1, n_clusters=4)
         assert kept.count() == 60
+
+    def test_sample_fit_bounds_training_set(self, vecs):
+        # fit on 20 of 60 vectors — assignment still covers all, and the
+        # planted exact duplicates still co-cluster and drop
+        dups = vecs.where(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform("embedding", lambda x: (x * F.lit(1.001)).cast("float")).alias(
+                "embedding"
+            ),
+        )
+        corpus = vecs.unionByName(dups)
+        kept = {r["vec_id"] for r in semantic_dedup(
+            corpus, threshold=0.999, n_clusters=4, fit_sample=20
+        ).select("vec_id").collect()}
+        assert all(i in kept for i in range(60))
+        assert all((i + 1000) not in kept for i in range(0, 60, 5))
+
+    def test_reuses_external_assignments(self, vecs):
+        # a precomputed clustering (e.g. a persisted IVF index's vectors
+        # table) skips the KMeans fit entirely
+        from modelardb_rs_spark.operators.similarity import kmeans_buckets
+
+        dups = vecs.where(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform("embedding", lambda x: (x * F.lit(1.001)).cast("float")).alias(
+                "embedding"
+            ),
+        )
+        corpus = vecs.unionByName(dups)
+        assigns = kmeans_buckets(corpus, k=4).select("vec_id", "ivf_bucket")
+        kept = {r["vec_id"] for r in semantic_dedup(
+            corpus, threshold=0.999, assignments=assigns
+        ).select("vec_id").collect()}
+        assert all(i in kept for i in range(60))
+        assert all((i + 1000) not in kept for i in range(0, 60, 5))
