@@ -2068,6 +2068,57 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("vec_id").orderBy("vec_id")
 
 
+def doc_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-batch prep — the mixing→packing composition
+    downstream of cleaning (the companion to doc_clean_pipeline):
+    token-count quality gate → exact dedup (min id per normalized
+    fingerprint) → domain re-weighting to 50/30/20 target shares with
+    epoch replicas (operators/mixing.py::domain_mix) → deterministic
+    4-shard global shuffle (shuffle_shards) → 256-token sequence
+    packing in shuffled shard order (packing.py::pack_documents, the
+    distributed prefix sum). One SQL oracle reproduces the WHOLE chain
+    row-exactly: every stage is hash-deterministic, the mix weights are
+    the same normalized double literals on both engines, and the packed
+    token spans pin the final layout — drift in any stage, or in how
+    the stages compose, breaks the compare."""
+    from modelardb_rs_spark.operators.mixing import domain_mix, shuffle_shards
+    from modelardb_rs_spark.operators.packing import pack_documents
+    from modelardb_rs_spark.operators.text import token_count
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    gated = docs.withColumn("n_tok", token_count(F.col("text")).cast("long")).where(
+        F.col("n_tok") >= 20
+    )
+    deduped = dedup_ops.distinct_documents(gated)
+    mixed = domain_mix(
+        deduped, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "source", salt="train7"
+    )
+    # replica id: epoch fits in 6 bits (max factor here ~10 epochs —
+    # w_max * |sources| with near-uniform strata; 64 leaves headroom)
+    rep = mixed.withColumn(
+        "rep_id", F.col("doc_id") * F.lit(64).cast("long") + F.col("epoch")
+    )
+    sharded = shuffle_shards(rep, 4, id_col="rep_id", salt="train7")
+    # pack in shuffled training order: shard-major, position-minor
+    packed_in = sharded.withColumn(
+        "pack_id",
+        F.col("shard").cast("long") * F.lit(1 << 40).cast("long") + F.col("pos"),
+    )
+    packed = pack_documents(packed_in, 256, id_col="pack_id", token_count_col="n_tok")
+    return packed.join(
+        packed_in.select("pack_id", "doc_id", "epoch", "shard"), "pack_id"
+    ).select(
+        "doc_id",
+        "epoch",
+        "shard",
+        "seq_id",
+        "doc_token_start",
+        "doc_token_end",
+        "seq_token_start",
+        "n_tokens",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2194,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shuffle_shards": doc_shuffle_shards,
         "sim_int8_quantize": sim_int8_quantize,
         "sim_semantic_dedup": sim_semantic_dedup,
+        "doc_train_pipeline": doc_train_pipeline,
     }
 
 
@@ -4049,5 +4101,81 @@ def oracle_sql() -> dict[str, str]:
     # exactly the original embeddings table
     oracles["sim_semantic_dedup"] = """
         SELECT vec_id FROM embeddings ORDER BY vec_id
+    """
+    # whole-chain train-prep oracle: gate → dedup → mix (same normalized
+    # double literals as the Spark plan) → shard shuffle → 256-token pack,
+    # composed in one statement; 1099511627776 = 1<<40 (the pack_id shard
+    # stride)
+    _train_w = normalized_weights({"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    _train_vals = ", ".join(
+        f"('{k}', CAST({v!r} AS DOUBLE))" for k, v in _train_w.items()
+    )
+    oracles["doc_train_pipeline"] = rf"""
+        WITH toks AS (
+          SELECT doc_id, source, text,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+          FROM documents
+        ),
+        gated AS (SELECT * FROM toks WHERE n_tok >= 20),
+        deduped AS (
+          SELECT doc_id, source, n_tok FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                ORDER BY doc_id) AS rn
+            FROM gated) WHERE rn = 1
+        ),
+        cnt AS (SELECT source, count(*) AS c FROM deduped GROUP BY source),
+        tot AS (SELECT count(*) AS n FROM deduped),
+        w(source, wt) AS (VALUES {_train_vals}),
+        f AS (
+          SELECT cnt.source,
+                 w.wt * CAST(tot.n AS DOUBLE) / CAST(cnt.c AS DOUBLE) AS factor
+          FROM cnt JOIN w USING (source), tot
+        ),
+        reps AS (
+          SELECT d.doc_id, d.n_tok, f.factor, u.epoch
+          FROM deduped d JOIN f USING (source),
+               LATERAL (SELECT unnest(generate_series(
+                   0, CAST(greatest(ceil(f.factor) - 1, 0) AS BIGINT))) AS epoch) u
+        ),
+        mixed AS (
+          SELECT doc_id, n_tok, CAST(epoch AS INT) AS epoch FROM reps
+          WHERE epoch < floor(factor)
+             OR CAST(concat('0x', substr(md5(concat_ws(':',
+                  CAST(doc_id AS VARCHAR), CAST(epoch AS VARCHAR), 'train7')), 1, 8)) AS BIGINT)
+                % 1000000 < (factor - floor(factor)) * 1000000
+        ),
+        rep AS (SELECT *, doc_id * 64 + epoch AS rep_id FROM mixed),
+        positioned AS (
+          SELECT *, row_number() OVER (PARTITION BY shard ORDER BY k, rep_id) - 1 AS pos
+          FROM (
+            SELECT *,
+                   CAST(CAST(concat('0x', substr(md5(concat_ws(':',
+                       CAST(rep_id AS VARCHAR), 'train7')), 1, 8)) AS BIGINT) % 4 AS INT) AS shard,
+                   md5(concat(CAST(rep_id AS VARCHAR), 'train7')) AS k
+            FROM rep)
+        ),
+        nz AS (
+          SELECT doc_id, epoch, shard,
+                 CAST(shard AS BIGINT) * 1099511627776 + pos AS pack_id,
+                 CAST(n_tok AS BIGINT) AS n
+          FROM positioned WHERE n_tok > 0
+        ),
+        placed AS (
+          SELECT *, CAST(COALESCE(SUM(n) OVER (ORDER BY pack_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+          FROM nz
+        ),
+        spans AS (
+          SELECT *, unnest(range(s // 256, (s + n - 1) // 256 + 1)) AS seq_id
+          FROM placed
+        )
+        SELECT doc_id, epoch, shard, seq_id,
+               GREATEST(seq_id*256, s) - s AS doc_token_start,
+               LEAST((seq_id+1)*256, s+n) - s AS doc_token_end,
+               GREATEST(seq_id*256, s) - seq_id*256 AS seq_token_start,
+               LEAST((seq_id+1)*256, s+n) - GREATEST(seq_id*256, s) AS n_tokens
+        FROM spans
     """
     return oracles

@@ -54,6 +54,7 @@ HEADLINE = [
     "doc_span_dedup",
     "q_interval_join",
     "doc_clean_pipeline",
+    "doc_train_pipeline",
     "ts_correlation",
 ]
 
