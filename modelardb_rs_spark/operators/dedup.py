@@ -198,7 +198,7 @@ def minhash_signatures(
     frame, and near-threshold pairs jitter — precision is untouched
     because ``verify_candidate_pairs`` always re-checks candidates
     against FULL shingle sets. Measured recall/cost curve: SCALE.md
-    "Round-5". The sampled signatures are a different hash scheme than
+    "Round-7". The sampled signatures are a different hash scheme than
     the unsampled ones — persisted indexes record it (dedup_index.py).
     """
     ex = explode_shingles(df, text_col, id_col, n, keep_mod=shingle_keep_mod)
@@ -245,12 +245,36 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded LSH over MinHash signatures: documents sharing any band's
     concatenated hash become a candidate pair. Equi-join on the band
     key — the only shuffle keys are (band, band_hash), so the work is
-    proportional to bucket sizes, never all-pairs."""
+    proportional to bucket sizes, never all-pairs.
+
+    ``max_bucket`` (default off) skips buckets holding more than that
+    many documents before the self-join. A bucket of size s emits
+    s*(s-1)/2 pairs, so one degenerate bucket (boilerplate band hash,
+    or sampled-signature variance under ``shingle_keep_mod`` — see
+    SCALE.md "Round-7", where mod=4 at 4M docs inflated the candidate
+    shuffle past 90 GB) can dominate the entire candidate volume while
+    contributing almost only false positives: a TRUE near-dup group of
+    g docs needs only some bucket of size >= 2 holding each pair, and
+    real groups are small, so a cap in the hundreds leaves their
+    buckets untouched. The cost is one combiner-friendly count over
+    the band keys (narrow rows, partial aggregation map-side); the
+    trade is recall of pairs whose EVERY colliding bucket exceeds the
+    cap — measured on the probe corpus in SCALE.md "Round-7"."""
     exploded = band_keys(signatures, bands, id_col)
+    if max_bucket is not None:
+        sizes = exploded.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("__bucket_n__")
+        )
+        exploded = (
+            exploded.join(sizes, ["band", "band_hash"])
+            .where(F.col("__bucket_n__") <= max_bucket)
+            .drop("__bucket_n__")
+        )
     l, r = exploded.alias("l"), exploded.alias("r")
     return (
         l.join(r, ["band", "band_hash"])

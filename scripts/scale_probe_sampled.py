@@ -15,6 +15,12 @@ quantity sampling trades (verification is exact and unsampled in the
 pipeline, so pair precision is structural).
 
 Usage: python scripts/scale_probe_sampled.py [N] [sf_dir] [mods_csv]
+         [max_bucket]
+
+``max_bucket`` (optional) applies the LSH bucket-size cap to every mod
+in the run — the structural mitigation for the sampled-variance
+candidate inflation this probe measured at N=800/mod=4 (the candidate
+distinct's shuffle overflowed the disk; SCALE.md "Round-7").
 """
 
 from __future__ import annotations
@@ -38,6 +44,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 800
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     mods = [int(m) for m in (sys.argv[3].split(",") if len(sys.argv) > 3 else ["1", "4", "8"])]
+    max_bucket = int(sys.argv[4]) if len(sys.argv) > 4 else None
     spark = make_spark(app_name="sparkmodelar-sampled-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -62,7 +69,13 @@ def main() -> None:
     )
     n_truth = truth.count()
 
-    out = {"n_copies": n, "docs": rows, "true_pairs": n_truth, "mods": {}}
+    out = {
+        "n_copies": n,
+        "docs": rows,
+        "true_pairs": n_truth,
+        "max_bucket": max_bucket,
+        "mods": {},
+    }
     for mod in mods:
         # ONE pass over the candidate set: the band join + distinct run
         # exactly as in production (that IS the measured cost), but the
@@ -71,7 +84,7 @@ def main() -> None:
         # is what filled the disk on the first attempt at this probe.
         t0 = time.time()
         sigs = dedup_ops.minhash_signatures(rep, k=16, n=3, shingle_keep_mod=mod)
-        cands = dedup_ops.lsh_candidate_pairs(sigs, bands=8)
+        cands = dedup_ops.lsh_candidate_pairs(sigs, bands=8, max_bucket=max_bucket)
         agg = (
             cands.join(
                 F.broadcast(truth.withColumn("__t__", F.lit(1))),

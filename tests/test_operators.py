@@ -85,6 +85,27 @@ def test_shingle_sampling_default_off_and_recall(docs):
     assert {(0, 1, 1.0), (0, 5, 1.0), (1, 5, 1.0)} <= sampled
 
 
+def test_lsh_bucket_cap_prunes_degenerate_buckets(spark):
+    """max_bucket must drop the quadratic pairs of an oversized bucket
+    while keeping every pair of a small true-dup bucket."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [Row(doc_id=0, text=base), Row(doc_id=1, text=base)]  # true dups
+    # 30 identical boilerplate docs: one degenerate bucket per band
+    rows += [Row(doc_id=100 + i, text="standard legal disclaimer text here") for i in range(30)]
+    docs = spark.createDataFrame(rows)
+    sigs = dedup_ops.minhash_signatures(docs, k=16)
+    uncapped = {(r.id_a, r.id_b) for r in dedup_ops.lsh_candidate_pairs(sigs, bands=8).collect()}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup_ops.lsh_candidate_pairs(sigs, bands=8, max_bucket=10).collect()
+    }
+    assert (0, 1) in uncapped and (0, 1) in capped
+    boiler_uncapped = {p for p in uncapped if p[0] >= 100}
+    assert len(boiler_uncapped) == 30 * 29 // 2  # the quadratic blowup
+    assert not any(p[0] >= 100 for p in capped)  # entirely pruned
+    assert capped == {(0, 1)}
+
+
 def test_verify_candidates_matches_exact(docs):
     """verify_candidate_pairs fed every pair must reproduce the exact
     inverted-index Jaccard operator bit-for-bit."""
