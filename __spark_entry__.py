@@ -1227,6 +1227,29 @@ def dedup_sampled_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_capped_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate generation under the bucket-size cap
+    (dedup.lsh_candidate_pairs(max_bucket=)): buckets holding more than
+    the cap are pruned BEFORE the candidate self-join — the structural
+    guard against degenerate-bucket quadratic blowup measured in
+    SCALE.md "Round-7" (sampled signatures at 4M docs overflowed the
+    candidate shuffle). The oracle reproduces the banding AND the cap
+    in SQL; the uncapped count rides along so the row also proves the
+    cap pruned something real when buckets exceed it."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    sigs = dedup_ops.minhash_signatures(docs, k=16, n=3)
+    capped = dedup_ops.lsh_candidate_pairs(sigs, bands=8, max_bucket=4)
+    uncapped = dedup_ops.lsh_candidate_pairs(sigs, bands=8)
+    a = capped.agg(
+        F.count("*").alias("n_capped"),
+        F.coalesce(F.sum(F.col("id_a") + F.col("id_b")), F.lit(0))
+        .cast("long")
+        .alias("sum_capped_ids"),
+    )
+    b = uncapped.agg(F.count("*").alias("n_uncapped"))
+    return a.crossJoin(b)
+
+
 def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's end product (operators/dedup.py::
     deduplicate_corpus): the corpus minus near-duplicates — LSH-blocked
@@ -2199,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
         "dedup_minhash_verified": dedup_minhash_verified,
         "dedup_sampled_recall": dedup_sampled_recall,
+        "dedup_capped_lsh": dedup_capped_lsh,
         "dedup_corpus": dedup_corpus,
         "sim_bruteforce_topk": sim_bruteforce_topk,
         "sim_threshold_count": sim_threshold_count,
@@ -2266,9 +2290,9 @@ WITH toks AS (
 )
 """
 
-# MinHash(k=16) → 8 bands of 2 → LSH candidates → exact Jaccard on the
-# candidate pairs only — the DuckDB mirror of dedup.minhash_dedup_pairs.
-_MINHASH_VERIFY_CTE = (
+# MinHash(k=16) → 8 bands of 2 — the shared banding mirror of
+# dedup.minhash_signatures + band_keys.
+_MINHASH_BANDS_CTE = (
     _SHINGLE_CTE
     + ", sig AS (SELECT doc_id, "
     + ", ".join(
@@ -2282,7 +2306,14 @@ _MINHASH_VERIFY_CTE = (
         f"SELECT doc_id, {b} AS band, concat_ws('|', h{2 * b}, h{2 * b + 1}) AS bh FROM sig"
         for b in range(8)
     )
-    + """),
+    + ")"
+)
+
+# ... → LSH candidates → exact Jaccard on the candidate pairs only —
+# the DuckDB mirror of dedup.minhash_dedup_pairs.
+_MINHASH_VERIFY_CTE = (
+    _MINHASH_BANDS_CTE
+    + """,
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
@@ -3123,6 +3154,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_sampled_recall": """
             SELECT CAST(1 AS BIGINT) AS truth_nonempty,
                    CAST(1 AS BIGINT) AS recall_ok
+        """,
+        "dedup_capped_lsh": _MINHASH_BANDS_CTE
+        + """,
+            bsz AS (SELECT band, bh, count(*) AS n FROM bands GROUP BY band, bh),
+            kept AS (
+                SELECT b.doc_id, b.band, b.bh
+                FROM bands b JOIN bsz USING (band, bh) WHERE bsz.n <= 4
+            ),
+            capped AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM kept a JOIN kept b
+                  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+            ),
+            uncapped AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+            )
+            SELECT (SELECT count(*) FROM capped) AS n_capped,
+                   CAST(coalesce((SELECT sum(id_a + id_b) FROM capped), 0) AS BIGINT)
+                       AS sum_capped_ids,
+                   (SELECT count(*) FROM uncapped) AS n_uncapped
         """,
         "dedup_corpus": _MINHASH_VERIFY_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
         + """
