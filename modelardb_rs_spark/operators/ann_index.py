@@ -80,16 +80,25 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    fit_sample: int | None = 65536,
 ) -> dict:
     """Build (or rebuild) a persisted IVF index over ``corpus``.
 
     ``bucket_col`` uses an existing integer column as the coarse
     quantizer (deterministic, SQL-reproducible); otherwise MLlib KMeans
-    learns ``n_buckets`` buckets (seeded). Returns
-    ``{"n_vectors", "n_buckets"}``.
+    learns ``n_buckets`` buckets (seeded), fitting on a bounded seeded
+    hash-ordered sample of ``fit_sample`` vectors by default — coarse
+    centroids converge on a sample, so the MLlib iterations never scan
+    the full corpus (SCALE.md "Round-7": the sampled fit is flat in N
+    while the full fit grows linearly); assignment still covers every
+    vector, map-only. ``fit_sample=None`` restores the full-corpus
+    fit. Returns ``{"n_vectors", "n_buckets"}``.
     """
     if bucket_col is None:
-        bucketed = kmeans_buckets(corpus, k=n_buckets, id_col=id_col, vec_col=vec_col, seed=seed)
+        bucketed = kmeans_buckets(
+            corpus, k=n_buckets, id_col=id_col, vec_col=vec_col, seed=seed,
+            fit_sample=fit_sample,
+        )
         bucket_src = "ivf_bucket"
     else:
         bucketed, bucket_src = corpus, bucket_col
@@ -236,6 +245,7 @@ def build_ivfpq_index(
     seed: int = 42,
     sample: int = 4096,
     iters: int = 10,
+    fit_sample: int | None = 65536,
 ) -> dict:
     """Persisted IVF-PQ index — the FAISS ``IndexIVFPQ`` composition
     (Jégou/Douze/Schmid TPAMI 2011 §V): coarse-quantize each vector to
@@ -252,13 +262,20 @@ def build_ivfpq_index(
     ``ivf_index_topk`` (exact-within-probed-buckets) keeps working on
     an IVF-PQ index unchanged, and ``ivfpq_topk`` reads codes only.
     Residual encoding beats raw-vector PQ on recall because residuals
-    concentrate near zero once the bucket centroid is subtracted."""
+    concentrate near zero once the bucket centroid is subtracted.
+
+    Both quantizer fits are sample-bounded by default: the PQ codebook
+    fit already trains on ``sample`` residuals, and the coarse KMeans
+    now fits on ``fit_sample`` seeded hash-ordered vectors (None =
+    full-corpus fit) — so an index build's only full-corpus passes are
+    the map-only assignment/encode and the one partitioned write."""
     from modelardb_rs_spark.operators import pq as pq_ops
     from modelardb_rs_spark.operators.similarity import dot
 
     if bucket_col is None:
         bucketed = kmeans_buckets(
-            corpus, k=n_buckets, id_col=id_col, vec_col=vec_col, seed=seed
+            corpus, k=n_buckets, id_col=id_col, vec_col=vec_col, seed=seed,
+            fit_sample=fit_sample,
         )
         bucket_src = "ivf_bucket"
     else:
