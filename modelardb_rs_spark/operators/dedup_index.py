@@ -105,11 +105,21 @@ def near_dup_check(
     min_est_jaccard: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup hits of a new batch against the stored corpus index:
     (doc_id, matched_id, est_jaccard) for every (new, stored) candidate
     pair — banded-LSH blocked, Jaccard estimated as the matching
-    signature fraction — at or above the threshold."""
+    signature fraction — at or above the threshold.
+
+    ``max_bucket`` (default off) skips STORED band buckets holding more
+    than that many documents — the ``lsh_candidate_pairs(max_bucket=)``
+    guard applied to the ingest shape: one boilerplate band hash shared
+    by s stored docs multiplies every colliding new doc into s
+    candidate rows, so a degenerate stored bucket makes check cost
+    batch×s instead of batch-proportional. The count is over the
+    stored side only (combiner-friendly, narrow keys) and true dup
+    groups are small, so real matches keep their buckets."""
     k, bands, n, keep_mod = _params(engine, index_name)
     stored = engine.table(_sigs_table(index_name))
     new_sigs = minhash_signatures(new_df, k, n, text_col, id_col, keep_mod)
@@ -119,6 +129,15 @@ def near_dup_check(
     sb = band_keys(stored, bands, id_col).select(
         F.col(id_col).alias("__old_id__"), "band", "band_hash"
     )
+    if max_bucket is not None:
+        sizes = sb.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("__bucket_n__")
+        )
+        sb = (
+            sb.join(sizes, ["band", "band_hash"])
+            .where(F.col("__bucket_n__") <= max_bucket)
+            .drop("__bucket_n__")
+        )
     cand = (
         nb.join(sb, ["band", "band_hash"])
         .select("__new_id__", "__old_id__")

@@ -179,6 +179,39 @@ def test_minhash_index_roundtrip(engine, spark):
     assert still.count() == 1  # one stored copy, not two
 
 
+def test_minhash_index_check_bucket_cap(engine, spark):
+    """near_dup_check(max_bucket=) must skip an oversized STORED bucket
+    (boilerplate shared by many stored docs) while a small true-dup
+    bucket keeps matching."""
+    from modelardb_rs_spark.operators.dedup_index import (
+        build_minhash_index,
+        near_dup_check,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    boiler = "standard legal disclaimer text repeated verbatim " * 6
+    corpus = spark.createDataFrame(
+        [(1, base)] + [(100 + i, boiler) for i in range(20)],
+        "doc_id long, text string",
+    )
+    build_minhash_index(engine, "ndi_cap", corpus)
+    new = spark.createDataFrame(
+        [(10, base + " tiny tail edit"), (11, boiler)],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r["doc_id"], r["matched_id"])
+        for r in near_dup_check(engine, "ndi_cap", new, 0.5).collect()
+    }
+    assert (10, 1) in uncapped
+    assert sum(1 for d, _ in uncapped if d == 11) == 20  # batch x bucket blowup
+    capped = {
+        (r["doc_id"], r["matched_id"])
+        for r in near_dup_check(engine, "ndi_cap", new, 0.5, max_bucket=10).collect()
+    }
+    assert capped == {(10, 1)}  # boilerplate bucket pruned, true match kept
+
+
 def test_minhash_index_persists_shingle_sampling(engine, spark):
     """An index built with shingle_keep_mod must persist the mod and use
     it for every later check/append — mixed-scheme signatures would
