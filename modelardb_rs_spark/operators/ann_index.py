@@ -201,6 +201,12 @@ def append_to_ivf_index(
         # reporting new_vectors.count() would both mislead exactly-once
         # audits and launch a pointless Spark job on the no-op path.
         return {"appended": 0, "replayed": True}
+    # Sustained appends write one small file per touched bucket per
+    # commit; the auto-OPTIMIZE cadence compacts them (preserving the
+    # ivf_bucket= layout — sources/datafolder.py infers it from live
+    # paths) so probe-time file counts stay bounded, the same policy
+    # the streaming ingest paths apply to their tables.
+    engine.maybe_optimize(_vectors_table(index_name))
     return {"appended": new_vectors.count(), "replayed": False}
 
 

@@ -577,9 +577,42 @@ class DataFolder:
                 )
 
         else:
+            # Normal tables may be Hive-partitioned per write (the ANN
+            # vectors tables lay out ivf_bucket= dirs for planning-time
+            # pruning). The layout isn't cataloged, but it IS in every
+            # live path — the col=value segments between the txn= level
+            # and the file — so infer it and keep it: a flat rewrite
+            # would strand partition values as in-file data next to
+            # path-encoded ones (a mixed layout later reads can't
+            # reconcile) and silently drop the pruning the layout buys.
+            schemes = {
+                tuple(
+                    seg.split("=", 1)[0]
+                    for seg in f["path"].split("/")[1:-1]
+                    if "=" in seg
+                )
+                for f in small
+            }
+            if len(schemes) != 1:
+                # two writes disagreed on layout — refuse to guess; a
+                # rebuild (not compaction) is the safe repair
+                return {"compacted": 0, "produced": 0, "version": snap.version}
+            part_cols = list(schemes.pop())
 
-            def write_staged(staged: str) -> None:
-                df.repartition(n_out).write.parquet(staged)
+            if part_cols:
+
+                def write_staged(staged: str) -> None:
+                    (
+                        df.drop("txn")
+                        .repartition(n_out, *[F.col(c) for c in part_cols])
+                        .write.partitionBy(*part_cols)
+                        .parquet(staged)
+                    )
+
+            else:
+
+                def write_staged(staged: str) -> None:
+                    df.repartition(n_out).write.parquet(staged)
 
         removed = [f["path"] for f in small]
         version = self._stage_and_commit(

@@ -101,6 +101,37 @@ def test_append_txn_replay_is_exactly_once(engine, emb):
     assert engine.table("txidx__vectors").count() == n_after_first + 5
 
 
+def test_optimize_preserves_bucket_partition_layout(engine, emb):
+    """Compacting a Hive-partitioned ANN vectors table must keep the
+    ivf_bucket= directory layout (inferred from live paths), keep probe
+    results identical, and keep planning-time partition pruning."""
+    first = emb.where(F.col("vec_id") < 400)
+    ann_index.build_ivf_index(engine, "optidx", first, bucket_col="label")
+    for i in range(6):
+        batch = emb.where(
+            (F.col("vec_id") >= 400 + i * 100) & (F.col("vec_id") < 500 + i * 100)
+        )
+        ann_index.append_to_ivf_index(engine, "optidx", batch)
+    queries = emb.where(F.col("vec_id") < 8)
+    before = sorted(
+        map(tuple, ann_index.ivf_index_topk(engine, "optidx", queries, k=5, nprobe=2).collect())
+    )
+    n_files_before = len(engine.folder.log("optidx__vectors").snapshot().files)
+
+    stats = engine.optimize("optidx__vectors")
+    assert stats["compacted"] >= 2 and stats["produced"] < stats["compacted"]
+    snap = engine.folder.log("optidx__vectors").snapshot()
+    assert len(snap.files) < n_files_before
+    # every live file still sits under an ivf_bucket= directory
+    assert all("ivf_bucket=" in f["path"] for f in snap.files)
+
+    after_df = ann_index.ivf_index_topk(engine, "optidx", queries, k=5, nprobe=2)
+    assert sorted(map(tuple, after_df.collect())) == before
+    plan = after_df._jdf.queryExecution().executedPlan().toString()
+    scan = plan.split("__vectors")[-1]
+    assert "ivf_bucket" in scan.split("PartitionFilters")[1][:120]
+
+
 def test_rag_pipeline_roundtrip(engine, spark):
     """chunk -> embed -> index -> search: a query made from a document's
     own prefix retrieves that document's first chunk at rank 1."""
