@@ -445,6 +445,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance, with LOSSLESS
     banded blocking: the signature is split into ``max_hamming + 1``
@@ -453,7 +454,17 @@ def simhash_near_pairs(
     has full recall, not the "usually shares the high byte" heuristic.
     Each band key is ~15 bits (32k buckets per band) and every join is
     keyed on (band, key); the all-pairs product never materializes, and
-    the exact Hamming re-check on candidates makes precision 1."""
+    the exact Hamming re-check on candidates makes precision 1.
+
+    ``max_bucket`` (default off) trades the losslessness for
+    boundedness: s docs sharing a band key emit s*(s-1)/2 candidate
+    rows, and identical boilerplate shares the WHOLE simhash — every
+    band collides — so one boilerplate family of 100k docs means 5e9
+    candidates from each band. The cap skips buckets above the
+    threshold before the self-join (one combiner-friendly count), same
+    guard as ``lsh_candidate_pairs(max_bucket=)``; pairs whose every
+    shared band bucket exceeds the cap are lost, so set it well above
+    the expected true-dup family size."""
     sh = simhash(df, text_col, id_col)
     n_bands = max_hamming + 1
     width = SIMHASH_BITS // n_bands
@@ -466,6 +477,13 @@ def simhash_near_pairs(
     keys = sh.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*entries)).alias("__bk__")
     ).select(id_col, "simhash", F.col("__bk__.band").alias("band"), F.col("__bk__.key").alias("key"))
+    if max_bucket is not None:
+        sizes = keys.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__bucket_n__"))
+        keys = (
+            keys.join(sizes, ["band", "key"])
+            .where(F.col("__bucket_n__") <= max_bucket)
+            .drop("__bucket_n__")
+        )
     l = keys.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa__"), "band", "key"
     )

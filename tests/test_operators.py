@@ -144,6 +144,24 @@ def test_simhash_near_pairs(docs):
     assert (0, 1) in near and (0, 5) in near
 
 
+def test_simhash_bucket_cap(spark):
+    """simhash_near_pairs(max_bucket=) prunes an identical-boilerplate
+    family (whole-simhash collisions, every band) while a small
+    true-dup pair keeps matching."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [Row(doc_id=0, text=base), Row(doc_id=1, text=base)]
+    rows += [Row(doc_id=100 + i, text="standard legal disclaimer text here") for i in range(30)]
+    docs = spark.createDataFrame(rows)
+    uncapped = {(r.id_a, r.id_b) for r in dedup_ops.simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert (0, 1) in uncapped
+    assert sum(1 for a, _ in uncapped if a >= 100) == 30 * 29 // 2
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup_ops.simhash_near_pairs(docs, max_hamming=3, max_bucket=10).collect()
+    }
+    assert capped == {(0, 1)}
+
+
 def test_duplicate_clusters(spark):
     pairs = spark.createDataFrame(
         [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=5, id_b=6),
