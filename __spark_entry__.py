@@ -2091,6 +2091,38 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("vec_id").orderBy("vec_id")
 
 
+def sim_semantic_dedup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup(collapse_exact=True): identical vectors collapse
+    to one representative BEFORE clustering, so within-cluster quadratic
+    work scales with distinct vectors, not corpus rows. The corpus
+    plants both duplicate kinds — a byte-identical 20-copy family of
+    vec 3 (the collapse target) and 1.001-scaled near-dups of every 7th
+    vector (the semantic path) — and the kept set is the originals in
+    closed form, same oracle shape as sim_semantic_dedup."""
+    from modelardb_rs_spark.operators.similarity import semantic_dedup
+
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    family = (
+        emb.where(F.col("vec_id") == 3)
+        .crossJoin(spark.range(1, 21).select(F.col("id").alias("__i__")))
+        .select(
+            (F.col("vec_id") + 2_000_000 + F.col("__i__")).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+    )
+    dups = emb.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.001)).cast("float")
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.unionByName(dups).unionByName(family)
+    kept = semantic_dedup(corpus, threshold=0.999, n_clusters=8, collapse_exact=True)
+    return kept.select("vec_id").orderBy("vec_id")
+
+
 def doc_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-batch prep — the mixing→packing composition
     downstream of cleaning (the companion to doc_clean_pipeline):
@@ -2269,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shuffle_shards": doc_shuffle_shards,
         "sim_int8_quantize": sim_int8_quantize,
         "sim_semantic_dedup": sim_semantic_dedup,
+        "sim_semantic_dedup_collapsed": sim_semantic_dedup_collapsed,
         "doc_train_pipeline": doc_train_pipeline,
     }
 
@@ -4153,6 +4186,12 @@ def oracle_sql() -> dict[str, str]:
     # construction) are precisely the dropped set, so the kept corpus is
     # exactly the original embeddings table
     oracles["sim_semantic_dedup"] = """
+        SELECT vec_id FROM embeddings ORDER BY vec_id
+    """
+    # collapse_exact variant: the byte-identical family collapses to its
+    # representative (vec 3, the minimum id) and the scaled copies drop
+    # on the semantic path — kept is again exactly the originals
+    oracles["sim_semantic_dedup_collapsed"] = """
         SELECT vec_id FROM embeddings ORDER BY vec_id
     """
     # whole-chain train-prep oracle: gate → dedup → mix (same normalized

@@ -462,6 +462,7 @@ def semantic_dedup(
     seed: int = 42,
     fit_sample: int = 65536,
     assignments: DataFrame | None = None,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cluster the embeddings, find
@@ -496,16 +497,35 @@ def semantic_dedup(
     cluster with high probability because they are near each other in
     embedding space). Measured fit/pairwise scaling: SCALE.md
     "Round-7".
-    """
+
+    ``collapse_exact`` pre-collapses IDENTICAL vectors (one cheap
+    groupBy on the vector value, keeping the minimum id per group)
+    before clustering, so the quadratic within-cluster work scales
+    with DISTINCT vectors instead of corpus rows. An identical family
+    of s rows lands in one cluster and alone contributes s*(s-1)/2
+    verified pairs — on real corpora (boilerplate, re-crawls) that
+    family is the dominant pair mass, and every one of its members is
+    a semantic duplicate BY DEFINITION (cosine exactly 1 >= any sane
+    threshold), so collapsing first is pure work removal with an
+    unchanged result: non-representative members drop with their
+    representative's verdict. Default off to keep the historical
+    plan."""
     from modelardb_rs_spark.operators.dedup import duplicate_clusters
 
+    work = corpus
+    if collapse_exact:
+        work = (
+            corpus.groupBy(F.col(vec_col))
+            .agg(F.min(F.col(id_col)).alias(id_col))
+            .select(id_col, vec_col)
+        )
     if assignments is not None:
-        buckets = corpus.select(id_col).join(
+        buckets = work.select(id_col).join(
             assignments.select(id_col, "ivf_bucket"), id_col
         )
     else:
         buckets = kmeans_buckets(
-            corpus,
+            work,
             k=n_clusters,
             id_col=id_col,
             vec_col=vec_col,
@@ -519,7 +539,7 @@ def semantic_dedup(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    vecs = corpus.select(
+    vecs = work.select(
         F.col(id_col).alias("__vid__"),
         F.col(vec_col).alias("__v__"),
         norm(F.col(vec_col)).alias("__n__"),
@@ -540,4 +560,9 @@ def semantic_dedup(
         .where(F.col("doc_id") != F.col("cluster_id"))
         .select(F.col("doc_id").alias(id_col))
     )
+    if collapse_exact:
+        # kept = representatives that survived; every non-representative
+        # is an exact duplicate of its representative and drops with it
+        kept = work.join(drop, id_col, "left_anti").select(id_col)
+        return corpus.join(kept, id_col, "semi")
     return corpus.join(drop, id_col, "left_anti")

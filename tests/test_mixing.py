@@ -267,6 +267,36 @@ class TestSemanticDedup:
         assert all(i in kept for i in range(60))
         assert all((i + 1000) not in kept for i in range(0, 60, 5))
 
+    def test_collapse_exact_same_result_one_rep_per_family(self, vecs):
+        # an identical-vector family (byte-equal embeddings, distinct
+        # ids) plus scaled near-dups: collapse_exact must keep exactly
+        # the same set as the uncollapsed run — one representative (min
+        # id) per family — while the pipeline only ever sees reps
+        family = vecs.where(F.col("vec_id") == 3).crossJoin(
+            vecs.sparkSession.range(1, 21).select(F.col("id").alias("__i__"))
+        ).select(
+            (F.col("vec_id") + 2000 + F.col("__i__")).alias("vec_id"),
+            "embedding",
+        )
+        dups = vecs.where(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform("embedding", lambda x: (x * F.lit(1.001)).cast("float")).alias(
+                "embedding"
+            ),
+        )
+        corpus = vecs.select("vec_id", "embedding").unionByName(dups).unionByName(family)
+        plain = {r["vec_id"] for r in semantic_dedup(
+            corpus, threshold=0.999, n_clusters=4
+        ).select("vec_id").collect()}
+        collapsed = {r["vec_id"] for r in semantic_dedup(
+            corpus, threshold=0.999, n_clusters=4, collapse_exact=True
+        ).select("vec_id").collect()}
+        assert collapsed == plain
+        # the family collapsed to its representative: vec 3 survives,
+        # all 20 identical copies (ids 2004..2023) drop
+        assert 3 in collapsed
+        assert not any((2003 + i) in collapsed for i in range(1, 21))
+
     def test_reuses_external_assignments(self, vecs):
         # a precomputed clustering (e.g. a persisted IVF index's vectors
         # table) skips the KMeans fit entirely
