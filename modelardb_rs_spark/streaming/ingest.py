@@ -334,6 +334,66 @@ def start_near_dup_ingest(
     )
 
 
+def start_vector_ingest(
+    engine,
+    index_name: str,
+    stream: DataFrame,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Streaming growth of a persisted IVF / IVF-PQ index
+    (operators/ann_index.py): each micro-batch of (id, embedding) rows
+    is coarse-assigned to the EXISTING centroids (classic IVF add —
+    centroids and PQ codebooks stay fixed, so every open probe plan
+    remains valid; rebuild when recall sags) and appended to the
+    bucket-partitioned vectors table in ONE commit.
+
+    Exactly-once with less machinery than ``start_near_dup_ingest``:
+    that sink performs two appends and an expensive survivor
+    computation, so it needs an epoch-marker table; this one is a
+    single transactional append, so the ``txn=(app_id, epoch)`` replay
+    gate recorded atomically with the commit is the whole story — a
+    replayed micro-batch is a commit-layer no-op that launches no
+    Spark job. Per-epoch small files are auto-compacted by
+    ``append_to_ivf_index``'s layout-preserving OPTIMIZE cadence, so
+    probe-time file counts stay bounded over long-running streams."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        vector_ingest_batch(engine, index_name, batch_df, epoch_id, id_col, vec_col)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def vector_ingest_batch(
+    engine,
+    index_name: str,
+    batch_df: DataFrame,
+    epoch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """One micro-batch of the vector ingest — idempotent under replay
+    (see start_vector_ingest). Factored out so replays are directly
+    testable."""
+    from modelardb_rs_spark.operators import ann_index as ann
+
+    if batch_df.isEmpty():
+        return {"appended": 0, "replayed": False}
+    return ann.append_to_ivf_index(
+        engine,
+        index_name,
+        batch_df,
+        id_col,
+        vec_col,
+        txn=(f"vector_ingest::{index_name}", int(epoch_id)),
+    )
+
+
 def near_dup_ingest_batch(
     engine,
     index_name: str,

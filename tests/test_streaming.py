@@ -431,3 +431,53 @@ def test_maybe_optimize_below_threshold_is_noop(engine, spark):
         engine.write("mo", spark.createDataFrame([(i,)], "id long"))
     assert engine.maybe_optimize("mo") is None
     assert len(engine.folder.history("mo")) == 3  # no optimize commit
+
+
+def test_streaming_vector_ingest(spark, engine, tmp_path):
+    """Micro-batches grow a persisted IVF index through a real streaming
+    query; appended vectors are probeable; a replayed epoch is a no-op."""
+    from modelardb_rs_spark.operators import ann_index
+    from modelardb_rs_spark.sources.testdata import load_table
+    from modelardb_rs_spark.streaming.ingest import (
+        start_vector_ingest,
+        vector_ingest_batch,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.where(F.col("vec_id") < 400).select("vec_id", "embedding")
+    ann_index.build_ivf_index(engine, "svidx", first, bucket_col=None, n_buckets=4)
+
+    src = str(tmp_path / "vec_in")
+    os.makedirs(src)
+    emb.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)).select(
+        "vec_id", "embedding"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(src)
+    q = start_vector_ingest(engine, "svidx", stream, str(tmp_path / "vec_ckpt"))
+    try:
+        q.processAllAvailable()
+        assert engine.table("svidx__vectors").count() == 450
+        emb.where((F.col("vec_id") >= 450) & (F.col("vec_id") < 500)).select(
+            "vec_id", "embedding"
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert engine.table("svidx__vectors").count() == 500
+    # appended vectors are probeable: querying with vec 470's embedding
+    # under a foreign id must return 470 itself at cosine 1 (self-matches
+    # are excluded by id, so rename the query id)
+    probe = emb.where(F.col("vec_id") == 470).select(
+        F.lit(999_999).alias("vec_id"), "embedding"
+    )
+    out = ann_index.ivf_index_topk(engine, "svidx", probe, k=3, nprobe=4)
+    assert {r["neighbor_id"] for r in out.collect()} >= {470}
+    # manual replay of an already-committed epoch: commit-layer no-op
+    batch = emb.where((F.col("vec_id") >= 450) & (F.col("vec_id") < 500)).select(
+        "vec_id", "embedding"
+    )
+    replay = vector_ingest_batch(engine, "svidx", batch, 1)
+    assert replay == {"appended": 0, "replayed": True}
+    assert engine.table("svidx__vectors").count() == 500
