@@ -2123,6 +2123,54 @@ def sim_semantic_dedup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("vec_id").orderBy("vec_id")
 
 
+def stream_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN maintenance (streaming/ingest.py::
+    vector_ingest_batch): a persisted IVF index built over the first
+    1000 vectors grows by txn-gated micro-batch appends — epoch 1 adds
+    the rest of the table, a REPLAY of epoch 1 is a commit-layer no-op
+    (exactly-once), epoch 2 adds a 1.5-scaled copy of vec 0 (cosine
+    exactly 1, sign/direction-preserving) which a probe then finds.
+    Deterministic label coarse quantizer, so every indicator is
+    closed-form for the oracle."""
+    from modelardb_rs_spark.streaming.ingest import vector_ingest_batch
+
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    eng = _cached_engine(
+        spark, tempfile.mkdtemp(prefix="sparkmodelar_vecstream_")
+    )
+    # modulus split so both halves are non-empty at every sf
+    first = emb.where(F.col("vec_id") % 5 != 0)
+    ann_ops.build_ivf_index(eng, "vs_idx", first, bucket_col="label")
+    rest = emb.where(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    vector_ingest_batch(eng, "vs_idx", rest, 1)
+    replay = vector_ingest_batch(eng, "vs_idx", rest, 1)
+    copy = emb.where(F.col("vec_id") == 0).select(
+        F.lit(5_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.5)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    vector_ingest_batch(eng, "vs_idx", copy, 2)
+    n_buckets = eng.table("vs_idx__centroids").count()
+    probe = emb.where(F.col("vec_id") == 0).select(
+        F.lit(999_999).alias("vec_id"), "embedding"
+    )
+    found = ann_ops.ivf_index_topk(
+        eng, "vs_idx", probe, k=5, nprobe=int(n_buckets)
+    ).where(F.col("neighbor_id") == 5_000_000)
+    return spark.createDataFrame(
+        [
+            (
+                eng.table("vs_idx__vectors").count(),
+                int(replay["appended"]),
+                int(replay["replayed"]),
+                found.count(),
+            )
+        ],
+        "n_vectors BIGINT, replay_appended BIGINT, replayed BIGINT, copy_found BIGINT",
+    )
+
+
 def doc_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-batch prep — the mixing→packing composition
     downstream of cleaning (the companion to doc_clean_pipeline):
@@ -2302,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_int8_quantize": sim_int8_quantize,
         "sim_semantic_dedup": sim_semantic_dedup,
         "sim_semantic_dedup_collapsed": sim_semantic_dedup_collapsed,
+        "stream_vector_ingest": stream_vector_ingest,
         "doc_train_pipeline": doc_train_pipeline,
     }
 
@@ -4193,6 +4242,16 @@ def oracle_sql() -> dict[str, str]:
     # on the semantic path — kept is again exactly the originals
     oracles["sim_semantic_dedup_collapsed"] = """
         SELECT vec_id FROM embeddings ORDER BY vec_id
+    """
+    # closed-form indicators: all vectors + the one epoch-2 copy land
+    # exactly once (the replayed epoch is a no-op), and the cos-1 copy
+    # is probeable
+    oracles["stream_vector_ingest"] = """
+        SELECT count(*) + 1 AS n_vectors,
+               CAST(0 AS BIGINT) AS replay_appended,
+               CAST(1 AS BIGINT) AS replayed,
+               CAST(1 AS BIGINT) AS copy_found
+        FROM embeddings
     """
     # whole-chain train-prep oracle: gate → dedup → mix (same normalized
     # double literals as the Spark plan) → shard shuffle → 256-token pack,
