@@ -65,7 +65,11 @@ HEADLINE = [
 # (round-5's "1.41x regression" and round-6's q3 "2.12x" line were both
 # adjudicated as pure host drift); `factor` = measured/reference scales
 # every query into host-normalized seconds so a judge can separate code
-# regressions from ambient load without a re-timing session.
+# regressions from ambient load without a re-timing session. The raw
+# `value`/`queries` stay the PRIMARY record; calibrated figures are
+# advisory (a loaded canary rescales them all at once — see BASELINE.md
+# "Bench normalization" for the anchors' provenance: round-7 idle floor;
+# that session's driver run measured 0.226/0.515 → factor 1.346).
 CALIBRATION_REF_S = {"range_agg": 0.15, "parquet_scan": 0.40}
 
 

@@ -193,6 +193,14 @@ def append_to_ivf_index(
         assigned = enc.withColumn("pq_norm", F.sqrt(dot(recon, recon))).select(
             id_col, vec_col, "ivf_bucket", "pq_codes", "pq_norm"
         )
+    # Count rows as a side effect of the write job itself (Observation
+    # metrics piggyback on the action that executes the plan): a caller
+    # with expensive upstream lineage pays for it ONCE, not again for a
+    # count job that exists only to report `appended`.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    assigned = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
     version = engine.write(
         _vectors_table(index_name), assigned, partition_by=["ivf_bucket"], txn=txn
     )
@@ -207,7 +215,7 @@ def append_to_ivf_index(
     # paths) so probe-time file counts stay bounded, the same policy
     # the streaming ingest paths apply to their tables.
     engine.maybe_optimize(_vectors_table(index_name))
-    return {"appended": new_vectors.count(), "replayed": False}
+    return {"appended": int(obs.get["n"]), "replayed": False}
 
 
 def _pqbooks_table(index_name: str) -> str:

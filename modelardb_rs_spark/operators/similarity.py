@@ -509,15 +509,33 @@ def semantic_dedup(
     threshold), so collapsing first is pure work removal with an
     unchanged result: non-representative members drop with their
     representative's verdict. Default off to keep the historical
-    plan."""
+    plan.
+
+    Two edges where "unchanged" needs care: (a) ``threshold > 1`` means
+    NO pair can qualify, so the collapse is skipped outright rather
+    than dropping exact copies the threshold would keep; (b) vectors
+    containing NaN are excluded from the collapse — their cosine is
+    NaN, which fails every threshold, so the uncollapsed path never
+    drops them and the collapsed path must not either. At exactly
+    ``threshold == 1.0`` the collapse may drop identical copies whose
+    FLOAT cosine rounds just below 1; that is treated as the intended
+    reading (mathematically the cosine of byte-identical vectors is 1)."""
     from modelardb_rs_spark.operators.dedup import duplicate_clusters
 
+    if collapse_exact and threshold > 1.0:
+        collapse_exact = False
+    # NaN-bearing vectors can never be duplicates (their cosine is NaN,
+    # failing every threshold) and MLlib KMeans rejects them outright —
+    # route them around the clustering; they are always kept.
+    has_nan = F.exists(F.col(vec_col), F.isnan)
     work = corpus
     if collapse_exact:
         work = (
-            corpus.groupBy(F.col(vec_col))
+            corpus.where(~has_nan)
+            .groupBy(F.col(vec_col))
             .agg(F.min(F.col(id_col)).alias(id_col))
             .select(id_col, vec_col)
+            .unionByName(corpus.where(has_nan).select(id_col, vec_col))
         )
     if assignments is not None:
         buckets = work.select(id_col).join(
@@ -525,7 +543,7 @@ def semantic_dedup(
         )
     else:
         buckets = kmeans_buckets(
-            work,
+            work.where(~has_nan),
             k=n_clusters,
             id_col=id_col,
             vec_col=vec_col,

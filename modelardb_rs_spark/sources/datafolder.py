@@ -561,6 +561,49 @@ class DataFolder:
         if len(small) < 2:
             return {"compacted": 0, "produced": 0, "version": snap.version}
         table = self.table_path(name)
+        if meta is None:
+            # Normal tables may be Hive-partitioned per write (the ANN
+            # vectors tables lay out ivf_bucket= dirs for planning-time
+            # pruning). The layout isn't cataloged, but it IS in every
+            # live path — the col=value segments between the txn= level
+            # and the file — so infer it BEFORE reading (a mixed-layout
+            # multi-path read fails outright) and keep it: a flat
+            # rewrite would strand partition values as in-file data
+            # next to path-encoded ones and silently drop the pruning
+            # the layout buys.
+            schemes = {
+                tuple(
+                    seg.split("=", 1)[0]
+                    for seg in f["path"].split("/")[1:-1]
+                    if "=" in seg
+                )
+                for f in small
+            }
+            if len(schemes) != 1:
+                # two writes disagreed on layout — refuse to guess; a
+                # rebuild (not compaction) is the safe repair. WARN
+                # rather than return silently: maybe_optimize re-tries
+                # after every commit (the threshold stays crossed), so a
+                # silent no-op here means the table's file count grows
+                # forever with no signal to the operator.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "optimize(%s): live files carry %d different Hive "
+                    "partition layouts (%s) — refusing to compact a mixed "
+                    "layout; rewrite the table with one consistent "
+                    "partition_by to restore compaction",
+                    name,
+                    len(schemes),
+                    sorted(schemes),
+                )
+                return {
+                    "compacted": 0,
+                    "produced": 0,
+                    "version": snap.version,
+                    "mixed_layouts": sorted(schemes),
+                }
+            part_cols = list(schemes.pop())
         df = self.spark.read.option("basePath", table).parquet(
             *[self.fs.join(table, f["path"]) for f in small]
         )
@@ -577,28 +620,6 @@ class DataFolder:
                 )
 
         else:
-            # Normal tables may be Hive-partitioned per write (the ANN
-            # vectors tables lay out ivf_bucket= dirs for planning-time
-            # pruning). The layout isn't cataloged, but it IS in every
-            # live path — the col=value segments between the txn= level
-            # and the file — so infer it and keep it: a flat rewrite
-            # would strand partition values as in-file data next to
-            # path-encoded ones (a mixed layout later reads can't
-            # reconcile) and silently drop the pruning the layout buys.
-            schemes = {
-                tuple(
-                    seg.split("=", 1)[0]
-                    for seg in f["path"].split("/")[1:-1]
-                    if "=" in seg
-                )
-                for f in small
-            }
-            if len(schemes) != 1:
-                # two writes disagreed on layout — refuse to guess; a
-                # rebuild (not compaction) is the safe repair
-                return {"compacted": 0, "produced": 0, "version": snap.version}
-            part_cols = list(schemes.pop())
-
             if part_cols:
 
                 def write_staged(staged: str) -> None:

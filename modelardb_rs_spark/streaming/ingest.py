@@ -334,6 +334,21 @@ def start_near_dup_ingest(
     )
 
 
+def vector_ingest_app_id(index_name: str, checkpoint_dir: str) -> str:
+    """The SetTransaction app id ``start_vector_ingest`` records for a
+    given (index, checkpoint) pair. Including the checkpoint path makes
+    the id unique PER STREAM: two streams feeding the same index (or a
+    stream whose checkpoint was deleted and recreated, restarting epoch
+    ids at 0) get fresh replay-gate lineages instead of having their
+    genuinely-new micro-batches misclassified as replays and silently
+    dropped — the same reason Delta's ``txnAppId`` is caller-chosen.
+    Exposed so tests / manual replays can target a live stream's gate."""
+    import hashlib
+
+    digest = hashlib.sha256(checkpoint_dir.encode("utf-8")).hexdigest()[:12]
+    return f"vector_ingest::{index_name}::{digest}"
+
+
 def start_vector_ingest(
     engine,
     index_name: str,
@@ -341,6 +356,7 @@ def start_vector_ingest(
     checkpoint_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    app_id: str | None = None,
 ) -> StreamingQuery:
     """Streaming growth of a persisted IVF / IVF-PQ index
     (operators/ann_index.py): each micro-batch of (id, embedding) rows
@@ -357,10 +373,25 @@ def start_vector_ingest(
     replayed micro-batch is a commit-layer no-op that launches no
     Spark job. Per-epoch small files are auto-compacted by
     ``append_to_ivf_index``'s layout-preserving OPTIMIZE cadence, so
-    probe-time file counts stay bounded over long-running streams."""
+    probe-time file counts stay bounded over long-running streams.
+
+    ``app_id`` defaults to ``vector_ingest_app_id(index_name,
+    checkpoint_dir)`` — unique per stream, so concurrent streams into
+    one index can't swallow each other's epochs. CHECKPOINT-RESET
+    HAZARD: the replay gate is monotonic per app id; deleting a
+    checkpoint restarts epoch ids at 0, so a RE-USED explicit
+    ``app_id`` would classify the fresh stream's first epochs as
+    replays and drop them. Resetting a checkpoint under the default id
+    is safe only because the id is derived from the checkpoint PATH —
+    reset to a NEW path (or pass a new ``app_id``) and the gate starts
+    clean; re-creating the same path re-enters the old lineage."""
+    if app_id is None:
+        app_id = vector_ingest_app_id(index_name, checkpoint_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        vector_ingest_batch(engine, index_name, batch_df, epoch_id, id_col, vec_col)
+        vector_ingest_batch(
+            engine, index_name, batch_df, epoch_id, id_col, vec_col, app_id=app_id
+        )
 
     return (
         stream.writeStream.foreachBatch(sink)
@@ -376,21 +407,25 @@ def vector_ingest_batch(
     epoch_id: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    app_id: str | None = None,
 ) -> dict:
     """One micro-batch of the vector ingest — idempotent under replay
     (see start_vector_ingest). Factored out so replays are directly
-    testable."""
+    testable. ``app_id`` defaults to the bare per-index id for direct
+    batch callers; streams pass their per-(index, checkpoint) id."""
     from modelardb_rs_spark.operators import ann_index as ann
 
     if batch_df.isEmpty():
         return {"appended": 0, "replayed": False}
+    if app_id is None:
+        app_id = f"vector_ingest::{index_name}"
     return ann.append_to_ivf_index(
         engine,
         index_name,
         batch_df,
         id_col,
         vec_col,
-        txn=(f"vector_ingest::{index_name}", int(epoch_id)),
+        txn=(app_id, int(epoch_id)),
     )
 
 

@@ -72,6 +72,33 @@ def test_incremental_append(engine, emb):
     assert got <= buckets
 
 
+def test_append_counts_without_recomputing_lineage(engine, spark, emb):
+    # `appended` is reported via an Observation riding the write job, so
+    # a caller with expensive upstream lineage pays for the lineage ONCE.
+    # A per-row accumulator in the input plan detects re-execution: the
+    # old write-then-count shape evaluated every row twice.
+    from pyspark.sql.types import LongType
+
+    first = emb.where(F.col("vec_id") < 400)
+    batch = emb.where(F.col("vec_id") >= 400)
+    n_batch = batch.count()
+    ann_index.build_ivf_index(engine, "onceidx", first, bucket_col="label")
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf(LongType())
+    def tick(v):
+        acc.add(1)
+        return v
+
+    traced = batch.withColumn("vec_id", tick(F.col("vec_id")))
+    stats = ann_index.append_to_ivf_index(engine, "onceidx", traced)
+    assert stats == {"appended": n_batch, "replayed": False}
+    # speculative/retried tasks could legitimately add a few extra ticks;
+    # a full second evaluation would land at exactly 2x
+    assert acc.value < 2 * n_batch
+
+
 def test_append_txn_replay_is_exactly_once(engine, emb):
     # At-least-once delivery replays the same (app_id, epoch) append:
     # the SetTransaction gate must skip the duplicate commit WITHOUT
@@ -130,6 +157,25 @@ def test_optimize_preserves_bucket_partition_layout(engine, emb):
     plan = after_df._jdf.queryExecution().executedPlan().toString()
     scan = plan.split("__vectors")[-1]
     assert "ivf_bucket" in scan.split("PartitionFilters")[1][:120]
+
+
+def test_optimize_mixed_layout_warns_not_silent(engine, spark, caplog):
+    """Writes that disagree on Hive layout make compaction unsafe;
+    optimize must refuse LOUDLY (warning + mixed_layouts in the result),
+    not silently no-op forever while the file count grows."""
+    import logging
+
+    engine.create_table("mixed_t", "vec_id BIGINT, ivf_bucket INT")
+    df = spark.range(4).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 2).cast("int").alias("ivf_bucket")
+    )
+    engine.write("mixed_t", df, partition_by=["ivf_bucket"])
+    engine.write("mixed_t", df)  # flat layout — disagrees
+    with caplog.at_level(logging.WARNING, logger="modelardb_rs_spark.sources.datafolder"):
+        stats = engine.optimize("mixed_t", target_file_bytes=1 << 30)
+    assert stats["compacted"] == 0
+    assert stats["mixed_layouts"] == [(), ("ivf_bucket",)]
+    assert any("mixed" in r.message for r in caplog.records)
 
 
 def test_rag_pipeline_roundtrip(engine, spark):

@@ -297,6 +297,37 @@ class TestSemanticDedup:
         assert 3 in collapsed
         assert not any((2003 + i) in collapsed for i in range(1, 21))
 
+    def test_collapse_exact_edges_nan_and_threshold(self, vecs):
+        # NaN-bearing duplicates: cosine(NaN) fails every threshold, so
+        # the plain path keeps them all — collapse_exact must too.
+        nan_rows = vecs.where(F.col("vec_id") < 2).select(
+            (F.col("vec_id") + 3000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, F.lit(float("nan"))).otherwise(x).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+        )
+        corpus = vecs.select("vec_id", "embedding").unionByName(nan_rows).unionByName(
+            nan_rows.select((F.col("vec_id") + 10).alias("vec_id"), "embedding")
+        )
+        collapsed = {r["vec_id"] for r in semantic_dedup(
+            corpus, threshold=0.999, n_clusters=4, collapse_exact=True
+        ).select("vec_id").collect()}
+        # both identical NaN copies of each planted row survive
+        assert {3000, 3001, 3010, 3011} <= collapsed
+        # threshold > 1: nothing can pair, so collapse_exact must be an
+        # identity too (it used to drop exact copies unconditionally)
+        family = vecs.where(F.col("vec_id") == 3).select(
+            (F.col("vec_id") + 4000).alias("vec_id"), "embedding"
+        )
+        corpus2 = vecs.select("vec_id", "embedding").unionByName(family)
+        kept = semantic_dedup(
+            corpus2, threshold=1.1, n_clusters=4, collapse_exact=True
+        )
+        assert kept.count() == 61
+
     def test_reuses_external_assignments(self, vecs):
         # a precomputed clustering (e.g. a persisted IVF index's vectors
         # table) skips the KMeans fit entirely

@@ -440,6 +440,7 @@ def test_streaming_vector_ingest(spark, engine, tmp_path):
     from modelardb_rs_spark.sources.testdata import load_table
     from modelardb_rs_spark.streaming.ingest import (
         start_vector_ingest,
+        vector_ingest_app_id,
         vector_ingest_batch,
     )
 
@@ -474,10 +475,24 @@ def test_streaming_vector_ingest(spark, engine, tmp_path):
     )
     out = ann_index.ivf_index_topk(engine, "svidx", probe, k=3, nprobe=4)
     assert {r["neighbor_id"] for r in out.collect()} >= {470}
-    # manual replay of an already-committed epoch: commit-layer no-op
+    # manual replay of an already-committed epoch: commit-layer no-op.
+    # The gate is keyed to the STREAM's app id (index + checkpoint path),
+    # so the replay must target it explicitly.
+    stream_app = vector_ingest_app_id("svidx", str(tmp_path / "vec_ckpt"))
     batch = emb.where((F.col("vec_id") >= 450) & (F.col("vec_id") < 500)).select(
         "vec_id", "embedding"
     )
-    replay = vector_ingest_batch(engine, "svidx", batch, 1)
+    replay = vector_ingest_batch(engine, "svidx", batch, 1, app_id=stream_app)
     assert replay == {"appended": 0, "replayed": True}
     assert engine.table("svidx__vectors").count() == 500
+    # a DIFFERENT stream (fresh checkpoint => fresh app id) feeding the
+    # same index starts at epoch 0 without being misread as a replay of
+    # the first stream's history — the round-7 data-loss hazard
+    other_app = vector_ingest_app_id("svidx", str(tmp_path / "other_ckpt"))
+    assert other_app != stream_app
+    extra = emb.where(F.col("vec_id") >= 490).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    fresh = vector_ingest_batch(engine, "svidx", extra, 0, app_id=other_app)
+    assert fresh["replayed"] is False and fresh["appended"] == 10
+    assert engine.table("svidx__vectors").count() == 510
