@@ -2222,6 +2222,94 @@ def doc_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real byte-level BPE encoding (operators/bpe.py — trained merges
+    checked in at resources/bpe_vocab.py): per document, the exact
+    token count, an md5 fingerprint of the full token-id sequence, and
+    a decode(encode(text)) == text roundtrip flag. The oracle embeds
+    literals PINNED BY THE SLOW REFERENCE ENCODER (reference_encode —
+    sequential merge application, no rank shortcuts), so every
+    correctness run cross-checks the fast Arrow-batched encoder
+    against an algorithmically independent implementation, token by
+    token (the hash covers ids AND order), plus losslessness."""
+    from modelardb_rs_spark.operators import bpe as bpe_ops
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    enc = bpe_ops.encode_documents(docs)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_ids").cast("long").alias("n_bpe_tokens"),
+        bpe_ops.token_ids_hash(F.col("bpe_ids")).alias("ids_md5"),
+        (bpe_ops.bpe_decode_udf()(F.col("bpe_ids")) == F.col("text")).alias(
+            "roundtrip_ok"
+        ),
+    )
+
+
+def doc_train_pipeline_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_train_pipeline with TOKENIZER-FAITHFUL packing: the gate and
+    the 256-token sequence packing run on EXACT BPE token counts
+    (operators/bpe.py::bpe_count_udf — real merges, not the whitespace
+    proxy), so a packed sequence holds 256 actual tokenizer tokens —
+    the one contract a training pipeline cannot fudge. The oracle
+    replays the identical chain in SQL with the token counts supplied
+    as literals pinned from the slow reference encoder: a drift in the
+    fast encoder's counts, the gate, the mix, the shuffle, or the
+    prefix-sum packing all break the compare."""
+    from pyspark import StorageLevel
+
+    from modelardb_rs_spark.operators.bpe import bpe_count_udf
+    from modelardb_rs_spark.operators.mixing import domain_mix, shuffle_shards
+    from modelardb_rs_spark.operators.packing import pack_documents
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    gated = docs.withColumn("n_tok", bpe_count_udf()(F.col("text"))).where(
+        F.col("n_tok") >= 30
+    )
+    # Persist the NARROW post-dedup projection (id, source, count — no
+    # text): domain_mix's per-source count aggregate and pack_documents'
+    # two prefix-sum passes each re-scan this frame, and without the
+    # cache every scan re-runs real BPE over the corpus. Tokenize once,
+    # reuse thrice — at 100 TB the persisted frame is three thin columns
+    # (the tokenized TEXT is never cached), which is exactly the part
+    # that fits.
+    deduped = (
+        dedup_ops.distinct_documents(gated)
+        .select("doc_id", "source", "n_tok")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Materialize the cache EAGERLY: the downstream branches (mix's
+    # per-source counts, pack's two prefix-sum passes, the final join)
+    # are independent stages that would otherwise race to compute the
+    # cached partitions and each re-run the tokenizer. One count job =
+    # exactly one BPE pass over the corpus.
+    deduped.count()
+    mixed = domain_mix(
+        deduped, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "source", salt="train8"
+    )
+    rep = mixed.withColumn(
+        "rep_id", F.col("doc_id") * F.lit(64).cast("long") + F.col("epoch")
+    )
+    sharded = shuffle_shards(rep, 4, id_col="rep_id", salt="train8")
+    packed_in = sharded.withColumn(
+        "pack_id",
+        F.col("shard").cast("long") * F.lit(1 << 40).cast("long") + F.col("pos"),
+    )
+    packed = pack_documents(packed_in, 256, id_col="pack_id", token_count_col="n_tok")
+    return packed.join(
+        packed_in.select("pack_id", "doc_id", "epoch", "shard"), "pack_id"
+    ).select(
+        "doc_id",
+        "epoch",
+        "shard",
+        "seq_id",
+        "doc_token_start",
+        "doc_token_end",
+        "seq_token_start",
+        "n_tokens",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2352,6 +2440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_semantic_dedup_collapsed": sim_semantic_dedup_collapsed,
         "stream_vector_ingest": stream_vector_ingest,
         "doc_train_pipeline": doc_train_pipeline,
+        "doc_bpe_encode": doc_bpe_encode,
+        "doc_train_pipeline_bpe": doc_train_pipeline_bpe,
     }
 
 
@@ -4305,6 +4395,89 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(concat('0x', substr(md5(concat_ws(':',
                        CAST(rep_id AS VARCHAR), 'train7')), 1, 8)) AS BIGINT) % 4 AS INT) AS shard,
                    md5(concat(CAST(rep_id AS VARCHAR), 'train7')) AS k
+            FROM rep)
+        ),
+        nz AS (
+          SELECT doc_id, epoch, shard,
+                 CAST(shard AS BIGINT) * 1099511627776 + pos AS pack_id,
+                 CAST(n_tok AS BIGINT) AS n
+          FROM positioned WHERE n_tok > 0
+        ),
+        placed AS (
+          SELECT *, CAST(COALESCE(SUM(n) OVER (ORDER BY pack_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+          FROM nz
+        ),
+        spans AS (
+          SELECT *, unnest(range(s // 256, (s + n - 1) // 256 + 1)) AS seq_id
+          FROM placed
+        )
+        SELECT doc_id, epoch, shard, seq_id,
+               GREATEST(seq_id*256, s) - s AS doc_token_start,
+               LEAST((seq_id+1)*256, s+n) - s AS doc_token_end,
+               GREATEST(seq_id*256, s) - seq_id*256 AS seq_token_start,
+               LEAST((seq_id+1)*256, s+n) - GREATEST(seq_id*256, s) AS n_tokens
+        FROM spans
+    """
+    # BPE oracles: DuckDB cannot run a merge loop, so the expected values
+    # are LITERALS pinned by the slow reference encoder
+    # (operators/bpe.py::reference_encode, sequential merge application)
+    # at vocab-training time (scripts/train_bpe_vocab.py). The Spark side
+    # uses the independent rank-greedy fast encoder — every correctness
+    # run is therefore a cross-implementation check of counts, the exact
+    # token-id sequence (md5 covers ids AND order), and losslessness.
+    from modelardb_rs_spark.resources.bpe_pins import PINS
+
+    _bpe_enc_vals = ", ".join(f"({d}, {n}, '{h}')" for d, n, h in PINS)
+    oracles["doc_bpe_encode"] = f"""
+        SELECT doc_id, CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+               ids_md5, TRUE AS roundtrip_ok
+        FROM (VALUES {_bpe_enc_vals}) AS t(doc_id, n_bpe_tokens, ids_md5)
+    """
+    _bpe_cnt_vals = ", ".join(f"({d}, {n})" for d, n, _ in PINS)
+    oracles["doc_train_pipeline_bpe"] = rf"""
+        WITH bpe(doc_id, n_tok) AS (VALUES {_bpe_cnt_vals}),
+        toks AS (
+          SELECT d.doc_id, d.source, d.text, CAST(b.n_tok AS BIGINT) AS n_tok
+          FROM documents d JOIN bpe b USING (doc_id)
+        ),
+        gated AS (SELECT * FROM toks WHERE n_tok >= 30),
+        deduped AS (
+          SELECT doc_id, source, n_tok FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                ORDER BY doc_id) AS rn
+            FROM gated) WHERE rn = 1
+        ),
+        cnt AS (SELECT source, count(*) AS c FROM deduped GROUP BY source),
+        tot AS (SELECT count(*) AS n FROM deduped),
+        w(source, wt) AS (VALUES {_train_vals}),
+        f AS (
+          SELECT cnt.source,
+                 w.wt * CAST(tot.n AS DOUBLE) / CAST(cnt.c AS DOUBLE) AS factor
+          FROM cnt JOIN w USING (source), tot
+        ),
+        reps AS (
+          SELECT d.doc_id, d.n_tok, f.factor, u.epoch
+          FROM deduped d JOIN f USING (source),
+               LATERAL (SELECT unnest(generate_series(
+                   0, CAST(greatest(ceil(f.factor) - 1, 0) AS BIGINT))) AS epoch) u
+        ),
+        mixed AS (
+          SELECT doc_id, n_tok, CAST(epoch AS INT) AS epoch FROM reps
+          WHERE epoch < floor(factor)
+             OR CAST(concat('0x', substr(md5(concat_ws(':',
+                  CAST(doc_id AS VARCHAR), CAST(epoch AS VARCHAR), 'train8')), 1, 8)) AS BIGINT)
+                % 1000000 < (factor - floor(factor)) * 1000000
+        ),
+        rep AS (SELECT *, doc_id * 64 + epoch AS rep_id FROM mixed),
+        positioned AS (
+          SELECT *, row_number() OVER (PARTITION BY shard ORDER BY k, rep_id) - 1 AS pos
+          FROM (
+            SELECT *,
+                   CAST(CAST(concat('0x', substr(md5(concat_ws(':',
+                       CAST(rep_id AS VARCHAR), 'train8')), 1, 8)) AS BIGINT) % 4 AS INT) AS shard,
+                   md5(concat(CAST(rep_id AS VARCHAR), 'train8')) AS k
             FROM rep)
         ),
         nz AS (

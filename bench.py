@@ -55,6 +55,8 @@ HEADLINE = [
     "q_interval_join",
     "doc_clean_pipeline",
     "doc_train_pipeline",
+    "doc_bpe_encode",
+    "doc_train_pipeline_bpe",
     "ts_correlation",
 ]
 

@@ -1,0 +1,323 @@
+"""Byte-level BPE tokenizer — trained, exact, reversible, distributed.
+
+``text.bpe_token_count`` counts GPT-2-pre-tokenizer PIECES: a useful
+vocabulary-free cost proxy, but not what a training pipeline packs on —
+a "256-token" sequence must hold 256 REAL tokenizer tokens or every
+downstream batch is mis-sized. This module implements the public
+byte-level BPE algorithm (merge learning per Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units"; byte
+alphabet + pre-tokenizer shape per Radford et al. 2019, GPT-2) from
+scratch:
+
+- a DETERMINISTIC trainer (``train_bpe``): most-frequent pair first,
+  ties broken by lexicographically smallest pair, so the same corpus
+  always yields the same vocab with no RNG at all;
+- a checked-in vocab trained on the test corpus
+  (``modelardb_rs_spark/resources/bpe_vocab.py`` — a generated .py
+  module because the executor zip ships only .py files; regenerate
+  with ``scripts/train_bpe_vocab.py``);
+- a fast encoder (``BPETokenizer``): rank-greedy merge loop with a
+  piece cache — pieces repeat heavily in natural text, so the merge
+  loop runs once per DISTINCT piece per worker;
+- a slow REFERENCE encoder (``reference_encode``): applies the merge
+  list sequentially in training order, the trainer's own definition
+  with no rank shortcuts. The two are algorithmically independent
+  routes to the same answer; the oracle literals are pinned from the
+  reference path so every driver run cross-checks the fast path;
+- Arrow-batched Spark ops (iterator pandas UDFs — the tokenizer loads
+  once per worker, then streams batches).
+
+Losslessness is by construction: all 256 bytes are base tokens (ids
+0..255 in byte order), so ``decode(encode(x)) == x`` for ANY unicode
+string — no unknown-token escape hatch needed. The reference system
+has no text stack; this is forward-looking LLM-pipeline surface
+(SURVEY.md training-data ops).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# GPT-2-shaped pre-tokenizer: contraction suffixes, space-prefixed
+# letter/digit/punct runs, whitespace runs (the trailing lookahead keeps
+# the last space of an inter-word gap attached to the following piece).
+# Written against Python `re` unicode classes: letters = [^\W\d_],
+# punctuation = [^\s\w] plus the underscore \w wrongly keeps.
+# Every character falls in some branch, so the matches CONCATENATE BACK
+# to the input exactly — asserted in tests and by reference_encode.
+PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[^\W\d_]+"
+    r"| ?\d+"
+    r"| ?(?:[^\s\w]|_)+"
+    r"|\s+(?!\S)"
+    r"|\s+"
+)
+PRETOKEN_RE = re.compile(PRETOKEN_PATTERN)
+
+_PIECE_CACHE_MAX = 65536
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's reversible byte -> printable-unicode-char map: the 188
+    visibly printable latin-1 bytes map to themselves; the rest (control
+    bytes, space, DEL, ...) map to 256+i so every byte has a distinct,
+    printable, whitespace-free symbol. Merge files and vocab stay plain
+    text; decoding inverts the map before UTF-8 decoding."""
+    printable = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    mapping: dict[int, str] = {b: chr(b) for b in printable}
+    shifted = 0
+    for b in range(256):
+        if b not in mapping:
+            mapping[b] = chr(256 + shifted)
+            shifted += 1
+    return mapping
+
+
+def _merge_word(word: tuple[str, ...], pair: tuple[str, str], merged: str) -> tuple[str, ...]:
+    out: list[str] = []
+    i = 0
+    n = len(word)
+    while i < n:
+        if i < n - 1 and word[i] == pair[0] and word[i + 1] == pair[1]:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(word[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe(
+    texts: Iterable[str],
+    n_merges: int = 2000,
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn a merge list from a corpus — the classic BPE trainer over
+    pre-tokenized piece frequencies. Deterministic: no sampling, no
+    hashing order — the next merge is the most frequent adjacent pair,
+    ties broken by the lexicographically smallest (left, right) pair.
+    Stops early when no pair reaches ``min_count`` (merging singleton
+    pairs just memorizes the corpus). Pure driver-side Python: training
+    corpora for vocab fitting are bounded samples by design (the same
+    sample-fit stance as PQ codebooks / KMeans centroids) — collect a
+    seeded sample first if the corpus is large."""
+    from collections import Counter, defaultdict
+
+    b2u = bytes_to_unicode()
+    words: Counter[tuple[str, ...]] = Counter()
+    for t in texts:
+        if not t:
+            continue
+        for piece in PRETOKEN_RE.findall(t):
+            words[tuple(b2u[b] for b in piece.encode("utf-8"))] += 1
+
+    word_freq = dict(words)
+    pair_counts: Counter[tuple[str, str]] = Counter()
+    occurs: dict[tuple[str, str], set[tuple[str, ...]]] = defaultdict(set)
+    for w, c in word_freq.items():
+        for i in range(len(w) - 1):
+            pair_counts[(w[i], w[i + 1])] += c
+            occurs[(w[i], w[i + 1])].add(w)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        top = max(pair_counts.values())
+        if top < min_count:
+            break
+        best = min(p for p, c in pair_counts.items() if c == top)
+        merges.append(best)
+        merged_sym = best[0] + best[1]
+        for w in list(occurs[best]):
+            c = word_freq.pop(w, None)
+            if c is None:
+                continue
+            for i in range(len(w) - 1):
+                p = (w[i], w[i + 1])
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                occurs[p].discard(w)
+            nw = _merge_word(w, best, merged_sym)
+            word_freq[nw] = word_freq.get(nw, 0) + c
+            for i in range(len(nw) - 1):
+                p = (nw[i], nw[i + 1])
+                pair_counts[p] += c
+                occurs[p].add(nw)
+    return merges
+
+
+def reference_encode(text: str, merges: list[tuple[str, str]]) -> list[int]:
+    """Slow, obviously-correct encoder: apply each learned merge IN
+    TRAINING ORDER across all pieces — the trainer's own recurrence,
+    no rank-greedy shortcut. Used to PIN oracle literals and to
+    cross-check ``BPETokenizer`` in tests; never in the hot path."""
+    b2u = bytes_to_unicode()
+    pieces_text = PRETOKEN_RE.findall(text or "")
+    assert "".join(pieces_text) == (text or ""), "pre-tokenizer lost characters"
+    pieces = [tuple(b2u[b] for b in p.encode("utf-8")) for p in pieces_text]
+    for pair in merges:
+        merged = pair[0] + pair[1]
+        pieces = [
+            _merge_word(w, pair, merged) if pair[0] in w and pair[1] in w else w
+            for w in pieces
+        ]
+    id_of = _token_ids(merges)
+    return [id_of[s] for w in pieces for s in w]
+
+
+def _token_ids(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Token string -> id. Base alphabet = the 256 byte symbols in BYTE
+    order (ids 0..255); merge i produces id 256+i. Deterministic given
+    the merge list alone — no separate vocab file to drift."""
+    b2u = bytes_to_unicode()
+    id_of = {b2u[b]: b for b in range(256)}
+    for i, (a, b) in enumerate(merges):
+        id_of[a + b] = 256 + i
+    return id_of
+
+
+class BPETokenizer:
+    """Fast encoder/decoder over a learned merge list (rank-greedy merge
+    loop, per-piece memoization). Equivalent to ``reference_encode`` —
+    applying the lowest-rank applicable pair repeatedly yields the same
+    fixed point as applying merges sequentially in training order."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.merges = [tuple(m) for m in merges]
+        self.ranks: dict[tuple[str, str], int] = {
+            pair: i for i, pair in enumerate(self.merges)
+        }
+        self.b2u = bytes_to_unicode()
+        self.u2b = {u: b for b, u in self.b2u.items()}
+        self.id_of = _token_ids(self.merges)
+        self.tok_of = {i: t for t, i in self.id_of.items()}
+        self._piece_cache: dict[str, list[int]] = {}
+
+    @classmethod
+    def default(cls) -> "BPETokenizer":
+        """The checked-in vocab (resources/bpe_vocab.py, trained on the
+        sf0.01 documents corpus by scripts/train_bpe_vocab.py)."""
+        from modelardb_rs_spark.resources.bpe_vocab import MERGES
+
+        return cls(MERGES)
+
+    @property
+    def vocab_size(self) -> int:
+        return 256 + len(self.merges)
+
+    def _encode_piece(self, piece: str) -> list[int]:
+        cached = self._piece_cache.get(piece)
+        if cached is not None:
+            return cached
+        symbols = [self.b2u[b] for b in piece.encode("utf-8")]
+        while len(symbols) > 1:
+            best_rank = None
+            for i in range(len(symbols) - 1):
+                r = self.ranks.get((symbols[i], symbols[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank = r
+            if best_rank is None:
+                break
+            a, b = self.merges[best_rank]
+            symbols = list(_merge_word(tuple(symbols), (a, b), a + b))
+        ids = [self.id_of[s] for s in symbols]
+        if len(self._piece_cache) >= _PIECE_CACHE_MAX:
+            self._piece_cache.clear()
+        self._piece_cache[piece] = ids
+        return ids
+
+    def encode(self, text: str) -> list[int]:
+        if not text:
+            return []
+        out: list[int] = []
+        for piece in PRETOKEN_RE.findall(text):
+            out.extend(self._encode_piece(piece))
+        return out
+
+    def decode(self, ids: Iterable[int]) -> str:
+        symbols = "".join(self.tok_of[int(i)] for i in ids)
+        return bytes(self.u2b[ch] for ch in symbols).decode("utf-8")
+
+
+# ---------------------------------------------------------------------------
+# Spark surface — iterator pandas UDFs: the tokenizer (vocab + caches)
+# loads ONCE per Python worker, then Arrow batches stream through it.
+# ---------------------------------------------------------------------------
+
+
+def bpe_encode_udf():
+    """pandas UDF: text -> array<int> of real BPE token ids."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def enc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        tok = BPETokenizer.default()
+        for s in batches:
+            yield s.map(lambda t: tok.encode(t) if t is not None else None)
+
+    return enc
+
+
+def bpe_count_udf():
+    """pandas UDF: text -> exact BPE token count (long). Cheaper than
+    encode-then-size when only the count is packed on."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def cnt(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        tok = BPETokenizer.default()
+        for s in batches:
+            yield s.map(lambda t: len(tok.encode(t)) if t is not None else None)
+
+    return cnt
+
+
+def bpe_decode_udf():
+    """pandas UDF: array<int> -> text (exact inverse of encode)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def dec(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        tok = BPETokenizer.default()
+        for s in batches:
+            yield s.map(lambda ids: tok.decode(ids) if ids is not None else None)
+
+    return dec
+
+
+def encode_documents(
+    df: DataFrame, text_col: str = "text", out_col: str = "bpe_ids"
+) -> DataFrame:
+    """Attach real BPE token ids (map-only; Arrow-batched)."""
+    return df.withColumn(out_col, bpe_encode_udf()(F.col(text_col)))
+
+
+def exact_token_counts(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_bpe_tokens"
+) -> DataFrame:
+    """Attach exact BPE token counts — the column to hand
+    ``packing.pack_documents(token_count_col=...)`` so packed sequences
+    hold N REAL tokens, not N whitespace words."""
+    return df.withColumn(out_col, bpe_count_udf()(F.col(text_col)))
+
+
+def token_ids_hash(ids_col: Column) -> Column:
+    """md5 over the comma-joined token ids (JVM-side) — the pinned
+    per-document fingerprint the oracle literals compare against."""
+    return F.md5(
+        F.concat_ws(",", F.transform(ids_col, lambda x: x.cast("string"))).cast(
+            "binary"
+        )
+    )
