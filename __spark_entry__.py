@@ -976,6 +976,31 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF JOIN through the SQL surface (engine.read_sql → the
+    parser-level rewrite in operators/asof.py::rewrite_asof_sql,
+    DuckDB inequality-in-ON shape): per user, purchases matched to the
+    most recent preceding click. The oracle is DuckDB's NATIVE ASOF
+    JOIN — an independent engine's implementation of the same SQL
+    semantics, not a re-derivation."""
+    eng = _ts_engine(spark, sf_dir)
+    (ev,) = _prep(spark, sf_dir, "events")
+    ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    ).createOrReplaceTempView("asof_p")
+    ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.unix_micros("ts").alias("c_us")
+    ).createOrReplaceTempView("asof_c")
+    return eng.read_sql(
+        "SELECT p.user_id AS user_id, count(*) AS n_purchases, "
+        "count(c.c_us) AS n_with_click, "
+        "CAST(sum(p.ts_us - c.c_us) AS BIGINT) AS total_gap_us "
+        "FROM asof_p p ASOF LEFT JOIN asof_c c "
+        "ON p.user_id = c.cu AND p.ts_us >= c.c_us "
+        "GROUP BY p.user_id ORDER BY user_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators
 # ---------------------------------------------------------------------------
@@ -2370,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nation_volume": q_nation_volume,
         "q_pivot": q_pivot,
         "q_asof_join": q_asof_join,
+        "q_asof_sql": q_asof_sql,
         "q_topk_per_group": q_topk_per_group,
         "q_percentiles": q_percentiles,
         "multimodal_frames": multimodal_frames,
@@ -3016,6 +3042,17 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(p.ts_us - c_us) AS DOUBLE)
                          / count(c_us), 2) AS avg_gap_us
             FROM p ASOF LEFT JOIN c ON p.user_id = c.cu AND p.ts_us >= c.c_us
+        """,
+        "q_asof_sql": """
+            WITH p AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id AS cu, epoch_ns(ts) // 1000 AS c_us
+                       FROM events WHERE event_type = 'click')
+            SELECT p.user_id AS user_id, count(*) AS n_purchases,
+                   count(c.c_us) AS n_with_click,
+                   CAST(sum(p.ts_us - c.c_us) AS BIGINT) AS total_gap_us
+            FROM p ASOF LEFT JOIN c ON p.user_id = c.cu AND p.ts_us >= c.c_us
+            GROUP BY p.user_id ORDER BY user_id
         """,
         "multimodal_frames": """
             WITH f AS (SELECT doc_id, unnest(range(0, 2)) * 2 AS frame_idx FROM documents)

@@ -1115,6 +1115,14 @@ class Engine:
         if rewritten is not None:
             return rewritten
         self.register_views(for_sql=sql)
+        # ASOF JOIN (DuckDB / Snowflake MATCH_CONDITION shape) routes to
+        # operators/asof.py — Spark SQL has no as-of join of its own,
+        # the same way time_bucket/max_by route below
+        from modelardb_rs_spark.operators.asof import rewrite_asof_sql
+
+        asof_df = rewrite_asof_sql(self.spark, sql)
+        if asof_df is not None:
+            return asof_df
         # Spark has no time_bucket function: statements the rewrite
         # declined (extra clauses, calendar-mixed shapes, ...) get the
         # call inlined as epoch arithmetic so they still run

@@ -32,10 +32,18 @@ def asof_join(
     right_value_cols: list[str],
     tolerance_us: int | None = None,
     suffix: str = "_right",
+    strict: bool = False,
+    match_ts_col: str | None = None,
 ) -> DataFrame:
     """For every left row, attach the most recent right row (same ``by``
     keys, ``right.on <= left.on``). ``on`` must be the same column name
-    on both sides (timestamp or numeric)."""
+    on both sides (timestamp or numeric).
+
+    ``strict=True`` uses ``right.on < left.on`` (an exactly concurrent
+    right row is NOT visible — DuckDB's ``>`` match condition).
+    ``match_ts_col`` additionally outputs the matched right row's ``on``
+    value under that name (NULL when no match) — the column an INNER
+    as-of join filters on."""
     l = left.withColumn("__side__", F.lit(1))
     r = right.select(
         *by, on, *[F.col(c).alias(c + suffix) for c in right_value_cols]
@@ -46,10 +54,12 @@ def asof_join(
     u = l.unionByName(r)
 
     # Right rows sort before left rows at equal timestamps so an exactly
-    # concurrent right row is visible to the left row (<= semantics).
+    # concurrent right row is visible to the left row (<= semantics);
+    # strict (<) flips the tie order so it is not.
+    side_order = F.col("__side__").desc() if strict else F.col("__side__").asc()
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__side__").asc())
+        .orderBy(F.col(on).asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = [
@@ -79,10 +89,17 @@ def asof_join(
                 F.when(keep, F.col(c + suffix)).alias(c + suffix)
                 for c in right_value_cols
             ],
+            *(
+                [F.when(keep, F.col("__right_ts__")).alias(match_ts_col)]
+                if match_ts_col
+                else []
+            ),
         )
     else:
         out = out.select(
-            *[c for c in left.columns], *[F.col(c + suffix) for c in right_value_cols]
+            *[c for c in left.columns],
+            *[F.col(c + suffix) for c in right_value_cols],
+            *([F.col("__right_ts__").alias(match_ts_col)] if match_ts_col else []),
         )
     return out
 
@@ -162,3 +179,149 @@ def interpolation_join(
         )
         out_cols.append(interp.alias(c + suffix))
     return staged.select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# ASOF JOIN SQL surface (DuckDB / Snowflake shape)
+# ---------------------------------------------------------------------------
+
+# SELECT <proj> FROM <lt> [AS] [<la>] ASOF [LEFT] JOIN <rt> [AS] [<ra>]
+#   [MATCH_CONDITION ( <ineq> )] ON <conds> [<tail>]
+_ASOF_SQL_RE = __import__("re").compile(
+    r"^\s*SELECT\s+(?P<proj>.*?)\s+FROM\s+"
+    r"(?P<lt>[A-Za-z_][\w.]*)(?:\s+AS)?(?:\s+(?P<la>(?!ASOF\b)[A-Za-z_]\w*))?\s+"
+    r"ASOF\s+(?P<ltype>LEFT\s+)?JOIN\s+"
+    r"(?P<rt>[A-Za-z_][\w.]*)(?:\s+AS)?(?:\s+(?P<ra>(?!MATCH_CONDITION\b|ON\b)[A-Za-z_]\w*))?\s+"
+    r"(?:MATCH_CONDITION\s*\(\s*(?P<match>[^)]+?)\s*\)\s+)?"
+    r"ON\s+(?P<conds>.+?)"
+    r"(?P<tail>\s+(?:WHERE|GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING)\b.*)?\s*$",
+    __import__("re").IGNORECASE | __import__("re").DOTALL,
+)
+
+_COND_EQ_RE = __import__("re").compile(
+    r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$"
+)
+_COND_INEQ_RE = __import__("re").compile(
+    r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*(>=|<=|>|<)\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$"
+)
+
+
+def rewrite_asof_sql(spark, sql: str):
+    """Execute the standard ``ASOF JOIN`` SQL shape (DuckDB inequality-
+    in-ON syntax and Snowflake ``MATCH_CONDITION`` syntax) through
+    ``asof_join`` — Spark SQL has no ASOF JOIN of its own. Returns a
+    DataFrame, or None when the statement is not an as-of join (callers
+    fall through to plain ``spark.sql``).
+
+    Supported grammar (single join; both tables must already resolve
+    via ``spark.table`` — engine tables are registered as views first):
+
+        SELECT <exprs> FROM lt [AS] la ASOF [LEFT] JOIN rt [AS] ra
+          [MATCH_CONDITION ( la.ts >= ra.ts )]
+          ON la.k = ra.k [AND ...] [AND la.ts >= ra.ts]
+          [WHERE ...] [GROUP BY ...] [HAVING ...] [ORDER BY ...] [LIMIT n]
+
+    The inequality (in MATCH_CONDITION or as the single non-equality ON
+    term) must compare one column from each side; ``>=``/``>`` (or the
+    mirrored ``<=``/``<``) mean "most recent right row at-or-before /
+    strictly-before the left row" — the only as-of direction implemented.
+    Plain ``ASOF JOIN`` is an INNER join (unmatched left rows drop,
+    DuckDB semantics); ``ASOF LEFT JOIN`` keeps them with NULLs.
+    Qualified references (``la.x``, ``ra.y``) in the projection and tail
+    are rewritten onto the joined frame; alias output columns explicitly
+    (``AS name``) for stable result names."""
+    import re as _re
+    import uuid
+
+    m = _ASOF_SQL_RE.match(sql)
+    if not m:
+        return None
+    la = m["la"] or m["lt"]
+    ra = m["ra"] or m["rt"]
+    conds = _re.split(r"\s+AND\s+", m["conds"].strip(), flags=_re.IGNORECASE)
+    eqs: list[tuple[str, str]] = []  # (left col, right col)
+    ineq = None
+    if m["match"]:
+        ineq = _COND_INEQ_RE.match(m["match"])
+        if not ineq:
+            raise ValueError(
+                "ASOF JOIN: MATCH_CONDITION must be a single two-sided "
+                "inequality like l.ts >= r.ts"
+            )
+    for c in conds:
+        if eq := _COND_EQ_RE.match(c):
+            q1, c1, q2, c2 = eq.groups()
+            if q1 == la and q2 == ra:
+                eqs.append((c1, c2))
+            elif q1 == ra and q2 == la:
+                eqs.append((c2, c1))
+            else:
+                raise ValueError(f"ASOF JOIN: equality must join {la} to {ra}: {c!r}")
+        elif (iq := _COND_INEQ_RE.match(c)) and ineq is None:
+            ineq = iq
+        else:
+            raise ValueError(f"ASOF JOIN: unsupported ON term {c!r}")
+    if ineq is None:
+        raise ValueError(
+            "ASOF JOIN needs exactly one inequality (in MATCH_CONDITION or ON)"
+        )
+    q1, c1, op, q2, c2 = ineq.groups()
+    # normalize to left <op> right
+    if q1 == ra and q2 == la:
+        q1, c1, q2, c2 = q2, c2, q1, c1
+        op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}[op]
+    if (q1, q2) != (la, ra):
+        raise ValueError("ASOF JOIN: inequality must compare the two joined tables")
+    if op in ("<", "<="):
+        raise ValueError(
+            "ASOF JOIN: only the most-recent-right-at-or-before direction "
+            "(left.ts >= right.ts or left.ts > right.ts) is implemented"
+        )
+    strict = op == ">"
+    if not eqs:
+        raise ValueError("ASOF JOIN needs at least one equality ON term")
+
+    left = spark.table(m["lt"])
+    right = spark.table(m["rt"])
+    # canonical helper columns avoid any name collision between sides;
+    # every ORIGINAL right column (keys and timestamp included) is
+    # carried as a value so `ra.x` references see NULL on unmatched rows
+    by = [f"__by{i}__" for i in range(len(eqs))]
+    lcanon = left.select(
+        "*",
+        *[F.col(lc).alias(b) for (lc, _), b in zip(eqs, by)],
+        F.col(c1).alias("__on__"),
+    )
+    rcanon = right.select(
+        *[F.col(rc).alias(b) for (_, rc), b in zip(eqs, by)],
+        F.col(c2).alias("__on__"),
+        *[F.col(c).alias(f"__rv_{c}__") for c in right.columns],
+    )
+    joined = asof_join(
+        lcanon,
+        rcanon,
+        on="__on__",
+        by=by,
+        right_value_cols=[f"__rv_{c}__" for c in right.columns],
+        suffix="",
+        strict=strict,
+        match_ts_col="__match_ts__",
+    )
+    if not m["ltype"]:  # plain ASOF JOIN = inner
+        joined = joined.where(F.col("__match_ts__").isNotNull())
+    joined = joined.drop(*by, "__on__", "__match_ts__")
+
+    def requalify(text: str) -> str:
+        text = _re.sub(rf"\b{_re.escape(ra)}\.([A-Za-z_]\w*)", r"__rv_\1__", text)
+        return _re.sub(rf"\b{_re.escape(la)}\.([A-Za-z_]\w*)", r"\1", text)
+
+    view = f"__asof_{uuid.uuid4().hex[:12]}__"
+    joined.createOrReplaceTempView(view)
+    try:
+        out = spark.sql(
+            f"SELECT {requalify(m['proj'])} FROM {view}{requalify(m['tail'] or '')}"
+        )
+    finally:
+        # the plan is resolved at spark.sql() time; the view can go
+        spark.catalog.dropTempView(view)
+    return out

@@ -169,3 +169,61 @@ def test_fuzz_where_pushdown_matches_full_view(fuzz_engine):
         fuzz_engine.register_views(for_sql=None)
         exp = canonical(fuzz_engine.spark.sql(sql).collect(), 3)
         assert got == exp, f"trial={trial} sql={sql}"
+
+
+def test_fuzz_asof_sql_rewrite_matches_bruteforce(spark, fuzz_engine):
+    """The ASOF JOIN SQL rewrite (operators/asof.py::rewrite_asof_sql)
+    must match a brute-force per-row evaluation for random data with
+    timestamp ties, random match op (>=, >) and join type, in both the
+    DuckDB inequality-in-ON and Snowflake MATCH_CONDITION shapes."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(13)
+    for trial in range(6):
+        lrows = [
+            Row(k=rng.randint(0, 3), t=rng.randint(0, 20), lv=i)
+            for i in range(rng.randint(5, 25))
+        ]
+        rrows = [
+            Row(rk=rng.randint(0, 3), rt=rng.randint(0, 20), rv=100 + i)
+            for i in range(rng.randint(5, 25))
+        ]
+        # unique (key, time) on the right so "latest match" is unambiguous
+        seen = set()
+        rrows = [
+            r for r in rrows
+            if (r.rk, r.rt) not in seen and not seen.add((r.rk, r.rt))
+        ]
+        spark.createDataFrame(lrows).createOrReplaceTempView("fz_l")
+        spark.createDataFrame(rrows).createOrReplaceTempView("fz_r")
+        op = rng.choice([">=", ">"])
+        left_join = rng.choice([True, False])
+        jt = "ASOF LEFT JOIN" if left_join else "ASOF JOIN"
+        if rng.random() < 0.5:
+            sql = (
+                f"SELECT l.k AS k, l.t AS t, l.lv AS lv, r.rt AS rt, r.rv AS rv "
+                f"FROM fz_l l {jt} fz_r r ON l.k = r.rk AND l.t {op} r.rt"
+            )
+        else:
+            sql = (
+                f"SELECT l.k AS k, l.t AS t, l.lv AS lv, r.rt AS rt, r.rv AS rv "
+                f"FROM fz_l l {jt} fz_r r MATCH_CONDITION (l.t {op} r.rt) "
+                f"ON l.k = r.rk"
+            )
+        got = sorted(
+            tuple(r) for r in fuzz_engine.read_sql(sql).collect()
+        )
+        want = []
+        for lr in lrows:
+            cands = [
+                rr for rr in rrows
+                if rr.rk == lr.k and (lr.t >= rr.rt if op == ">=" else lr.t > rr.rt)
+            ]
+            if cands:
+                best = max(cands, key=lambda rr: rr.rt)
+                want.append((lr.k, lr.t, lr.lv, best.rt, best.rv))
+            elif left_join:
+                want.append((lr.k, lr.t, lr.lv, None, None))
+        assert got == sorted(want), f"trial {trial}: {sql}"
