@@ -1265,6 +1265,11 @@ def dedup_capped_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup_ops.minhash_signatures(docs, k=16, n=3)
     capped = dedup_ops.lsh_candidate_pairs(sigs, bands=8, max_bucket=4)
     uncapped = dedup_ops.lsh_candidate_pairs(sigs, bands=8)
+    # auto rule: cap = max(floor, ceil(p90 of bucket sizes)) — sized
+    # from the data, with the oracle recomputing the same quantile
+    auto = dedup_ops.lsh_candidate_pairs(
+        sigs, bands=8, max_bucket="auto", auto_cap_quantile=0.9, auto_cap_floor=4
+    )
     a = capped.agg(
         F.count("*").alias("n_capped"),
         F.coalesce(F.sum(F.col("id_a") + F.col("id_b")), F.lit(0))
@@ -1272,7 +1277,8 @@ def dedup_capped_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_capped_ids"),
     )
     b = uncapped.agg(F.count("*").alias("n_uncapped"))
-    return a.crossJoin(b)
+    c = auto.agg(F.count("*").alias("n_auto_capped"))
+    return a.crossJoin(b).crossJoin(c)
 
 
 def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3380,11 +3386,26 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM bands a JOIN bands b
                   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+            ),
+            autocap AS (
+                SELECT greatest(4, CAST(ceil(quantile_cont(n, 0.9)) AS BIGINT)) AS cap
+                FROM bsz
+            ),
+            kept_auto AS (
+                SELECT b.doc_id, b.band, b.bh
+                FROM bands b JOIN bsz USING (band, bh), autocap
+                WHERE bsz.n <= autocap.cap
+            ),
+            auto_capped AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM kept_auto a JOIN kept_auto b
+                  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
             )
             SELECT (SELECT count(*) FROM capped) AS n_capped,
                    CAST(coalesce((SELECT sum(id_a + id_b) FROM capped), 0) AS BIGINT)
                        AS sum_capped_ids,
-                   (SELECT count(*) FROM uncapped) AS n_uncapped
+                   (SELECT count(*) FROM uncapped) AS n_uncapped,
+                   (SELECT count(*) FROM auto_capped) AS n_auto_capped
         """,
         "dedup_corpus": _MINHASH_VERIFY_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
         + """

@@ -531,3 +531,95 @@ def ivf_index_topk(
         F.col("ivf_bucket").isin(probed_buckets)
     )
     return probe_topk(vectors, cents, queries, k, nprobe, id_col, vec_col, "ivf_bucket")
+
+
+def ivf_index_stats(engine, index_name: str, drift: bool = True) -> dict:
+    """Index health telemetry — the numbers an operator watches to decide
+    WHEN to rebuild, instead of waiting for recall to sag silently.
+    Classic IVF adds keep centroids fixed (append_to_ivf_index), so two
+    things degrade under sustained appends: bucket sizes skew (probe
+    cost concentrates) and centroids drift from their buckets' true
+    means (nprobe recall sags — the vectors a query should find sit in
+    buckets the query no longer probes).
+
+    Cost shape: everything except drift comes from index METADATA — the
+    cached centroid rows (n_buckets tiny rows) and the commit log's
+    add-entry listing (driver-side, no Spark job) — plus ONE count-only
+    aggregate over the partition column (parquet footer counts, no
+    vector data read). ``drift=True`` adds the one narrow full pass the
+    drift number fundamentally needs: a per-bucket component-sum
+    aggregate (dim sum columns, JVM-side) whose K x dim result is
+    compared to the stored centroids in numpy on the driver.
+
+    Returns::
+
+        {"n_buckets", "built_vectors", "current_vectors",
+         "appended_fraction",                  # 0 right after a build
+         "bucket_min", "bucket_p50", "bucket_max",
+         "bucket_imbalance",                   # max/mean; 1.0 = uniform
+         "n_files",                            # probe-time open() cost
+         "mean_centroid_drift", "max_centroid_drift"}  # drift=True:
+                                               # 1 - cos(stored centroid,
+                                               # current bucket mean)
+    """
+    import numpy as np
+
+    ct, vt = _centroids_table(index_name), _vectors_table(index_name)
+    cent_rows = engine.table(ct).select("ivf_bucket", "centroid", "n_vectors").collect()
+    built = {int(r["ivf_bucket"]): (np.array(r["centroid"], dtype=np.float64), int(r["n_vectors"])) for r in cent_rows}
+    n_files = len(engine.folder.log(vt).snapshot().files)
+
+    sizes = {
+        int(r["ivf_bucket"]): int(r["n"])
+        for r in engine.table(vt).groupBy("ivf_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    counts = sorted(sizes.values()) or [0]
+    current = sum(counts)
+    built_total = sum(n for _, n in built.values())
+    mean_sz = current / max(len(sizes), 1)
+    out = {
+        "n_buckets": len(built),
+        "built_vectors": built_total,
+        "current_vectors": current,
+        "appended_fraction": round(max(current - built_total, 0) / max(current, 1), 4),
+        "bucket_min": counts[0],
+        "bucket_p50": counts[len(counts) // 2],
+        "bucket_max": counts[-1],
+        "bucket_imbalance": round(counts[-1] / max(mean_sz, 1e-12), 3),
+        "n_files": n_files,
+    }
+    if drift:
+        dim = len(next(iter(built.values()))[0]) if built else 0
+        # the raw vector column is the array<float> one that is not the
+        # PQ codes (IVF-PQ vectors tables carry both)
+        vec_col = next(
+            c
+            for c, t in engine.table(vt).dtypes
+            if t.startswith("array") and c != "pq_codes"
+        )
+        # one narrow JVM aggregate: per-bucket component sums + count
+        sums = (
+            engine.table(vt)
+            .groupBy("ivf_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("__n__"),
+                *[
+                    F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"__s{i}__")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        drifts = []
+        for r in sums:
+            b = int(r["ivf_bucket"])
+            if b not in built or r["__n__"] == 0:
+                continue
+            mean_vec = np.array([r[f"__s{i}__"] for i in range(dim)], dtype=np.float64) / r["__n__"]
+            c = built[b][0]
+            denom = np.linalg.norm(mean_vec) * np.linalg.norm(c)
+            cos = float(mean_vec @ c / denom) if denom > 0 else 1.0
+            drifts.append(1.0 - cos)
+        out["mean_centroid_drift"] = round(float(np.mean(drifts)), 6) if drifts else 0.0
+        out["max_centroid_drift"] = round(float(np.max(drifts)), 6) if drifts else 0.0
+    return out

@@ -245,7 +245,9 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
     id_col: str = "doc_id",
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = None,
+    auto_cap_quantile: float = 0.999,
+    auto_cap_floor: int = 64,
 ) -> DataFrame:
     """Banded LSH over MinHash signatures: documents sharing any band's
     concatenated hash become a candidate pair. Equi-join on the band
@@ -264,17 +266,44 @@ def lsh_candidate_pairs(
     buckets untouched. The cost is one combiner-friendly count over
     the band keys (narrow rows, partial aggregation map-side); the
     trade is recall of pairs whose EVERY colliding bucket exceeds the
-    cap — measured on the probe corpus in SCALE.md "Round-7"."""
+    cap — measured on the probe corpus in SCALE.md "Round-7".
+
+    ``max_bucket="auto"`` sizes the cap FROM THE DATA instead of a
+    guessed constant: cap = max(``auto_cap_floor``, ceil(exact
+    ``auto_cap_quantile`` of the bucket-size distribution)) — by
+    construction it prunes only the distribution's extreme tail (the
+    degenerate boilerplate buckets) no matter the corpus, where a
+    fixed constant tuned on one corpus silently over- or under-prunes
+    the next. The quantile is one extra reduction over the SAME
+    bucket-size aggregate the cap already computes, broadcast back as
+    a one-row frame — no driver collect, no second pass over the
+    keys."""
     exploded = band_keys(signatures, bands, id_col)
     if max_bucket is not None:
         sizes = exploded.groupBy("band", "band_hash").agg(
             F.count(F.lit(1)).alias("__bucket_n__")
         )
-        exploded = (
-            exploded.join(sizes, ["band", "band_hash"])
-            .where(F.col("__bucket_n__") <= max_bucket)
-            .drop("__bucket_n__")
-        )
+        if max_bucket == "auto":
+            cap_df = sizes.agg(
+                F.greatest(
+                    F.lit(auto_cap_floor).cast("long"),
+                    F.ceil(
+                        F.expr(f"percentile(__bucket_n__, {auto_cap_quantile!r})")
+                    ),
+                ).alias("__cap__")
+            )
+            exploded = (
+                exploded.join(sizes, ["band", "band_hash"])
+                .crossJoin(F.broadcast(cap_df))
+                .where(F.col("__bucket_n__") <= F.col("__cap__"))
+                .drop("__bucket_n__", "__cap__")
+            )
+        else:
+            exploded = (
+                exploded.join(sizes, ["band", "band_hash"])
+                .where(F.col("__bucket_n__") <= max_bucket)
+                .drop("__bucket_n__")
+            )
     l, r = exploded.alias("l"), exploded.alias("r")
     return (
         l.join(r, ["band", "band_hash"])

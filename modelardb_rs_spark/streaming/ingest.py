@@ -357,6 +357,7 @@ def start_vector_ingest(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     app_id: str | None = None,
+    stats_every: int | None = 1,
 ) -> StreamingQuery:
     """Streaming growth of a persisted IVF / IVF-PQ index
     (operators/ann_index.py): each micro-batch of (id, embedding) rows
@@ -384,14 +385,35 @@ def start_vector_ingest(
     replays and drop them. Resetting a checkpoint under the default id
     is safe only because the id is derived from the checkpoint PATH —
     reset to a NEW path (or pass a new ``app_id``) and the gate starts
-    clean; re-creating the same path re-enters the old lineage."""
+    clean; re-creating the same path re-enters the old lineage.
+
+    ``stats_every=N`` logs ``ann_index.ivf_index_stats(drift=False)``
+    after every Nth applied epoch (None disables) — appended fraction,
+    bucket imbalance, and live file count, the cheap metadata-only
+    health numbers an operator alarms on to schedule a rebuild before
+    recall sags (the drift pass stays on-demand: it is the one stat
+    that costs a full scan)."""
     if app_id is None:
         app_id = vector_ingest_app_id(index_name, checkpoint_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        vector_ingest_batch(
+        res = vector_ingest_batch(
             engine, index_name, batch_df, epoch_id, id_col, vec_col, app_id=app_id
         )
+        if (
+            stats_every
+            and not res.get("replayed")
+            and res.get("appended", 0) > 0
+            and int(epoch_id) % stats_every == 0
+        ):
+            import logging
+
+            from modelardb_rs_spark.operators.ann_index import ivf_index_stats
+
+            stats = ivf_index_stats(engine, index_name, drift=False)
+            logging.getLogger(__name__).info(
+                "vector_ingest %s epoch %s: %s", index_name, epoch_id, stats
+            )
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -44,7 +44,13 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 800
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     mods = [int(m) for m in (sys.argv[3].split(",") if len(sys.argv) > 3 else ["1", "4", "8"])]
-    max_bucket = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    # an integer applies the manual cap; the literal string "auto" uses
+    # the data-sized quantile rule (max(64, p99.9 of bucket sizes))
+    max_bucket = (
+        None
+        if len(sys.argv) <= 4
+        else ("auto" if sys.argv[4] == "auto" else int(sys.argv[4]))
+    )
     spark = make_spark(app_name="sparkmodelar-sampled-probe")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -128,6 +128,41 @@ def test_append_txn_replay_is_exactly_once(engine, emb):
     assert engine.table("txidx__vectors").count() == n_after_first + 5
 
 
+def test_ivf_index_stats_detects_skewed_appends(engine, spark, emb):
+    """ivf_index_stats: fresh build reports zero appended fraction and
+    (near-)zero drift; a skewed append wave into one region raises the
+    appended fraction, the bucket imbalance, and the centroid drift —
+    the rebuild signal."""
+    ann_index.build_ivf_index(engine, "statidx", emb, bucket_col="label")
+    base = ann_index.ivf_index_stats(engine, "statidx")
+    assert base["appended_fraction"] == 0.0
+    assert base["built_vectors"] == base["current_vectors"] == emb.count()
+    assert base["max_centroid_drift"] < 1e-9  # centroids ARE the means
+    assert base["bucket_imbalance"] >= 1.0 and base["n_files"] >= 1
+
+    # skewed appends: many copies of ONE vector, offset hard in one
+    # direction — they pile into a single bucket and drag its true mean
+    # away from the stored centroid
+    probe = emb.where(F.col("vec_id") == 7).select("embedding")
+    skew = (
+        spark.range(300)
+        .crossJoin(probe)
+        .select(
+            (F.col("id") + 10_000).alias("vec_id"),
+            F.transform("embedding", lambda x: (x * F.lit(3.0) + F.lit(5.0)).cast("float")).alias(
+                "embedding"
+            ),
+        )
+    )
+    ann_index.append_to_ivf_index(engine, "statidx", skew)
+    after = ann_index.ivf_index_stats(engine, "statidx")
+    assert after["appended_fraction"] > 0.3
+    assert after["current_vectors"] == base["current_vectors"] + 300
+    assert after["bucket_imbalance"] > base["bucket_imbalance"]
+    assert after["max_centroid_drift"] > base["max_centroid_drift"] + 0.001
+    assert after["mean_centroid_drift"] > base["mean_centroid_drift"]
+
+
 def test_optimize_preserves_bucket_partition_layout(engine, emb):
     """Compacting a Hive-partitioned ANN vectors table must keep the
     ivf_bucket= directory layout (inferred from live paths), keep probe

@@ -106,6 +106,43 @@ def test_lsh_bucket_cap_prunes_degenerate_buckets(spark):
     assert capped == {(0, 1)}
 
 
+def test_lsh_auto_cap_sizes_from_bucket_distribution(spark):
+    """max_bucket="auto" prunes the bucket-size distribution's extreme
+    tail without a hand-tuned constant: the 30-doc boilerplate bucket
+    (far above the p-quantile of the mostly size-<=2 buckets) drops,
+    the true-dup buckets survive — same outcome as the manual cap the
+    probe tuned by hand. The corpus shape matters: quantile sizing
+    assumes degenerate buckets are the distribution's TAIL (true of
+    real corpora), so plant many small true-dup groups and one
+    boilerplate blob."""
+    rows = []
+    expected = set()
+    for i in range(40):  # 40 distinct true-dup pairs -> many tiny buckets
+        # every shingle carries i: no cross-group shingles, no accidental
+        # band collisions to pollute the expected candidate set
+        text = " ".join(f"w{i}x{j}" for j in range(8))
+        rows += [Row(doc_id=2 * i, text=text), Row(doc_id=2 * i + 1, text=text)]
+        expected.add((2 * i, 2 * i + 1))
+    rows += [Row(doc_id=100 + i, text="standard legal disclaimer text here") for i in range(30)]
+    docs = spark.createDataFrame(rows)
+    sigs = dedup_ops.minhash_signatures(docs, k=16)
+    auto = {
+        (r.id_a, r.id_b)
+        for r in dedup_ops.lsh_candidate_pairs(
+            sigs, bands=8, max_bucket="auto", auto_cap_quantile=0.9, auto_cap_floor=4
+        ).collect()
+    }
+    assert auto == expected
+    # a floor above every bucket size disables pruning entirely
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup_ops.lsh_candidate_pairs(
+            sigs, bands=8, max_bucket="auto", auto_cap_quantile=0.9, auto_cap_floor=1000
+        ).collect()
+    }
+    assert len({p for p in uncapped if p[0] >= 100}) == 30 * 29 // 2
+
+
 def test_verify_candidates_matches_exact(docs):
     """verify_candidate_pairs fed every pair must reproduce the exact
     inverted-index Jaccard operator bit-for-bit."""
