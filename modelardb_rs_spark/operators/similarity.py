@@ -275,6 +275,64 @@ def kmeans_buckets(
     return model.transform(with_vec).drop("__mlvec__")
 
 
+def kmeans_multiprobe_assignments(
+    corpus: DataFrame,
+    k: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_sample: int | None = None,
+) -> DataFrame:
+    """(id, ivf_bucket) with the ``nprobe`` NEAREST centroids per vector
+    (squared-Euclidean, KMeans' own metric; ties broken by bucket id) —
+    the multi-probe assignment that recovers cluster-BOUNDARY recall for
+    ``semantic_dedup``: a near-dup pair split across adjacent clusters
+    still meets in one of them when each vector also joins its
+    runner-up cluster. Candidate cost is ~``nprobe``^2 x (every
+    bucket's effective membership multiplies by ``nprobe`` and
+    within-bucket pairs are quadratic in membership) — measured in
+    SCALE.md "Round-8". Same fit as
+    ``kmeans_buckets`` (seeded, optionally sample-bounded); assignment
+    is a broadcast crossJoin against the k centroids + a per-id rank —
+    map-only per vector, the append_to_ivf_index shape."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = corpus.withColumn(
+        "__mlvec__", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    fit_input = with_vec
+    if fit_sample is not None:
+        fit_input = (
+            with_vec.select(id_col, "__mlvec__")
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+            .limit(int(fit_sample))
+        )
+    model = KMeans(
+        k=k, seed=seed, featuresCol="__mlvec__", predictionCol="ivf_bucket"
+    ).fit(fit_input)
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "ivf_bucket INT, __c__ ARRAY<DOUBLE>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), F.col("__c__"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__d2__").asc(), F.col("ivf_bucket"))
+    return (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__d2__", d2)
+        .withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= int(nprobe))
+        .select(id_col, "ivf_bucket")
+    )
+
+
 def _hyperplane_signatures(tables: int, planes: int, dim: int, seed: int):
     """Column builder: array<struct<t,sig>> — one sign-LSH signature per
     hash table, from fixed pseudo-random hyperplanes (deterministic in
@@ -453,6 +511,83 @@ def cosine_threshold_pairs(
     )
 
 
+def semantic_near_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.97,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_sample: int | None = 65536,
+    assignments: DataFrame | None = None,
+    nprobe: int = 1,
+) -> DataFrame:
+    """The verified near-duplicate PAIRS of the SemDeDup pipeline:
+    cluster (or reuse ``assignments``), self-join ids within each
+    cluster, and keep pairs with exact cosine >= ``threshold``. This is
+    ``semantic_dedup``'s candidate+verify core, exposed so recall
+    audits and custom survivor policies can consume the pairs directly.
+
+    ``nprobe > 1`` assigns each vector to its ``nprobe`` nearest
+    clusters (``kmeans_multiprobe_assignments``): pairs straddling a
+    cluster BOUNDARY — the paper's documented recall trade — get a
+    second chance to meet, at ~``nprobe``^2 x candidate cost (bucket
+    membership multiplies by ``nprobe``; within-bucket pairs are
+    quadratic in it); duplicated candidates are verified once. NaN-bearing vectors are excluded from
+    clustering (their cosine is NaN — they can never pair; MLlib
+    rejects them anyway)."""
+    has_nan = F.exists(F.col(vec_col), F.isnan)
+    if assignments is not None:
+        buckets = corpus.select(id_col).join(
+            assignments.select(id_col, "ivf_bucket"), id_col
+        )
+    elif nprobe > 1:
+        buckets = kmeans_multiprobe_assignments(
+            corpus.where(~has_nan),
+            k=n_clusters,
+            nprobe=nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            fit_sample=fit_sample,
+        )
+    else:
+        buckets = kmeans_buckets(
+            corpus.where(~has_nan),
+            k=n_clusters,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            fit_sample=fit_sample,
+        ).select(id_col, "ivf_bucket")
+    a = buckets.select("ivf_bucket", F.col(id_col).alias("id_a"))
+    b = buckets.select("ivf_bucket", F.col(id_col).alias("id_b"))
+    cands = (
+        a.join(b, "ivf_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    if nprobe > 1:
+        # a pair can co-occur in several probed buckets; verify it once
+        cands = cands.distinct()
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid__"),
+        F.col(vec_col).alias("__v__"),
+        norm(F.col(vec_col)).alias("__n__"),
+    )
+    return (
+        cands.join(vecs.withColumnRenamed("__vid__", "id_a"), "id_a")
+        .withColumnsRenamed({"__v__": "__av__", "__n__": "__an__"})
+        .join(vecs.withColumnRenamed("__vid__", "id_b"), "id_b")
+        .withColumn(
+            "cos",
+            dot(F.col("__av__"), F.col("__v__")) / (F.col("__an__") * F.col("__n__")),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.97,
@@ -463,6 +598,7 @@ def semantic_dedup(
     fit_sample: int = 65536,
     assignments: DataFrame | None = None,
     collapse_exact: bool = False,
+    nprobe: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cluster the embeddings, find
@@ -537,41 +673,16 @@ def semantic_dedup(
             .select(id_col, vec_col)
             .unionByName(corpus.where(has_nan).select(id_col, vec_col))
         )
-    if assignments is not None:
-        buckets = work.select(id_col).join(
-            assignments.select(id_col, "ivf_bucket"), id_col
-        )
-    else:
-        buckets = kmeans_buckets(
-            work.where(~has_nan),
-            k=n_clusters,
-            id_col=id_col,
-            vec_col=vec_col,
-            seed=seed,
-            fit_sample=fit_sample,
-        ).select(id_col, "ivf_bucket")
-    a = buckets.select("ivf_bucket", F.col(id_col).alias("id_a"))
-    b = buckets.select("ivf_bucket", F.col(id_col).alias("id_b"))
-    cands = (
-        a.join(b, "ivf_bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    vecs = work.select(
-        F.col(id_col).alias("__vid__"),
-        F.col(vec_col).alias("__v__"),
-        norm(F.col(vec_col)).alias("__n__"),
-    )
-    pairs = (
-        cands.join(vecs.withColumnRenamed("__vid__", "id_a"), "id_a")
-        .withColumnsRenamed({"__v__": "__av__", "__n__": "__an__"})
-        .join(vecs.withColumnRenamed("__vid__", "id_b"), "id_b")
-        .withColumn(
-            "cos",
-            dot(F.col("__av__"), F.col("__v__")) / (F.col("__an__") * F.col("__n__")),
-        )
-        .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b")
+    pairs = semantic_near_pairs(
+        work,
+        threshold=threshold,
+        n_clusters=n_clusters,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        fit_sample=fit_sample,
+        assignments=assignments,
+        nprobe=nprobe,
     )
     drop = (
         duplicate_clusters(pairs)

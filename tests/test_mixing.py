@@ -328,6 +328,61 @@ class TestSemanticDedup:
         )
         assert kept.count() == 61
 
+    def test_multiprobe_recovers_cluster_boundary_pair(self, spark):
+        """The paper's documented recall trade: a near-dup pair whose two
+        vectors fall on opposite sides of a k-means boundary is invisible
+        at nprobe=1; nprobe=2 (each vector also joins its runner-up
+        cluster) recovers it, and semantic_dedup then drops one of the
+        two."""
+        import math
+
+        from modelardb_rs_spark.operators.similarity import (
+            semantic_dedup,
+            semantic_near_pairs,
+        )
+
+        dim = 8
+        rows = []
+        # two tight groups pull the k=2 centroids to (10,0,..) / (0,10,..)
+        for i in range(20):
+            a = [10.0 + 0.01 * i, 0.0] + [0.0] * (dim - 2)
+            b = [0.0, 10.0 + 0.01 * i] + [0.0] * (dim - 2)
+            rows.append((i, a))
+            rows.append((100 + i, b))
+        # the boundary pair: cosine ~0.997, one vector a hair into each
+        # cluster — kmeans necessarily separates them
+        rows.append((1000, [5.2, 4.8] + [0.0] * (dim - 2)))
+        rows.append((1001, [4.8, 5.2] + [0.0] * (dim - 2)))
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id LONG, embedding ARRAY<FLOAT>",
+        )
+        cos_pair = (2 * 5.2 * 4.8) / (5.2**2 + 4.8**2)
+        assert cos_pair > 0.99 and math.isclose(cos_pair, 0.9968, abs_tol=1e-3)
+
+        p1 = {
+            (r.id_a, r.id_b)
+            for r in semantic_near_pairs(
+                corpus, threshold=0.99, n_clusters=2, nprobe=1
+            ).collect()
+        }
+        p2 = {
+            (r.id_a, r.id_b)
+            for r in semantic_near_pairs(
+                corpus, threshold=0.99, n_clusters=2, nprobe=2
+            ).collect()
+        }
+        assert (1000, 1001) not in p1  # the boundary miss
+        assert (1000, 1001) in p2  # recovered by the runner-up probe
+        assert p1 <= p2  # multi-probe only ADDS pairs
+        kept = {
+            r.vec_id
+            for r in semantic_dedup(
+                corpus, threshold=0.99, n_clusters=2, nprobe=2
+            ).select("vec_id").collect()
+        }
+        assert 1000 in kept and 1001 not in kept
+
     def test_reuses_external_assignments(self, vecs):
         # a precomputed clustering (e.g. a persisted IVF index's vectors
         # table) skips the KMeans fit entirely
