@@ -66,16 +66,33 @@ def build_rag_index(
     n_buckets: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    encoder=None,
 ) -> dict:
     """Chunk the corpus, embed every chunk, and persist the IVF index.
     Chunk vec_id = doc_id * 100000 + chunk_idx (recover the source doc
-    with div/mod). Returns build_ivf_index's stats."""
+    with div/mod). Returns build_ivf_index's stats.
+
+    ``encoder`` is the model seam: any callable mapping a text Column
+    to an array<float> Column — in practice an Arrow-batched
+    pandas_udf wrapping a real embedding model (its output dim need
+    not match ``dim``, which only parameterizes the default stub).
+    With a real encoder the md5 chunk_bucket is replaced by a learned
+    coarse quantizer (bucket_col=None routes build_ivf_index to
+    KMeans), since text-hash buckets carry no meaning in a real
+    embedding space. Proven by
+    tests/test_ann_index.py::test_rag_encoder_seam_swaps_in."""
     chunks = chunk_documents(docs, chunk_chars, overlap_chars, text_col, id_col)
+    embed = encoder if encoder is not None else (lambda c: fake_embedding(c, dim))
     vectors = chunks.select(
         (F.col(id_col) * _CHUNK_ID_STRIDE + F.col("chunk_idx")).alias("vec_id"),
-        fake_embedding(F.col("chunk_text"), dim).alias("embedding"),
+        embed(F.col("chunk_text")).alias("embedding"),
         chunk_bucket(F.col("chunk_text"), n_buckets).alias("bucket"),
     )
+    if encoder is not None:
+        return build_ivf_index(
+            engine, index_name, vectors.drop("bucket"), bucket_col=None,
+            n_buckets=n_buckets, id_col="vec_id", vec_col="embedding",
+        )
     return build_ivf_index(
         engine, index_name, vectors, bucket_col="bucket",
         id_col="vec_id", vec_col="embedding",
@@ -91,13 +108,16 @@ def rag_search(
     nprobe: int = 2,
     text_col: str = "query_text",
     id_col: str = "query_id",
+    encoder=None,
 ) -> DataFrame:
-    """Embed query texts with the same stub encoder and probe the
-    persisted index. Output: (query_id, neighbor_id, cos, rank) with
-    neighbor_id = chunk vec_id."""
+    """Embed query texts with the same encoder the index was built with
+    (default: the stub) and probe the persisted index. Output:
+    (query_id, neighbor_id, cos, rank) with neighbor_id = chunk
+    vec_id."""
+    embed = encoder if encoder is not None else (lambda c: fake_embedding(c, dim))
     q = queries.select(
         F.col(id_col).alias("vec_id"),
-        fake_embedding(F.col(text_col), dim).alias("embedding"),
+        embed(F.col(text_col)).alias("embedding"),
     )
     out = ivf_index_topk(engine, index_name, q, k=k, nprobe=nprobe)
     return out.withColumnRenamed("query_id", id_col)
