@@ -107,11 +107,11 @@ def train_bpe(
     hashing order — the next merge is the most frequent adjacent pair,
     ties broken by the lexicographically smallest (left, right) pair.
     Stops early when no pair reaches ``min_count`` (merging singleton
-    pairs just memorizes the corpus). Pure driver-side Python: training
-    corpora for vocab fitting are bounded samples by design (the same
-    sample-fit stance as PQ codebooks / KMeans centroids) — collect a
-    seeded sample first if the corpus is large."""
-    from collections import Counter, defaultdict
+    pairs just memorizes the corpus). Pure driver-side Python over an
+    in-memory iterable; for a corpus-scale fit use
+    ``train_bpe_on_corpus`` (the frequency pass runs distributed and
+    only the bounded distinct-piece table reaches the driver)."""
+    from collections import Counter
 
     b2u = bytes_to_unicode()
     words: Counter[tuple[str, ...]] = Counter()
@@ -120,8 +120,71 @@ def train_bpe(
             continue
         for piece in PRETOKEN_RE.findall(t):
             words[tuple(b2u[b] for b in piece.encode("utf-8"))] += 1
+    return train_bpe_from_counts(
+        {"".join(w): c for w, c in words.items()},
+        n_merges=n_merges,
+        min_count=min_count,
+        _pre_mapped=True,
+    )
 
-    word_freq = dict(words)
+
+def train_bpe_on_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 2000,
+    min_count: int = 2,
+    max_pieces: int = 1 << 20,
+) -> list[tuple[str, str]]:
+    """Distributed BPE training — the 100 TB shape of ``train_bpe``.
+    The merge LOOP is inherently sequential and tiny (it iterates over
+    the distinct-piece frequency table, which is vocabulary-sized and
+    zipfian, not corpus-sized); the expensive part is counting piece
+    frequencies over the corpus, and THAT runs as one Arrow-batched
+    map + one combiner-friendly groupBy. Only the top ``max_pieces``
+    pieces by frequency reach the driver (deterministic order: count
+    desc, piece asc) — the truncated tail is rare pieces whose pairs
+    fall below ``min_count`` anyway. Identical output to ``train_bpe``
+    on the same corpus when nothing is truncated (asserted in tests)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def pieces_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(lambda t: PRETOKEN_RE.findall(t) if t else [])
+
+    counts = (
+        df.select(F.explode(pieces_of(F.col(text_col))).alias("__piece__"))
+        .groupBy("__piece__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .orderBy(F.col("__n__").desc(), F.col("__piece__").asc())
+        .limit(int(max_pieces))
+        .collect()
+    )
+    return train_bpe_from_counts(
+        {r["__piece__"]: int(r["__n__"]) for r in counts},
+        n_merges=n_merges,
+        min_count=min_count,
+    )
+
+
+def train_bpe_from_counts(
+    piece_counts: dict[str, int],
+    n_merges: int = 2000,
+    min_count: int = 2,
+    _pre_mapped: bool = False,
+) -> list[tuple[str, str]]:
+    """The shared merge loop: pieces (raw text, or byte-symbol strings
+    when ``_pre_mapped``) with frequencies -> ordered merge list."""
+    from collections import Counter, defaultdict
+
+    b2u = bytes_to_unicode()
+    if _pre_mapped:
+        word_freq = {tuple(p): c for p, c in piece_counts.items()}
+    else:
+        word_freq = {}
+        for p, c in piece_counts.items():
+            w = tuple(b2u[b] for b in p.encode("utf-8"))
+            word_freq[w] = word_freq.get(w, 0) + c
     pair_counts: Counter[tuple[str, str]] = Counter()
     occurs: dict[tuple[str, str], set[tuple[str, ...]]] = defaultdict(set)
     for w, c in word_freq.items():

@@ -47,6 +47,17 @@ def test_trainer_deterministic_and_learns_expected_merges():
     assert tok.decode(ids) == "low"
 
 
+def test_distributed_trainer_matches_local(spark):
+    """train_bpe_on_corpus (Arrow map + groupBy count, driver sees only
+    the distinct-piece table) must produce the identical merge list as
+    the in-memory trainer on the same corpus."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    local = bpe.train_bpe(texts, n_merges=200)
+    dist = bpe.train_bpe_on_corpus(docs, n_merges=200)
+    assert dist == local and len(dist) > 50
+
+
 def test_fast_matches_reference_on_corpus(spark):
     merges = bpe.BPETokenizer.default().merges
     tok = bpe.BPETokenizer(merges)
