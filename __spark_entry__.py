@@ -1265,10 +1265,10 @@ def dedup_capped_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup_ops.minhash_signatures(docs, k=16, n=3)
     capped = dedup_ops.lsh_candidate_pairs(sigs, bands=8, max_bucket=4)
     uncapped = dedup_ops.lsh_candidate_pairs(sigs, bands=8)
-    # auto rule: cap = max(floor, ceil(p90 of bucket sizes)) — sized
-    # from the data, with the oracle recomputing the same quantile
+    # auto rule: cap = max(floor, mult x median bucket size) — sized
+    # from the data, with the oracle recomputing the same rule
     auto = dedup_ops.lsh_candidate_pairs(
-        sigs, bands=8, max_bucket="auto", auto_cap_quantile=0.9, auto_cap_floor=4
+        sigs, bands=8, max_bucket="auto", auto_cap_floor=4, auto_cap_median_mult=2
     )
     a = capped.agg(
         F.count("*").alias("n_capped"),
@@ -3388,7 +3388,7 @@ def oracle_sql() -> dict[str, str]:
                   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
             ),
             autocap AS (
-                SELECT greatest(4, CAST(ceil(quantile_cont(n, 0.9)) AS BIGINT)) AS cap
+                SELECT greatest(4, CAST(ceil(2.0 * quantile_cont(n, 0.5)) AS BIGINT)) AS cap
                 FROM bsz
             ),
             kept_auto AS (

@@ -246,8 +246,8 @@ def lsh_candidate_pairs(
     bands: int = 4,
     id_col: str = "doc_id",
     max_bucket: int | str | None = None,
-    auto_cap_quantile: float = 0.999,
     auto_cap_floor: int = 64,
+    auto_cap_median_mult: int = 32,
 ) -> DataFrame:
     """Banded LSH over MinHash signatures: documents sharing any band's
     concatenated hash become a candidate pair. Equi-join on the band
@@ -269,12 +269,19 @@ def lsh_candidate_pairs(
     cap — measured on the probe corpus in SCALE.md "Round-7".
 
     ``max_bucket="auto"`` sizes the cap FROM THE DATA instead of a
-    guessed constant: cap = max(``auto_cap_floor``, ceil(exact
-    ``auto_cap_quantile`` of the bucket-size distribution)) — by
-    construction it prunes only the distribution's extreme tail (the
-    degenerate boilerplate buckets) no matter the corpus, where a
-    fixed constant tuned on one corpus silently over- or under-prunes
-    the next. The quantile is one extra reduction over the SAME
+    guessed constant: cap = max(``auto_cap_floor``,
+    ``auto_cap_median_mult`` x the MEDIAN bucket size). A true dup
+    group of g docs fills buckets of size ~g, and typical buckets sit
+    near the median, so a generous multiple of the median spares every
+    real group while deleting the quadratic output of degenerate
+    buckets — no constant tuned on one corpus. The rule is anchored to
+    the distribution's CENTER, not its tail, deliberately: the
+    alternative tail rule (cap = p99.9 of bucket sizes) was measured
+    at the 4M-doc scale and landed INSIDE the degenerate mass on a
+    pathological corpus — 799M candidates vs the median rule's ~95M
+    at identical recall (SCALE.md "Round-8"); a quantile guard fails
+    exactly when degenerate buckets stop being rare, which is when the
+    guard matters. The median is one extra reduction over the SAME
     bucket-size aggregate the cap already computes, broadcast back as
     a one-row frame — no driver collect, no second pass over the
     keys."""
@@ -288,7 +295,8 @@ def lsh_candidate_pairs(
                 F.greatest(
                     F.lit(auto_cap_floor).cast("long"),
                     F.ceil(
-                        F.expr(f"percentile(__bucket_n__, {auto_cap_quantile!r})")
+                        F.lit(float(auto_cap_median_mult))
+                        * F.expr("percentile(__bucket_n__, 0.5)")
                     ),
                 ).alias("__cap__")
             )

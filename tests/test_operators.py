@@ -107,14 +107,13 @@ def test_lsh_bucket_cap_prunes_degenerate_buckets(spark):
 
 
 def test_lsh_auto_cap_sizes_from_bucket_distribution(spark):
-    """max_bucket="auto" prunes the bucket-size distribution's extreme
-    tail without a hand-tuned constant: the 30-doc boilerplate bucket
-    (far above the p-quantile of the mostly size-<=2 buckets) drops,
+    """max_bucket="auto" prunes degenerate buckets without a hand-tuned
+    constant: cap = max(floor, mult x MEDIAN bucket size), so the 30-doc
+    boilerplate bucket (far above the mostly-size-2 median) drops and
     the true-dup buckets survive — same outcome as the manual cap the
-    probe tuned by hand. The corpus shape matters: quantile sizing
-    assumes degenerate buckets are the distribution's TAIL (true of
-    real corpora), so plant many small true-dup groups and one
-    boilerplate blob."""
+    probe tuned by hand. Median-anchored on purpose: a tail quantile
+    fails when degenerate buckets stop being rare (measured at 4M docs,
+    SCALE.md "Round-8")."""
     rows = []
     expected = set()
     for i in range(40):  # 40 distinct true-dup pairs -> many tiny buckets
@@ -129,7 +128,7 @@ def test_lsh_auto_cap_sizes_from_bucket_distribution(spark):
     auto = {
         (r.id_a, r.id_b)
         for r in dedup_ops.lsh_candidate_pairs(
-            sigs, bands=8, max_bucket="auto", auto_cap_quantile=0.9, auto_cap_floor=4
+            sigs, bands=8, max_bucket="auto", auto_cap_floor=4, auto_cap_median_mult=2
         ).collect()
     }
     assert auto == expected
@@ -137,7 +136,7 @@ def test_lsh_auto_cap_sizes_from_bucket_distribution(spark):
     uncapped = {
         (r.id_a, r.id_b)
         for r in dedup_ops.lsh_candidate_pairs(
-            sigs, bands=8, max_bucket="auto", auto_cap_quantile=0.9, auto_cap_floor=1000
+            sigs, bands=8, max_bucket="auto", auto_cap_floor=1000, auto_cap_median_mult=2
         ).collect()
     }
     assert len({p for p in uncapped if p[0] >= 100}) == 30 * 29 // 2
