@@ -405,8 +405,14 @@ def duplicate_clusters(
     the driver only iterates until the label assignment reaches a
     fixpoint, which takes O(log(diameter)) rounds because labels hop
     through neighbors each round (dedup graphs are near-cliques, so
-    2-3 rounds in practice). Output: (doc_id, cluster_id).
+    2-3 rounds in practice). The fixpoint check rides the checkpoint
+    job itself as an Observation metric — one job per round, not a
+    second join+count job whose scheduling overhead dominated small
+    corpora and whose extra pass is pure waste at large ones.
+    Output: (doc_id, cluster_id).
     """
+    from pyspark.sql import Observation
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -422,26 +428,28 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        obs = Observation()
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("cluster_id").alias("__old__"),
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("cluster_id") != F.col("__old__"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .drop("__old__")
         )
-        # truncate the growing lineage each round and check for fixpoint
-        updated = _truncate_lineage(updated)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        # truncate the growing lineage each round; the eager checkpoint
+        # action also fires the fixpoint metric
+        labels = _truncate_lineage(updated)
+        if int(obs.get["changed"] or 0) == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
