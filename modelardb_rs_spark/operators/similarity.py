@@ -666,12 +666,18 @@ def semantic_dedup(
     has_nan = F.exists(F.col(vec_col), F.isnan)
     work = corpus
     if collapse_exact:
+        # ONE scan, one shuffle: non-NaN rows group by vector value;
+        # NaN-bearing rows get their own id as a secondary key (Spark
+        # groups NaN==NaN, so without it identical NaN vectors would
+        # collapse — and their cosine is NaN, so the uncollapsed path
+        # keeps them all). Each NaN row is thus its own representative.
         work = (
-            corpus.where(~has_nan)
-            .groupBy(F.col(vec_col))
+            corpus.groupBy(
+                F.col(vec_col),
+                F.when(has_nan, F.col(id_col)).alias("__nan_self__"),
+            )
             .agg(F.min(F.col(id_col)).alias(id_col))
             .select(id_col, vec_col)
-            .unionByName(corpus.where(has_nan).select(id_col, vec_col))
         )
     pairs = semantic_near_pairs(
         work,
