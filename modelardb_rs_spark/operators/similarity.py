@@ -679,6 +679,16 @@ def semantic_dedup(
             .agg(F.min(F.col(id_col)).alias(id_col))
             .select(id_col, vec_col)
         )
+        # The collapsed frame feeds FIVE independent subtrees (the KMeans
+        # fit action, both sides of the candidate self-join, the vector
+        # re-attach, the final kept semi-join): persist it so the
+        # collapse shuffle runs once, not per branch. The MLlib fit —
+        # an eager action — populates the cache before the lazy
+        # branches need it. At 100 TB this is the collapsed (id,
+        # vector) projection, which is the whole point of collapsing.
+        from pyspark import StorageLevel
+
+        work = work.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = semantic_near_pairs(
         work,
         threshold=threshold,
