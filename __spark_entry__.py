@@ -2346,6 +2346,65 @@ def doc_train_pipeline_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_train_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training pipeline's FINAL deliverable: materialized token
+    sequences. Runs the doc_train_pipeline_bpe chain (BPE gate → exact
+    dedup → domain mix → shard shuffle → 256-token pack) and then
+    assembles each packed sequence's ACTUAL token ids
+    (packing.materialize_sequences — join spans to per-doc ids, slice,
+    reassemble in-order). Output: (seq_id, seq_len, ids_md5) — the md5
+    covers every token id AND their order, so the oracle (which replays
+    the whole chain in SQL over token-id list literals pinned by the
+    slow reference encoder) verifies the dataloader-ready sequences
+    token-by-token."""
+    from pyspark import StorageLevel
+
+    from modelardb_rs_spark.operators import bpe as bpe_ops
+    from modelardb_rs_spark.operators.mixing import domain_mix, shuffle_shards
+    from modelardb_rs_spark.operators.packing import (
+        materialize_sequences,
+        pack_documents,
+    )
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    # ONE tokenizer pass: ids give both the gate count and the sequences
+    enc = bpe_ops.encode_documents(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    gated = enc.withColumn("n_tok", F.size("bpe_ids").cast("long")).where(
+        F.col("n_tok") >= 30
+    )
+    deduped = (
+        dedup_ops.distinct_documents(gated)
+        .select("doc_id", "source", "n_tok")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deduped.count()
+    mixed = domain_mix(
+        deduped, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "source", salt="train8"
+    )
+    rep = mixed.withColumn(
+        "rep_id", F.col("doc_id") * F.lit(64).cast("long") + F.col("epoch")
+    )
+    sharded = shuffle_shards(rep, 4, id_col="rep_id", salt="train8")
+    packed_in = sharded.withColumn(
+        "pack_id",
+        F.col("shard").cast("long") * F.lit(1 << 40).cast("long") + F.col("pos"),
+    )
+    packed = pack_documents(packed_in, 256, id_col="pack_id", token_count_col="n_tok")
+    tokens_by_pack = packed_in.select("pack_id", "doc_id").join(
+        enc.select("doc_id", F.col("bpe_ids").alias("token_ids")), "doc_id"
+    )
+    seqs = materialize_sequences(packed, tokens_by_pack, id_col="pack_id")
+    return seqs.select(
+        "seq_id",
+        F.col("seq_len").cast("long").alias("seq_len"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("token_ids", lambda x: x.cast("string"))
+            ).cast("binary")
+        ).alias("ids_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2479,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_train_pipeline": doc_train_pipeline,
         "doc_bpe_encode": doc_bpe_encode,
         "doc_train_pipeline_bpe": doc_train_pipeline_bpe,
+        "doc_train_sequences": doc_train_sequences,
     }
 
 
@@ -4565,4 +4625,41 @@ def oracle_sql() -> dict[str, str]:
                LEAST((seq_id+1)*256, s+n) - GREATEST(seq_id*256, s) AS n_tokens
         FROM spans
     """
+    # materialized training sequences: the doc_train_pipeline_bpe chain
+    # replayed over FULL token-id list literals (pinned by the reference
+    # encoder), then each sequence assembled with list_slice in
+    # seq_token_start order — the md5 matches Spark's only if every
+    # token id, span boundary, and within-sequence order agree.
+    from modelardb_rs_spark.resources.bpe_ids import IDS
+
+    _bpe_id_vals = ", ".join(
+        "({}, [{}])".format(d, ",".join(map(str, ids))) for d, ids in IDS
+    )
+    _chain = oracles["doc_train_pipeline_bpe"]
+    _chain_body = _chain[: _chain.rindex("SELECT doc_id, epoch, shard, seq_id")]
+    _chain_body = _chain_body.replace(
+        f"WITH bpe(doc_id, n_tok) AS (VALUES {_bpe_cnt_vals}),",
+        f"WITH bpeids(doc_id, ids) AS (VALUES {_bpe_id_vals}),\n"
+        "        bpe AS (SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tok FROM bpeids),",
+        1,
+    )
+    oracles["doc_train_sequences"] = (
+        _chain_body
+        + """
+        SELECT seq_id,
+               CAST(len(token_ids) AS BIGINT) AS seq_len,
+               md5(array_to_string(token_ids, ',')) AS ids_md5
+        FROM (
+          SELECT seq_id,
+                 flatten(list(
+                   list_slice(b.ids,
+                              GREATEST(seq_id*256, s) - s + 1,
+                              LEAST((seq_id+1)*256, s+n) - s)
+                   ORDER BY GREATEST(seq_id*256, s) - seq_id*256
+                 )) AS token_ids
+          FROM spans JOIN bpeids b USING (doc_id)
+          GROUP BY seq_id
+        )
+    """
+    )
     return oracles

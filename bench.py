@@ -57,6 +57,7 @@ HEADLINE = [
     "doc_train_pipeline",
     "doc_bpe_encode",
     "doc_train_pipeline_bpe",
+    "doc_train_sequences",
     "ts_correlation",
 ]
 

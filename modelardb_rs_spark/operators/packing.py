@@ -125,6 +125,49 @@ def pack_documents(
     )
 
 
+def materialize_sequences(
+    packed: DataFrame,
+    token_table: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """Turn ``pack_documents``'s span table into the ACTUAL training
+    sequences: for each (document, sequence) overlap row, slice that
+    document's token-id array to its span and reassemble each sequence
+    in ``seq_token_start`` order. Output: (seq_id, token_ids,
+    seq_len) — what a training dataloader reads.
+
+    Scale shape: one equi-join of the span table to the (id, token
+    ids) table on the document key, a map-only per-row slice, and one
+    groupBy per sequence whose payload is exactly the sequence length
+    — never a document-sized row, never a global sort; every sequence
+    assembles independently. ``token_table`` carries (id_col,
+    ids_col); callers with text feed it through
+    ``bpe.encode_documents`` first."""
+    spans = packed.join(token_table.select(id_col, ids_col), id_col).select(
+        "seq_id",
+        "seq_token_start",
+        F.slice(
+            F.col(ids_col), F.col("doc_token_start") + 1, F.col("n_tokens")
+        ).alias("__span__"),
+    )
+    return (
+        spans.groupBy("seq_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("seq_token_start", "__span__"))
+            ).alias("__s__")
+        )
+        .select(
+            "seq_id",
+            F.flatten(F.transform("__s__", lambda s: s["__span__"])).alias(
+                "token_ids"
+            ),
+        )
+        .withColumn("seq_len", F.size("token_ids"))
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

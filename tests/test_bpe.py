@@ -114,6 +114,34 @@ def test_spark_encode_matches_pins(spark):
         assert got[doc_id] == (n, h, True)
 
 
+def test_materialize_sequences_reassembles_exact_ids(spark):
+    """materialize_sequences: concatenating every sequence back in
+    seq_id order must reproduce the exact token stream of the packed
+    documents in pack order — no token lost, duplicated, or reordered;
+    every sequence but the last is exactly full."""
+    from modelardb_rs_spark.operators.packing import (
+        materialize_sequences,
+        pack_documents,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    enc = bpe.encode_documents(docs).select(
+        "doc_id", F.col("bpe_ids").alias("token_ids")
+    )
+    counted = enc.withColumn("n", F.size("token_ids"))
+    packed = pack_documents(counted, 128, id_col="doc_id", token_count_col="n")
+    seqs = materialize_sequences(packed, enc).orderBy("seq_id").collect()
+    stream = [i for r in seqs for i in r["token_ids"]]
+    expected = [
+        i
+        for r in counted.orderBy("doc_id").collect()
+        for i in r["token_ids"]
+    ]
+    assert stream == expected
+    assert all(r["seq_len"] == 128 for r in seqs[:-1])
+    assert 0 < seqs[-1]["seq_len"] <= 128
+
+
 def test_pack_documents_on_exact_bpe_counts(spark):
     """Tokenizer-faithful packing: pack_documents driven by exact BPE
     counts gives per-document spans that sum to the document's REAL
