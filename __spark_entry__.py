@@ -2346,6 +2346,49 @@ def doc_train_pipeline_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index health telemetry under the oracle gate
+    (ann_index.ivf_index_stats): build a label-bucketed IVF index over
+    the embeddings, append scaled copies of the last 50 vectors (cosine
+    to every centroid identical to their originals — positive scaling),
+    and report the rebuild signals. The oracle recomputes EVERYTHING
+    from the base table: per-label float32 centroids, each appended
+    vector's argmax-cosine bucket, the bucket histogram, and the
+    per-bucket centroid drift (1 - cos(stored centroid, current bucket
+    mean)), rounded where float summation order may differ."""
+    from modelardb_rs_spark.operators import ann_index
+
+    eng = _ts_engine(spark, sf_dir)
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    ann_index.build_ivf_index(eng, "stats_idx", emb, bucket_col="label")
+    appended = emb.where(F.col("vec_id") >= 450).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.5)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    ann_index.append_to_ivf_index(eng, "stats_idx", appended)
+    s = ann_index.ivf_index_stats(eng, "stats_idx", drift=True)
+    row = [
+        (
+            s["n_buckets"],
+            s["built_vectors"],
+            s["current_vectors"],
+            float(s["appended_fraction"]),
+            s["bucket_min"],
+            s["bucket_p50"],
+            s["bucket_max"],
+            float(round(s["max_centroid_drift"], 4)),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_buckets LONG, built_vectors LONG, current_vectors LONG, "
+        "appended_fraction DOUBLE, bucket_min LONG, bucket_p50 LONG, "
+        "bucket_max LONG, max_drift DOUBLE",
+    )
+
+
 def doc_train_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training pipeline's FINAL deliverable: materialized token
     sequences. Runs the doc_train_pipeline_bpe chain (BPE gate → exact
@@ -2539,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_encode": doc_bpe_encode,
         "doc_train_pipeline_bpe": doc_train_pipeline_bpe,
         "doc_train_sequences": doc_train_sequences,
+        "sim_index_stats": sim_index_stats,
     }
 
 
@@ -4662,4 +4706,84 @@ def oracle_sql() -> dict[str, str]:
         )
     """
     )
+    # index-stats oracle: recompute the per-label float32 centroids, each
+    # appended vector's argmax-cosine bucket, the bucket histogram, and
+    # the max centroid drift — all from the base table. Dot products run
+    # in dimension order on both engines (bit-identical given identical
+    # inputs); only the centroid/mean AVGs sum in engine-specific row
+    # order, so drift is rounded to 4 (disagreement there is ~1e-12).
+    oracles["sim_index_stats"] = """
+        WITH base AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        centd AS (
+          SELECT label, i, avg(x) AS m
+          FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i
+                FROM base)
+          GROUP BY label, i
+        ),
+        cent AS (
+          SELECT label, list(CAST(m AS REAL) ORDER BY i) AS c
+          FROM centd GROUP BY label
+        ),
+        app AS (
+          SELECT vec_id + 1000000 AS vec_id,
+                 list_transform(embedding,
+                     x -> CAST(CAST(CAST(x AS DOUBLE) * 1.5 AS REAL) AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id >= 450
+        ),
+        scored AS (
+          SELECT a.vec_id, c.label, a.v,
+                 list_sum(list_transform(range(1, len(a.v) + 1),
+                     j -> a.v[j] * CAST(c.c[j] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(c.c,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+          FROM app a, cent c
+        ),
+        assigned AS (
+          SELECT vec_id, label, v FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, label) AS rn
+            FROM scored) WHERE rn = 1
+        ),
+        allv AS (
+          SELECT label, v FROM base
+          UNION ALL SELECT label, v FROM assigned
+        ),
+        sizes AS (SELECT label, count(*) AS n FROM allv GROUP BY label),
+        hist AS (
+          SELECT min(n) AS bmin, max(n) AS bmax,
+                 (SELECT n FROM (SELECT n, row_number() OVER (ORDER BY n) AS rn
+                                 FROM sizes)
+                  WHERE rn = (SELECT count(*) // 2 + 1 FROM sizes)) AS bp50
+          FROM sizes
+        ),
+        curmean AS (
+          SELECT label, i, avg(x) AS m
+          FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i
+                FROM allv)
+          GROUP BY label, i
+        ),
+        curc AS (SELECT label, list(m ORDER BY i) AS cm FROM curmean GROUP BY label),
+        drift AS (
+          SELECT max(1.0 - list_sum(list_transform(range(1, len(cm) + 1),
+                     j -> cm[j] * CAST(c.c[j] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(cm, x -> x * x)))
+                    * sqrt(list_sum(list_transform(c.c,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS d
+          FROM curc JOIN cent c USING (label)
+        )
+        SELECT (SELECT count(*) FROM cent) AS n_buckets,
+               (SELECT count(*) FROM base) AS built_vectors,
+               (SELECT count(*) FROM allv) AS current_vectors,
+               round(CAST((SELECT count(*) FROM assigned) AS DOUBLE)
+                     / (SELECT count(*) FROM allv), 4) AS appended_fraction,
+               hist.bmin AS bucket_min, hist.bp50 AS bucket_p50,
+               hist.bmax AS bucket_max,
+               round((SELECT d FROM drift), 4) AS max_drift
+        FROM hist
+    """
     return oracles
