@@ -359,6 +359,12 @@ class Engine:
         # pivot aggregate instead of collect_list+arrays_zip.
         self._disjoint_cache: dict[tuple[str, int], bool] = {}
         self._ensure_checkpoint_dir()
+        # SQL surface for the tokenizer: bpe_count/bpe_encode/bpe_decode
+        # as session UDFs (idempotent; same Arrow-batched UDFs as the
+        # DataFrame API — operators/bpe.py)
+        from modelardb_rs_spark.operators.bpe import register_sql_functions
+
+        register_sql_functions(spark)
 
     def _ensure_checkpoint_dir(self) -> None:
         """Default RELIABLE checkpointing: iterative operators (dedup

@@ -384,3 +384,19 @@ def token_ids_hash(ids_col: Column) -> Column:
             "binary"
         )
     )
+
+
+def register_sql_functions(spark) -> None:
+    """Expose the tokenizer to SQL: ``bpe_count(text)``,
+    ``bpe_encode(text)`` and ``bpe_decode(ids)`` become session UDFs, so
+    ``engine.read_sql("SELECT bpe_count(text) FROM docs")`` works the
+    way the Column API does. Idempotent per session (re-registration
+    replaces the same functions); the UDFs are the same Arrow-batched
+    iterator pandas UDFs as the DataFrame surface — one tokenizer load
+    per worker, never per row."""
+    if getattr(spark, "_bpe_sql_registered", False):
+        return
+    spark.udf.register("bpe_count", bpe_count_udf())
+    spark.udf.register("bpe_encode", bpe_encode_udf())
+    spark.udf.register("bpe_decode", bpe_decode_udf())
+    spark._bpe_sql_registered = True

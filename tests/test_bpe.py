@@ -114,6 +114,23 @@ def test_spark_encode_matches_pins(spark):
         assert got[doc_id] == (n, h, True)
 
 
+def test_sql_surface(spark, engine):
+    """bpe_count / bpe_encode / bpe_decode are session SQL UDFs (Engine
+    init registers them) and agree with the Column API."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs.createOrReplaceTempView("bpe_docs")
+    row = engine.read_sql(
+        "SELECT sum(bpe_count(text)) AS total, "
+        "sum(CASE WHEN bpe_decode(bpe_encode(text)) = text THEN 1 ELSE 0 END) AS ok, "
+        "count(*) AS n FROM bpe_docs"
+    ).collect()[0]
+    api_total = (
+        bpe.exact_token_counts(docs).agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    )
+    assert row["total"] == api_total
+    assert row["ok"] == row["n"] == docs.count()
+
+
 def test_materialize_sequences_reassembles_exact_ids(spark):
     """materialize_sequences: concatenating every sequence back in
     seq_id order must reproduce the exact token stream of the packed
