@@ -490,7 +490,9 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = None,
+    auto_cap_floor: int = 64,
+    auto_cap_median_mult: int = 32,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance, with LOSSLESS
     banded blocking: the signature is split into ``max_hamming + 1``
@@ -509,7 +511,11 @@ def simhash_near_pairs(
     threshold before the self-join (one combiner-friendly count), same
     guard as ``lsh_candidate_pairs(max_bucket=)``; pairs whose every
     shared band bucket exceeds the cap are lost, so set it well above
-    the expected true-dup family size."""
+    the expected true-dup family size. ``max_bucket="auto"`` sizes it
+    from the data — max(``auto_cap_floor``, ``auto_cap_median_mult`` x
+    the median bucket size), the same median-anchored rule as
+    ``lsh_candidate_pairs`` (SCALE.md "Round-8" for why the median and
+    not a tail quantile)."""
     sh = simhash(df, text_col, id_col)
     n_bands = max_hamming + 1
     width = SIMHASH_BITS // n_bands
@@ -524,11 +530,28 @@ def simhash_near_pairs(
     ).select(id_col, "simhash", F.col("__bk__.band").alias("band"), F.col("__bk__.key").alias("key"))
     if max_bucket is not None:
         sizes = keys.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__bucket_n__"))
-        keys = (
-            keys.join(sizes, ["band", "key"])
-            .where(F.col("__bucket_n__") <= max_bucket)
-            .drop("__bucket_n__")
-        )
+        if max_bucket == "auto":
+            cap_df = sizes.agg(
+                F.greatest(
+                    F.lit(auto_cap_floor).cast("long"),
+                    F.ceil(
+                        F.lit(float(auto_cap_median_mult))
+                        * F.expr("percentile(__bucket_n__, 0.5)")
+                    ),
+                ).alias("__cap__")
+            )
+            keys = (
+                keys.join(sizes, ["band", "key"])
+                .crossJoin(F.broadcast(cap_df))
+                .where(F.col("__bucket_n__") <= F.col("__cap__"))
+                .drop("__bucket_n__", "__cap__")
+            )
+        else:
+            keys = (
+                keys.join(sizes, ["band", "key"])
+                .where(F.col("__bucket_n__") <= max_bucket)
+                .drop("__bucket_n__")
+            )
     l = keys.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa__"), "band", "key"
     )

@@ -142,6 +142,27 @@ def test_lsh_auto_cap_sizes_from_bucket_distribution(spark):
     assert len({p for p in uncapped if p[0] >= 100}) == 30 * 29 // 2
 
 
+def test_simhash_auto_cap(spark):
+    """simhash_near_pairs(max_bucket="auto"): same median rule as LSH —
+    the identical-boilerplate family (which collides in EVERY band)
+    prunes, the small true-dup pair survives."""
+    rows = []
+    for i in range(40):
+        text = " ".join(f"w{i}x{j}" for j in range(8))
+        rows += [Row(doc_id=2 * i, text=text), Row(doc_id=2 * i + 1, text=text)]
+    rows += [Row(doc_id=100 + i, text="standard legal disclaimer text here") for i in range(30)]
+    docs = spark.createDataFrame(rows)
+    auto = {
+        (r.id_a, r.id_b)
+        for r in dedup_ops.simhash_near_pairs(
+            docs, max_hamming=3, max_bucket="auto",
+            auto_cap_floor=4, auto_cap_median_mult=2,
+        ).collect()
+    }
+    assert {(2 * i, 2 * i + 1) for i in range(40)} <= auto
+    assert not any(a >= 100 for a, _ in auto)
+
+
 def test_verify_candidates_matches_exact(docs):
     """verify_candidate_pairs fed every pair must reproduce the exact
     inverted-index Jaccard operator bit-for-bit."""
