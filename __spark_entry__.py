@@ -2358,7 +2358,12 @@ def sim_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean)), rounded where float summation order may differ."""
     from modelardb_rs_spark.operators import ann_index
 
-    eng = _ts_engine(spark, sf_dir)
+    # a lightweight dedicated folder — _ts_engine would ingest the whole
+    # ts_events table this entry never touches
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_statsidx", f"{key}_v1")
+    os.makedirs(root, exist_ok=True)
+    eng = _cached_engine(spark, root)
     (emb,) = _prep(spark, sf_dir, "embeddings")
     ann_index.build_ivf_index(eng, "stats_idx", emb, bucket_col="label")
     appended = emb.where(F.col("vec_id") >= 450).select(
