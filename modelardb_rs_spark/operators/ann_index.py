@@ -547,9 +547,14 @@ def ivf_index_stats(engine, index_name: str, drift: bool = True) -> dict:
     add-entry listing (driver-side, no Spark job) — plus ONE count-only
     aggregate over the partition column (parquet footer counts, no
     vector data read). ``drift=True`` adds the one narrow full pass the
-    drift number fundamentally needs: a per-bucket component-sum
-    aggregate (dim sum columns, JVM-side) whose K x dim result is
-    compared to the stored centroids in numpy on the driver.
+    drift number fundamentally needs: per-bucket component sums via
+    ``posexplode`` + a (bucket, position) groupBy — a three-column plan
+    at ANY dim (the round-8 shape generated one sum column per
+    dimension, i.e. thousands of aggregate expressions and codegen
+    fallback at dim 1024-4096); map-side partial aggregation collapses
+    the exploded rows to K x dim per task before the exchange, and the
+    K x dim result is compared to the stored centroids in numpy on the
+    driver.
 
     Returns::
 
@@ -597,25 +602,34 @@ def ivf_index_stats(engine, index_name: str, drift: bool = True) -> dict:
             for c, t in engine.table(vt).dtypes
             if t.startswith("array") and c != "pq_codes"
         )
-        # one narrow JVM aggregate: per-bucket component sums + count
+        # one narrow JVM aggregate, dim-independent: posexplode the
+        # vector and sum per (bucket, position) — 3 plan columns at any
+        # dim; map-side combine bounds the shuffle at K x dim per task
         sums = (
             engine.table(vt)
-            .groupBy("ivf_bucket")
-            .agg(
-                F.count(F.lit(1)).alias("__n__"),
-                *[
-                    F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"__s{i}__")
-                    for i in range(dim)
-                ],
+            .select(
+                "ivf_bucket",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "__p__", "__x__"
+                ),
             )
+            .groupBy("ivf_bucket", "__p__")
+            .agg(F.sum("__x__").alias("__s__"), F.count(F.lit(1)).alias("__n__"))
             .collect()
         )
-        drifts = []
+        acc: dict[int, tuple[np.ndarray, int]] = {}
         for r in sums:
             b = int(r["ivf_bucket"])
-            if b not in built or r["__n__"] == 0:
+            if int(r["__p__"]) >= dim:
+                continue  # stored vectors longer than the centroid dim
+            if b not in acc:
+                acc[b] = (np.zeros(dim, dtype=np.float64), int(r["__n__"]))
+            acc[b][0][int(r["__p__"])] = float(r["__s__"])
+        drifts = []
+        for b, (comp_sums, n) in acc.items():
+            if b not in built or n == 0:
                 continue
-            mean_vec = np.array([r[f"__s{i}__"] for i in range(dim)], dtype=np.float64) / r["__n__"]
+            mean_vec = comp_sums / n
             c = built[b][0]
             denom = np.linalg.norm(mean_vec) * np.linalg.norm(c)
             cos = float(mean_vec @ c / denom) if denom > 0 else 1.0

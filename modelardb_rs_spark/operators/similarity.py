@@ -291,11 +291,17 @@ def kmeans_multiprobe_assignments(
     still meets in one of them when each vector also joins its
     runner-up cluster. Candidate cost is ~``nprobe``^2 x (every
     bucket's effective membership multiplies by ``nprobe`` and
-    within-bucket pairs are quadratic in membership) — measured in
-    SCALE.md "Round-8". Same fit as
-    ``kmeans_buckets`` (seeded, optionally sample-bounded); assignment
-    is a broadcast crossJoin against the k centroids + a per-id rank —
-    map-only per vector, the append_to_ivf_index shape."""
+    within-bucket pairs are quadratic in membership); the measured
+    end-to-end wall at nprobe=2 is ~4-5x the nprobe=1 line (SCALE.md
+    "Round-9" — the round-8 crossJoin+window assignment cost ~16x).
+    Same fit as ``kmeans_buckets`` (seeded, optionally sample-bounded);
+    assignment is MAP-ONLY: the k centroids ship as a plan literal
+    (k x dim doubles — metadata-sized, the same payload the broadcast
+    carried), each row scores all k in-place with
+    ``transform``/``zip_with``, ``array_sort`` over (d2, bucket)
+    structs picks the ``nprobe`` nearest (ties by bucket id), and one
+    ``explode`` emits the nprobe assignment rows — no shuffle, no
+    window, no N x k intermediate ever leaves the row."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -312,24 +318,33 @@ def kmeans_multiprobe_assignments(
     model = KMeans(
         k=k, seed=seed, featuresCol="__mlvec__", predictionCol="ivf_bucket"
     ).fit(fit_input)
-    spark = corpus.sparkSession
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "ivf_bucket INT, __c__ ARRAY<DOUBLE>",
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+                F.lit(int(i)).alias("b"),
+            )
+            for i, c in enumerate(model.clusterCenters())
+        ]
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col(vec_col).cast("array<double>"), F.col("__c__"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    vec_d = F.col(vec_col).cast("array<double>")
+    scored = F.transform(
+        cent_lit,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(vec_d, s["c"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            s["b"].alias("b"),
+        ),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__d2__").asc(), F.col("ivf_bucket"))
+    # array_sort on (d2, b) structs orders by d2 asc then bucket asc —
+    # exactly the row_number tie-break the shuffle plan used.
+    top = F.slice(F.array_sort(scored), 1, int(nprobe))
     return (
-        corpus.select(id_col, vec_col)
-        .crossJoin(F.broadcast(cents))
-        .withColumn("__d2__", d2)
-        .withColumn("__rn__", F.row_number().over(w))
-        .where(F.col("__rn__") <= int(nprobe))
-        .select(id_col, "ivf_bucket")
+        corpus.select(id_col, F.explode(top).alias("__t__"))
+        .select(id_col, F.col("__t__.b").alias("ivf_bucket"))
     )
 
 

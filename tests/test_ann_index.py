@@ -163,6 +163,28 @@ def test_ivf_index_stats_detects_skewed_appends(engine, spark, emb):
     assert after["mean_centroid_drift"] > base["mean_centroid_drift"]
 
 
+def test_ivf_index_stats_drift_wide_dim(engine, spark):
+    """The drift pass must stay a three-column plan at embedding dims
+    where one-sum-column-per-dimension would blow up codegen: dim=1024
+    here (round-8 shape generated 1024 aggregate expressions). Executes
+    end-to-end and reports ~zero drift on a fresh build."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=1024).astype(np.float32)], int(i % 3))
+        for i in range(48)
+    ]
+    wide = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    ann_index.build_ivf_index(engine, "wideidx", wide, bucket_col="label")
+    stats = ann_index.ivf_index_stats(engine, "wideidx", drift=True)
+    assert stats["n_buckets"] == 3
+    assert stats["current_vectors"] == 48
+    assert stats["max_centroid_drift"] < 1e-9
+
+
 def test_optimize_preserves_bucket_partition_layout(engine, emb):
     """Compacting a Hive-partitioned ANN vectors table must keep the
     ivf_bucket= directory layout (inferred from live paths), keep probe
