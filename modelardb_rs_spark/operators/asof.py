@@ -9,9 +9,20 @@ Strategy (scalable, no per-group pandas): union both sides tagged with a
 side marker, then one window pass per key ordered by (time, side) takes
 ``last(right_value, ignorenulls=True)`` over the preceding rows — each
 left row picks up the most recent right row with ``right.ts <= left.ts``.
-Cost: one shuffle on the key + one sort, identical to a sort-merge join;
-skewed keys are handled by AQE. An optional tolerance drops matches older
-than ``tolerance_us``.
+Cost: one shuffle on the key + one sort, identical to a sort-merge join.
+
+Skew bound, stated honestly: AQE's skew mitigation splits oversized
+JOIN partitions, but this plan's exchange feeds a WINDOW, which AQE
+does not split — a single hot key serializes its entire group into one
+task's sort. That is the same asymptotic hot-key bound a sort-merge
+join has (its matching key also lands on one task), and the sort is
+external (spills, never OOMs), but wall-clock degrades to the hot
+key's size. For pathological keys (one key ~ the whole input), bucket
+the time axis first: run the window per (key, time_bucket) after
+seeding each bucket with the previous bucket's last right row — a
+two-pass variant whose first pass is a per-bucket max; not provided
+because no workload here needs it yet. An optional tolerance drops
+matches older than ``tolerance_us``.
 
 (Contrast with the common ``applyInPandas``+``pd.merge_asof`` recipe:
 that materializes each key group in one Python worker — this stays

@@ -286,6 +286,10 @@ def lsh_candidate_pairs(
     a one-row frame — no driver collect, no second pass over the
     keys."""
     exploded = band_keys(signatures, bands, id_col)
+    if isinstance(max_bucket, str) and max_bucket != "auto":
+        # any other string would fall into the numeric branch, cast to
+        # NULL under non-ANSI Spark, and silently drop EVERY bucket
+        raise ValueError(f"max_bucket must be an int, None, or 'auto', got {max_bucket!r}")
     if max_bucket is not None:
         sizes = exploded.groupBy("band", "band_hash").agg(
             F.count(F.lit(1)).alias("__bucket_n__")
@@ -528,6 +532,8 @@ def simhash_near_pairs(
     keys = sh.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*entries)).alias("__bk__")
     ).select(id_col, "simhash", F.col("__bk__.band").alias("band"), F.col("__bk__.key").alias("key"))
+    if isinstance(max_bucket, str) and max_bucket != "auto":
+        raise ValueError(f"max_bucket must be an int, None, or 'auto', got {max_bucket!r}")
     if max_bucket is not None:
         sizes = keys.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__bucket_n__"))
         if max_bucket == "auto":

@@ -722,7 +722,22 @@ def semantic_dedup(
     )
     if collapse_exact:
         # kept = representatives that survived; every non-representative
-        # is an exact duplicate of its representative and drops with it
-        kept = work.join(drop, id_col, "left_anti").select(id_col)
+        # is an exact duplicate of its representative and drops with it.
+        # Materialize kept NOW (ids only — narrow at any scale) with a
+        # truncated lineage, then release the cached collapsed frame:
+        # a long-lived session calling this repeatedly must not
+        # accumulate MEMORY_AND_DISK blocks until shutdown
+        # (CacheManager entries are never GC-reclaimed). Same policy as
+        # duplicate_clusters: reliable checkpoint files when the
+        # session has a checkpoint dir (the Engine default — no memory
+        # blocks at all), eager localCheckpoint otherwise. This makes
+        # the collapse path eager; the survivor-id job runs exactly
+        # once either way.
+        from modelardb_rs_spark.operators.dedup import _truncate_lineage
+
+        kept = _truncate_lineage(
+            work.join(drop, id_col, "left_anti").select(id_col)
+        )
+        work.unpersist()
         return corpus.join(kept, id_col, "semi")
     return corpus.join(drop, id_col, "left_anti")

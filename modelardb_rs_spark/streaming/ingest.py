@@ -387,6 +387,15 @@ def start_vector_ingest(
     reset to a NEW path (or pass a new ``app_id``) and the gate starts
     clean; re-creating the same path re-enters the old lineage.
 
+    UPGRADE PATH from the pre-round-8 default id (the bare
+    ``vector_ingest::<index>``, no checkpoint digest): a stream that
+    restarts from its EXISTING checkpoint after the default changed
+    re-runs its last committed micro-batch under the NEW id, whose gate
+    has no record of it — a one-time duplicate append. To migrate a
+    live stream, pass the old id explicitly (``app_id=
+    f"vector_ingest::{index}"``) so the gate lineage is preserved, or
+    rebuild the index; new streams need nothing.
+
     ``stats_every=N`` logs ``ann_index.ivf_index_stats(drift=False)``
     after every Nth applied epoch (None disables) — appended fraction,
     bucket imbalance, and live file count, the cheap metadata-only

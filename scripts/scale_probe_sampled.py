@@ -45,7 +45,9 @@ def main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     mods = [int(m) for m in (sys.argv[3].split(",") if len(sys.argv) > 3 else ["1", "4", "8"])]
     # an integer applies the manual cap; the literal string "auto" uses
-    # the data-sized quantile rule (max(64, p99.9 of bucket sizes))
+    # the median-anchored data-sized rule (max(auto_cap_floor,
+    # auto_cap_median_mult x median bucket size) — the tail-quantile
+    # p99.9 alternative was measured and rejected, SCALE.md "Round-8")
     max_bucket = (
         None
         if len(sys.argv) <= 4

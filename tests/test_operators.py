@@ -163,6 +163,21 @@ def test_simhash_auto_cap(spark):
     assert not any(a >= 100 for a, _ in auto)
 
 
+def test_max_bucket_rejects_unknown_strings(spark):
+    """Any string other than the exact literal "auto" must raise, not
+    fall into the numeric branch (where a non-ANSI cast turns it into
+    NULL, the cap predicate drops EVERY bucket, and the operator
+    silently returns zero candidate pairs)."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="a b c d e f g h"), Row(doc_id=1, text="a b c d e f g h")]
+    )
+    sigs = dedup_ops.minhash_signatures(docs, k=16)
+    with pytest.raises(ValueError, match="max_bucket"):
+        dedup_ops.lsh_candidate_pairs(sigs, bands=8, max_bucket="Auto")
+    with pytest.raises(ValueError, match="max_bucket"):
+        dedup_ops.simhash_near_pairs(docs, max_bucket="AUTO")
+
+
 def test_verify_candidates_matches_exact(docs):
     """verify_candidate_pairs fed every pair must reproduce the exact
     inverted-index Jaccard operator bit-for-bit."""

@@ -227,3 +227,48 @@ def test_fuzz_asof_sql_rewrite_matches_bruteforce(spark, fuzz_engine):
             elif left_join:
                 want.append((lr.k, lr.t, lr.lv, None, None))
         assert got == sorted(want), f"trial {trial}: {sql}"
+
+
+def test_asof_skewed_hot_key_correct(spark):
+    """One key carrying ~all rows (the hot-key shape the docstring's
+    skew bound describes): the window plan must stay CORRECT — the hot
+    key serializes into one task's external sort, it must not lose or
+    duplicate matches. Brute-force per-row oracle."""
+    import random
+
+    from pyspark.sql import Row
+
+    from modelardb_rs_spark.operators.asof import asof_join
+
+    rng = random.Random(31)
+    # 2000 left rows: 95% on key 0, the rest spread over 9 keys
+    lrows = [
+        Row(k=0 if rng.random() < 0.95 else rng.randint(1, 9),
+            t=rng.randint(0, 500), lv=i)
+        for i in range(2000)
+    ]
+    seen = set()
+    rrows = []
+    for i in range(600):
+        k = 0 if rng.random() < 0.95 else rng.randint(1, 9)
+        t = rng.randint(0, 500)
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rrows.append(Row(k=k, t=t, rv=10_000 + i))
+    out = asof_join(
+        spark.createDataFrame(lrows),
+        spark.createDataFrame(rrows),
+        on="t",
+        by=["k"],
+        right_value_cols=["rv"],
+    )
+    got = sorted(tuple(r) for r in out.select("k", "t", "lv", "rv_right").collect())
+    by_key = {}
+    for rr in rrows:
+        by_key.setdefault(rr.k, []).append(rr)
+    want = []
+    for lr in lrows:
+        cands = [rr for rr in by_key.get(lr.k, []) if rr.t <= lr.t]
+        best = max(cands, key=lambda rr: rr.t).rv if cands else None
+        want.append((lr.k, lr.t, lr.lv, best))
+    assert got == sorted(want)
