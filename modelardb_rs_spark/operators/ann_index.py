@@ -34,6 +34,7 @@ from modelardb_rs_spark.operators.similarity import (
     bucket_centroids,
     cosine,
     kmeans_buckets,
+    numpy_kmeans_buckets,
     probe_topk,
 )
 
@@ -85,20 +86,27 @@ def build_ivf_index(
     """Build (or rebuild) a persisted IVF index over ``corpus``.
 
     ``bucket_col`` uses an existing integer column as the coarse
-    quantizer (deterministic, SQL-reproducible); otherwise MLlib KMeans
-    learns ``n_buckets`` buckets (seeded), fitting on a bounded seeded
-    hash-ordered sample of ``fit_sample`` vectors by default — coarse
-    centroids converge on a sample, so the MLlib iterations never scan
-    the full corpus (SCALE.md "Round-7": the sampled fit is flat in N
-    while the full fit grows linearly); assignment still covers every
-    vector, map-only. ``fit_sample=None`` restores the full-corpus
-    fit. Returns ``{"n_vectors", "n_buckets"}``.
+    quantizer (deterministic, SQL-reproducible); otherwise k-means
+    learns ``n_buckets`` buckets (seeded), fitting IN NUMPY on a
+    bounded seeded hash-ordered sample of ``fit_sample`` vectors —
+    coarse centroids converge on a sample (FAISS trains its coarse
+    quantizers the same way), so no iteration ever scans the full
+    corpus and no MLlib job overhead is paid (SCALE.md "Round-7" for
+    the flat-in-N sampled-fit measurement; TESTDATA.md round-9 for the
+    MLlib-overhead cut); assignment still covers every vector,
+    map-only. ``fit_sample=None`` restores the historical full-corpus
+    MLlib fit. Returns ``{"n_vectors", "n_buckets"}``.
     """
     if bucket_col is None:
-        bucketed = kmeans_buckets(
-            corpus, k=n_buckets, id_col=id_col, vec_col=vec_col, seed=seed,
-            fit_sample=fit_sample,
-        )
+        if fit_sample is not None:
+            bucketed = numpy_kmeans_buckets(
+                corpus, k=n_buckets, id_col=id_col, vec_col=vec_col, seed=seed,
+                fit_sample=fit_sample,
+            )
+        else:
+            bucketed = kmeans_buckets(
+                corpus, k=n_buckets, id_col=id_col, vec_col=vec_col, seed=seed,
+            )
         bucket_src = "ivf_bucket"
     else:
         bucketed, bucket_src = corpus, bucket_col
@@ -279,18 +287,24 @@ def build_ivfpq_index(
     concentrate near zero once the bucket centroid is subtracted.
 
     Both quantizer fits are sample-bounded by default: the PQ codebook
-    fit already trains on ``sample`` residuals, and the coarse KMeans
-    now fits on ``fit_sample`` seeded hash-ordered vectors (None =
-    full-corpus fit) — so an index build's only full-corpus passes are
-    the map-only assignment/encode and the one partitioned write."""
+    fit already trains on ``sample`` residuals, and the coarse k-means
+    fits in numpy on ``fit_sample`` seeded hash-ordered vectors (None =
+    full-corpus MLlib fit) — so an index build's only full-corpus
+    passes are the map-only assignment/encode and the one partitioned
+    write, and the build pays zero MLlib job overhead."""
     from modelardb_rs_spark.operators import pq as pq_ops
     from modelardb_rs_spark.operators.similarity import dot
 
     if bucket_col is None:
-        bucketed = kmeans_buckets(
-            corpus, k=n_buckets, id_col=id_col, vec_col=vec_col, seed=seed,
-            fit_sample=fit_sample,
-        )
+        if fit_sample is not None:
+            bucketed = numpy_kmeans_buckets(
+                corpus, k=n_buckets, id_col=id_col, vec_col=vec_col, seed=seed,
+                fit_sample=fit_sample,
+            )
+        else:
+            bucketed = kmeans_buckets(
+                corpus, k=n_buckets, id_col=id_col, vec_col=vec_col, seed=seed,
+            )
         bucket_src = "ivf_bucket"
     else:
         bucketed, bucket_src = corpus, bucket_col

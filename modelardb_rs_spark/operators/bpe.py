@@ -174,7 +174,21 @@ def train_bpe_from_counts(
     _pre_mapped: bool = False,
 ) -> list[tuple[str, str]]:
     """The shared merge loop: pieces (raw text, or byte-symbol strings
-    when ``_pre_mapped``) with frequencies -> ordered merge list."""
+    when ``_pre_mapped``) with frequencies -> ordered merge list.
+
+    Cost shape at real vocab sizes: pair counts update INCREMENTALLY —
+    each merge reprocesses only the words that contain the merged pair
+    (the ``occurs`` index) — and the per-merge argmax is a LAZY
+    MAX-HEAP keyed ``(-count, pair)``, so selecting the next merge is
+    O(log H) amortized instead of a full scan of the distinct-pair
+    table. The heap key reproduces the scan's exact order (highest
+    count, then lexicographically smallest pair), so the merge list is
+    byte-identical to the O(pairs)-per-merge loop it replaced; stale
+    entries (counts changed after push) are popped and discarded by
+    comparing against the live count. Measured: 32k merges over a
+    multi-million-piece corpus in SCALE.md "Round-9" — the full-scan
+    loop was O(merges x pairs) and impractical past ~2k merges."""
+    import heapq
     from collections import Counter, defaultdict
 
     b2u = bytes_to_unicode()
@@ -192,14 +206,29 @@ def train_bpe_from_counts(
             pair_counts[(w[i], w[i + 1])] += c
             occurs[(w[i], w[i + 1])].add(w)
 
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-c, p) for p, c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
+
+    def bump(p: tuple[str, str], c: int, delta: int) -> None:
+        pair_counts[p] += delta * c
+        if pair_counts[p] <= 0:
+            del pair_counts[p]
+        else:
+            heapq.heappush(heap, (-pair_counts[p], p))
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        if not pair_counts:
+        # discard stale heap entries until the top reflects a live count
+        while heap and pair_counts.get(heap[0][1], 0) != -heap[0][0]:
+            heapq.heappop(heap)
+        if not heap:
             break
-        top = max(pair_counts.values())
+        top, best = -heap[0][0], heap[0][1]
         if top < min_count:
             break
-        best = min(p for p, c in pair_counts.items() if c == top)
+        heapq.heappop(heap)
         merges.append(best)
         merged_sym = best[0] + best[1]
         for w in list(occurs[best]):
@@ -208,15 +237,13 @@ def train_bpe_from_counts(
                 continue
             for i in range(len(w) - 1):
                 p = (w[i], w[i + 1])
-                pair_counts[p] -= c
-                if pair_counts[p] <= 0:
-                    del pair_counts[p]
+                bump(p, c, -1)
                 occurs[p].discard(w)
             nw = _merge_word(w, best, merged_sym)
             word_freq[nw] = word_freq.get(nw, 0) + c
             for i in range(len(nw) - 1):
                 p = (nw[i], nw[i + 1])
-                pair_counts[p] += c
+                bump(p, c, +1)
                 occurs[p].add(nw)
     return merges
 

@@ -275,6 +275,94 @@ def kmeans_buckets(
     return model.transform(with_vec).drop("__mlvec__")
 
 
+def _literal_centroid_assign(
+    corpus: DataFrame,
+    centroids,
+    vec_col: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Corpus + ``ivf_bucket`` via MAP-ONLY nearest-centroid assignment:
+    the centroids ship as a plan literal (k x dim doubles —
+    metadata-sized), each row scores all k in-place with
+    ``transform``/``zip_with``, ``array_sort`` over (d2, bucket)
+    structs picks the ``nprobe`` nearest (ties by bucket id), and one
+    ``explode`` emits the assignment rows — no shuffle, no window, no
+    N x k intermediate ever leaves the row."""
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+                F.lit(int(i)).alias("b"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    vec_d = F.col(vec_col).cast("array<double>")
+    scored = F.transform(
+        cent_lit,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(vec_d, s["c"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            s["b"].alias("b"),
+        ),
+    )
+    # array_sort on (d2, b) structs orders by d2 asc then bucket asc
+    top = F.slice(F.array_sort(scored), 1, int(nprobe))
+    return (
+        corpus.withColumn("__t__", F.explode(top))
+        .withColumn("ivf_bucket", F.col("__t__.b"))
+        .drop("__t__")
+    )
+
+
+def numpy_kmeans_buckets(
+    corpus: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_sample: int = 4096,
+    iters: int = 10,
+) -> DataFrame:
+    """``kmeans_buckets`` without the MLlib job overhead: Lloyd's
+    iterations run in numpy on a bounded seeded hash-ordered sample
+    collected to the driver (the ``pq.train_pq_codebooks`` sampling
+    contract — FAISS trains its coarse quantizers the same way,
+    in-core on a sample), and assignment is the map-only
+    literal-centroid scan shared with
+    ``kmeans_multiprobe_assignments``. Same output contract as
+    ``kmeans_buckets`` (corpus + ``ivf_bucket``); different (equally
+    valid) clusterings — callers whose results must reproduce a
+    specific MLlib clustering keep ``kmeans_buckets``. Preferred for
+    index BUILDS, where a fit over a few thousand sampled vectors was
+    paying ~10 MLlib jobs of pure scheduling overhead (measured in
+    TESTDATA.md's per-entry runtimes, round-9). Driver memory is
+    ``fit_sample x dim x 8`` bytes (65536 x 64-dim = 33 MB; at dim
+    4096 drop ``fit_sample`` to ~8192 or use ``kmeans_buckets``)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(int(fit_sample))
+        .collect()
+    )
+    X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(len(C)):
+            pts = X[assign == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    return _literal_centroid_assign(corpus, C, vec_col, nprobe=1)
+
+
 def kmeans_multiprobe_assignments(
     corpus: DataFrame,
     k: int = 16,
@@ -284,8 +372,10 @@ def kmeans_multiprobe_assignments(
     seed: int = 42,
     fit_sample: int | None = None,
 ) -> DataFrame:
-    """(id, ivf_bucket) with the ``nprobe`` NEAREST centroids per vector
-    (squared-Euclidean, KMeans' own metric; ties broken by bucket id) —
+    """The corpus plus an ``ivf_bucket`` column, one row per (vector,
+    probed bucket) — each vector appears with its ``nprobe`` NEAREST
+    centroids (squared-Euclidean, KMeans' own metric; ties broken by
+    bucket id) —
     the multi-probe assignment that recovers cluster-BOUNDARY recall for
     ``semantic_dedup``: a near-dup pair split across adjacent clusters
     still meets in one of them when each vector also joins its
@@ -318,33 +408,8 @@ def kmeans_multiprobe_assignments(
     model = KMeans(
         k=k, seed=seed, featuresCol="__mlvec__", predictionCol="ivf_bucket"
     ).fit(fit_input)
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
-                F.lit(int(i)).alias("b"),
-            )
-            for i, c in enumerate(model.clusterCenters())
-        ]
-    )
-    vec_d = F.col(vec_col).cast("array<double>")
-    scored = F.transform(
-        cent_lit,
-        lambda s: F.struct(
-            F.aggregate(
-                F.zip_with(vec_d, s["c"], lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d2"),
-            s["b"].alias("b"),
-        ),
-    )
-    # array_sort on (d2, b) structs orders by d2 asc then bucket asc —
-    # exactly the row_number tie-break the shuffle plan used.
-    top = F.slice(F.array_sort(scored), 1, int(nprobe))
-    return (
-        corpus.select(id_col, F.explode(top).alias("__t__"))
-        .select(id_col, F.col("__t__.b").alias("ivf_bucket"))
+    return _literal_centroid_assign(
+        corpus, model.clusterCenters(), vec_col, nprobe=nprobe
     )
 
 
@@ -548,17 +613,33 @@ def semantic_near_pairs(
     cluster BOUNDARY — the paper's documented recall trade — get a
     second chance to meet, at ~``nprobe``^2 x candidate cost (bucket
     membership multiplies by ``nprobe``; within-bucket pairs are
-    quadratic in it); duplicated candidates are verified once. NaN-bearing vectors are excluded from
+    quadratic in it). NaN-bearing vectors are excluded from
     clustering (their cosine is NaN — they can never pair; MLlib
-    rejects them anyway)."""
+    rejects them anyway).
+
+    Plan shape (round-9, chosen after measuring the alternative): the
+    vectors ride THROUGH the bucket-keyed self-join, so the only
+    exchanges are the two sides' N x ``nprobe`` wide rows — corpus
+    volume — and the quadratic candidate stream is generated AND
+    cosine-filtered inside the join stage, never shuffled. The previous
+    ids-only design re-attached vectors to the candidate ids afterward,
+    which shuffled the CANDIDATE volume (~sum of bucket^2 rows, 1000 x
+    the corpus here) three more times (a distinct plus two sort-merge
+    joins) — measured at 54k vectors/nprobe=2 as most of an 11.6x wall
+    ratio that the candidate math says should be ~4x (SCALE.md
+    "Round-9"). A hot bucket serializes into one join task either way
+    (same key); the sort-merge buffer is spill-backed, and only the
+    filtered survivors (true near-dups) leave the stage. ``nprobe > 1``
+    dedups pairs that co-occur in several probed buckets with a
+    distinct over SURVIVORS, not candidates."""
     has_nan = F.exists(F.col(vec_col), F.isnan)
     if assignments is not None:
-        buckets = corpus.select(id_col).join(
+        assigned = corpus.select(id_col, vec_col).join(
             assignments.select(id_col, "ivf_bucket"), id_col
         )
     elif nprobe > 1:
-        buckets = kmeans_multiprobe_assignments(
-            corpus.where(~has_nan),
+        assigned = kmeans_multiprobe_assignments(
+            corpus.where(~has_nan).select(id_col, vec_col),
             k=n_clusters,
             nprobe=nprobe,
             id_col=id_col,
@@ -567,40 +648,47 @@ def semantic_near_pairs(
             fit_sample=fit_sample,
         )
     else:
-        buckets = kmeans_buckets(
-            corpus.where(~has_nan),
+        assigned = kmeans_buckets(
+            corpus.where(~has_nan).select(id_col, vec_col),
             k=n_clusters,
             id_col=id_col,
             vec_col=vec_col,
             seed=seed,
             fit_sample=fit_sample,
-        ).select(id_col, "ivf_bucket")
-    a = buckets.select("ivf_bucket", F.col(id_col).alias("id_a"))
-    b = buckets.select("ivf_bucket", F.col(id_col).alias("id_b"))
-    cands = (
-        a.join(b, "ivf_bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    if nprobe > 1:
-        # a pair can co-occur in several probed buckets; verify it once
-        cands = cands.distinct()
-    vecs = corpus.select(
-        F.col(id_col).alias("__vid__"),
+        ).select(id_col, vec_col, "ivf_bucket")
+    sided = assigned.select(
+        "ivf_bucket",
+        F.col(id_col),
         F.col(vec_col).alias("__v__"),
         norm(F.col(vec_col)).alias("__n__"),
     )
-    return (
-        cands.join(vecs.withColumnRenamed("__vid__", "id_a"), "id_a")
-        .withColumnsRenamed({"__v__": "__av__", "__n__": "__an__"})
-        .join(vecs.withColumnRenamed("__vid__", "id_b"), "id_b")
+    a = sided.select(
+        "ivf_bucket",
+        F.col(id_col).alias("id_a"),
+        F.col("__v__").alias("__av__"),
+        F.col("__n__").alias("__an__"),
+    )
+    b = sided.select(
+        "ivf_bucket",
+        F.col(id_col).alias("id_b"),
+        F.col("__v__").alias("__bv__"),
+        F.col("__n__").alias("__bn__"),
+    )
+    pairs = (
+        a.join(b, "ivf_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos",
-            dot(F.col("__av__"), F.col("__v__")) / (F.col("__an__") * F.col("__n__")),
+            dot(F.col("__av__"), F.col("__bv__")) / (F.col("__an__") * F.col("__bn__")),
         )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b")
     )
+    if nprobe > 1:
+        # a pair can co-occur in several probed buckets; the distinct
+        # runs over SURVIVORS (true near-dups), not the candidate stream
+        pairs = pairs.distinct()
+    return pairs
 
 
 def semantic_dedup(
@@ -637,10 +725,11 @@ def semantic_dedup(
     (id_col, ivf_bucket), e.g. a persisted ANN index's
     ``<name>__vectors`` table (``ann_index.build_ivf_index``), so one
     clustering serves both search and dedup. The within-cluster
-    self-join carries IDS ONLY (narrow rows through the bucket-keyed
-    exchange, where a whole cluster lands on one task); exact-cosine
-    verification re-attaches vectors by id afterwards — uniformly
-    hash-partitioned wide rows, the ``embedding_near_dup_pairs`` shape.
+    self-join carries the VECTORS through the bucket-keyed exchange
+    (corpus-volume wide rows — tiny next to the quadratic candidate
+    stream, which is generated and cosine-filtered in-stage and never
+    shuffled; see ``semantic_near_pairs`` for the measured comparison
+    against the ids-only re-attach shape it replaced).
     Components reuse ``dedup.duplicate_clusters`` (keyed label
     propagation, no driver data loop). The documented trade is recall
     at cluster BOUNDARIES: a cross-cluster pair above threshold is not
