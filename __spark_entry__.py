@@ -2180,8 +2180,14 @@ def stream_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest = emb.where(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
     vector_ingest_batch(eng, "vs_idx", rest, 1)
     replay = vector_ingest_batch(eng, "vs_idx", rest, 1)
+    # ids are derived from the (filtered-to-0) vec_id column rather than
+    # written as literals: a constant id column would let Catalyst fold
+    # the downstream Window.partitionBy key away and execute the top-k
+    # rank as a single-partition global window (29 "No Partition
+    # Defined" warnings per gate run at fixture scale; a real serialized
+    # sort at production scale). Values are unchanged: vec_id is 0 here.
     copy = emb.where(F.col("vec_id") == 0).select(
-        F.lit(5_000_000).alias("vec_id"),
+        (F.col("vec_id") + 5_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: (x * F.lit(1.5)).cast("float")).alias(
             "embedding"
         ),
@@ -2189,7 +2195,7 @@ def stream_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector_ingest_batch(eng, "vs_idx", copy, 2)
     n_buckets = eng.table("vs_idx__centroids").count()
     probe = emb.where(F.col("vec_id") == 0).select(
-        F.lit(999_999).alias("vec_id"), "embedding"
+        (F.col("vec_id") + 999_999).alias("vec_id"), "embedding"
     )
     found = ann_ops.ivf_index_topk(
         eng, "vs_idx", probe, k=5, nprobe=int(n_buckets)
@@ -2394,17 +2400,10 @@ def sim_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_train_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The training pipeline's FINAL deliverable: materialized token
-    sequences. Runs the doc_train_pipeline_bpe chain (BPE gate → exact
-    dedup → domain mix → shard shuffle → 256-token pack) and then
-    assembles each packed sequence's ACTUAL token ids
-    (packing.materialize_sequences — join spans to per-doc ids, slice,
-    reassemble in-order). Output: (seq_id, seq_len, ids_md5) — the md5
-    covers every token id AND their order, so the oracle (which replays
-    the whole chain in SQL over token-id list literals pinned by the
-    slow reference encoder) verifies the dataloader-ready sequences
-    token-by-token."""
+def _train_sequences_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared chain for doc_train_sequences / doc_train_export: BPE gate
+    → exact dedup → domain mix → shard shuffle → 256-token pack →
+    materialize. Returns (seq_id, token_ids, seq_len)."""
     from pyspark import StorageLevel
 
     from modelardb_rs_spark.operators import bpe as bpe_ops
@@ -2441,7 +2440,21 @@ def doc_train_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens_by_pack = packed_in.select("pack_id", "doc_id").join(
         enc.select("doc_id", F.col("bpe_ids").alias("token_ids")), "doc_id"
     )
-    seqs = materialize_sequences(packed, tokens_by_pack, id_col="pack_id")
+    return materialize_sequences(packed, tokens_by_pack, id_col="pack_id")
+
+
+def doc_train_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training pipeline's FINAL deliverable: materialized token
+    sequences. Runs the doc_train_pipeline_bpe chain (BPE gate → exact
+    dedup → domain mix → shard shuffle → 256-token pack) and then
+    assembles each packed sequence's ACTUAL token ids
+    (packing.materialize_sequences — join spans to per-doc ids, slice,
+    reassemble in-order). Output: (seq_id, seq_len, ids_md5) — the md5
+    covers every token id AND their order, so the oracle (which replays
+    the whole chain in SQL over token-id list literals pinned by the
+    slow reference encoder) verifies the dataloader-ready sequences
+    token-by-token."""
+    seqs = _train_sequences_frame(spark, sf_dir)
     return seqs.select(
         "seq_id",
         F.col("seq_len").cast("long").alias("seq_len"),
@@ -2450,6 +2463,71 @@ def doc_train_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",", F.transform("token_ids", lambda x: x.cast("string"))
             ).cast("binary")
         ).alias("ids_md5"),
+    )
+
+
+def doc_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard EXPORT — the last dataloader step (packing.py::
+    export_training_shards): the materialized sequences land on disk as
+    per-shard parquet directories in training order (shard = contiguous
+    slice of the global shuffled sequence stream; one file per shard,
+    rows ascending seq_id), which is the layout a trainer's W dataloader
+    workers stream directly. Returns the read-back verification
+    manifest: per-shard sequence/token counts, seq-id range, and an
+    order-sensitive digest over the shard's (seq_id, md5(token_ids))
+    pairs — the oracle replays the whole chain over reference-encoder-
+    pinned token-id literals and recomputes every manifest column, so a
+    drifted shard boundary, a reordered row, or one wrong token id in
+    the WRITTEN files breaks the compare. No reference analog
+    (modelardb_rs_spark is the training-prep superset)."""
+    import fcntl
+
+    from modelardb_rs_spark.operators.packing import export_training_shards
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_trainexport", f"{key}_v1")
+    os.makedirs(root, exist_ok=True)
+    out_dir = os.path.join(root, "shards")
+    marker = os.path.join(root, ".export_done")
+    with open(os.path.join(root, ".export_lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        if not os.path.exists(marker):
+            seqs = _train_sequences_frame(spark, sf_dir)
+            export_training_shards(seqs, out_dir, n_shards=4).count()
+            with open(marker, "w") as m:
+                m.write("ok")
+    # recompute the manifest from the files on disk (what a trainer
+    # reads), independent of whether this call did the write
+    back = spark.read.parquet(out_dir).select(
+        "shard",
+        "seq_id",
+        F.col("seq_len").cast("long").alias("seq_len"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("token_ids", lambda x: x.cast("string"))
+            ).cast("binary")
+        ).alias("__d__"),
+    )
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_sequences"),
+            F.sum("seq_len").cast("long").alias("n_tokens"),
+            F.min("seq_id").alias("first_seq_id"),
+            F.max("seq_id").alias("last_seq_id"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seq_id", "__d__"))),
+                        lambda s: F.concat_ws(
+                            ":", s["seq_id"].cast("string"), s["__d__"]
+                        ),
+                    ),
+                ).cast("binary")
+            ).alias("shard_md5"),
+        )
+        .orderBy("shard")
     )
 
 
@@ -2587,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_encode": doc_bpe_encode,
         "doc_train_pipeline_bpe": doc_train_pipeline_bpe,
         "doc_train_sequences": doc_train_sequences,
+        "doc_train_export": doc_train_export,
         "sim_index_stats": sim_index_stats,
     }
 
@@ -4709,6 +4788,45 @@ def oracle_sql() -> dict[str, str]:
           FROM spans JOIN bpeids b USING (doc_id)
           GROUP BY seq_id
         )
+    """
+    )
+    # training-shard export manifest: the same chain, then the
+    # contiguous-split shard assignment floor(seq_id * 4 / N) and every
+    # manifest column (counts, seq-id range, order-sensitive digest over
+    # (seq_id, md5(ids)) pairs) recomputed over the pinned literals —
+    # the Spark side reads them back from the exported parquet, so the
+    # compare verifies the files a trainer would actually stream.
+    oracles["doc_train_export"] = (
+        _chain_body
+        + """
+        , seqs AS (
+          SELECT seq_id,
+                 CAST(len(token_ids) AS BIGINT) AS seq_len,
+                 md5(array_to_string(token_ids, ',')) AS ids_md5
+          FROM (
+            SELECT seq_id,
+                   flatten(list(
+                     list_slice(b.ids,
+                                GREATEST(seq_id*256, s) - s + 1,
+                                LEAST((seq_id+1)*256, s+n) - s)
+                     ORDER BY GREATEST(seq_id*256, s) - seq_id*256
+                   )) AS token_ids
+            FROM spans JOIN bpeids b USING (doc_id)
+            GROUP BY seq_id
+          )
+        ),
+        nseq_t AS (SELECT max(seq_id) + 1 AS nseq FROM seqs)
+        SELECT CAST(seq_id * 4 // nseq_t.nseq AS INT) AS shard,
+               count(*) AS n_sequences,
+               CAST(sum(seq_len) AS BIGINT) AS n_tokens,
+               min(seq_id) AS first_seq_id,
+               max(seq_id) AS last_seq_id,
+               md5(string_agg(
+                 CAST(seq_id AS VARCHAR) || ':' || ids_md5,
+                 ',' ORDER BY seq_id)) AS shard_md5
+        FROM seqs, nseq_t
+        GROUP BY 1
+        ORDER BY 1
     """
     )
     # index-stats oracle: recompute the per-label float32 centroids, each

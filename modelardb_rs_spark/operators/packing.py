@@ -168,6 +168,90 @@ def materialize_sequences(
     )
 
 
+def export_training_shards(
+    sequences: DataFrame,
+    path: str,
+    n_shards: int,
+    seq_col: str = "seq_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """Write ``materialize_sequences`` output as per-shard parquet in
+    training order — the handoff a trainer's dataloader actually reads:
+    ``path/shard=S/`` holds shard ``S``'s sequences as ONE file whose
+    row order is ascending ``seq_col`` (global training order restricted
+    to the shard), so ``W`` dataloader workers each stream one directory
+    top-to-bottom with no further shuffle or sort.
+
+    Sharding is the deterministic contiguous split
+    ``shard = floor(seq_id * n_shards / N)`` with ``N = max(seq_id)+1``
+    (``pack_documents`` emits contiguous seq ids 0..N-1, so shard sizes
+    differ by at most one and concatenating shards 0..W-1 reproduces the
+    exact global order). One tiny aggregate finds N; the write is one
+    hash exchange on ``shard`` + a within-partition sort — each shard is
+    written by exactly one task, so the per-directory file count is one
+    and row order inside it is the sort order. Pick ``n_shards`` to
+    bound per-file size at the corpus' scale (tokens / n_shards per
+    file).
+
+    Returns a verification manifest computed by READING BACK the written
+    files (not from the input plan): one row per shard with
+    ``n_sequences``, ``n_tokens``, ``first_seq_id``/``last_seq_id``, and
+    ``shard_md5`` — an order-sensitive digest over the shard's
+    ``seq_id:md5(token_ids)`` pairs. The per-shard digest aggregates
+    32-byte per-sequence digests (computed map-side), never the token
+    payload, so the manifest pass stays safe at any shard size."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    spark = sequences.sparkSession
+    n = sequences.agg(F.max(seq_col)).first()[0]
+    if n is None:
+        raise ValueError("export_training_shards: no sequences to export")
+    n = int(n) + 1
+    shard = (
+        (F.col(seq_col).cast("long") * n_shards / F.lit(n)).cast("long").cast("int")
+    )
+    (
+        sequences.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions(seq_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        "shard",
+        F.col(seq_col).alias("__sid__"),
+        F.size(ids_col).cast("long").alias("__len__"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(ids_col, lambda x: x.cast("string"))
+            ).cast("binary")
+        ).alias("__d__"),
+    )
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_sequences"),
+            F.sum("__len__").cast("long").alias("n_tokens"),
+            F.min("__sid__").alias("first_seq_id"),
+            F.max("__sid__").alias("last_seq_id"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("__sid__", "__d__"))
+                        ),
+                        lambda s: F.concat_ws(
+                            ":", s["__sid__"].cast("string"), s["__d__"]
+                        ),
+                    ),
+                ).cast("binary")
+            ).alias("shard_md5"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

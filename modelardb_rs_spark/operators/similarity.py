@@ -32,8 +32,43 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Dot product unrolled for a KNOWN dimension: a left-to-right chain
+    of ``element_at(a,i) * element_at(b,i)`` adds seeded with 0.0 —
+    bit-identical accumulation order to ``dot``, but fully
+    codegen-able. ``zip_with``/``aggregate`` are CodegenFallback
+    expressions: evaluated interpreted they cost ~100us per call
+    (per-element type dispatch + a boxed intermediate array), which is
+    invisible per-row but IS the whole wall when the expression lands in
+    a join condition evaluated once per candidate pair (measured: the
+    round-9 semantic-dedup verify crawled at ~350s CPU per task on a
+    14k-vector fixture before this change). The unrolled chain compiles
+    to primitive array getters; Spark splits long chains across
+    generated methods, so realistic embedding dims stay inside codegen.
+    Dims above 2048 fall back to ``dot`` (expression-tree depth)."""
+    if dim > 2048:
+        return dot(a, b)
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + (
+            F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+        )
+    return acc
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector width from one row (arrays don't carry it in the schema);
+    a metadata-sized lookup, None on an empty frame."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).first()
+    return int(row["d"]) if row is not None and row["d"] is not None else None
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
+
+
+def norm_fixed(a: Column, dim: int) -> Column:
+    return F.sqrt(dot_fixed(a, a, dim))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -109,22 +144,34 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: for each query row, the k nearest corpus rows
     (self-matches excluded). Ties broken by corpus id for determinism;
     cosine rounded to 6 before ranking so float noise can't flip ranks
-    across engines. Output: (query_id, neighbor_id, cos, rank)."""
+    across engines. Output: (query_id, neighbor_id, cos, rank).
+
+    The per-pair cosine runs as the codegen-unrolled ``dot_fixed``
+    chain (bit-identical accumulation to ``dot``): the scoring join
+    evaluates it |Q| times per corpus row, where the interpreted
+    higher-order-function form costs ~100us per evaluation — at a
+    billion corpus rows that difference is the whole wall. ``dim`` is
+    probed from one row when not passed."""
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    _d = (lambda x, y: dot_fixed(x, y, dim)) if dim is not None else dot
+    _n = (lambda c: norm_fixed(c, dim)) if dim is not None else norm
     # Norms are computed once per row before the pair join (a per-pair
     # cosine() would recompute both norms |Q|·|C| times).
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),
-        norm(F.col(vec_col)).alias("__qn__"),
+        _n(F.col(vec_col)).alias("__qn__"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv__"),
-        norm(F.col(vec_col)).alias("__cn__"),
+        _n(F.col(vec_col)).alias("__cn__"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -132,7 +179,7 @@ def brute_force_topk(
         .withColumn(
             "cos",
             F.round(
-                dot(F.col("__qv__"), F.col("__cv__")) / (F.col("__qn__") * F.col("__cn__")), 6
+                _d(F.col("__qv__"), F.col("__cv__")) / (F.col("__qn__") * F.col("__cn__")), 6
             ),
         )
     )
@@ -281,41 +328,57 @@ def _literal_centroid_assign(
     vec_col: str,
     nprobe: int = 1,
 ) -> DataFrame:
-    """Corpus + ``ivf_bucket`` via MAP-ONLY nearest-centroid assignment:
-    the centroids ship as a plan literal (k x dim doubles —
-    metadata-sized), each row scores all k in-place with
-    ``transform``/``zip_with``, ``array_sort`` over (d2, bucket)
-    structs picks the ``nprobe`` nearest (ties by bucket id), and one
-    ``explode`` emits the assignment rows — no shuffle, no window, no
-    N x k intermediate ever leaves the row."""
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
-                F.lit(int(i)).alias("b"),
+    """Corpus + ``ivf_bucket`` via MAP-ONLY nearest-centroid assignment
+    (one row per probed bucket when ``nprobe > 1``): a ``mapInPandas``
+    pass scores each Arrow batch against the k x dim centroid matrix in
+    numpy — squared Euclidean, ties by bucket id (stable argsort over
+    centroids stored in bucket order) — and emits the ``nprobe``
+    nearest. No shuffle, no window, no N x k intermediate ever leaves
+    the batch; the centroid matrix rides the UDF closure (metadata-
+    sized). The row-chunked distance computation caps the in-flight
+    chunk x k x dim difference tensor at ~32 MB at any k/dim.
+
+    Vectorized numpy ON PURPOSE, measured against two Column-algebra
+    shapes at 50k rows / k=100 / dim=64 (SCALE.md "Round-9"): a
+    ``transform``+``zip_with`` scored array is CodegenFallback —
+    interpreted ~100us per (row, centroid) = ~10ms per ROW at k=100 —
+    and an unrolled per-term literal expression moves the cost to PLAN
+    construction and analysis (~6k py4j calls + a 13k-node tree:
+    45s before the first task launches). The numpy matmul-style scan
+    is ~us per row and scales with rows, not rows x k."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    k = len(C)
+    nprobe = min(int(nprobe), k)
+    dim = C.shape[1] if k else 0
+    out_schema = T.StructType(
+        list(corpus.schema.fields)
+        + [T.StructField("ivf_bucket", T.IntegerType(), False)]
+    )
+    chunk = max(1, (1 << 22) // max(k * dim, 1))
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            tops = []
+            for s in range(0, len(X), chunk):
+                d2 = ((X[s : s + chunk, None, :] - C[None, :, :]) ** 2).sum(-1)
+                # stable sort on d2: equal distances keep bucket order
+                tops.append(np.argsort(d2, axis=1, kind="stable")[:, :nprobe])
+            top = np.concatenate(tops)
+            out = pdf.iloc[np.repeat(np.arange(len(pdf)), nprobe)].reset_index(
+                drop=True
             )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    vec_d = F.col(vec_col).cast("array<double>")
-    scored = F.transform(
-        cent_lit,
-        lambda s: F.struct(
-            F.aggregate(
-                F.zip_with(vec_d, s["c"], lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d2"),
-            s["b"].alias("b"),
-        ),
-    )
-    # array_sort on (d2, b) structs orders by d2 asc then bucket asc
-    top = F.slice(F.array_sort(scored), 1, int(nprobe))
-    return (
-        corpus.withColumn("__t__", F.explode(top))
-        .withColumn("ivf_bucket", F.col("__t__.b"))
-        .drop("__t__")
-    )
+            out["ivf_bucket"] = top.reshape(-1).astype("int32")
+            yield out
+
+    return corpus.mapInPandas(assign, out_schema)
 
 
 def numpy_kmeans_buckets(
@@ -381,17 +444,15 @@ def kmeans_multiprobe_assignments(
     still meets in one of them when each vector also joins its
     runner-up cluster. Candidate cost is ~``nprobe``^2 x (every
     bucket's effective membership multiplies by ``nprobe`` and
-    within-bucket pairs are quadratic in membership); the measured
-    end-to-end wall at nprobe=2 is ~4-5x the nprobe=1 line (SCALE.md
-    "Round-9" — the round-8 crossJoin+window assignment cost ~16x).
-    Same fit as ``kmeans_buckets`` (seeded, optionally sample-bounded);
-    assignment is MAP-ONLY: the k centroids ship as a plan literal
-    (k x dim doubles — metadata-sized, the same payload the broadcast
-    carried), each row scores all k in-place with
-    ``transform``/``zip_with``, ``array_sort`` over (d2, bucket)
-    structs picks the ``nprobe`` nearest (ties by bucket id), and one
-    ``explode`` emits the nprobe assignment rows — no shuffle, no
-    window, no N x k intermediate ever leaves the row."""
+    within-bucket pairs are quadratic in membership), but with the
+    numpy-matmul verify that growth disappears into BLAS throughput:
+    the measured end-to-end wall at nprobe=2 is ~1.2x the nprobe=1
+    line (SCALE.md "Round-9" — the round-8 crossJoin+window assignment
+    plus join-based verify cost 16x). Same fit as ``kmeans_buckets``
+    (seeded, optionally sample-bounded); assignment is MAP-ONLY via
+    ``_literal_centroid_assign`` (batch numpy distance scan, centroids
+    in the UDF closure) — no shuffle, no window, no N x k intermediate
+    ever leaves the batch."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -591,6 +652,47 @@ def cosine_threshold_pairs(
     )
 
 
+def _bucket_near_pairs_fn(threshold: float, vec_col: str):
+    """``applyInPandas`` body for the within-bucket near-pair verify:
+    the bucket's cosine matrix in chunked numpy matmuls (BLAS), one
+    output row per surviving pair with ``id_a < id_b`` strictly by id
+    (duplicate ids never pair, either orientation emitted once —
+    exactly the join-based semantics). Block size is capped so the
+    in-flight block x m score matrix stays ~32 MB regardless of bucket
+    size; the bucket's own vectors (m x dim doubles) are the real
+    memory bound, as they are for any per-bucket design. Zero-norm
+    rows produce NaN cosines, which fail the threshold — again the
+    join semantics (0/0 double division is NaN on both engines)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64")
+        ids = pdf["__id__"].to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+        norms = np.sqrt((V * V).sum(axis=1))
+        out_a, out_b = [], []
+        bs = max(1, (1 << 22) // m)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(0, m, bs):
+                block = V[s : s + bs] @ V.T
+                cos = block / (norms[s : s + bs, None] * norms[None, :])
+                ii, jj = np.nonzero(cos >= threshold)
+                keep = ids[jj] > ids[s + ii]
+                out_a.append(ids[s + ii[keep]])
+                out_b.append(ids[jj[keep]])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a).astype("int64"),
+                "id_b": np.concatenate(out_b).astype("int64"),
+            }
+        )
+
+    return fn
+
+
 def semantic_near_pairs(
     corpus: DataFrame,
     threshold: float = 0.97,
@@ -617,21 +719,29 @@ def semantic_near_pairs(
     clustering (their cosine is NaN — they can never pair; MLlib
     rejects them anyway).
 
-    Plan shape (round-9, chosen after measuring the alternative): the
-    vectors ride THROUGH the bucket-keyed self-join, so the only
-    exchanges are the two sides' N x ``nprobe`` wide rows — corpus
-    volume — and the quadratic candidate stream is generated AND
-    cosine-filtered inside the join stage, never shuffled. The previous
-    ids-only design re-attached vectors to the candidate ids afterward,
-    which shuffled the CANDIDATE volume (~sum of bucket^2 rows, 1000 x
-    the corpus here) three more times (a distinct plus two sort-merge
-    joins) — measured at 54k vectors/nprobe=2 as most of an 11.6x wall
-    ratio that the candidate math says should be ~4x (SCALE.md
-    "Round-9"). A hot bucket serializes into one join task either way
-    (same key); the sort-merge buffer is spill-backed, and only the
-    filtered survivors (true near-dups) leave the stage. ``nprobe > 1``
-    dedups pairs that co-occur in several probed buckets with a
-    distinct over SURVIVORS, not candidates."""
+    Plan shape (round-9, chosen after MEASURING three designs at 50k
+    vectors / 12.5M candidates, SCALE.md "Round-9"): the corpus
+    exchanges ONCE on the bucket key and each bucket's quadratic
+    verify runs as a CHUNKED NUMPY MATMUL inside ``applyInPandas`` —
+    only survivors (true near-dups) ever become rows. The alternatives
+    both materialize the candidate pairs as JVM rows: (a) round-8's
+    ids-only self-join re-shuffled the candidate volume three times
+    (distinct + two re-attach joins) and paid ~100us/pair for the
+    interpreted ``zip_with``/``aggregate`` cosine (55s); (b) an
+    in-stage sort-merge-join condition with the codegen-unrolled
+    ``dot_fixed`` cosine still paid per-pair row iteration (167s —
+    WORSE: pair generation itself dominates). BLAS does the 12.5M
+    dot products in under a second; the whole verify including the
+    exchange measured ~3s. Arrow transfer is corpus x ``nprobe``
+    volume, never candidates. A hot bucket serializes into one
+    worker under ANY bucket-keyed design; here it must also fit its
+    vectors in that worker's memory (m x dim x 8 bytes — 10M x 64-dim
+    = 5 GB; the matmul itself is chunked to a fixed ~32 MB block, so
+    memory is the VECTORS, not the m^2 pair matrix). Upstream bucket
+    sizing (n_clusters) is the lever, as it already must be for the
+    quadratic work itself. ``nprobe > 1`` dedups pairs that co-occur
+    in several probed buckets with a distinct over SURVIVORS, not
+    candidates."""
     has_nan = F.exists(F.col(vec_col), F.isnan)
     if assignments is not None:
         assigned = corpus.select(id_col, vec_col).join(
@@ -656,33 +766,13 @@ def semantic_near_pairs(
             seed=seed,
             fit_sample=fit_sample,
         ).select(id_col, vec_col, "ivf_bucket")
-    sided = assigned.select(
-        "ivf_bucket",
-        F.col(id_col),
-        F.col(vec_col).alias("__v__"),
-        norm(F.col(vec_col)).alias("__n__"),
-    )
-    a = sided.select(
-        "ivf_bucket",
-        F.col(id_col).alias("id_a"),
-        F.col("__v__").alias("__av__"),
-        F.col("__n__").alias("__an__"),
-    )
-    b = sided.select(
-        "ivf_bucket",
-        F.col(id_col).alias("id_b"),
-        F.col("__v__").alias("__bv__"),
-        F.col("__n__").alias("__bn__"),
-    )
     pairs = (
-        a.join(b, "ivf_bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            dot(F.col("__av__"), F.col("__bv__")) / (F.col("__an__") * F.col("__bn__")),
+        assigned.select("ivf_bucket", F.col(id_col).alias("__id__"), F.col(vec_col))
+        .groupBy("ivf_bucket")
+        .applyInPandas(
+            _bucket_near_pairs_fn(float(threshold), vec_col),
+            "id_a long, id_b long",
         )
-        .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b")
     )
     if nprobe > 1:
         # a pair can co-occur in several probed buckets; the distinct
@@ -725,11 +815,11 @@ def semantic_dedup(
     (id_col, ivf_bucket), e.g. a persisted ANN index's
     ``<name>__vectors`` table (``ann_index.build_ivf_index``), so one
     clustering serves both search and dedup. The within-cluster
-    self-join carries the VECTORS through the bucket-keyed exchange
-    (corpus-volume wide rows — tiny next to the quadratic candidate
-    stream, which is generated and cosine-filtered in-stage and never
-    shuffled; see ``semantic_near_pairs`` for the measured comparison
-    against the ids-only re-attach shape it replaced).
+    quadratic verify exchanges the corpus ONCE on the bucket key and
+    runs each bucket as a chunked numpy matmul (``applyInPandas``) —
+    candidate pairs never exist as rows, only survivors do (see
+    ``semantic_near_pairs`` for the measured comparison against the
+    two join-based shapes it replaced).
     Components reuse ``dedup.duplicate_clusters`` (keyed label
     propagation, no driver data loop). The documented trade is recall
     at cluster BOUNDARIES: a cross-cluster pair above threshold is not

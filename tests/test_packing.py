@@ -222,6 +222,67 @@ def test_interval_join_plans_a_hash_join(spark):
     assert "HashJoin" in plan
 
 
+def test_export_training_shards_layout_and_order(spark, tmp_path):
+    """The exported layout is what a trainer streams: one parquet file
+    per shard directory, rows PHYSICALLY ordered by seq_id inside it
+    (verified by reading the file back WITHOUT Spark), shards are
+    contiguous near-equal slices of the global sequence order, and the
+    read-back manifest matches an independent recomputation."""
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    from modelardb_rs_spark.operators.packing import export_training_shards
+
+    n_seq = 13
+    seqs = spark.range(n_seq).select(
+        F.col("id").alias("seq_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda i: (F.col("id") * 10 + i).cast("int"),
+        ).alias("token_ids"),
+        F.lit(5).alias("seq_len"),
+    )
+    out = str(tmp_path / "shards")
+    manifest = {
+        r["shard"]: r for r in export_training_shards(seqs, out, 4).collect()
+    }
+    assert set(manifest) == {0, 1, 2, 3}
+    # contiguous split: sizes differ by <=1, ranges abut, union is all
+    sizes = [manifest[s]["n_sequences"] for s in range(4)]
+    assert sum(sizes) == n_seq and max(sizes) - min(sizes) <= 1
+    assert manifest[0]["first_seq_id"] == 0
+    assert manifest[3]["last_seq_id"] == n_seq - 1
+    for s in range(3):
+        assert manifest[s + 1]["first_seq_id"] == manifest[s]["last_seq_id"] + 1
+    # one file per shard dir; physical row order inside it is seq order
+    for s in range(4):
+        files = glob.glob(f"{out}/shard={s}/*.parquet")
+        assert len(files) == 1, f"shard {s}: {files}"
+        tbl = pq_.read_table(files[0])
+        ids = tbl.column("seq_id").to_pylist()
+        assert ids == sorted(ids)
+        assert ids[0] == manifest[s]["first_seq_id"]
+        assert ids[-1] == manifest[s]["last_seq_id"]
+        toks = tbl.column("token_ids").to_pylist()
+        assert toks[0] == [ids[0] * 10 + i for i in range(5)]
+    assert manifest[0]["n_tokens"] == sizes[0] * 5
+
+
+def test_export_training_shards_rejects_bad_input(spark, tmp_path):
+    from modelardb_rs_spark.operators.packing import export_training_shards
+
+    seqs = spark.range(3).select(
+        F.col("id").alias("seq_id"),
+        F.array(F.lit(1)).alias("token_ids"),
+        F.lit(1).alias("seq_len"),
+    )
+    with pytest.raises(ValueError, match="n_shards"):
+        export_training_shards(seqs, str(tmp_path / "x"), 0)
+    with pytest.raises(ValueError, match="no sequences"):
+        export_training_shards(seqs.where("seq_id < 0"), str(tmp_path / "y"), 2)
+
+
 def test_pack_documents_property(spark):
     """Property check across random corpora: every full sequence holds
     exactly seq_len tokens, every doc's slices cover it exactly once and
