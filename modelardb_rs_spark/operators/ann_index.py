@@ -94,14 +94,21 @@ def build_ivf_index(
     corpus and no MLlib job overhead is paid (SCALE.md "Round-7" for
     the flat-in-N sampled-fit measurement; TESTDATA.md round-9 for the
     MLlib-overhead cut); assignment still covers every vector,
-    map-only. ``fit_sample=None`` restores the historical full-corpus
+    map-only. On the sampled-fit path the STORED centroids are the
+    fitted quantizer centroids (the FAISS convention — probe
+    assignment then uses exactly the geometry vectors were bucketed
+    with) rather than posterior bucket means, which saves a full
+    posexplode/groupBy corpus pass; ``bucket_col``/MLlib paths keep
+    posterior means (the bucket column carries no geometry of its
+    own). ``fit_sample=None`` restores the historical full-corpus
     MLlib fit. Returns ``{"n_vectors", "n_buckets"}``.
     """
+    fitted_C = None
     if bucket_col is None:
         if fit_sample is not None:
-            bucketed = numpy_kmeans_buckets(
+            bucketed, fitted_C = numpy_kmeans_buckets(
                 corpus, k=n_buckets, id_col=id_col, vec_col=vec_col, seed=seed,
-                fit_sample=fit_sample,
+                fit_sample=fit_sample, return_centroids=True,
             )
         else:
             bucketed = kmeans_buckets(
@@ -115,10 +122,12 @@ def build_ivf_index(
         F.col(vec_col),
         F.col(bucket_src).cast("int").alias("ivf_bucket"),
     )
-    cents = bucket_centroids(vectors, vec_col, "ivf_bucket").join(
-        vectors.groupBy("ivf_bucket").agg(F.count("*").cast("long").alias("n_vectors")),
-        "ivf_bucket",
-    )
+    if fitted_C is not None:
+        # the assignment lineage (a python-worker pass) feeds the write
+        # AND the per-bucket counts: persist so it runs once per build
+        from pyspark import StorageLevel
+
+        vectors = vectors.persist(StorageLevel.MEMORY_AND_DISK)
 
     vt, ct = _vectors_table(index_name), _centroids_table(index_name)
     for t in (vt, ct):
@@ -129,10 +138,30 @@ def build_ivf_index(
     engine.write(vt, vectors, partition_by=["ivf_bucket"])
     # centroids ARE index metadata (n_buckets rows): collect once, write
     # the local rows, and derive the build stats without another scan
-    cent_rows = [
-        (int(r["ivf_bucket"]), list(r["centroid"]), int(r["n_vectors"]))
-        for r in cents.collect()
-    ]
+    if fitted_C is not None:
+        counts = {
+            int(r["ivf_bucket"]): int(r["n"])
+            for r in vectors.groupBy("ivf_bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        cent_rows = [
+            (b, [float(x) for x in fitted_C[b]], counts.get(b, 0))
+            for b in range(len(fitted_C))
+            if counts.get(b, 0) > 0
+        ]
+        vectors.unpersist()
+    else:
+        cents = bucket_centroids(vectors, vec_col, "ivf_bucket").join(
+            vectors.groupBy("ivf_bucket").agg(
+                F.count("*").cast("long").alias("n_vectors")
+            ),
+            "ivf_bucket",
+        )
+        cent_rows = [
+            (int(r["ivf_bucket"]), list(r["centroid"]), int(r["n_vectors"]))
+            for r in cents.collect()
+        ]
     engine.write(
         ct,
         engine.spark.createDataFrame(
@@ -291,15 +320,23 @@ def build_ivfpq_index(
     fits in numpy on ``fit_sample`` seeded hash-ordered vectors (None =
     full-corpus MLlib fit) — so an index build's only full-corpus
     passes are the map-only assignment/encode and the one partitioned
-    write, and the build pays zero MLlib job overhead."""
+    write, and the build pays zero MLlib job overhead. On the sampled-
+    fit path the assignment frame is persisted for the build's
+    duration (it feeds the PQ sample, the encode+write, and the
+    per-bucket counts — without the cache the python-worker assignment
+    pass re-runs per action) and the stored centroids are the FITTED
+    quantizer centroids (FAISS convention; residuals are taken against
+    the same geometry vectors were bucketed with), skipping the
+    posterior-mean corpus pass entirely."""
     from modelardb_rs_spark.operators import pq as pq_ops
     from modelardb_rs_spark.operators.similarity import dot
 
+    fitted_C = None
     if bucket_col is None:
         if fit_sample is not None:
-            bucketed = numpy_kmeans_buckets(
+            bucketed, fitted_C = numpy_kmeans_buckets(
                 corpus, k=n_buckets, id_col=id_col, vec_col=vec_col, seed=seed,
-                fit_sample=fit_sample,
+                fit_sample=fit_sample, return_centroids=True,
             )
         else:
             bucketed = kmeans_buckets(
@@ -313,19 +350,35 @@ def build_ivfpq_index(
         F.col(vec_col),
         F.col(bucket_src).cast("int").alias("ivf_bucket"),
     )
-    cents = bucket_centroids(vectors, vec_col, "ivf_bucket").join(
-        vectors.groupBy("ivf_bucket").agg(
-            F.count("*").cast("long").alias("n_vectors")
-        ),
-        "ivf_bucket",
-    )
-    # centroids are index metadata (n_buckets rows): one collect, then
-    # broadcast-join the residual computation
-    cent_rows = [
-        (int(r["ivf_bucket"]), list(r["centroid"]), int(r["n_vectors"]))
-        for r in cents.collect()
-    ]
     spark = engine.spark
+    if fitted_C is not None:
+        from pyspark import StorageLevel
+
+        vectors = vectors.persist(StorageLevel.MEMORY_AND_DISK)
+        counts = {
+            int(r["ivf_bucket"]): int(r["n"])
+            for r in vectors.groupBy("ivf_bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        cent_rows = [
+            (b, [float(x) for x in fitted_C[b]], counts.get(b, 0))
+            for b in range(len(fitted_C))
+            if counts.get(b, 0) > 0
+        ]
+    else:
+        cents = bucket_centroids(vectors, vec_col, "ivf_bucket").join(
+            vectors.groupBy("ivf_bucket").agg(
+                F.count("*").cast("long").alias("n_vectors")
+            ),
+            "ivf_bucket",
+        )
+        # centroids are index metadata (n_buckets rows): one collect,
+        # then broadcast-join the residual computation
+        cent_rows = [
+            (int(r["ivf_bucket"]), list(r["centroid"]), int(r["n_vectors"]))
+            for r in cents.collect()
+        ]
     cent_df = spark.createDataFrame(
         [(b, c) for b, c, _ in cent_rows], "ivf_bucket INT, __c__ ARRAY<FLOAT>"
     )
@@ -379,6 +432,8 @@ def build_ivfpq_index(
         bt,
         spark.createDataFrame(book_rows, "subspace INT, code INT, centroid ARRAY<FLOAT>"),
     )
+    if fitted_C is not None:
+        vectors.unpersist()
     return {
         "n_vectors": sum(r[2] for r in cent_rows),
         "n_buckets": len(cent_rows),

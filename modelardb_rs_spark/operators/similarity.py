@@ -56,13 +56,6 @@ def dot_fixed(a: Column, b: Column, dim: int) -> Column:
     return acc
 
 
-def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
-    """Vector width from one row (arrays don't carry it in the schema);
-    a metadata-sized lookup, None on an empty frame."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).first()
-    return int(row["d"]) if row is not None and row["d"] is not None else None
-
-
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -151,14 +144,14 @@ def brute_force_topk(
     cosine rounded to 6 before ranking so float noise can't flip ranks
     across engines. Output: (query_id, neighbor_id, cos, rank).
 
-    The per-pair cosine runs as the codegen-unrolled ``dot_fixed``
-    chain (bit-identical accumulation to ``dot``): the scoring join
-    evaluates it |Q| times per corpus row, where the interpreted
-    higher-order-function form costs ~100us per evaluation — at a
-    billion corpus rows that difference is the whole wall. ``dim`` is
-    probed from one row when not passed."""
-    if dim is None:
-        dim = _infer_dim(corpus, vec_col)
+    Passing ``dim`` swaps the per-pair cosine to the codegen-unrolled
+    ``dot_fixed`` chain (bit-identical accumulation to ``dot``): the
+    scoring join evaluates the cosine |Q| times per corpus row, and the
+    interpreted higher-order-function form costs ~100us per evaluation
+    — at a billion corpus rows that difference is the whole wall. The
+    unrolled chain costs ~dim x 6 py4j calls of PLAN build (~2 s at
+    dim=64), so it only pays above ~10^6 scored pairs — hence opt-in,
+    not inferred (SCALE.md "Round-9" operational rule)."""
     _d = (lambda x, y: dot_fixed(x, y, dim)) if dim is not None else dot
     _n = (lambda c: norm_fixed(c, dim)) if dim is not None else norm
     # Norms are computed once per row before the pair join (a per-pair
@@ -389,7 +382,8 @@ def numpy_kmeans_buckets(
     seed: int = 42,
     fit_sample: int = 4096,
     iters: int = 10,
-) -> DataFrame:
+    return_centroids: bool = False,
+):
     """``kmeans_buckets`` without the MLlib job overhead: Lloyd's
     iterations run in numpy on a bounded seeded hash-ordered sample
     collected to the driver (the ``pq.train_pq_codebooks`` sampling
@@ -404,7 +398,11 @@ def numpy_kmeans_buckets(
     paying ~10 MLlib jobs of pure scheduling overhead (measured in
     TESTDATA.md's per-entry runtimes, round-9). Driver memory is
     ``fit_sample x dim x 8`` bytes (65536 x 64-dim = 33 MB; at dim
-    4096 drop ``fit_sample`` to ~8192 or use ``kmeans_buckets``)."""
+    4096 drop ``fit_sample`` to ~8192 or use ``kmeans_buckets``).
+    ``return_centroids=True`` also returns the fitted k x dim float64
+    centroid matrix so index builds can store the quantizer centroids
+    directly (the FAISS convention) instead of re-scanning the corpus
+    for posterior bucket means."""
     import numpy as np
 
     rows = (
@@ -423,7 +421,8 @@ def numpy_kmeans_buckets(
             pts = X[assign == j]
             if len(pts):
                 C[j] = pts.mean(0)
-    return _literal_centroid_assign(corpus, C, vec_col, nprobe=1)
+    assigned = _literal_centroid_assign(corpus, C, vec_col, nprobe=1)
+    return (assigned, C) if return_centroids else assigned
 
 
 def kmeans_multiprobe_assignments(

@@ -83,6 +83,10 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = make_spark(app_name="correctness-check")
+    # warm the session (executor launch + first-job scheduling, ~5 s)
+    # OUTSIDE any entry's timer: without this the first entry's wall in
+    # the per-entry runtime table is startup, not the entry
+    spark.range(1000).repartition(4).count()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
