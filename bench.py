@@ -58,6 +58,7 @@ HEADLINE = [
     "doc_bpe_encode",
     "doc_train_pipeline_bpe",
     "doc_train_sequences",
+    "doc_train_export",
     "ts_correlation",
 ]
 
@@ -172,6 +173,13 @@ def main() -> None:
     # sim_ivf_index line measures the probe path it represents.
     shutil.rmtree(
         os.path.join(tempfile.gettempdir(), "sparkmodelar_annidx"), ignore_errors=True
+    )
+    # doc_train_export caches its written shards per (tmpdir, sf): clear
+    # so the line times the chain + write + read-back manifest, not a
+    # marker check over a previous run's files.
+    shutil.rmtree(
+        os.path.join(tempfile.gettempdir(), "sparkmodelar_trainexport"),
+        ignore_errors=True,
     )
     t0 = time.time()
     qs["sim_ivf_index"](spark, sf_dir).count()

@@ -473,28 +473,59 @@ def kmeans_multiprobe_assignments(
     )
 
 
-def _hyperplane_signatures(tables: int, planes: int, dim: int, seed: int):
-    """Column builder: array<struct<t,sig>> — one sign-LSH signature per
-    hash table, from fixed pseudo-random hyperplanes (deterministic in
-    ``seed``, shipped as plan literals so executors need no side
-    channel)."""
+def _signature_keys(
+    df: DataFrame,
+    tables: int,
+    planes: int,
+    dim: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+) -> DataFrame:
+    """(out_id, __t__, __sig__) — one sign-LSH signature row per (row,
+    hash table), from fixed pseudo-random hyperplanes (deterministic in
+    ``seed``; same generator stream as the Column-literal builder this
+    replaced, so bucket assignments are unchanged up to sign-at-zero
+    knife edges). Computed as ONE numpy matmul per Arrow batch inside
+    ``mapInPandas``: the previous plan-literal form built tables x
+    planes x dim ``lit`` nodes (4,096 py4j calls at the defaults — the
+    measured dominant cost of the LSH entries at fixture scale) and
+    evaluated each plane's dot interpreted per row. The hyperplane
+    matrix rides the UDF closure; map-only, no shuffle."""
     import numpy as np
+    import pandas as pd
 
     rng = np.random.default_rng(seed)
-    hyperplanes = rng.normal(0.0, 1.0, (tables, planes, dim))
+    H2 = rng.normal(0.0, 1.0, (tables, planes, dim)).reshape(tables * planes, dim)
+    weights = (1 << np.arange(planes)).astype(np.int64)
 
-    def signatures(col: Column) -> Column:
-        entries = []
-        for t in range(tables):
-            bits = None
-            for p in range(planes):
-                plane = F.array(*[F.lit(float(x)) for x in hyperplanes[t, p]])
-                bit = F.when(dot(col, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-                bits = bit if bits is None else bits + bit
-            entries.append(F.struct(F.lit(t).alias("t"), bits.cast("int").alias("sig")))
-        return F.array(*entries)
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            bits = (V @ H2.T) >= 0
+            sigs = (
+                (bits.reshape(len(V), tables, planes) * weights[None, None, :])
+                .sum(-1)
+                .astype("int32")
+            )
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(
+                        pdf[id_col].to_numpy(), tables
+                    ).astype("int64"),
+                    "__t__": np.tile(
+                        np.arange(tables, dtype="int32"), len(V)
+                    ),
+                    "__sig__": sigs.reshape(-1),
+                }
+            )
 
-    return signatures
+    return df.select(id_col, vec_col).mapInPandas(
+        fn, f"{out_id} long, __t__ int, __sig__ int"
+    )
 
 
 def embedding_near_dup_pairs(
@@ -520,11 +551,9 @@ def embedding_near_dup_pairs(
     pathologically dense bucket (m rows → m² candidate pairs) is the
     skew risk; ``planes`` is the blocking-granularity lever and AQE's
     skew-join handles residual imbalance."""
-    signatures = _hyperplane_signatures(tables, planes, dim, seed)
-    keys = corpus.select(
-        F.col(id_col).alias("__id__"),
-        F.explode(signatures(F.col(vec_col))).alias("__k__"),
-    ).select("__id__", F.col("__k__.t").alias("__t__"), F.col("__k__.sig").alias("__sig__"))
+    keys = _signature_keys(
+        corpus, tables, planes, dim, seed, id_col, vec_col, "__id__"
+    )
     a_keys = keys.select(F.col("__id__").alias("id_a"), "__t__", "__sig__")
     b_keys = keys.select(F.col("__id__").alias("id_b"), "__t__", "__sig__")
     cands = (
@@ -578,16 +607,12 @@ def lsh_topk(
     explode carries ids only. Complements ``ivf_topk`` when no cluster
     structure (bucket column / trained centroids) exists.
     """
-    signatures = _hyperplane_signatures(tables, planes, dim, seed)
-
-    q_keys = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(signatures(F.col(vec_col))).alias("__k__"),
-    ).select("query_id", F.col("__k__.t").alias("__t__"), F.col("__k__.sig").alias("__sig__"))
-    c_keys = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.explode(signatures(F.col(vec_col))).alias("__k__"),
-    ).select("neighbor_id", F.col("__k__.t").alias("__t__"), F.col("__k__.sig").alias("__sig__"))
+    q_keys = _signature_keys(
+        queries, tables, planes, dim, seed, id_col, vec_col, "query_id"
+    )
+    c_keys = _signature_keys(
+        corpus, tables, planes, dim, seed, id_col, vec_col, "neighbor_id"
+    )
     cands = (
         c_keys.join(F.broadcast(q_keys), ["__t__", "__sig__"])
         .where(F.col("neighbor_id") != F.col("query_id"))
