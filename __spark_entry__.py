@@ -2176,7 +2176,7 @@ def stream_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # modulus split so both halves are non-empty at every sf
     first = emb.where(F.col("vec_id") % 5 != 0)
-    ann_ops.build_ivf_index(eng, "vs_idx", first, bucket_col="label")
+    build_stats = ann_ops.build_ivf_index(eng, "vs_idx", first, bucket_col="label")
     rest = emb.where(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
     vector_ingest_batch(eng, "vs_idx", rest, 1)
     replay = vector_ingest_batch(eng, "vs_idx", rest, 1)
@@ -2193,7 +2193,9 @@ def stream_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     vector_ingest_batch(eng, "vs_idx", copy, 2)
-    n_buckets = eng.table("vs_idx__centroids").count()
+    # appends never add buckets (fixed-centroid IVF), so the build's own
+    # stats give nprobe=all without a count job over the metadata table
+    n_buckets = build_stats["n_buckets"]
     probe = emb.where(F.col("vec_id") == 0).select(
         (F.col("vec_id") + 999_999).alias("vec_id"), "embedding"
     )

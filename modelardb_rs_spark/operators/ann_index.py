@@ -192,19 +192,46 @@ def append_to_ivf_index(
     the commit (see Engine.write) for exactly-once streaming appends —
     same contract as ``dedup_index.append_to_minhash_index``. Returns
     ``{"appended", "replayed"}``."""
-    cents = _cached_centroids(engine, index_name)
-    w = Window.partitionBy("__id__").orderBy(F.col("__ccos__").desc(), F.col("ivf_bucket"))
-    assigned = (
-        new_vectors.select(F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("__ccos__", cosine(F.col("__v__"), F.col("centroid")))
-        .withColumn("__rn__", F.row_number().over(w))
-        .where(F.col("__rn__") == 1)
-        .select(
-            F.col("__id__").alias(id_col),
-            F.col("__v__").alias(vec_col),
-            F.col("ivf_bucket"),
-        )
+    # nearest-EXISTING-centroid assignment as a numpy batch scan
+    # (mapInPandas, centroid matrix in the closure): the former
+    # crossJoin + per-(vector, bucket) interpreted cosine + window was
+    # the CodegenFallback-in-the-hot-path shape SCALE.md "Round-9"
+    # measures at ~100us per evaluation — on a sustained ingest stream
+    # that is rows x buckets of it per micro-batch. argmax ties break
+    # to the lowest bucket id (centroids scanned in bucket order),
+    # matching the window's (cos DESC, ivf_bucket) order exactly.
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cent_rows = sorted(
+        (int(r["ivf_bucket"]), list(r["centroid"]))
+        for r in _cached_centroids(engine, index_name).collect()
+    )
+    buckets_np = np.asarray([b for b, _ in cent_rows], dtype="int32")
+    C = np.asarray([c for _, c in cent_rows], dtype=np.float64)
+    Cn = np.sqrt((C * C).sum(axis=1))
+    in_schema = new_vectors.select(id_col, vec_col).schema
+    out_schema = T.StructType(
+        list(in_schema.fields) + [T.StructField("ivf_bucket", T.IntegerType(), False)]
+    )
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (V @ C.T) / (
+                    np.sqrt((V * V).sum(axis=1))[:, None] * Cn[None, :]
+                )
+            out = pdf.copy()
+            out["ivf_bucket"] = buckets_np[np.argmax(cos, axis=1)]
+            yield out
+
+    assigned = new_vectors.select(id_col, vec_col).mapInPandas(
+        assign_batches, out_schema
     )
     if _pqbooks_table(index_name) in engine.tables():
         # IVF-PQ index: appended vectors must also carry codes — encode
@@ -214,7 +241,9 @@ def append_to_ivf_index(
         from modelardb_rs_spark.operators.similarity import dot
 
         books = _cached_pq_books(engine, index_name)
-        cent_df = cents.select("ivf_bucket", F.col("centroid").alias("__c__"))
+        cent_df = engine.spark.createDataFrame(
+            cent_rows, "ivf_bucket INT, __c__ ARRAY<FLOAT>"
+        )
         resid = assigned.join(F.broadcast(cent_df), "ivf_bucket").withColumn(
             "__resid__",
             F.zip_with(
