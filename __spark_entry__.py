@@ -1328,11 +1328,12 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label"),
     )
     corpus = emb.unionByName(dups)
-    # tables=4 halves the sign-LSH signature expression (the entry's
-    # dominant cost is codegen of tables x planes literal hyperplane dot
-    # products, not rows): recall of the planted pairs is exact under
-    # ANY table count — positive scaling preserves every sign bit, so
-    # each copy shares all buckets with its original in every table.
+    # tables=4 halves the banded candidate volume (signatures are one
+    # numpy matmul per batch since round 9, so table count is now a
+    # candidate-volume knob, not an expression-size one): recall of the
+    # planted pairs is exact under ANY table count — positive scaling
+    # preserves every sign bit, so each copy shares all buckets with
+    # its original in every table.
     pairs = sim_ops.embedding_near_dup_pairs(corpus, threshold=0.999, tables=4)
     return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
 

@@ -312,6 +312,18 @@ def test_brute_force_topk_is_exact(vectors):
     assert out[0].cos >= out[1].cos >= out[2].cos
 
 
+def test_brute_force_topk_dim_unrolled_is_bit_identical(vectors):
+    """The opt-in codegen-unrolled cosine (dim=) must reproduce the
+    interpreted path exactly — same accumulation order, so same rounded
+    cosines, ranks, and tie-breaks."""
+    queries = vectors.where(F.col("vec_id") % 25 == 0)
+    base = sorted(map(tuple, sim_ops.brute_force_topk(vectors, queries, k=5).collect()))
+    unrolled = sorted(
+        map(tuple, sim_ops.brute_force_topk(vectors, queries, k=5, dim=16).collect())
+    )
+    assert base == unrolled
+
+
 def test_ivf_recall_vs_brute_force(vectors):
     queries = vectors.where(F.col("vec_id") % 25 == 0)
     exact = {
