@@ -236,9 +236,9 @@ def append_to_ivf_index(
     if _pqbooks_table(index_name) in engine.tables():
         # IVF-PQ index: appended vectors must also carry codes — encode
         # residuals against the FIXED books + centroids (classic IVFPQ
-        # add; books drift from new data the same way centroids do)
+        # add; books drift from new data the same way centroids do);
+        # exact |c_b + dec(codes)| norms ride the same numpy encode pass
         from modelardb_rs_spark.operators import pq as pq_ops
-        from modelardb_rs_spark.operators.similarity import dot
 
         books = _cached_pq_books(engine, index_name)
         cent_df = engine.spark.createDataFrame(
@@ -250,13 +250,10 @@ def append_to_ivf_index(
                 F.col(vec_col), F.col("__c__"), lambda x, y: (x - y).cast("float")
             ),
         )
-        enc = pq_ops.encode_pq(resid, books, vec_col="__resid__")
-        recon = F.zip_with(
-            F.col("__c__"),
-            pq_ops.reconstruct_pq(books, F.col("pq_codes")),
-            lambda c, r: c.cast("double") + r,
+        enc = pq_ops.encode_pq(
+            resid, books, vec_col="__resid__", recon_norm_base="__c__"
         )
-        assigned = enc.withColumn("pq_norm", F.sqrt(dot(recon, recon))).select(
+        assigned = enc.select(
             id_col, vec_col, "ivf_bucket", "pq_codes", "pq_norm"
         )
     # Count rows as a side effect of the write job itself (Observation
@@ -358,7 +355,6 @@ def build_ivfpq_index(
     the same geometry vectors were bucketed with), skipping the
     posterior-mean corpus pass entirely."""
     from modelardb_rs_spark.operators import pq as pq_ops
-    from modelardb_rs_spark.operators.similarity import dot
 
     fitted_C = None
     if bucket_col is None:
@@ -421,18 +417,13 @@ def build_ivfpq_index(
         resid, m=m, ks=ks, vec_col="__resid__", id_col=id_col,
         sample=sample, iters=iters, seed=seed,
     )
-    enc = pq_ops.encode_pq(resid, books, vec_col="__resid__")
-    # exact reconstructed-vector norm |c_b + dec(codes)| stored per row
-    # (encode_pq's pq_norm is the RESIDUAL's norm — not what cosine
-    # ranking needs here)
-    recon = F.zip_with(
-        F.col("__c__"),
-        pq_ops.reconstruct_pq(books, F.col("pq_codes")),
-        lambda c, r: c.cast("double") + r,
+    # exact reconstructed-vector norm |c_b + dec(codes)| computed in the
+    # SAME numpy encode pass (encode_pq's default pq_norm is the
+    # RESIDUAL's norm — not what cosine ranking needs here)
+    enc = pq_ops.encode_pq(
+        resid, books, vec_col="__resid__", recon_norm_base="__c__"
     )
-    rows = enc.withColumn("pq_norm", F.sqrt(dot(recon, recon))).select(
-        id_col, vec_col, "ivf_bucket", "pq_codes", "pq_norm"
-    )
+    rows = enc.select(id_col, vec_col, "ivf_bucket", "pq_codes", "pq_norm")
 
     vt, ct, bt = _vectors_table(index_name), _centroids_table(index_name), _pqbooks_table(index_name)
     for t in (vt, ct, bt):

@@ -84,50 +84,73 @@ def encode_pq(
     corpus: DataFrame,
     books: list[np.ndarray],
     vec_col: str = "embedding",
+    recon_norm_base: str | None = None,
 ) -> DataFrame:
     """Append ``pq_codes`` (array<int>, one code per subspace) and
-    ``pq_norm`` (the reconstructed vector's L2 norm, used to rank by
-    approximate cosine). Map-only literal-folded JVM expressions; ties
-    in subspace distance break to the lowest code for determinism."""
+    ``pq_norm``. Ties in subspace distance break to the lowest code
+    (numpy argmin returns the first minimum) for determinism.
+
+    One numpy pass per Arrow batch (``mapInPandas``, codebooks in the
+    UDF closure): the previous Column-algebra form evaluated m x ks
+    interpreted ``zip_with``/``aggregate`` subspace distances per ROW
+    (~13 ms/row at m=8, ks=16 — SCALE.md "Round-9" measures the
+    CodegenFallback cost class), and encoding is a full-corpus pass in
+    every index build. All input columns pass through unchanged.
+
+    ``pq_norm`` default: the reconstructed vector's L2 norm
+    ``sqrt(sum_s |c_{s,code_s}|^2)`` (subspaces orthogonal). With
+    ``recon_norm_base=<col>`` (an array column, e.g. the IVF bucket
+    centroid the residual was taken against) it is the EXACT
+    ``|base + decode(codes)|`` — computed in the same batch pass,
+    replacing the separate interpreted full-D dot the IVF-PQ build
+    used to pay per row."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
     m = len(books)
     sub_d = books[0].shape[1]
+    books64 = [np.asarray(b, dtype=np.float64) for b in books]
+    cent_norms_sq = [(b ** 2).sum(axis=1) for b in books64]
+    out_schema = T.StructType(
+        list(corpus.schema.fields)
+        + [
+            T.StructField("pq_codes", T.ArrayType(T.IntegerType()), False),
+            T.StructField("pq_norm", T.DoubleType(), False),
+        ]
+    )
 
-    def lit_vec(v) -> "F.Column":
-        return F.array(*[F.lit(float(x)) for x in v])
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            n = len(V)
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                S = V[:, s * sub_d : (s + 1) * sub_d]
+                d2 = ((S[:, None, :] - books64[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = np.argmin(d2, axis=1)
+            if recon_norm_base is not None:
+                dec = np.concatenate(
+                    [books64[s][codes[:, s]] for s in range(m)], axis=1
+                )
+                base = np.stack(pdf[recon_norm_base].to_numpy()).astype(
+                    np.float64, copy=False
+                )
+                recon = base + dec
+                norms = np.sqrt((recon * recon).sum(axis=1))
+            else:
+                nsq = np.zeros(n)
+                for s in range(m):
+                    nsq += cent_norms_sq[s][codes[:, s]]
+                norms = np.sqrt(nsq)
+            out = pdf.copy()
+            out["pq_codes"] = list(codes)
+            out["pq_norm"] = norms
+            yield out
 
-    # Higher-order functions keep the plan SMALL: per subspace the ks
-    # distances come from one `transform` over a literal centroid
-    # array, not ks*sub_d unrolled scalar expressions — at m=16, ks=16,
-    # D=64 the unrolled form is 1000+ codegen terms and Catalyst spends
-    # tens of seconds compiling it; this form plans in milliseconds.
-    code_cols = []
-    for s in range(m):
-        cents = F.array(*[lit_vec(books[s][j]) for j in range(books[s].shape[0])])
-        sub = F.transform(
-            F.slice(F.col(vec_col), s * sub_d + 1, sub_d), lambda x: x.cast("double")
-        )
-        dists = F.transform(
-            cents,
-            lambda cc: F.round(
-                F.aggregate(
-                    F.zip_with(sub, cc, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                9,
-            ),
-        )
-        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        code_cols.append(code.alias(f"__pq{s}__"))
-    out = corpus.select("*", *code_cols)
-    # reconstructed norm² = Σ_s |c_{s,code_s}|² (subspaces are orthogonal)
-    norm_sq = F.lit(0.0)
-    for s in range(m):
-        sq = lit_vec([(books[s][j] ** 2).sum() for j in range(books[s].shape[0])])
-        norm_sq = norm_sq + F.element_at(sq, F.col(f"__pq{s}__") + 1)
-    return out.withColumn(
-        "pq_codes", F.array(*[F.col(f"__pq{s}__") for s in range(m)])
-    ).withColumn("pq_norm", F.sqrt(norm_sq)).drop(*[f"__pq{s}__" for s in range(m)])
+    return corpus.mapInPandas(fn, out_schema)
 
 
 def query_lut(books: list[np.ndarray], qv: np.ndarray) -> list[float]:
@@ -158,20 +181,6 @@ def adc_inner_product(books: list[np.ndarray]) -> "F.Column":
             F.col("__lut__"), F.lit(s * ks) + F.element_at("pq_codes", s + 1) + 1
         )
     return ip
-
-
-def reconstruct_pq(books: list[np.ndarray], codes_col) -> "F.Column":
-    """Full-D reconstructed vector (array<double>) from PQ codes: each
-    subspace's selected centroid, concatenated. Literal centroid
-    arrays, JVM-only — used once at index-build time to store exact
-    reconstructed norms."""
-    parts = []
-    for s, book in enumerate(books):
-        cents = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
-        )
-        parts.append(F.element_at(cents, F.element_at(codes_col, s + 1) + 1))
-    return F.concat(*parts)
 
 
 def pq_topk(
