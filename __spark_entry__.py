@@ -2128,6 +2128,31 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("vec_id").orderBy("vec_id")
 
 
+def sim_semantic_dedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup(nprobe=2) — the boundary-recall lever under the
+    oracle gate: every vector joins its two nearest clusters (numpy
+    multi-probe assignment), so pairs straddling a k-means boundary are
+    examined too. Same planted fixture as sim_semantic_dedup (1.001-
+    scaled copies, cosine exactly 1; background max ~0.51), so the TRUE
+    kept set is the originals in closed form — nprobe widens only the
+    EXAMINED pair set, never the qualifying one, and a multi-probe bug
+    that dropped or duplicated survivors (e.g. candidate dedup running
+    on the wrong side of the verify) breaks the exact compare."""
+    from modelardb_rs_spark.operators.similarity import semantic_dedup
+
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    dups = emb.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.001)).cast("float")
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.unionByName(dups)
+    kept = semantic_dedup(corpus, threshold=0.999, n_clusters=8, nprobe=2)
+    return kept.select("vec_id").orderBy("vec_id")
+
+
 def sim_semantic_dedup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """semantic_dedup(collapse_exact=True): identical vectors collapse
     to one representative BEFORE clustering, so within-cluster quadratic
@@ -2662,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shuffle_shards": doc_shuffle_shards,
         "sim_int8_quantize": sim_int8_quantize,
         "sim_semantic_dedup": sim_semantic_dedup,
+        "sim_semantic_dedup_multiprobe": sim_semantic_dedup_multiprobe,
         "sim_semantic_dedup_collapsed": sim_semantic_dedup_collapsed,
         "stream_vector_ingest": stream_vector_ingest,
         "doc_train_pipeline": doc_train_pipeline,
@@ -4579,6 +4605,11 @@ def oracle_sql() -> dict[str, str]:
     # construction) are precisely the dropped set, so the kept corpus is
     # exactly the original embeddings table
     oracles["sim_semantic_dedup"] = """
+        SELECT vec_id FROM embeddings ORDER BY vec_id
+    """
+    # nprobe=2 widens the EXAMINED pair set only; the qualifying pairs
+    # (cosine exactly 1) and therefore the kept set are unchanged
+    oracles["sim_semantic_dedup_multiprobe"] = """
         SELECT vec_id FROM embeddings ORDER BY vec_id
     """
     # collapse_exact variant: the byte-identical family collapses to its

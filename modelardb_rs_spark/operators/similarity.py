@@ -19,6 +19,7 @@
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf resolves pd.Series hints
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -66,6 +67,29 @@ def norm_fixed(a: Column, dim: int) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_batch_udf():
+    """Vectorized cosine as an Arrow-batched pandas UDF — the right
+    tool when the cosine is evaluated once per CANDIDATE pair over an
+    unbounded candidate stream (SCALE.md "Round-9" operational rule:
+    the interpreted ``zip_with``/``aggregate`` form costs ~100us per
+    evaluation; this is ~ns inside numpy). Zero-norm rows yield NaN,
+    which fails any threshold — same as the Column form."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(b.to_numpy()).astype(np.float64, copy=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = (A * B).sum(axis=1) / (
+                np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+            )
+        return pd.Series(out)
+
+    return _cos
 
 
 MAX_COLLECTED_QUERIES = 4096
@@ -545,12 +569,14 @@ def embedding_near_dup_pairs(
     by (hash table, sign signature) and candidates are pairs sharing a
     bucket in ANY of the ``tables`` tables — a self equi-join on the
     bucket key carrying ids only (the vectors are re-fetched by id after
-    candidate dedup). Exact cosine then verifies every candidate, so
-    precision is 1 by construction; recall is the standard multi-table
-    sign-LSH guarantee (near-identical vectors share all sign bits). A
-    pathologically dense bucket (m rows → m² candidate pairs) is the
-    skew risk; ``planes`` is the blocking-granularity lever and AQE's
-    skew-join handles residual imbalance."""
+    candidate dedup). Exact cosine then verifies every candidate —
+    vectorized (``cosine_batch_udf``), since the candidate stream is
+    unbounded and a per-pair interpreted cosine is the ~100us trap of
+    SCALE.md "Round-9" — so precision is 1 by construction; recall is
+    the standard multi-table sign-LSH guarantee (near-identical vectors
+    share all sign bits). A pathologically dense bucket (m rows → m²
+    candidate pairs) is the skew risk; ``planes`` is the blocking-
+    granularity lever and AQE's skew-join handles residual imbalance."""
     keys = _signature_keys(
         corpus, tables, planes, dim, seed, id_col, vec_col, "__id__"
     )
@@ -563,19 +589,15 @@ def embedding_near_dup_pairs(
         .distinct()
     )
     vecs = corpus.select(
-        F.col(id_col).alias("__vid__"),
-        F.col(vec_col).alias("__v__"),
-        norm(F.col(vec_col)).alias("__n__"),
+        F.col(id_col).alias("__vid__"), F.col(vec_col).alias("__v__")
     )
+    cos_udf = cosine_batch_udf()
     return (
         cands.join(vecs.withColumnRenamed("__vid__", "id_a"), "id_a")
-        .withColumnsRenamed({"__v__": "__av__", "__n__": "__an__"})
+        .withColumnRenamed("__v__", "__av__")
         .join(vecs.withColumnRenamed("__vid__", "id_b"), "id_b")
         .withColumn(
-            "cos",
-            F.round(
-                dot(F.col("__av__"), F.col("__v__")) / (F.col("__an__") * F.col("__n__")), 6
-            ),
+            "cos", F.round(cos_udf(F.col("__av__"), F.col("__v__")), 6)
         )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

@@ -131,7 +131,11 @@ def main() -> None:
         flags = truth.withColumn("__t__", F.lit(1)).unionByName(
             planted_truth.withColumn("__t__", F.lit(2))
         )
-        for nprobe in (1, 2):
+        nprobes = tuple(
+            int(x)
+            for x in os.environ.get("SPARK_GRAFT_NPROBES", "1,2").split(",")
+        )
+        for nprobe in nprobes:
             t0 = time.time()
             pairs = sim.semantic_near_pairs(
                 corpus,
