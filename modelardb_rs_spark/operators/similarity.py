@@ -261,7 +261,15 @@ def probe_topk(
     centroid set, keep their ``nprobe`` nearest buckets, and exact-rank
     within the probed subset only. ``centroids`` must be
     (bucket_col, centroid) as produced by ``bucket_centroids`` or read
-    from a persisted index."""
+    from a persisted index.
+
+    The bucket-scan cosine — evaluated once per (candidate, probed
+    query), the corpus-sized term — is the vectorized
+    ``cosine_batch_udf`` (SCALE.md "Round-9": per-pair interpreted
+    Column cosines are the ~100us trap). The |Q| x n_buckets centroid
+    probe stays Column algebra: its UNROUNDED ranking decides which
+    buckets are scanned, and the sequential-sum Column form is what
+    the exact DuckDB oracles reproduce term-for-term."""
     centroids = centroids.select(
         F.col(bucket_col).alias("__bucket__"),
         F.col("centroid").alias("__centroid__"),
@@ -269,7 +277,6 @@ def probe_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),
-        norm(F.col(vec_col)).alias("__qn__"),
     )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("__ccos__").desc(), F.col("__bucket__")
@@ -279,23 +286,18 @@ def probe_topk(
         .withColumn("__ccos__", cosine(F.col("__qv__"), F.col("__centroid__")))
         .withColumn("__pr__", F.row_number().over(probe_w))
         .where(F.col("__pr__") <= nprobe)
-        .select("query_id", "__qv__", "__qn__", F.col("__bucket__"))
+        .select("query_id", "__qv__", F.col("__bucket__"))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv__"),
-        norm(F.col(vec_col)).alias("__cn__"),
         F.col(bucket_col).alias("__bucket__"),
     )
+    cos_udf = cosine_batch_udf()
     scored = (
         c.join(F.broadcast(probes), "__bucket__")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cos",
-            F.round(
-                dot(F.col("__qv__"), F.col("__cv__")) / (F.col("__qn__") * F.col("__cn__")), 6
-            ),
-        )
+        .withColumn("cos", F.round(cos_udf(F.col("__qv__"), F.col("__cv__")), 6))
     )
     return ranked_topk(scored, k)
 
