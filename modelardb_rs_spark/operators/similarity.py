@@ -644,24 +644,16 @@ def lsh_topk(
         .distinct()
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv__"),
-        norm(F.col(vec_col)).alias("__qn__"),
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv__"),
-        norm(F.col(vec_col)).alias("__cn__"),
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
     )
+    cos_udf = cosine_batch_udf()
     scored = (
         cands.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .withColumn(
-            "cos",
-            F.round(
-                dot(F.col("__qv__"), F.col("__cv__")) / (F.col("__qn__") * F.col("__cn__")), 6
-            ),
-        )
+        .withColumn("cos", F.round(cos_udf(F.col("__qv__"), F.col("__cv__")), 6))
     )
     return ranked_topk(scored, k)
 
