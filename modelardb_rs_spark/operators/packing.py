@@ -207,6 +207,10 @@ def export_training_shards(
     if n is None:
         raise ValueError("export_training_shards: no sequences to export")
     n = int(n) + 1
+    # more shards than sequences would leave EMPTY shard ids with no
+    # directory on disk — a reader iterating shard=0..W-1 would fail on
+    # the gaps; clamp so every exported shard directory exists
+    n_shards = min(n_shards, n)
     shard = (
         (F.col(seq_col).cast("long") * n_shards / F.lit(n)).cast("long").cast("int")
     )

@@ -269,6 +269,28 @@ def test_export_training_shards_layout_and_order(spark, tmp_path):
     assert manifest[0]["n_tokens"] == sizes[0] * 5
 
 
+def test_export_training_shards_clamps_to_sequence_count(spark, tmp_path):
+    """n_shards > n_sequences must not leave missing shard directories
+    (a reader iterating shard=0..W-1 would fail on the gaps): shards
+    clamp to the sequence count, one sequence per shard."""
+    import glob
+
+    from modelardb_rs_spark.operators.packing import export_training_shards
+
+    seqs = spark.range(3).select(
+        F.col("id").alias("seq_id"),
+        F.array(F.lit(7)).alias("token_ids"),
+        F.lit(1).alias("seq_len"),
+    )
+    out = str(tmp_path / "clamped")
+    man = export_training_shards(seqs, out, 8).orderBy("shard").collect()
+    assert [r["shard"] for r in man] == [0, 1, 2]
+    assert all(r["n_sequences"] == 1 for r in man)
+    assert sorted(glob.glob(f"{out}/shard=*")) == [
+        f"{out}/shard={s}" for s in range(3)
+    ]
+
+
 def test_export_training_shards_rejects_bad_input(spark, tmp_path):
     from modelardb_rs_spark.operators.packing import export_training_shards
 
