@@ -2571,7 +2571,90 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS to the driver (it verifies the FIRST 50 entries):
+    # rounds 8-9 sampled an identical 50-set, leaving every entry below
+    # position 50 driver-unverified, so the dict now leads with the
+    # never-yet-sampled surface (round-9 additions first) and the
+    # long-verified TPC-H/ts entries move to the tail. The full-124 run
+    # costs ~3-3.5 min (TESTDATA.md) — the standing proposal is to gate
+    # on all of it; until then this rotation is the widening lever.
     return {
+        "sim_semantic_dedup_multiprobe": sim_semantic_dedup_multiprobe,
+        "doc_train_export": doc_train_export,
+        "stream_vector_ingest": stream_vector_ingest,
+        "sim_semantic_dedup": sim_semantic_dedup,
+        "sim_semantic_dedup_collapsed": sim_semantic_dedup_collapsed,
+        "sim_index_stats": sim_index_stats,
+        "doc_train_sequences": doc_train_sequences,
+        "doc_train_pipeline": doc_train_pipeline,
+        "doc_train_pipeline_bpe": doc_train_pipeline_bpe,
+        "doc_bpe_encode": doc_bpe_encode,
+        "doc_bpe_tokens": doc_bpe_tokens,
+        "doc_pack_sequences": doc_pack_sequences,
+        "sim_int8_quantize": sim_int8_quantize,
+        "sim_bruteforce_topk": sim_bruteforce_topk,
+        "sim_threshold_count": sim_threshold_count,
+        "sim_ivf_topk": sim_ivf_topk,
+        "sim_ivf_trained": sim_ivf_trained,
+        "sim_ivf_index": sim_ivf_index,
+        "sim_ivfpq_topk": sim_ivfpq_topk,
+        "sim_pq_topk": sim_pq_topk,
+        "sim_lsh_topk": sim_lsh_topk,
+        "dedup_embedding": dedup_embedding,
+        "dedup_minhash": dedup_minhash,
+        "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+        "dedup_minhash_verified": dedup_minhash_verified,
+        "dedup_clusters": dedup_clusters,
+        "dedup_corpus": dedup_corpus,
+        "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_contamination": dedup_contamination,
+        "dedup_index_check": dedup_index_check,
+        "dedup_sampled_recall": dedup_sampled_recall,
+        "dedup_capped_lsh": dedup_capped_lsh,
+        "doc_exact_dups": doc_exact_dups,
+        "doc_line_dedup": doc_line_dedup,
+        "doc_span_dedup": doc_span_dedup,
+        "doc_span_cleaned": doc_span_cleaned,
+        "doc_token_stats": doc_token_stats,
+        "doc_quality": doc_quality,
+        "doc_quality_filter": doc_quality_filter,
+        "doc_langid": doc_langid,
+        "doc_pii": doc_pii,
+        "doc_pii_redacted": doc_pii_redacted,
+        "doc_fingerprints": doc_fingerprints,
+        "doc_clean_pipeline": doc_clean_pipeline,
+        "doc_rag_pipeline": doc_rag_pipeline,
+        "doc_domain_mix": doc_domain_mix,
+        "doc_shuffle_shards": doc_shuffle_shards,
+        "doc_stratified_sample": doc_stratified_sample,
+        # --- position >50: never-sampled tail (rotate forward next) ---
+        "multimodal_frames": multimodal_frames,
+        "multimodal_metadata": multimodal_metadata,
+        "multimodal_features": multimodal_features,
+        "multimodal_resize": multimodal_resize,
+        "doc_repetition": doc_repetition,
+        "doc_tfidf": doc_tfidf,
+        "doc_profile": doc_profile,
+        "doc_sample": doc_sample,
+        "doc_chunks": doc_chunks,
+        "doc_top_ngrams": doc_top_ngrams,
+        "doc_unigram_lm": doc_unigram_lm,
+        "ts_correlation": ts_correlation,
+        "ts_autocorr": ts_autocorr,
+        "ts_trend": ts_trend,
+        "ts_seasonal": ts_seasonal,
+        "ts_periodicity": ts_periodicity,
+        "q_json_props": q_json_props,
+        "q_funnel": q_funnel,
+        "q_interval_join": q_interval_join,
+        "ts_retention": ts_retention,
+        "ts_rollup_retention": ts_rollup_retention,
+        "q10_returned_items": q10_returned_items,
+        "q18_large_orders": q18_large_orders,
+        "q_interp_join": q_interp_join,
+        # --- driver-verified green in rounds 8 AND 9 (moved back) ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -2622,80 +2705,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_sql": q_asof_sql,
         "q_topk_per_group": q_topk_per_group,
         "q_percentiles": q_percentiles,
-        "multimodal_frames": multimodal_frames,
-        "doc_fingerprints": doc_fingerprints,
-        "doc_exact_dups": doc_exact_dups,
-        "doc_token_stats": doc_token_stats,
-        "doc_quality": doc_quality,
-        "doc_repetition": doc_repetition,
-        "doc_tfidf": doc_tfidf,
-        "doc_profile": doc_profile,
-        "dedup_contamination": dedup_contamination,
-        "doc_langid": doc_langid,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_clusters": dedup_clusters,
-        "dedup_minhash": dedup_minhash,
-        "dedup_simhash": dedup_simhash,
-        "dedup_simhash_pairs": dedup_simhash_pairs,
-        "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
-        "dedup_minhash_verified": dedup_minhash_verified,
-        "dedup_sampled_recall": dedup_sampled_recall,
-        "dedup_capped_lsh": dedup_capped_lsh,
-        "dedup_corpus": dedup_corpus,
-        "sim_bruteforce_topk": sim_bruteforce_topk,
-        "sim_threshold_count": sim_threshold_count,
-        "dedup_embedding": dedup_embedding,
-        "sim_ivf_topk": sim_ivf_topk,
-        "sim_lsh_topk": sim_lsh_topk,
-        "sim_ivf_trained": sim_ivf_trained,
-        "sim_pq_topk": sim_pq_topk,
-        "doc_bpe_tokens": doc_bpe_tokens,
-        "doc_chunks": doc_chunks,
-        "doc_sample": doc_sample,
-        "multimodal_metadata": multimodal_metadata,
-        "multimodal_features": multimodal_features,
-        "multimodal_resize": multimodal_resize,
-        "doc_pii": doc_pii,
-        "doc_pii_redacted": doc_pii_redacted,
-        "doc_line_dedup": doc_line_dedup,
-        "ts_correlation": ts_correlation,
-        "ts_autocorr": ts_autocorr,
-        "ts_trend": ts_trend,
-        "ts_seasonal": ts_seasonal,
-        "ts_periodicity": ts_periodicity,
-        "q_json_props": q_json_props,
-        "q_funnel": q_funnel,
-        "sim_ivf_index": sim_ivf_index,
-        "sim_ivfpq_topk": sim_ivfpq_topk,
-        "doc_unigram_lm": doc_unigram_lm,
-        "doc_pack_sequences": doc_pack_sequences,
-        "doc_stratified_sample": doc_stratified_sample,
-        "doc_span_dedup": doc_span_dedup,
-        "doc_span_cleaned": doc_span_cleaned,
-        "doc_clean_pipeline": doc_clean_pipeline,
-        "q_interval_join": q_interval_join,
-        "doc_quality_filter": doc_quality_filter,
-        "dedup_index_check": dedup_index_check,
-        "doc_top_ngrams": doc_top_ngrams,
-        "doc_rag_pipeline": doc_rag_pipeline,
-        "ts_retention": ts_retention,
-        "ts_rollup_retention": ts_rollup_retention,
-        "q10_returned_items": q10_returned_items,
-        "q18_large_orders": q18_large_orders,
-        "q_interp_join": q_interp_join,
-        "doc_domain_mix": doc_domain_mix,
-        "doc_shuffle_shards": doc_shuffle_shards,
-        "sim_int8_quantize": sim_int8_quantize,
-        "sim_semantic_dedup": sim_semantic_dedup,
-        "sim_semantic_dedup_multiprobe": sim_semantic_dedup_multiprobe,
-        "sim_semantic_dedup_collapsed": sim_semantic_dedup_collapsed,
-        "stream_vector_ingest": stream_vector_ingest,
-        "doc_train_pipeline": doc_train_pipeline,
-        "doc_bpe_encode": doc_bpe_encode,
-        "doc_train_pipeline_bpe": doc_train_pipeline_bpe,
-        "doc_train_sequences": doc_train_sequences,
-        "doc_train_export": doc_train_export,
-        "sim_index_stats": sim_index_stats,
     }
 
 

@@ -8,6 +8,7 @@ Usage: python scripts/check_correctness.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -82,6 +83,17 @@ def normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # doc_train_export caches its written shards under a /tmp marker
+    # keyed by (sf, chain version): clear it (as bench.py does) so the
+    # gate exercises the CURRENT export code, not a prior run's files —
+    # a stale cache would let a newly broken writer pass.
+    import shutil
+    import tempfile
+
+    shutil.rmtree(
+        os.path.join(tempfile.gettempdir(), "sparkmodelar_trainexport"),
+        ignore_errors=True,
+    )
     spark = make_spark(app_name="correctness-check")
     # warm the session (executor launch + first-job scheduling, ~5 s)
     # OUTSIDE any entry's timer: without this the first entry's wall in
