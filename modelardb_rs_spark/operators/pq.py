@@ -90,6 +90,18 @@ def encode_pq(
     ``pq_norm``. Ties in subspace distance break to the lowest code
     (numpy argmin returns the first minimum) for determinism.
 
+    Code stability contract: codes are deterministic WITHIN one encoder
+    version (same input, same codebooks -> same codes), but NOT across
+    encoder implementations — this numpy form computes exact float64
+    subspace distances with numpy's summation order, where the retired
+    Column form rounded distances to 1e-9 before the argmin, so a
+    residual sitting within ~1e-9 of a two-centroid tie can encode
+    differently than it did under the old encoder. Appending to an
+    index built by a different encoder version is still CORRECT (ADC
+    distances differ by at most the tie gap) but not byte-identical;
+    rebuild the index when byte-level reproducibility across versions
+    matters.
+
     One numpy pass per Arrow batch (``mapInPandas``, codebooks in the
     UDF closure): the previous Column-algebra form evaluated m x ks
     interpreted ``zip_with``/``aggregate`` subspace distances per ROW

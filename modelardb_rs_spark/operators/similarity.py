@@ -66,7 +66,10 @@ def norm_fixed(a: Column, dim: int) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm side yields NULL (never passes a threshold,
+    # never ranks) instead of an ANSI DIVIDE_BY_ZERO error — the shared
+    # never-pair policy for degenerate vectors.
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_batch_udf():
@@ -74,8 +77,10 @@ def cosine_batch_udf():
     tool when the cosine is evaluated once per CANDIDATE pair over an
     unbounded candidate stream (SCALE.md "Round-9" operational rule:
     the interpreted ``zip_with``/``aggregate`` form costs ~100us per
-    evaluation; this is ~ns inside numpy). Zero-norm rows yield NaN,
-    which fails any threshold — same as the Column form."""
+    evaluation; this is ~ns inside numpy). Zero-norm rows yield NaN —
+    note a Spark-side ``cos >= t`` compare PASSES NaN (NaN > any
+    double), so callers thresholding the result must pair it with a
+    ``~isnan`` guard (as ``embedding_near_dup_pairs`` does)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -146,10 +151,25 @@ def ranked_topk(
     ``spark.sql.optimizer.windowGroupLimitThreshold`` (default 1000 —
     far above any ANN k/rerank); the plan shape is pinned by
     tests/test_plans.py::test_ann_rank_is_two_phase so a regression
-    can't silently reintroduce the full shuffle-and-sort."""
+    can't silently reintroduce the full shuffle-and-sort.
+
+    NaN scores (zero-norm query or corpus vector -> 0/0 cosine) are
+    DROPPED before ranking: Spark and DuckDB both order NaN above every
+    double, so without the filter a degenerate vector would outrank
+    every true neighbor in EVERY variant's top-k. This is the one
+    deliberate divergence from a naive SQL mirror that replays
+    ``ORDER BY cos DESC`` without a NaN guard — all engine top-k paths
+    (brute force, IVF, LSH, PQ) share this rank, so they agree with
+    each other by construction."""
     w = Window.partitionBy(key_col).orderBy(F.col(score_col).desc(), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        # NULL (try_divide by zero norm) and NaN (numpy 0/0) both mean
+        # "degenerate vector": drop before ranking. isnan(NULL) is
+        # false in Spark, so the NOT NULL term is load-bearing.
+        scored.where(
+            F.col(score_col).isNotNull() & ~F.isnan(F.col(score_col))
+        )
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(key_col, id_col, score_col, "rank")
     )
@@ -196,7 +216,11 @@ def brute_force_topk(
         .withColumn(
             "cos",
             F.round(
-                _d(F.col("__qv__"), F.col("__cv__")) / (F.col("__qn__") * F.col("__cn__")), 6
+                F.try_divide(
+                    _d(F.col("__qv__"), F.col("__cv__")),
+                    F.col("__qn__") * F.col("__cn__"),
+                ),
+                6,
             ),
         )
     )
@@ -518,10 +542,22 @@ def _signature_keys(
     planes x dim ``lit`` nodes (4,096 py4j calls at the defaults — the
     measured dominant cost of the LSH entries at fixture scale) and
     evaluated each plane's dot interpreted per row. The hyperplane
-    matrix rides the UDF closure; map-only, no shuffle."""
+    matrix rides the UDF closure; map-only, no shuffle. The id column
+    passes through with its INPUT type (long, string, ...) — the
+    output schema is derived from the input field, not hardcoded."""
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(out_id, id_field.dataType, id_field.nullable),
+            T.StructField("__t__", T.IntegerType(), False),
+            T.StructField("__sig__", T.IntegerType(), False),
+        ]
+    )
     rng = np.random.default_rng(seed)
     H2 = rng.normal(0.0, 1.0, (tables, planes, dim)).reshape(tables * planes, dim)
     weights = (1 << np.arange(planes)).astype(np.int64)
@@ -539,9 +575,7 @@ def _signature_keys(
             )
             yield pd.DataFrame(
                 {
-                    out_id: np.repeat(
-                        pdf[id_col].to_numpy(), tables
-                    ).astype("int64"),
+                    out_id: np.repeat(pdf[id_col].to_numpy(), tables),
                     "__t__": np.tile(
                         np.arange(tables, dtype="int32"), len(V)
                     ),
@@ -549,9 +583,7 @@ def _signature_keys(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        fn, f"{out_id} long, __t__ int, __sig__ int"
-    )
+    return df.select(id_col, vec_col).mapInPandas(fn, out_schema)
 
 
 def embedding_near_dup_pairs(
@@ -578,7 +610,14 @@ def embedding_near_dup_pairs(
     the standard multi-table sign-LSH guarantee (near-identical vectors
     share all sign bits). A pathologically dense bucket (m rows → m²
     candidate pairs) is the skew risk; ``planes`` is the blocking-
-    granularity lever and AQE's skew-join handles residual imbalance."""
+    granularity lever and AQE's skew-join handles residual imbalance.
+
+    Zero-norm vectors (NaN cosine) are explicitly EXCLUDED: Spark and
+    DuckDB both treat NaN as greater than any double, so a bare
+    ``cos >= threshold`` replay would pair a degenerate vector with
+    every bucket peer. All near-pair paths share this policy
+    (``semantic_near_pairs``' numpy compare rejects NaN the same way);
+    a SQL oracle replaying the threshold must add the NaN guard."""
     keys = _signature_keys(
         corpus, tables, planes, dim, seed, id_col, vec_col, "__id__"
     )
@@ -601,7 +640,7 @@ def embedding_near_dup_pairs(
         .withColumn(
             "cos", F.round(cos_udf(F.col("__av__"), F.col("__v__")), 6)
         )
-        .where(F.col("cos") >= threshold)
+        .where(~F.isnan(F.col("cos")) & (F.col("cos") >= threshold))
         .select("id_a", "id_b", "cos")
     )
 
@@ -667,7 +706,9 @@ def cosine_threshold_pairs(
 ) -> DataFrame:
     """All (a, b) pairs with cosine >= threshold, a < b. Broadcast the
     smaller side; for corpus-x-corpus near-dup at scale, pre-block with
-    LSH/IVF buckets and feed the blocked pairs here."""
+    LSH/IVF buckets and feed the blocked pairs here. Zero-norm vectors
+    (NaN cosine) never pair — the shared policy of every near-pair
+    path (see ``embedding_near_dup_pairs``)."""
     a = left.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__av__"),
@@ -684,10 +725,14 @@ def cosine_threshold_pairs(
         .withColumn(
             "cos",
             F.round(
-                dot(F.col("__av__"), F.col("__bv__")) / (F.col("__an__") * F.col("__bn__")), 6
+                F.try_divide(
+                    dot(F.col("__av__"), F.col("__bv__")),
+                    F.col("__an__") * F.col("__bn__"),
+                ),
+                6,
             ),
         )
-        .where(F.col("cos") >= threshold)
+        .where(~F.isnan(F.col("cos")) & (F.col("cos") >= threshold))
         .select("id_a", "id_b", "cos")
     )
 
@@ -701,15 +746,20 @@ def _bucket_near_pairs_fn(threshold: float, vec_col: str):
     in-flight block x m score matrix stays ~32 MB regardless of bucket
     size; the bucket's own vectors (m x dim doubles) are the real
     memory bound, as they are for any per-bucket design. Zero-norm
-    rows produce NaN cosines, which fail the threshold — again the
-    join semantics (0/0 double division is NaN on both engines)."""
+    rows produce NaN cosines, which FAIL the numpy ``>=`` compare —
+    deliberately NOT the retired join form's semantics (Spark and
+    DuckDB order NaN above any double, so ``cos >= t`` there PASSED
+    zero-norm vectors against every bucket peer); every near-pair
+    path now shares this never-pair-NaN policy, and a SQL oracle
+    replaying the threshold needs an explicit NaN guard."""
     import numpy as np
     import pandas as pd
 
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
         m = len(pdf)
         if m < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64")
+            empty = pdf["__id__"].iloc[:0]
+            return pd.DataFrame({"id_a": empty, "id_b": empty})
         ids = pdf["__id__"].to_numpy()
         V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
         norms = np.sqrt((V * V).sum(axis=1))
@@ -724,10 +774,7 @@ def _bucket_near_pairs_fn(threshold: float, vec_col: str):
                 out_a.append(ids[s + ii[keep]])
                 out_b.append(ids[jj[keep]])
         return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a).astype("int64"),
-                "id_b": np.concatenate(out_b).astype("int64"),
-            }
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
 
     return fn
@@ -806,12 +853,20 @@ def semantic_near_pairs(
             seed=seed,
             fit_sample=fit_sample,
         ).select(id_col, vec_col, "ivf_bucket")
+    from pyspark.sql import types as T
+
+    id_type = corpus.schema[id_col].dataType
     pairs = (
         assigned.select("ivf_bucket", F.col(id_col).alias("__id__"), F.col(vec_col))
         .groupBy("ivf_bucket")
         .applyInPandas(
             _bucket_near_pairs_fn(float(threshold), vec_col),
-            "id_a long, id_b long",
+            T.StructType(
+                [
+                    T.StructField("id_a", id_type, True),
+                    T.StructField("id_b", id_type, True),
+                ]
+            ),
         )
     )
     if nprobe > 1:

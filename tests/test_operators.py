@@ -398,6 +398,53 @@ def test_embedding_near_dup_pairs(vectors):
     assert all(r.cos >= 0.999 for r in pairs)  # exact-verify precision
 
 
+def test_zero_norm_vectors_never_pair_or_rank(vectors):
+    """Shared NaN policy: a zero-norm vector (0/0 cosine = NaN) must
+    pair with nothing in every near-pair path and rank in no top-k —
+    Spark's `cos >= t` / `ORDER BY cos DESC` would otherwise PASS NaN
+    (NaN > any double), so the guards are explicit."""
+    zero = vectors.sparkSession.createDataFrame(
+        [Row(vec_id=9999, embedding=[0.0] * 16, label=0)]
+    )
+    corpus = vectors.unionByName(zero)
+    near = sim_ops.embedding_near_dup_pairs(corpus, threshold=0.5, dim=16)
+    assert near.where("id_a = 9999 OR id_b = 9999").count() == 0
+    sem = sim_ops.semantic_near_pairs(corpus, threshold=0.5, n_clusters=2)
+    assert sem.where("id_a = 9999 OR id_b = 9999").count() == 0
+    thr = sim_ops.cosine_threshold_pairs(
+        corpus.where(F.col("vec_id").isin(0, 9999)), corpus, threshold=0.5
+    )
+    assert thr.where("id_a = 9999 OR id_b = 9999").count() == 0
+    # zero-norm QUERY returns no rows; zero-norm corpus row never ranks
+    topk = sim_ops.brute_force_topk(corpus, zero, k=3)
+    assert topk.count() == 0
+    ranked = sim_ops.brute_force_topk(
+        corpus, vectors.where(F.col("vec_id") == 0), k=200
+    )
+    assert ranked.where("neighbor_id = 9999").count() == 0
+
+
+def test_string_ids_flow_through_lsh_and_semantic_paths(vectors):
+    """_signature_keys / semantic_near_pairs derive the id type from
+    the input schema — string ids must pass through unchanged."""
+    named = vectors.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    dups = named.where(F.col("vec_id") == "doc-0").select(
+        F.lit("doc-copy").alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = named.unionByName(dups)
+    near = sim_ops.embedding_near_dup_pairs(corpus, threshold=0.999, dim=16)
+    assert dict(near.dtypes)["id_a"] == "string"
+    got = {(r.id_a, r.id_b) for r in near.collect()}
+    assert ("doc-0", "doc-copy") in got
+    sem = sim_ops.semantic_near_pairs(corpus, threshold=0.999, n_clusters=2)
+    assert dict(sem.dtypes)["id_a"] == "string"
+    assert ("doc-0", "doc-copy") in {(r.id_a, r.id_b) for r in sem.collect()}
+
+
 def test_multimodal_plumbing(docs):
     media = mm_ops.attach_fake_media(docs)
     feats = mm_ops.extract_features(media, fake_codec=True).collect()
