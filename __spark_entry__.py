@@ -2428,6 +2428,63 @@ def sim_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-rebuild policy acting on index health
+    (ann_index.ivf_index_maintenance): a fresh label-bucketed IVF index
+    is a maintenance NO-OP; a skewed append wave (scaled copies of the
+    last 50 vectors) trips max_appended_fraction; the rebuild re-fits
+    the coarse quantizer over built + appended vectors and REPLACES the
+    index tables atomically (one conditional commit each — probes
+    resolve the old or new snapshot, never a missing table); a second
+    run is a no-op again (replay-safe). The oracle recomputes every
+    deterministic column — trip flags, the tripped appended fraction,
+    and vector counts before/after — from the base table with exact
+    arithmetic; the kmeans geometry itself is pytest-verified
+    (tests/test_ann_index.py planted-pair recall)."""
+    from modelardb_rs_spark.operators import ann_index
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_maintidx", f"{key}_v1")
+    os.makedirs(root, exist_ok=True)
+    eng = _cached_engine(spark, root)
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    ann_index.build_ivf_index(eng, "maint_idx", emb, bucket_col="label")
+    noop = ann_index.ivf_index_maintenance(
+        eng, "maint_idx", max_appended_fraction=0.05
+    )
+    appended = emb.where(F.col("vec_id") >= 450).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.5)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    ann_index.append_to_ivf_index(eng, "maint_idx", appended)
+    out = ann_index.ivf_index_maintenance(
+        eng, "maint_idx", max_appended_fraction=0.05, n_buckets=8
+    )
+    after = ann_index.ivf_index_stats(eng, "maint_idx", drift=False)
+    again = ann_index.ivf_index_maintenance(
+        eng, "maint_idx", max_appended_fraction=0.05
+    )
+    row = [
+        (
+            int(noop["rebuilt"]),
+            int(out["rebuilt"]),
+            float(out["stats_before"]["appended_fraction"]),
+            out["stats_before"]["current_vectors"],
+            after["current_vectors"],
+            float(after["appended_fraction"]),
+            int(again["rebuilt"]),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "noop_rebuilt LONG, rebuilt LONG, tripped_fraction DOUBLE, "
+        "vectors_at_trip LONG, vectors_after LONG, fraction_after DOUBLE, "
+        "rerun_rebuilt LONG",
+    )
+
+
 def _train_sequences_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared chain for doc_train_sequences / doc_train_export: BPE gate
     → exact dedup → domain mix → shard shuffle → 256-token pack →
@@ -2594,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_semantic_dedup": sim_semantic_dedup,
         "sim_semantic_dedup_collapsed": sim_semantic_dedup_collapsed,
         "sim_index_stats": sim_index_stats,
+        "sim_index_maintenance": sim_index_maintenance,
         "doc_train_sequences": doc_train_sequences,
         "doc_train_pipeline": doc_train_pipeline,
         "doc_train_pipeline_bpe": doc_train_pipeline_bpe,
@@ -4973,5 +5031,23 @@ def oracle_sql() -> dict[str, str]:
                hist.bmax AS bucket_max,
                round((SELECT d FROM drift), 4) AS max_drift
         FROM hist
+    """
+    # maintenance-policy oracle: the deterministic decision surface —
+    # no-op on a fresh index, trip at the exact appended fraction the
+    # stats report, counts before/after the rebuild, fraction 0 after,
+    # replay-safe rerun — all recomputed from the base table with exact
+    # arithmetic (the rebuilt kmeans geometry itself is pytest-verified
+    # via planted-pair recall, not SQL-expressible).
+    oracles["sim_index_maintenance"] = """
+        WITH n_t AS (SELECT count(*) AS n FROM embeddings),
+        a_t AS (SELECT count(*) AS a FROM embeddings WHERE vec_id >= 450)
+        SELECT CAST(0 AS BIGINT) AS noop_rebuilt,
+               CAST(1 AS BIGINT) AS rebuilt,
+               round(CAST(a AS DOUBLE) / (n + a), 4) AS tripped_fraction,
+               CAST(n + a AS BIGINT) AS vectors_at_trip,
+               CAST(n + a AS BIGINT) AS vectors_after,
+               CAST(0.0 AS DOUBLE) AS fraction_after,
+               CAST(0 AS BIGINT) AS rerun_rebuilt
+        FROM n_t, a_t
     """
     return oracles

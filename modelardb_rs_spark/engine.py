@@ -745,6 +745,33 @@ class Engine:
             if cache_input:
                 cast.unpersist()
 
+    def overwrite(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        expected_paths: list[str] | None = None,
+    ) -> int:
+        """Atomically replace a NORMAL table's contents in one commit
+        (readers see the old snapshot until the commit lands, then the
+        new one — never a missing or empty table; old files remain
+        readable via time travel until VACUUM). ``expected_paths``
+        makes the replace conditional on the live set being unchanged
+        since the replacement was computed — see
+        DataFolder.replace_normal. Time series tables rewrite through
+        their own maintenance ops (optimize/resegment)."""
+        kind = self.catalog.kind(name)
+        if kind != TableKind.NORMAL:
+            raise ValueError(f"overwrite() applies to normal tables only: {name}")
+        schema = self.catalog.normal_table_schema(name)
+        self._check_columns(name, df, [f.name for f in schema.fields])
+        cast = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        return self.folder.replace_normal(
+            name, cast, partition_by=partition_by, expected_paths=expected_paths
+        )
+
     def last_txn_version(self, name: str, app_id: str) -> int | None:
         """Latest SetTransaction-style version recorded for ``app_id``
         on table ``name`` (None if never) — see ``write(txn=...)``."""

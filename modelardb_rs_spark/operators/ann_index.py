@@ -726,3 +726,130 @@ def ivf_index_stats(engine, index_name: str, drift: bool = True) -> dict:
         out["mean_centroid_drift"] = round(float(np.mean(drifts)), 6) if drifts else 0.0
         out["max_centroid_drift"] = round(float(np.max(drifts)), 6) if drifts else 0.0
     return out
+
+
+def ivf_index_maintenance(
+    engine,
+    index_name: str,
+    max_appended_fraction: float | None = 0.25,
+    max_imbalance: float | None = None,
+    max_drift: float | None = None,
+    n_buckets: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_sample: int = 65536,
+) -> dict:
+    """ACT on ``ivf_index_stats``: when a health threshold trips,
+    re-fit the coarse quantizer and rewrite the index ATOMICALLY —
+    the missing half of the telemetry (stats that nothing reads are
+    dashboards, not maintenance).
+
+    Policy: any enabled threshold trips a rebuild —
+    ``max_appended_fraction`` (classic-IVF adds keep centroids fixed,
+    so recall sags as the appended share grows), ``max_imbalance``
+    (bucket_max/mean — probe cost concentration), ``max_drift``
+    (1 - cos(stored centroid, current bucket mean); None by default
+    because measuring drift costs the stats pass's one full corpus
+    scan — enable it for scheduled maintenance, not hot-path checks).
+    A no-op run (nothing tripped) launches only the stats queries and
+    changes nothing — safe to call on every ingest epoch.
+
+    Rebuild: seeded numpy k-means re-fit on a hash-ordered sample
+    (``numpy_kmeans_buckets`` — same contract as ``build_ivf_index``),
+    map-only reassignment of the CURRENT vectors (built + appended),
+    then ``Engine.overwrite`` replaces the vectors and centroid tables
+    — each is ONE commit, so probes resolve either the old snapshot or
+    the new one, never a dropped/empty table, and the old snapshot
+    stays time-travel-readable until VACUUM. The vectors replace is
+    CONDITIONAL on the live file set the rebuild read (a concurrent
+    append aborts it with ConcurrentModificationError rather than
+    being silently dropped — re-run maintenance after the ingest
+    quiesces or from the ingest coordinator itself). IVF-PQ indexes
+    keep their trained codebooks (the expensive, slowly-drifting part)
+    and re-ENCODE every residual against the new coarse geometry in
+    the same pass; retraining books is a full ``build_ivfpq_index``.
+
+    ``n_buckets`` defaults to the index's current bucket count.
+    Returns ``{"rebuilt", "reasons", "stats_before"}`` plus
+    ``{"n_vectors", "n_buckets"}`` after a rebuild."""
+    stats = ivf_index_stats(engine, index_name, drift=max_drift is not None)
+    reasons = []
+    if (
+        max_appended_fraction is not None
+        and stats["appended_fraction"] > max_appended_fraction
+    ):
+        reasons.append(
+            f"appended_fraction {stats['appended_fraction']} > {max_appended_fraction}"
+        )
+    if max_imbalance is not None and stats["bucket_imbalance"] > max_imbalance:
+        reasons.append(f"bucket_imbalance {stats['bucket_imbalance']} > {max_imbalance}")
+    if max_drift is not None and stats["max_centroid_drift"] > max_drift:
+        reasons.append(f"max_centroid_drift {stats['max_centroid_drift']} > {max_drift}")
+    if not reasons:
+        return {"rebuilt": False, "reasons": [], "stats_before": stats}
+
+    from pyspark import StorageLevel
+
+    from modelardb_rs_spark.operators.similarity import numpy_kmeans_buckets
+
+    vt, ct = _vectors_table(index_name), _centroids_table(index_name)
+    expected = list(engine.folder.log(vt).snapshot().paths)
+    corpus = engine.table(vt).select(id_col, vec_col)
+    k = int(n_buckets or stats["n_buckets"])
+    bucketed, fitted_C = numpy_kmeans_buckets(
+        corpus, k=k, id_col=id_col, vec_col=vec_col, seed=seed,
+        fit_sample=fit_sample, return_centroids=True,
+    )
+    vectors = bucketed.select(
+        F.col(id_col), F.col(vec_col), F.col("ivf_bucket").cast("int").alias("ivf_bucket")
+    )
+    if _pqbooks_table(index_name) in engine.tables():
+        from modelardb_rs_spark.operators import pq as pq_ops
+
+        books = _cached_pq_books(engine, index_name)
+        cent_df = engine.spark.createDataFrame(
+            [(b, [float(x) for x in fitted_C[b]]) for b in range(len(fitted_C))],
+            "ivf_bucket INT, __c__ ARRAY<FLOAT>",
+        )
+        resid = vectors.join(F.broadcast(cent_df), "ivf_bucket").withColumn(
+            "__resid__",
+            F.zip_with(
+                F.col(vec_col), F.col("__c__"), lambda x, y: (x - y).cast("float")
+            ),
+        )
+        enc = pq_ops.encode_pq(
+            resid, books, vec_col="__resid__", recon_norm_base="__c__"
+        )
+        vectors = enc.select(id_col, vec_col, "ivf_bucket", "pq_codes", "pq_norm")
+    # the reassignment (a python-worker pass) feeds the replace AND the
+    # per-bucket counts: persist so it runs once per rebuild
+    vectors = vectors.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        counts = {
+            int(r["ivf_bucket"]): int(r["n"])
+            for r in vectors.groupBy("ivf_bucket").agg(F.count("*").alias("n")).collect()
+        }
+        cent_rows = [
+            (b, [float(x) for x in fitted_C[b]], counts.get(b, 0))
+            for b in range(len(fitted_C))
+            if counts.get(b, 0) > 0
+        ]
+        engine.overwrite(
+            vt, vectors, partition_by=["ivf_bucket"], expected_paths=expected
+        )
+        engine.overwrite(
+            ct,
+            engine.spark.createDataFrame(
+                cent_rows, "ivf_bucket INT, centroid ARRAY<FLOAT>, n_vectors BIGINT"
+            ),
+        )
+    finally:
+        vectors.unpersist()
+    return {
+        "rebuilt": True,
+        "reasons": reasons,
+        "stats_before": stats,
+        "n_vectors": sum(r[2] for r in cent_rows),
+        "n_buckets": len(cent_rows),
+    }

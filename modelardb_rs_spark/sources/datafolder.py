@@ -180,6 +180,7 @@ class DataFolder:
         segment_stats: bool = False,
         remove: list[str] | None = None,
         txn: tuple[str, int] | None = None,
+        replace_expected: list[str] | None = None,
     ) -> int | None:
         """Run `write_staged(staged_uri)` into a fresh txn= directory,
         then commit the produced parquet files atomically.
@@ -241,8 +242,23 @@ class DataFolder:
                     entry["fast_points"] = st["fast_points"]
                     entry["total_points"] = st["total_points"]
         remove_set = set(remove or [])
+        expected_set = set(replace_expected) if replace_expected is not None else None
 
         def build(snap):
+            if expected_set is not None:
+                # full-replace commit: the staged data was computed FROM
+                # expected_set, so ANY concurrent change to the live set
+                # (an append's add as much as a remove) would be silently
+                # dropped by the replace — abort instead
+                live = set(snap.paths)
+                if live != expected_set:
+                    delta = len(live ^ expected_set)
+                    raise ConcurrentModificationError(
+                        f"{name}: live file set changed concurrently "
+                        f"({delta} file(s) differ from the snapshot the "
+                        "replacement was computed from); re-run the rebuild"
+                    )
+                return (op, add, sorted(live))
             gone = remove_set - set(snap.paths)
             if gone:
                 raise ConcurrentModificationError(
@@ -503,6 +519,42 @@ class DataFolder:
             writer.parquet(staged)
 
         return self._stage_and_commit(name, write_staged, txn=txn)
+
+    def replace_normal(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        expected_paths: list[str] | None = None,
+    ) -> int:
+        """Atomically REPLACE a normal table's entire live file set in
+        ONE commit (the Delta overwrite analog): readers resolve either
+        the old snapshot or the new one, never an empty or partial
+        table — the availability contract an index rebuild needs (a
+        drop + recreate leaves a window where the table is missing).
+        Old files stay on disk for time travel until VACUUM, like any
+        other remove.
+
+        ``expected_paths`` (default: the live set at call time) makes
+        the replace CONDITIONAL: the commit aborts with
+        ConcurrentModificationError if the live set no longer equals
+        the snapshot the replacement was computed from — a concurrent
+        append's rows would otherwise be silently dropped. Callers
+        re-run the rebuild on conflict (snapshot-isolation semantics,
+        same contract the reference's transactional folder gives
+        rewrites, modelardb_storage/src/data_folder/mod.rs)."""
+        if expected_paths is None:
+            expected_paths = list(self.log(name).snapshot().paths)
+
+        def write_staged(staged: str) -> None:
+            writer = df.write.option("compression", "zstd")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(staged)
+
+        return self._stage_and_commit(
+            name, write_staged, op="replace", replace_expected=expected_paths
+        )
 
     def last_txn_version(self, name: str, app_id: str) -> int | None:
         """Latest application-transaction version recorded for

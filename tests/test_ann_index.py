@@ -400,3 +400,107 @@ def test_ivfpq_append_encodes_codes(engine, emb):
     probe = emb.where(F.col("vec_id") == 450)
     out = ann_index.ivfpq_topk(engine, "pqidx4", probe, k=5, nprobe=3, rerank=30)
     assert out.count() == 5
+
+
+def test_ivf_maintenance_noop_then_trip_restores_recall(engine, spark, emb):
+    """The auto-rebuild policy: a fresh index is a no-op (nothing
+    tripped, nothing changed); a skewed append wave trips
+    max_appended_fraction; the rebuild re-fits the coarse quantizer
+    over built + appended vectors ATOMICALLY and recall on planted
+    near-dup pairs returns to fresh-build level."""
+    ann_index.build_ivf_index(engine, "midx", emb, bucket_col=None, n_buckets=8)
+    noop = ann_index.ivf_index_maintenance(engine, "midx", max_appended_fraction=0.2)
+    assert noop["rebuilt"] is False and noop["reasons"] == []
+    v0 = engine.folder.log("midx__vectors").snapshot().version
+
+    # appended wave: scaled copies of 60 originals (planted exact
+    # near-dups, cosine 1) — enough to trip the 20% appended threshold
+    planted = emb.where(F.col("vec_id") < 60).select(
+        (F.col("vec_id") + 50_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    ann_index.append_to_ivf_index(
+        engine, "midx", planted.select("vec_id", "embedding")
+    )
+    out = ann_index.ivf_index_maintenance(engine, "midx", max_appended_fraction=0.1)
+    assert out["rebuilt"] is True
+    assert any("appended_fraction" in r for r in out["reasons"])
+    assert out["n_vectors"] == emb.count() + 60
+    # the replace is transactional: exactly two commits on the vectors
+    # table (the append + the replace), old snapshot still time-travels
+    log = engine.folder.log("midx__vectors")
+    assert log.snapshot().version == v0 + 2
+    old = engine.folder.read_normal(
+        "midx__vectors", engine.table("midx__vectors").schema, version=v0
+    )
+    assert old.count() == emb.count()
+
+    after = ann_index.ivf_index_stats(engine, "midx")
+    assert after["appended_fraction"] == 0.0
+    assert after["current_vectors"] == emb.count() + 60
+
+    # recall on the planted pairs: each original's scaled copy must be
+    # its top neighbor through the REBUILT index (fresh-build level —
+    # the copy has cosine exactly 1 and shares the bucket by geometry)
+    queries = emb.where(F.col("vec_id") < 60)
+    got = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ann_index.ivf_index_topk(engine, "midx", queries, k=1, nprobe=1)
+        .collect()
+    }
+    hit = sum(1 for q, n in got.items() if n == q + 50_000)
+    assert hit >= 58, f"planted-pair recall after rebuild: {hit}/60"
+
+    # and the policy is replay-safe: a second run is a no-op again
+    again = ann_index.ivf_index_maintenance(engine, "midx", max_appended_fraction=0.1)
+    assert again["rebuilt"] is False
+
+
+def test_ivf_maintenance_rebuilds_pq_codes_against_new_geometry(engine, emb):
+    """On an IVF-PQ index the rebuild keeps the trained codebooks but
+    re-encodes every residual against the new coarse centroids — the
+    code path must stay probeable end-to-end afterwards."""
+    first = emb.where(F.col("vec_id") < 400)
+    rest = emb.where(F.col("vec_id") >= 400)
+    ann_index.build_ivfpq_index(engine, "mpq", first, bucket_col=None, n_buckets=6)
+    ann_index.append_to_ivf_index(engine, "mpq", rest.select("vec_id", "embedding"))
+    out = ann_index.ivf_index_maintenance(engine, "mpq", max_appended_fraction=0.1)
+    assert out["rebuilt"] is True
+    vt = engine.table("mpq__vectors")
+    assert vt.count() == emb.count()
+    assert vt.where(F.col("pq_codes").isNull() | F.col("pq_norm").isNull()).count() == 0
+    probe = emb.where(F.col("vec_id") == 450)
+    found = ann_index.ivfpq_topk(engine, "mpq", probe, k=5, nprobe=3, rerank=30)
+    assert found.count() == 5
+
+
+def test_overwrite_is_atomic_and_conditional(engine, spark):
+    """Engine.overwrite: one commit replaces the live set (old version
+    still time-travels), and a stale expected_paths aborts with
+    ConcurrentModificationError instead of dropping concurrent rows."""
+    import pytest as _pytest
+
+    from modelardb_rs_spark.sources.datafolder import ConcurrentModificationError
+
+    engine.create_table("ow", "k BIGINT, v BIGINT")
+    engine.write("ow", spark.range(5).selectExpr("id AS k", "id * 2 AS v"))
+    v_old = engine.folder.log("ow").snapshot().version
+    stale = list(engine.folder.log("ow").snapshot().paths)
+
+    engine.overwrite("ow", spark.range(3).selectExpr("id AS k", "id * 10 AS v"))
+    assert engine.table("ow").count() == 3
+    assert {r["v"] for r in engine.table("ow").collect()} == {0, 10, 20}
+    old = engine.folder.read_normal("ow", engine.table("ow").schema, version=v_old)
+    assert old.count() == 5  # snapshot isolation: old version intact
+
+    # conditional replace: live set changed since `stale` was captured
+    with _pytest.raises(ConcurrentModificationError):
+        engine.overwrite(
+            "ow",
+            spark.range(1).selectExpr("id AS k", "id AS v"),
+            expected_paths=stale,
+        )
+    assert engine.table("ow").count() == 3  # aborted replace changed nothing
