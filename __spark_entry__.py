@@ -976,6 +976,35 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_hot_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key as-of variant (asof_join(hot_key_buckets=8) — the
+    two-pass time-bucketed plan that parallelizes one dominating key
+    across N tasks by seeding each time bucket with the previous
+    buckets' last right row). Same computation as q_asof_join, same
+    oracle: the two plans are value-identical by contract, and this
+    entry pins that under the driver's gate."""
+    from modelardb_rs_spark.operators.asof import asof_join
+
+    (ev,) = _prep(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("ts").alias("click_ts"))
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by=["user_id"],
+        right_value_cols=["click_ts"], hot_key_buckets=8,
+    )
+    gap_us = F.unix_micros("ts") - F.unix_micros("click_ts_right")
+    return joined.agg(
+        F.count("*").alias("n_purchases"),
+        F.count("click_ts_right").alias("n_with_click"),
+        F.round(F.sum(gap_us) / F.count("click_ts_right"), 2).alias("avg_gap_us"),
+    )
+
+
 def q_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASOF JOIN through the SQL surface (engine.read_sql → the
     parser-level rewrite in operators/asof.py::rewrite_asof_sql,
@@ -2652,6 +2681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_semantic_dedup_collapsed": sim_semantic_dedup_collapsed,
         "sim_index_stats": sim_index_stats,
         "sim_index_maintenance": sim_index_maintenance,
+        "q_asof_hot_bucketed": q_asof_hot_bucketed,
         "doc_train_sequences": doc_train_sequences,
         "doc_train_pipeline": doc_train_pipeline,
         "doc_train_pipeline_bpe": doc_train_pipeline_bpe,
@@ -4003,6 +4033,8 @@ def oracle_sql() -> dict[str, str]:
     # the persisted index probes the same buckets with the same math as
     # the inline pipeline, so it shares sim_ivf_topk's oracle verbatim
     oracles["sim_ivf_index"] = oracles["sim_ivf_topk"]
+    # value-identical two-pass plan: same oracle as the one-pass entry
+    oracles["q_asof_hot_bucketed"] = oracles["q_asof_join"]
     oracles["sim_ivfpq_topk"] = oracles["sim_ivf_trained"]
     oracles["q_interp_join"] = """
         WITH r AS (

@@ -17,12 +17,17 @@ does not split — a single hot key serializes its entire group into one
 task's sort. That is the same asymptotic hot-key bound a sort-merge
 join has (its matching key also lands on one task), and the sort is
 external (spills, never OOMs), but wall-clock degrades to the hot
-key's size. For pathological keys (one key ~ the whole input), bucket
-the time axis first: run the window per (key, time_bucket) after
-seeding each bucket with the previous bucket's last right row — a
-two-pass variant whose first pass is a per-bucket max; not provided
-because no workload here needs it yet. An optional tolerance drops
-matches older than ``tolerance_us``.
+key's size. For pathological keys (one key ~ the whole input), pass
+``hot_key_buckets=N``: the time axis splits into N contiguous ranges,
+the window runs per (key, time_bucket) — the hot key's rows then
+parallelize across N tasks — and each bucket is seeded with the
+previous buckets' LAST right row (a per-(key, bucket) max_by plus one
+tiny per-key window over at most N bucket rows), so every left row
+still sees matches from earlier buckets. Value-identical to the
+one-pass plan (fuzzed, including the 95%-hot-key case); costs one
+extra min/max job and two small aggregates, so leave it off until a
+key actually dominates. An optional tolerance drops matches older
+than ``tolerance_us``.
 
 (Contrast with the common ``applyInPandas``+``pd.merge_asof`` recipe:
 that materializes each key group in one Python worker — this stays
@@ -35,6 +40,73 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _bucket_and_seed(
+    u: DataFrame,
+    on: str,
+    by: list[str],
+    carried_cols: list[str],
+    n_buckets: int,
+) -> DataFrame:
+    """The first pass of the two-pass hot-key as-of: split the time axis
+    into ``n_buckets`` contiguous ranges (one tiny min/max job fixes the
+    boundaries) and inject, for every (key, bucket), a SEED right row =
+    the last right row of all earlier buckets for that key. Seeds keep
+    their real ``on`` value — strictly before their bucket's range — so
+    the second pass's ordering, strict-tie, and tolerance logic apply to
+    them unchanged. Cost shape: a per-(key, bucket) ``max_by`` (map-side
+    combinable), a distinct over (key, bucket) pairs, and one per-key
+    window over at most ``n_buckets`` rows — all metadata-sized relative
+    to the input."""
+    if dict(u.dtypes)[on].startswith("timestamp"):
+        t_num = F.unix_micros(F.col(on)).cast("double")
+    else:
+        t_num = F.col(on).cast("double")
+    u = u.withColumn("__tnum__", t_num)
+    rng = u.agg(F.min("__tnum__").alias("mn"), F.max("__tnum__").alias("mx")).first()
+    if rng["mn"] is None or rng["mx"] == rng["mn"]:
+        # empty input or a single timestamp: one bucket, no seeds needed
+        return u.withColumn("__b__", F.lit(0)).drop("__tnum__")
+    width = (rng["mx"] - rng["mn"]) / n_buckets
+    b = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("__tnum__") - F.lit(rng["mn"])) / F.lit(width)).cast("int"),
+        ),
+    ).cast("int")
+    u = u.withColumn("__b__", b).drop("__tnum__")
+    rights = u.where(F.col("__side__") == 0)
+    payload = F.struct(F.col(on).alias("__on__"), *[F.col(c) for c in carried_cols])
+    bucket_last = rights.groupBy(*by, "__b__").agg(
+        F.max_by(payload, F.col(on)).alias("__s__")
+    )
+    # every (key, bucket) that EXISTS needs a seed — including buckets
+    # holding only left rows, which bucket_last alone would miss
+    kb = u.select(*by, "__b__").distinct()
+    wseed = (
+        Window.partitionBy(*by)
+        .orderBy("__b__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seeds = (
+        kb.join(bucket_last, [*by, "__b__"], "left")
+        .select(
+            *by,
+            "__b__",
+            F.last("__s__", ignorenulls=True).over(wseed).alias("__seed__"),
+        )
+        .where(F.col("__seed__").isNotNull())
+    )
+    seed_rows = seeds.select(
+        *by,
+        "__b__",
+        F.col("__seed__.__on__").alias(on),
+        *[F.col(f"__seed__.{c}").alias(c) for c in carried_cols],
+        F.lit(0).alias("__side__"),
+    )
+    return u.unionByName(seed_rows, allowMissingColumns=True)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -45,6 +117,7 @@ def asof_join(
     suffix: str = "_right",
     strict: bool = False,
     match_ts_col: str | None = None,
+    hot_key_buckets: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the most recent right row (same ``by``
     keys, ``right.on <= left.on``). ``on`` must be the same column name
@@ -54,7 +127,19 @@ def asof_join(
     right row is NOT visible — DuckDB's ``>`` match condition).
     ``match_ts_col`` additionally outputs the matched right row's ``on``
     value under that name (NULL when no match) — the column an INNER
-    as-of join filters on."""
+    as-of join filters on.
+
+    ``hot_key_buckets=N`` parallelizes a pathological hot key (one key
+    ~ the whole input) across N tasks: the time axis splits into N
+    contiguous ranges, each (key, bucket) windows independently, and a
+    seed row — the last right row of all EARLIER buckets for that key —
+    is injected at each bucket's start so carried values cross bucket
+    boundaries. The seed's time is its REAL time (strictly before the
+    bucket's range), so strict/non-strict tie handling and the
+    tolerance arithmetic are untouched. Value-identical to the default
+    one-pass plan wherever right timestamps are unique per key (among
+    EQUAL right timestamps both plans pick an arbitrary row, as any
+    as-of must); costs one min/max job plus two small aggregates."""
     l = left.withColumn("__side__", F.lit(1))
     r = right.select(
         *by, on, *[F.col(c).alias(c + suffix) for c in right_value_cols]
@@ -64,12 +149,19 @@ def asof_join(
     r = r.select(*[F.col(c) if c in r.columns else F.lit(None).alias(c) for c in all_cols])
     u = l.unionByName(r)
 
+    part_keys: list = list(by)
+    if hot_key_buckets is not None and hot_key_buckets > 1:
+        u = _bucket_and_seed(
+            u, on, by, [c + suffix for c in right_value_cols], int(hot_key_buckets)
+        )
+        part_keys.append("__b__")
+
     # Right rows sort before left rows at equal timestamps so an exactly
     # concurrent right row is visible to the left row (<= semantics);
     # strict (<) flips the tie order so it is not.
     side_order = F.col("__side__").desc() if strict else F.col("__side__").asc()
     w = (
-        Window.partitionBy(*by)
+        Window.partitionBy(*part_keys)
         .orderBy(F.col(on).asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )

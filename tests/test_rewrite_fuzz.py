@@ -272,3 +272,68 @@ def test_asof_skewed_hot_key_correct(spark):
         best = max(cands, key=lambda rr: rr.t).rv if cands else None
         want.append((lr.k, lr.t, lr.lv, best))
     assert got == sorted(want)
+
+
+def test_asof_hot_key_buckets_matches_one_pass(spark):
+    """The two-pass time-bucketed variant (hot_key_buckets=N) must be
+    value-identical to the one-pass window plan — fuzzed across random
+    corpora including the 95%-hot-key shape, strict and non-strict,
+    with and without tolerance, right timestamps unique per key (among
+    EQUAL right timestamps any as-of picks an arbitrary row)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from modelardb_rs_spark.operators.asof import asof_join
+
+    for trial, (hot_p, n_buckets, strict, tol) in enumerate(
+        [
+            (0.95, 8, False, None),   # the documented pathological shape
+            (0.95, 8, True, None),
+            (0.3, 4, False, 120),
+            (0.0, 16, True, 60),
+            (1.0, 5, False, None),    # ALL rows on one key
+        ]
+    ):
+        rng = random.Random(100 + trial)
+        lrows = [
+            Row(k=0 if rng.random() < hot_p else rng.randint(1, 5),
+                t=rng.randint(0, 400), lv=i)
+            for i in range(800)
+        ]
+        seen, rrows = set(), []
+        for i in range(300):
+            k = 0 if rng.random() < hot_p else rng.randint(1, 5)
+            t = rng.randint(0, 400)
+            if (k, t) not in seen:
+                seen.add((k, t))
+                rrows.append(Row(k=k, t=t, rv=10_000 + i))
+        ldf, rdf = spark.createDataFrame(lrows), spark.createDataFrame(rrows)
+        kw = dict(
+            on="t", by=["k"], right_value_cols=["rv"], strict=strict,
+            tolerance_us=tol, match_ts_col="mt",
+        )
+        one = asof_join(ldf, rdf, **kw)
+        two = asof_join(ldf, rdf, hot_key_buckets=n_buckets, **kw)
+        cols = ["k", "t", "lv", "rv_right", "mt"]
+        got_one = sorted(tuple(r) for r in one.select(*cols).collect())
+        got_two = sorted(tuple(r) for r in two.select(*cols).collect())
+        assert got_one == got_two, f"trial {trial}"
+        # and both match the brute-force oracle
+        by_key = {}
+        for rr in rrows:
+            by_key.setdefault(rr.k, []).append(rr)
+        want = []
+        for lr in lrows:
+            cands = [
+                rr for rr in by_key.get(lr.k, [])
+                if (rr.t < lr.t if strict else rr.t <= lr.t)
+            ]
+            best = max(cands, key=lambda rr: rr.t) if cands else None
+            if best is not None and tol is not None and lr.t - best.t > tol:
+                best = None
+            want.append(
+                (lr.k, lr.t, lr.lv, best.rv if best else None,
+                 best.t if best else None)
+            )
+        assert got_one == sorted(want), f"trial {trial} vs oracle"
