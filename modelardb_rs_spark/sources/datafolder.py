@@ -853,17 +853,24 @@ class DataFolder:
             self.fs.delete(path, recursive=True)
         self._logs.pop(name, None)
 
-    def vacuum(self, name: str, retain_seconds: int | None = None) -> list[str]:
+    def vacuum(
+        self,
+        name: str,
+        retain_seconds: int | None = None,
+        staging_grace_seconds: float | None = None,
+    ) -> list[str]:
         """Delete files that left the live set before the retention
         horizon plus orphaned staging from crashed writes (reference
         data_folder/mod.rs:582-686). Returns deleted URIs. Aggressive
         retention can retire history the stock-Delta mirror still
         needed — check ``mirror_healthy(name)`` afterwards if external
-        Delta readers depend on this table."""
+        Delta readers depend on this table. Unreferenced staging sweeps
+        on its own grace clock so a zero-retention vacuum cannot race a
+        live writer's staging directory (TransactionLog.vacuum)."""
         if not self.fs.exists(self.table_path(name)):
             return []
         retain = DEFAULT_RETENTION_SECONDS if retain_seconds is None else retain_seconds
-        return self.log(name).vacuum(retain)
+        return self.log(name).vacuum(retain, staging_grace_seconds=staging_grace_seconds)
 
     def history(self, name: str) -> list[dict]:
         """The table's commit history (version, op, timestamp, file

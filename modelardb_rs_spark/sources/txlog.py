@@ -49,6 +49,11 @@ _MAX_COMMIT_ATTEMPTS = 100
 # checkpoints every 10 commits for the same reason).
 _CHECKPOINT_INTERVAL = 16
 
+# Unreferenced txn= staging younger than this is presumed an IN-FLIGHT
+# write, not a crashed one — vacuum never sweeps it, no matter how
+# aggressive the data-retention horizon (see TransactionLog.vacuum).
+_STAGING_ORPHAN_GRACE_SECONDS = 600.0
+
 
 @dataclass
 class Snapshot:
@@ -725,12 +730,33 @@ class TransactionLog:
 
     # ---------------------------------------------------------- vacuum
 
-    def vacuum(self, retain_seconds: float) -> list[str]:
+    def vacuum(
+        self, retain_seconds: float, staging_grace_seconds: float | None = None
+    ) -> list[str]:
         """Delete files removed before the retention horizon, plus staged
         directories no commit references (crashed writes). Returns the
         deleted URIs. Time travel to versions older than the horizon
-        stops working — same contract as Delta VACUUM."""
+        stops working — same contract as Delta VACUUM.
+
+        Unreferenced staging is swept on its OWN clock: an in-flight
+        write's ``txn=`` directory is indistinguishable from a crashed
+        one until its commit lands, so the sweep requires the directory
+        to be at least ``staging_grace_seconds`` old (default
+        ``_STAGING_ORPHAN_GRACE_SECONDS``) REGARDLESS of how aggressive
+        ``retain_seconds`` is — a zero-retention vacuum racing a live
+        writer must not delete the files its commit is about to
+        reference (found by the round-10 chaos test; Delta guards the
+        same hazard by refusing sub-default retention without an
+        override). Keep the grace above the longest staging write."""
         horizon_ms = int((time.time() - retain_seconds) * 1000)
+        grace = (
+            _STAGING_ORPHAN_GRACE_SECONDS
+            if staging_grace_seconds is None
+            else staging_grace_seconds
+        )
+        stage_horizon_ms = min(
+            horizon_ms, int((time.time() - grace) * 1000)
+        )
         commits = self.commits()
         live = set(self.snapshot().paths)
         referenced: set[str] = set()
@@ -748,8 +774,8 @@ class TransactionLog:
                 if self.fs.exists(uri):
                     self.fs.delete(uri)
                     deleted.append(uri)
-        # 2) staged dirs never referenced by any commit and old enough
-        # (mtime check keeps in-flight writes safe)
+        # 2) staged dirs never referenced by any commit and older than
+        # the STAGING grace (not the data horizon — see docstring)
         for info in self.fs.list(self.table_uri):
             name = info.path.rsplit("/", 1)[-1]
             if not info.is_dir or not name.startswith("txn="):
@@ -757,7 +783,7 @@ class TransactionLog:
             rel_prefix = name + "/"
             if any(p.startswith(rel_prefix) for p in referenced):
                 continue
-            if info.mtime_ms <= horizon_ms:
+            if info.mtime_ms <= stage_horizon_ms:
                 self.fs.delete(info.path, recursive=True)
                 deleted.append(info.path)
         # 3) log cleanup: commits/checkpoints strictly before the newest
