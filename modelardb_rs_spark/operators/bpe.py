@@ -134,6 +134,8 @@ def train_bpe_on_corpus(
     n_merges: int = 2000,
     min_count: int = 2,
     max_pieces: int = 1 << 20,
+    sample_fraction: float | None = None,
+    seed: int = 42,
 ) -> list[tuple[str, str]]:
     """Distributed BPE training — the 100 TB shape of ``train_bpe``.
     The merge LOOP is inherently sequential and tiny (it iterates over
@@ -144,8 +146,27 @@ def train_bpe_on_corpus(
     pieces by frequency reach the driver (deterministic order: count
     desc, piece asc) — the truncated tail is rare pieces whose pairs
     fall below ``min_count`` anyway. Identical output to ``train_bpe``
-    on the same corpus when nothing is truncated (asserted in tests)."""
+    on the same corpus when nothing is truncated (asserted in tests).
+
+    ``sample_fraction`` trains on a seeded hash-deterministic sample of
+    the corpus ROWS ahead of the frequency pass — SCALE.md's prescribed
+    mitigation for the merge loop's ~n^1.25 driver wall at multi-
+    million-piece tables: sampling thins the zipfian TAIL (rare pieces
+    drop below ``min_count`` and never reach the loop) while the head
+    frequencies that decide merge order just scale by the fraction, so
+    modest fractions reproduce the full fit's early merges (measured in
+    SCALE.md "Round-10"; ``1.0`` is byte-identical by construction).
+    Deterministic in (text value, ``seed``) — stable across runs,
+    partitionings, and engines."""
     from pyspark.sql.functions import pandas_udf
+
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        bucket = F.abs(F.xxhash64(F.col(text_col), F.lit(int(seed)))) % 1_000_000
+        df = df.where(bucket < int(sample_fraction * 1_000_000))
 
     @pandas_udf("array<string>")
     def pieces_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:

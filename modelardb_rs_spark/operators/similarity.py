@@ -1,11 +1,12 @@
 """Similarity search over embedding columns (``array<float>``).
 
 - **Brute-force cosine top-k** — the exact baseline: broadcast the query
-  set, score every (query, corpus) pair with JVM-side ``zip_with`` /
-  ``aggregate`` column algebra (no Python), rank per query. Cost is
-  |Q|·|C| dot products, map-only over the corpus with the queries
-  broadcast — at 100 TB this is the right shape for small query sets,
-  and the component every ANN variant verifies against.
+  set, score every (query, corpus) pair (Arrow-batched numpy by
+  default; ``dim=`` opts into the codegen-unrolled JVM chain), rank
+  per query. Cost is |Q|·|C| dot products, map-only over the corpus
+  with the queries broadcast — at 100 TB this is the right shape for
+  small query sets, and the component every ANN variant verifies
+  against.
 - **IVF (inverted-file) top-k** — the scale path: k-means-style coarse
   quantization using per-label centroids (the embeddings table carries a
   cluster ``label``; a production pipeline would learn centroids with
@@ -15,6 +16,31 @@
   handled by AQE).
 - **Threshold pair counting** — cosine >= t pair enumeration for dedup
   pipelines (embedding-cosine near-dup).
+
+Which cosine form is canonical for which shape (the SCALE.md "Round-9"
+operational rule, measured):
+
+- **Per-CANDIDATE-pair scoring over an unbounded pair stream** (LSH /
+  blocking candidates, brute-force and threshold pair joins): the
+  Arrow-batched numpy ``cosine_batch_udf`` — the interpreted
+  ``zip_with``/``aggregate`` Column form is CodegenFallback at ~100us
+  per evaluation, which IS the wall once the expression is evaluated
+  once per pair (measured 0.75s vs 1.0s already at 20k pairs; ~100x at
+  millions). ``dim=`` opts into the codegen-unrolled ``dot_fixed``
+  chain instead: fully JVM-side (no Arrow transfer of pair-expanded
+  vectors), but it costs ~dim x 6 py4j calls of PLAN build, so it only
+  pays above ~10^6 scored pairs with a known small dim.
+- **Whole-BUCKET quadratic verifies** (semantic dedup): one chunked
+  numpy matmul per bucket inside ``applyInPandas``
+  (``_bucket_near_pairs_fn``) — candidates never exist as rows.
+- **Per-(row, centroid) assignment** (k-means assign, multi-probe):
+  ``_numpy_centroid_assign`` — a mapInPandas batch distance scan with
+  the centroid matrix in the closure.
+- **Metadata-sized scoring** (|Q| x n_buckets centroid probes, exact
+  re-rank of an |Q| x rerank shortlist): the Column ``cosine``/``dot``
+  algebra stays — the pair count is bounded by index metadata, the
+  interpreted cost is invisible, and the expression doubles as the
+  SQL-oracle mirror.
 """
 
 from __future__ import annotations
@@ -188,42 +214,38 @@ def brute_force_topk(
     cosine rounded to 6 before ranking so float noise can't flip ranks
     across engines. Output: (query_id, neighbor_id, cos, rank).
 
-    Passing ``dim`` swaps the per-pair cosine to the codegen-unrolled
-    ``dot_fixed`` chain (bit-identical accumulation to ``dot``): the
-    scoring join evaluates the cosine |Q| times per corpus row, and the
-    interpreted higher-order-function form costs ~100us per evaluation
-    — at a billion corpus rows that difference is the whole wall. The
-    unrolled chain costs ~dim x 6 py4j calls of PLAN build (~2 s at
-    dim=64), so it only pays above ~10^6 scored pairs — hence opt-in,
-    not inferred (SCALE.md "Round-9" operational rule)."""
-    _d = (lambda x, y: dot_fixed(x, y, dim)) if dim is not None else dot
-    _n = (lambda c: norm_fixed(c, dim)) if dim is not None else norm
-    # Norms are computed once per row before the pair join (a per-pair
-    # cosine() would recompute both norms |Q|·|C| times).
+    The per-pair cosine is the Arrow-batched numpy form by default —
+    this is the unbounded-pair-stream shape of the module docstring's
+    canonical-form rule (the interpreted Column form measured 1.4x
+    slower already at 20k pairs and ~100x at millions). Passing ``dim``
+    swaps in the codegen-unrolled ``dot_fixed`` chain instead: fully
+    JVM-side, no Arrow transfer of the pair-expanded vectors — the form
+    for billion-pair scans with a known small dim, but it costs ~dim x
+    6 py4j calls of PLAN build (~2 s at dim=64), so it stays opt-in."""
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv__"),
-        _n(F.col(vec_col)).alias("__qn__"),
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv__"),
-        _n(F.col(vec_col)).alias("__cn__"),
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cos",
-            F.round(
-                F.try_divide(
-                    _d(F.col("__qv__"), F.col("__cv__")),
-                    F.col("__qn__") * F.col("__cn__"),
-                ),
-                6,
-            ),
+    pairs = c.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    if dim is not None:
+        # norms once per side before the join (a per-pair cosine()
+        # would recompute both norms |Q|·|C| times)
+        q_n = q.withColumn("__qn__", norm_fixed(F.col("__qv__"), dim))
+        c_n = c.withColumn("__cn__", norm_fixed(F.col("__cv__"), dim))
+        pairs = c_n.crossJoin(F.broadcast(q_n)).where(
+            F.col("neighbor_id") != F.col("query_id")
         )
-    )
+        cos = F.try_divide(
+            dot_fixed(F.col("__qv__"), F.col("__cv__"), dim),
+            F.col("__qn__") * F.col("__cn__"),
+        )
+    else:
+        cos = cosine_batch_udf()(F.col("__qv__"), F.col("__cv__"))
+    scored = pairs.withColumn("cos", F.round(cos, 6))
     return ranked_topk(scored, k)
 
 
@@ -365,7 +387,7 @@ def kmeans_buckets(
     return model.transform(with_vec).drop("__mlvec__")
 
 
-def _literal_centroid_assign(
+def _numpy_centroid_assign(
     corpus: DataFrame,
     centroids,
     vec_col: str,
@@ -471,7 +493,7 @@ def numpy_kmeans_buckets(
             pts = X[assign == j]
             if len(pts):
                 C[j] = pts.mean(0)
-    assigned = _literal_centroid_assign(corpus, C, vec_col, nprobe=1)
+    assigned = _numpy_centroid_assign(corpus, C, vec_col, nprobe=1)
     return (assigned, C) if return_centroids else assigned
 
 
@@ -499,7 +521,7 @@ def kmeans_multiprobe_assignments(
     line (SCALE.md "Round-9" — the round-8 crossJoin+window assignment
     plus join-based verify cost 16x). Same fit as ``kmeans_buckets``
     (seeded, optionally sample-bounded); assignment is MAP-ONLY via
-    ``_literal_centroid_assign`` (batch numpy distance scan, centroids
+    ``_numpy_centroid_assign`` (batch numpy distance scan, centroids
     in the UDF closure) — no shuffle, no window, no N x k intermediate
     ever leaves the batch."""
     from pyspark.ml.clustering import KMeans
@@ -518,7 +540,7 @@ def kmeans_multiprobe_assignments(
     model = KMeans(
         k=k, seed=seed, featuresCol="__mlvec__", predictionCol="ivf_bucket"
     ).fit(fit_input)
-    return _literal_centroid_assign(
+    return _numpy_centroid_assign(
         corpus, model.clusterCenters(), vec_col, nprobe=nprobe
     )
 
@@ -708,30 +730,17 @@ def cosine_threshold_pairs(
     smaller side; for corpus-x-corpus near-dup at scale, pre-block with
     LSH/IVF buckets and feed the blocked pairs here. Zero-norm vectors
     (NaN cosine) never pair — the shared policy of every near-pair
-    path (see ``embedding_near_dup_pairs``)."""
-    a = left.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__av__"),
-        norm(F.col(vec_col)).alias("__an__"),
-    )
-    b = right.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__bv__"),
-        norm(F.col(vec_col)).alias("__bn__"),
-    )
+    path (see ``embedding_near_dup_pairs``). Scoring is the
+    Arrow-batched numpy cosine: this is a per-candidate-pair stream,
+    the canonical-form rule's slow-path-never shape (module
+    docstring)."""
+    a = left.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__av__"))
+    b = right.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__bv__"))
+    cos_udf = cosine_batch_udf()
     return (
         b.crossJoin(F.broadcast(a))
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            F.round(
-                F.try_divide(
-                    dot(F.col("__av__"), F.col("__bv__")),
-                    F.col("__an__") * F.col("__bn__"),
-                ),
-                6,
-            ),
-        )
+        .withColumn("cos", F.round(cos_udf(F.col("__av__"), F.col("__bv__")), 6))
         .where(~F.isnan(F.col("cos")) & (F.col("cos") >= threshold))
         .select("id_a", "id_b", "cos")
     )

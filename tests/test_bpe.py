@@ -58,6 +58,29 @@ def test_distributed_trainer_matches_local(spark):
     assert dist == local and len(dist) > 50
 
 
+def test_sampled_trainer_deterministic_and_converges(spark):
+    """sample_fraction: seeded hash-deterministic corpus sampling ahead
+    of the frequency pass — two runs are byte-identical, fraction 1.0
+    equals the full fit by construction, and a modest fraction
+    reproduces the full fit's EARLY merges (zipfian head frequencies
+    scale, order holds — the SCALE.md sampled-piece-table recipe)."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = bpe.train_bpe_on_corpus(docs, n_merges=120)
+    s1 = bpe.train_bpe_on_corpus(docs, n_merges=120, sample_fraction=0.5, seed=7)
+    s2 = bpe.train_bpe_on_corpus(docs, n_merges=120, sample_fraction=0.5, seed=7)
+    assert s1 == s2 and len(s1) > 50
+    assert bpe.train_bpe_on_corpus(docs, n_merges=120, sample_fraction=1.0) == full
+    # the early merge SET largely survives 2x downsampling even on this
+    # tiny fixture (exact order flips where thinned counts tie —
+    # SCALE.md "Round-10" measures the overlap at realistic scale)
+    overlap = len(set(s1[:40]) & set(full[:40])) / 40
+    assert overlap >= 0.6, f"early-merge overlap {overlap}"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sample_fraction"):
+        bpe.train_bpe_on_corpus(docs, n_merges=10, sample_fraction=0.0)
+
+
 def test_fast_matches_reference_on_corpus(spark):
     merges = bpe.BPETokenizer.default().merges
     tok = bpe.BPETokenizer(merges)
