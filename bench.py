@@ -60,6 +60,10 @@ HEADLINE = [
     "doc_train_sequences",
     "doc_train_export",
     "ts_correlation",
+    # round-10 additions (new lines only — existing names stay stable
+    # for round-over-round comparability)
+    "q_asof_hot_bucketed",
+    "sim_index_maintenance",
 ]
 
 
@@ -179,6 +183,13 @@ def main() -> None:
     # marker check over a previous run's files.
     shutil.rmtree(
         os.path.join(tempfile.gettempdir(), "sparkmodelar_trainexport"),
+        ignore_errors=True,
+    )
+    # sim_index_maintenance rebuilds its index per call; clear the folder
+    # so the timed line isn't inflated by a prior run's accumulated
+    # commit history
+    shutil.rmtree(
+        os.path.join(tempfile.gettempdir(), "sparkmodelar_maintidx"),
         ignore_errors=True,
     )
     t0 = time.time()

@@ -358,6 +358,7 @@ def start_vector_ingest(
     vec_col: str = "embedding",
     app_id: str | None = None,
     stats_every: int | None = 1,
+    maintenance: dict | None = None,
 ) -> StreamingQuery:
     """Streaming growth of a persisted IVF / IVF-PQ index
     (operators/ann_index.py): each micro-batch of (id, embedding) rows
@@ -401,7 +402,20 @@ def start_vector_ingest(
     bucket imbalance, and live file count, the cheap metadata-only
     health numbers an operator alarms on to schedule a rebuild before
     recall sags (the drift pass stays on-demand: it is the one stat
-    that costs a full scan)."""
+    that costs a full scan).
+
+    ``maintenance={...}`` closes that loop IN the stream: the kwargs
+    are forwarded to ``ann_index.ivf_index_maintenance`` (e.g.
+    ``{"max_appended_fraction": 0.3}``) after every ``stats_every``-th
+    applied epoch, so sustained ingest trips an automatic coarse-
+    quantizer rebuild instead of waiting for an operator. The rebuild
+    replaces the index tables atomically (conditional single-commit
+    replace — open probe plans keep resolving a committed snapshot),
+    and a lost race against ANOTHER writer into the same index
+    (ConcurrentModificationError) is logged and retried at the next
+    cadence tick rather than failing the stream; this stream's own
+    appends can't race it — epochs serialize through the sink. A no-op
+    policy check costs only the metadata stats queries."""
     if app_id is None:
         app_id = vector_ingest_app_id(index_name, checkpoint_dir)
 
@@ -419,10 +433,35 @@ def start_vector_ingest(
 
             from modelardb_rs_spark.operators.ann_index import ivf_index_stats
 
+            log = logging.getLogger(__name__)
             stats = ivf_index_stats(engine, index_name, drift=False)
-            logging.getLogger(__name__).info(
+            log.info(
                 "vector_ingest %s epoch %s: %s", index_name, epoch_id, stats
             )
+            if maintenance:
+                from modelardb_rs_spark.operators.ann_index import (
+                    ivf_index_maintenance,
+                )
+                from modelardb_rs_spark.sources.datafolder import (
+                    ConcurrentModificationError,
+                )
+
+                try:
+                    m = ivf_index_maintenance(
+                        engine, index_name, id_col=id_col, vec_col=vec_col,
+                        **maintenance,
+                    )
+                    if m["rebuilt"]:
+                        log.info(
+                            "vector_ingest %s epoch %s: index rebuilt (%s)",
+                            index_name, epoch_id, "; ".join(m["reasons"]),
+                        )
+                except ConcurrentModificationError:
+                    log.warning(
+                        "vector_ingest %s epoch %s: maintenance replace lost a "
+                        "race to a concurrent writer; retrying next cadence",
+                        index_name, epoch_id,
+                    )
 
     return (
         stream.writeStream.foreachBatch(sink)

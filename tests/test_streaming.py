@@ -496,3 +496,53 @@ def test_streaming_vector_ingest(spark, engine, tmp_path):
     fresh = vector_ingest_batch(engine, "svidx", extra, 0, app_id=other_app)
     assert fresh["replayed"] is False and fresh["appended"] == 10
     assert engine.table("svidx__vectors").count() == 510
+
+
+def test_streaming_vector_ingest_auto_maintenance(spark, engine, tmp_path):
+    """The in-stream maintenance hook: a micro-batch wave that trips
+    max_appended_fraction triggers an automatic atomic rebuild inside
+    the sink — appended_fraction returns to 0 while the stream keeps
+    running, and subsequent epochs append against the NEW centroids."""
+    from modelardb_rs_spark.operators import ann_index
+    from modelardb_rs_spark.sources.testdata import load_table
+    from modelardb_rs_spark.streaming.ingest import start_vector_ingest
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.where(F.col("vec_id") < 300).select("vec_id", "embedding")
+    ann_index.build_ivf_index(engine, "mvidx", first, bucket_col=None, n_buckets=4)
+
+    src = str(tmp_path / "mv_in")
+    os.makedirs(src)
+    # wave 1: 200 appends onto 300 built = 40% appended -> trips 0.25
+    emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 500)).select(
+        "vec_id", "embedding"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(src)
+    q = start_vector_ingest(
+        engine, "mvidx", stream, str(tmp_path / "mv_ckpt"),
+        maintenance={"max_appended_fraction": 0.25},
+    )
+    try:
+        q.processAllAvailable()
+        s = ann_index.ivf_index_stats(engine, "mvidx", drift=False)
+        assert s["appended_fraction"] == 0.0  # the sink rebuilt
+        assert s["current_vectors"] == 500
+        # wave 2: small append — below threshold, no rebuild, appended
+        # against the rebuilt centroids
+        emb.where(F.col("vec_id") >= 480).select(
+            (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    s2 = ann_index.ivf_index_stats(engine, "mvidx", drift=False)
+    assert s2["current_vectors"] == 520
+    assert 0.0 < s2["appended_fraction"] < 0.25
+    # the whole grown index stays probeable end-to-end
+    probe = emb.where(F.col("vec_id") == 490).select(
+        F.lit(888_888).alias("vec_id"), "embedding"
+    )
+    out = ann_index.ivf_index_topk(engine, "mvidx", probe, k=3, nprobe=4)
+    assert {r["neighbor_id"] for r in out.collect()} >= {490}
