@@ -25,9 +25,14 @@ previous buckets' LAST right row (a per-(key, bucket) max_by plus one
 tiny per-key window over at most N bucket rows), so every left row
 still sees matches from earlier buckets. Value-identical to the
 one-pass plan (fuzzed, including the 95%-hot-key case); costs one
-extra min/max job and two small aggregates, so leave it off until a
-key actually dominates. An optional tolerance drops matches older
-than ``tolerance_us``.
+extra min/max job and two small aggregates. Measured crossover
+(scripts/scale_probe_asof_hotkey.py, 100%-hot-key corpus, local[32],
+N=32): the fixed overhead loses below ~1M hot rows (250k: 0.73 vs
+1.27 s), the plans break even between 1M and 4M, and the split wins
+growing with size beyond that (4M: 2.33 -> 1.26 s, 1.85x; 16M:
+8.18 -> 2.50 s, 3.3x) — leave it off until one key carries millions
+of rows. An optional tolerance drops matches older than
+``tolerance_us``.
 
 (Contrast with the common ``applyInPandas``+``pd.merge_asof`` recipe:
 that materializes each key group in one Python worker — this stays
