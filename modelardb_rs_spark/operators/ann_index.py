@@ -539,7 +539,10 @@ def ivfpq_topk(
         .withColumn(
             "cos",
             F.round(
-                ip / (F.col("__qn__") * F.greatest(F.col("pq_norm"), F.lit(1e-12))),
+                F.try_divide(
+                    ip,
+                    F.col("__qn__") * F.greatest(F.col("pq_norm"), F.lit(1e-12)),
+                ),
                 6,
             ),
         )
@@ -568,8 +571,10 @@ def ivfpq_topk(
         .withColumn(
             "cos",
             F.round(
-                dot(F.col("__qv__"), F.col("__cv__"))
-                / (F.col("__qn2__") * F.col("__cn2__")),
+                F.try_divide(
+                    dot(F.col("__qv__"), F.col("__cv__")),
+                    F.col("__qn2__") * F.col("__cn2__"),
+                ),
                 6,
             ),
         )

@@ -243,7 +243,15 @@ def pq_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos",
-            F.round(ip / (F.col("__qn__") * F.greatest(F.col("pq_norm"), F.lit(1e-12))), 6),
+            # try_divide: a zero-norm query yields NULL, which ranked_topk
+            # drops — the shared degenerate-vector policy (and ANSI mode
+            # would otherwise throw DIVIDE_BY_ZERO)
+            F.round(
+                F.try_divide(
+                    ip, F.col("__qn__") * F.greatest(F.col("pq_norm"), F.lit(1e-12))
+                ),
+                6,
+            ),
         )
     )
     from modelardb_rs_spark.operators.similarity import ranked_topk
@@ -273,8 +281,10 @@ def pq_topk(
         .withColumn(
             "cos",
             F.round(
-                dot(F.col("__qv__"), F.col("__cv__"))
-                / (F.col("__qn2__") * F.col("__cn2__")),
+                F.try_divide(
+                    dot(F.col("__qv__"), F.col("__cv__")),
+                    F.col("__qn2__") * F.col("__cn2__"),
+                ),
                 6,
             ),
         )

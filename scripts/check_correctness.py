@@ -97,8 +97,14 @@ def main() -> int:
     spark = make_spark(app_name="correctness-check")
     # warm the session (executor launch + first-job scheduling, ~5 s)
     # OUTSIDE any entry's timer: without this the first entry's wall in
-    # the per-entry runtime table is startup, not the entry
+    # the per-entry runtime table is startup, not the entry. The pandas
+    # round-trip also warms the Python-worker pool + Arrow codecs —
+    # otherwise the first mapInPandas-heavy entry absorbs them (~8 s
+    # measured on the round-10 first-position entry).
     spark.range(1000).repartition(4).count()
+    spark.createDataFrame([(1.0,)], "x double").mapInPandas(
+        lambda it: it, schema="x double"
+    ).collect()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
