@@ -751,6 +751,7 @@ class Engine:
         df: DataFrame,
         partition_by: list[str] | None = None,
         expected_paths: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Atomically replace a NORMAL table's contents in one commit
         (readers see the old snapshot until the commit lands, then the
@@ -769,7 +770,8 @@ class Engine:
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
         return self.folder.replace_normal(
-            name, cast, partition_by=partition_by, expected_paths=expected_paths
+            name, cast, partition_by=partition_by, expected_paths=expected_paths,
+            txn=txn,
         )
 
     def last_txn_version(self, name: str, app_id: str) -> int | None:

@@ -139,17 +139,7 @@ def build_ivf_index(
     # centroids ARE index metadata (n_buckets rows): collect once, write
     # the local rows, and derive the build stats without another scan
     if fitted_C is not None:
-        counts = {
-            int(r["ivf_bucket"]): int(r["n"])
-            for r in vectors.groupBy("ivf_bucket")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        cent_rows = [
-            (b, [float(x) for x in fitted_C[b]], counts.get(b, 0))
-            for b in range(len(fitted_C))
-            if counts.get(b, 0) > 0
-        ]
+        cent_rows = _fitted_cent_rows(vectors, fitted_C)
         vectors.unpersist()
     else:
         cents = bucket_centroids(vectors, vec_col, "ivf_bucket").join(
@@ -238,23 +228,8 @@ def append_to_ivf_index(
         # residuals against the FIXED books + centroids (classic IVFPQ
         # add; books drift from new data the same way centroids do);
         # exact |c_b + dec(codes)| norms ride the same numpy encode pass
-        from modelardb_rs_spark.operators import pq as pq_ops
-
-        books = _cached_pq_books(engine, index_name)
-        cent_df = engine.spark.createDataFrame(
-            cent_rows, "ivf_bucket INT, __c__ ARRAY<FLOAT>"
-        )
-        resid = assigned.join(F.broadcast(cent_df), "ivf_bucket").withColumn(
-            "__resid__",
-            F.zip_with(
-                F.col(vec_col), F.col("__c__"), lambda x, y: (x - y).cast("float")
-            ),
-        )
-        enc = pq_ops.encode_pq(
-            resid, books, vec_col="__resid__", recon_norm_base="__c__"
-        )
-        assigned = enc.select(
-            id_col, vec_col, "ivf_bucket", "pq_codes", "pq_norm"
+        assigned = _encode_residuals(
+            engine, index_name, assigned, cent_rows, id_col, vec_col
         )
     # Count rows as a side effect of the write job itself (Observation
     # metrics piggyback on the action that executes the plan): a caller
@@ -380,17 +355,7 @@ def build_ivfpq_index(
         from pyspark import StorageLevel
 
         vectors = vectors.persist(StorageLevel.MEMORY_AND_DISK)
-        counts = {
-            int(r["ivf_bucket"]): int(r["n"])
-            for r in vectors.groupBy("ivf_bucket")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        cent_rows = [
-            (b, [float(x) for x in fitted_C[b]], counts.get(b, 0))
-            for b in range(len(fitted_C))
-            if counts.get(b, 0) > 0
-        ]
+        cent_rows = _fitted_cent_rows(vectors, fitted_C)
     else:
         cents = bucket_centroids(vectors, vec_col, "ivf_bucket").join(
             vectors.groupBy("ivf_bucket").agg(
@@ -733,6 +698,46 @@ def ivf_index_stats(engine, index_name: str, drift: bool = True) -> dict:
     return out
 
 
+def _fitted_cent_rows(vectors, fitted_C) -> list:
+    """(bucket, centroid, n_vectors) rows for a fitted-quantizer store:
+    ONE counts aggregate over the (persisted) assignment; empty buckets
+    drop (no vectors -> no partition directory -> nothing to probe).
+    Shared by build_ivf_index, build_ivfpq_index, and the maintenance
+    rebuild so the bookkeeping can't drift between them."""
+    counts = {
+        int(r["ivf_bucket"]): int(r["n"])
+        for r in vectors.groupBy("ivf_bucket").agg(F.count("*").alias("n")).collect()
+    }
+    return [
+        (b, [float(x) for x in fitted_C[b]], counts.get(b, 0))
+        for b in range(len(fitted_C))
+        if counts.get(b, 0) > 0
+    ]
+
+
+def _encode_residuals(engine, index_name, assigned, cent_pairs, id_col, vec_col):
+    """Residual-encode ``assigned`` (id, vec, ivf_bucket) against the
+    given (bucket, centroid) pairs using the index's cached PQ books:
+    broadcast centroid join, JVM zip_with residual, one numpy encode
+    pass with exact |c_b + dec(codes)| norms. The shared IVF-PQ encode
+    recipe of append_to_ivf_index and ivf_index_maintenance."""
+    from modelardb_rs_spark.operators import pq as pq_ops
+
+    books = _cached_pq_books(engine, index_name)
+    cent_df = engine.spark.createDataFrame(
+        [(int(b), [float(x) for x in c]) for b, c in cent_pairs],
+        "ivf_bucket INT, __c__ ARRAY<FLOAT>",
+    )
+    resid = assigned.join(F.broadcast(cent_df), "ivf_bucket").withColumn(
+        "__resid__",
+        F.zip_with(
+            F.col(vec_col), F.col("__c__"), lambda x, y: (x - y).cast("float")
+        ),
+    )
+    enc = pq_ops.encode_pq(resid, books, vec_col="__resid__", recon_norm_base="__c__")
+    return enc.select(id_col, vec_col, "ivf_bucket", "pq_codes", "pq_norm")
+
+
 def ivf_index_maintenance(
     engine,
     index_name: str,
@@ -744,6 +749,7 @@ def ivf_index_maintenance(
     vec_col: str = "embedding",
     seed: int = 42,
     fit_sample: int = 65536,
+    stats: dict | None = None,
 ) -> dict:
     """ACT on ``ivf_index_stats``: when a health threshold trips,
     re-fit the coarse quantizer and rewrite the index ATOMICALLY —
@@ -763,10 +769,21 @@ def ivf_index_maintenance(
     Rebuild: seeded numpy k-means re-fit on a hash-ordered sample
     (``numpy_kmeans_buckets`` — same contract as ``build_ivf_index``),
     map-only reassignment of the CURRENT vectors (built + appended),
-    then ``Engine.overwrite`` replaces the vectors and centroid tables
-    — each is ONE commit, so probes resolve either the old snapshot or
-    the new one, never a dropped/empty table, and the old snapshot
-    stays time-travel-readable until VACUUM. The vectors replace is
+    then ``Engine.overwrite`` replaces the vectors table and the
+    centroid table. Atomicity, stated precisely: each table flips in
+    ONE commit — probes never see a dropped, empty, or partially
+    written table, and the old snapshots stay time-travel-readable
+    until VACUUM — but the TWO commits are not jointly atomic (the
+    commit log is per-table). A probe overlapping the short
+    inter-commit window can read new vectors against old centroids (or
+    vice versa): results are well-formed and complete, with recall
+    degraded exactly as by a drifted quantizer — the state the rebuild
+    is fixing anyway. A crash BETWEEN the commits is detected: both
+    replaces carry the same SetTransaction stamp
+    (``ivf_rebuild::<index>``, monotonically increasing version), and
+    the next maintenance call sees the two tables' stamps disagree and
+    forces a rebuild regardless of thresholds — the index self-heals
+    on the next policy run. The vectors replace is additionally
     CONDITIONAL on the live file set the rebuild read (a concurrent
     append aborts it with ConcurrentModificationError rather than
     being silently dropped — re-run maintenance after the ingest
@@ -776,9 +793,13 @@ def ivf_index_maintenance(
     the same pass; retraining books is a full ``build_ivfpq_index``.
 
     ``n_buckets`` defaults to the index's current bucket count.
-    Returns ``{"rebuilt", "reasons", "stats_before"}`` plus
+    ``stats`` accepts a just-computed ``ivf_index_stats`` dict so
+    callers that already hold one (the streaming sink) don't pay the
+    stats queries twice; it must include drift when ``max_drift`` is
+    set. Returns ``{"rebuilt", "reasons", "stats_before"}`` plus
     ``{"n_vectors", "n_buckets"}`` after a rebuild."""
-    stats = ivf_index_stats(engine, index_name, drift=max_drift is not None)
+    if stats is None:
+        stats = ivf_index_stats(engine, index_name, drift=max_drift is not None)
     reasons = []
     if (
         max_appended_fraction is not None
@@ -791,6 +812,15 @@ def ivf_index_maintenance(
         reasons.append(f"bucket_imbalance {stats['bucket_imbalance']} > {max_imbalance}")
     if max_drift is not None and stats["max_centroid_drift"] > max_drift:
         reasons.append(f"max_centroid_drift {stats['max_centroid_drift']} > {max_drift}")
+    vt, ct = _vectors_table(index_name), _centroids_table(index_name)
+    rebuild_app = f"ivf_rebuild::{index_name}"
+    vt_stamp = engine.last_txn_version(vt, rebuild_app)
+    ct_stamp = engine.last_txn_version(ct, rebuild_app)
+    if vt_stamp != ct_stamp:
+        reasons.append(
+            f"crashed rebuild detected (vectors stamp {vt_stamp} != "
+            f"centroids stamp {ct_stamp}) — self-healing"
+        )
     if not reasons:
         return {"rebuilt": False, "reasons": [], "stats_before": stats}
 
@@ -798,8 +828,11 @@ def ivf_index_maintenance(
 
     from modelardb_rs_spark.operators.similarity import numpy_kmeans_buckets
 
-    vt, ct = _vectors_table(index_name), _centroids_table(index_name)
-    expected = list(engine.folder.log(vt).snapshot().paths)
+    vt_snap = engine.folder.log(vt).snapshot()
+    expected = list(vt_snap.paths)
+    # monotonically increasing rebuild stamp: the vectors log version
+    # strictly grows, so each rebuild's stamp is unique and newer
+    stamp = int(vt_snap.version) + 1
     corpus = engine.table(vt).select(id_col, vec_col)
     k = int(n_buckets or stats["n_buckets"])
     bucketed, fitted_C = numpy_kmeans_buckets(
@@ -810,44 +843,25 @@ def ivf_index_maintenance(
         F.col(id_col), F.col(vec_col), F.col("ivf_bucket").cast("int").alias("ivf_bucket")
     )
     if _pqbooks_table(index_name) in engine.tables():
-        from modelardb_rs_spark.operators import pq as pq_ops
-
-        books = _cached_pq_books(engine, index_name)
-        cent_df = engine.spark.createDataFrame(
-            [(b, [float(x) for x in fitted_C[b]]) for b in range(len(fitted_C))],
-            "ivf_bucket INT, __c__ ARRAY<FLOAT>",
+        vectors = _encode_residuals(
+            engine, index_name, vectors,
+            [(b, fitted_C[b]) for b in range(len(fitted_C))], id_col, vec_col,
         )
-        resid = vectors.join(F.broadcast(cent_df), "ivf_bucket").withColumn(
-            "__resid__",
-            F.zip_with(
-                F.col(vec_col), F.col("__c__"), lambda x, y: (x - y).cast("float")
-            ),
-        )
-        enc = pq_ops.encode_pq(
-            resid, books, vec_col="__resid__", recon_norm_base="__c__"
-        )
-        vectors = enc.select(id_col, vec_col, "ivf_bucket", "pq_codes", "pq_norm")
     # the reassignment (a python-worker pass) feeds the replace AND the
     # per-bucket counts: persist so it runs once per rebuild
     vectors = vectors.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        counts = {
-            int(r["ivf_bucket"]): int(r["n"])
-            for r in vectors.groupBy("ivf_bucket").agg(F.count("*").alias("n")).collect()
-        }
-        cent_rows = [
-            (b, [float(x) for x in fitted_C[b]], counts.get(b, 0))
-            for b in range(len(fitted_C))
-            if counts.get(b, 0) > 0
-        ]
+        cent_rows = _fitted_cent_rows(vectors, fitted_C)
         engine.overwrite(
-            vt, vectors, partition_by=["ivf_bucket"], expected_paths=expected
+            vt, vectors, partition_by=["ivf_bucket"], expected_paths=expected,
+            txn=(rebuild_app, stamp),
         )
         engine.overwrite(
             ct,
             engine.spark.createDataFrame(
                 cent_rows, "ivf_bucket INT, centroid ARRAY<FLOAT>, n_vectors BIGINT"
             ),
+            txn=(rebuild_app, stamp),
         )
     finally:
         vectors.unpersist()

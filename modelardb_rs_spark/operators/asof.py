@@ -144,7 +144,11 @@ def asof_join(
     tolerance arithmetic are untouched. Value-identical to the default
     one-pass plan wherever right timestamps are unique per key (among
     EQUAL right timestamps both plans pick an arbitrary row, as any
-    as-of must); costs one min/max job plus two small aggregates."""
+    as-of must); costs one min/max job plus two small aggregates. The
+    ``on`` axis must be NON-NULL on both sides: a NULL time has no
+    place on a time axis, and the two plans disagree on it (the
+    one-pass window happens to sort NULL first and carry its value,
+    the bucketed plan's max_by skips it) — filter NULLs out first."""
     l = left.withColumn("__side__", F.lit(1))
     r = right.select(
         *by, on, *[F.col(c).alias(c + suffix) for c in right_value_cols]

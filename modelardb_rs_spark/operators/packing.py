@@ -212,12 +212,16 @@ def export_training_shards(
     Returns a verification manifest computed by READING BACK the written
     files (not from the input plan): one row per (shard, file_seq) with
     ``n_sequences``, ``n_tokens``, ``first_seq_id``/``last_seq_id``, and
-    ``file_md5`` — an order-sensitive digest over the file's
-    ``seq_id:md5(token_ids)`` pairs. Adjacent files tile the shard
-    (``last_seq_id`` of file k < ``first_seq_id`` of file k+1), so the
-    manifest proves cross-file order, and each digest aggregates
-    32-byte per-sequence digests (computed map-side), never the token
-    payload — the manifest pass stays safe at any shard size."""
+    ``file_md5`` — a digest over the file's ``seq_id:md5(token_ids)``
+    pairs in ascending seq order. The manifest proves CONTENT (every
+    token id of every sequence), file BOUNDARIES, and CROSS-FILE order
+    (adjacent files' seq ranges abut); it is deliberately insensitive
+    to physical row order WITHIN a file (the digest sorts by seq_id
+    first), so in-file order is pinned separately by the pyarrow
+    read-back test (tests/test_packing.py reads the raw files without
+    Spark), not by this digest. Each digest aggregates 32-byte
+    per-sequence digests (computed map-side), never the token payload —
+    the manifest pass stays safe at any shard size."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     if rows_per_file is not None and rows_per_file <= 0:

@@ -103,7 +103,9 @@ def cosine_batch_udf():
     tool when the cosine is evaluated once per CANDIDATE pair over an
     unbounded candidate stream (SCALE.md "Round-9" operational rule:
     the interpreted ``zip_with``/``aggregate`` form costs ~100us per
-    evaluation; this is ~ns inside numpy). Zero-norm rows yield NaN —
+    evaluation; this is ~ns inside numpy). Degenerate rows — zero-norm,
+    NULL, or length-mismatched vectors — yield NaN (the Column form
+    yielded NULL for NULLs; both are dropped by every caller's guard) —
     note a Spark-side ``cos >= t`` compare PASSES NaN (NaN > any
     double), so callers thresholding the result must pair it with a
     ``~isnan`` guard (as ``embedding_near_dup_pairs`` does)."""
@@ -112,12 +114,28 @@ def cosine_batch_udf():
 
     @pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.stack(a.to_numpy()).astype(np.float64, copy=False)
-        B = np.stack(b.to_numpy()).astype(np.float64, copy=False)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = (A * B).sum(axis=1) / (
-                np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
-            )
+        av, bv = a.to_numpy(), b.to_numpy()
+        n = len(av)
+        lens_a = np.fromiter(
+            (len(x) if x is not None else -1 for x in av), dtype=np.int64, count=n
+        )
+        lens_b = np.fromiter(
+            (len(x) if x is not None else -1 for x in bv), dtype=np.int64, count=n
+        )
+        good = (lens_a == lens_b) & (lens_a > 0)
+        if not good.any():
+            return pd.Series(np.full(n, np.nan))
+        # pairs can mix dims (e.g. a corrupt row): group by dim so each
+        # stack is rectangular; the common case is one group
+        out = np.full(n, np.nan)
+        for dim in np.unique(lens_a[good]):
+            idx = np.nonzero(good & (lens_a == dim))[0]
+            A = np.stack(av[idx]).astype(np.float64, copy=False)
+            B = np.stack(bv[idx]).astype(np.float64, copy=False)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[idx] = (A * B).sum(axis=1) / (
+                    np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+                )
         return pd.Series(out)
 
     return _cos
@@ -228,23 +246,20 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
     )
-    pairs = c.crossJoin(F.broadcast(q)).where(
-        F.col("neighbor_id") != F.col("query_id")
-    )
     if dim is not None:
         # norms once per side before the join (a per-pair cosine()
         # would recompute both norms |Q|·|C| times)
-        q_n = q.withColumn("__qn__", norm_fixed(F.col("__qv__"), dim))
-        c_n = c.withColumn("__cn__", norm_fixed(F.col("__cv__"), dim))
-        pairs = c_n.crossJoin(F.broadcast(q_n)).where(
-            F.col("neighbor_id") != F.col("query_id")
-        )
+        q = q.withColumn("__qn__", norm_fixed(F.col("__qv__"), dim))
+        c = c.withColumn("__cn__", norm_fixed(F.col("__cv__"), dim))
         cos = F.try_divide(
             dot_fixed(F.col("__qv__"), F.col("__cv__"), dim),
             F.col("__qn__") * F.col("__cn__"),
         )
     else:
         cos = cosine_batch_udf()(F.col("__qv__"), F.col("__cv__"))
+    pairs = c.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
     scored = pairs.withColumn("cos", F.round(cos, 6))
     return ranked_topk(scored, k)
 

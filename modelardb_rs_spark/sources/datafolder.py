@@ -526,6 +526,7 @@ class DataFolder:
         df: DataFrame,
         partition_by: list[str] | None = None,
         expected_paths: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Atomically REPLACE a normal table's entire live file set in
         ONE commit (the Delta overwrite analog): readers resolve either
@@ -553,7 +554,8 @@ class DataFolder:
             writer.parquet(staged)
 
         return self._stage_and_commit(
-            name, write_staged, op="replace", replace_expected=expected_paths
+            name, write_staged, op="replace", replace_expected=expected_paths,
+            txn=txn,
         )
 
     def last_txn_version(self, name: str, app_id: str) -> int | None:

@@ -407,8 +407,11 @@ def start_vector_ingest(
     ``maintenance={...}`` closes that loop IN the stream: the kwargs
     are forwarded to ``ann_index.ivf_index_maintenance`` (e.g.
     ``{"max_appended_fraction": 0.3}``) after every ``stats_every``-th
-    applied epoch, so sustained ingest trips an automatic coarse-
-    quantizer rebuild instead of waiting for an operator. The rebuild
+    applied epoch — or every applied epoch when ``stats_every=None``
+    (a configured policy is never silently inert) — so sustained
+    ingest trips an automatic coarse-quantizer rebuild instead of
+    waiting for an operator; the policy check reuses the cadence's
+    already-computed stats, paying no second stats pass. The rebuild
     replaces the index tables atomically (conditional single-commit
     replace — open probe plans keep resolving a committed snapshot),
     and a lost race against ANOTHER writer into the same index
@@ -419,25 +422,31 @@ def start_vector_ingest(
     if app_id is None:
         app_id = vector_ingest_app_id(index_name, checkpoint_dir)
 
+    # a configured maintenance policy must never be silently inert:
+    # with stats logging disabled it still runs on every applied epoch
+    cadence = stats_every or (1 if maintenance else None)
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         res = vector_ingest_batch(
             engine, index_name, batch_df, epoch_id, id_col, vec_col, app_id=app_id
         )
         if (
-            stats_every
+            cadence
             and not res.get("replayed")
             and res.get("appended", 0) > 0
-            and int(epoch_id) % stats_every == 0
+            and int(epoch_id) % cadence == 0
         ):
             import logging
 
             from modelardb_rs_spark.operators.ann_index import ivf_index_stats
 
             log = logging.getLogger(__name__)
-            stats = ivf_index_stats(engine, index_name, drift=False)
-            log.info(
-                "vector_ingest %s epoch %s: %s", index_name, epoch_id, stats
-            )
+            needs_drift = bool(maintenance and maintenance.get("max_drift"))
+            stats = ivf_index_stats(engine, index_name, drift=needs_drift)
+            if stats_every:
+                log.info(
+                    "vector_ingest %s epoch %s: %s", index_name, epoch_id, stats
+                )
             if maintenance:
                 from modelardb_rs_spark.operators.ann_index import (
                     ivf_index_maintenance,
@@ -447,9 +456,11 @@ def start_vector_ingest(
                 )
 
                 try:
+                    # the just-computed stats ride along — the policy
+                    # check costs no second stats pass
                     m = ivf_index_maintenance(
                         engine, index_name, id_col=id_col, vec_col=vec_col,
-                        **maintenance,
+                        stats=stats, **maintenance,
                     )
                     if m["rebuilt"]:
                         log.info(

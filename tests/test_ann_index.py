@@ -504,3 +504,32 @@ def test_overwrite_is_atomic_and_conditional(engine, spark):
             expected_paths=stale,
         )
     assert engine.table("ow").count() == 3  # aborted replace changed nothing
+
+
+def test_ivf_maintenance_self_heals_crashed_rebuild(engine, emb):
+    """The two rebuild commits are per-table; a crash between them
+    leaves the tables' ivf_rebuild txn stamps disagreeing. The next
+    maintenance call must detect that and force a rebuild even when no
+    threshold trips."""
+    ann_index.build_ivf_index(engine, "chidx", emb, bucket_col=None, n_buckets=4)
+    out = ann_index.ivf_index_maintenance(engine, "chidx", max_appended_fraction=0.9)
+    assert out["rebuilt"] is False
+    # simulate the crash: stamp ONLY the vectors table (the state a
+    # death between the two overwrite commits leaves behind)
+    vt = "chidx__vectors"
+    snap = engine.folder.log(vt).snapshot()
+    engine.overwrite(
+        vt,
+        engine.table(vt),
+        partition_by=["ivf_bucket"],
+        txn=("ivf_rebuild::chidx", int(snap.version) + 1),
+    )
+    healed = ann_index.ivf_index_maintenance(
+        engine, "chidx", max_appended_fraction=0.9
+    )
+    assert healed["rebuilt"] is True
+    assert any("crashed rebuild" in r for r in healed["reasons"])
+    # stamps agree again afterwards: a rerun is a no-op
+    again = ann_index.ivf_index_maintenance(engine, "chidx", max_appended_fraction=0.9)
+    assert again["rebuilt"] is False
+    assert engine.table(vt).count() == emb.count()

@@ -834,3 +834,26 @@ def test_pq_topk_recall_with_rerank(spark):
     with pytest.raises(ValueError, match="query set exceeds"):
         pq_ops.pq_topk(enc, books, df, k=5, max_queries=100)
     assert len(pq_ops.pq_topk(enc, books, q, k=5, max_queries=5).collect()) == 25
+
+
+def test_null_embeddings_never_pair_or_rank(vectors):
+    """A NULL embedding must behave like a zero-norm one — dropped by
+    every scorer, not a numpy stack crash (the batched cosine handles
+    NULL and length-mismatched vectors by yielding NaN)."""
+    spark = vectors.sparkSession
+    bad = spark.createDataFrame(
+        [Row(vec_id=7777, embedding=None, label=0),
+         Row(vec_id=7778, embedding=[1.0, 2.0], label=0)],  # wrong dim
+        schema=vectors.schema,
+    )
+    corpus = vectors.unionByName(bad)
+    topk = sim_ops.brute_force_topk(
+        corpus, vectors.where(F.col("vec_id") == 0), k=200
+    )
+    assert topk.where("neighbor_id IN (7777, 7778)").count() == 0
+    thr = sim_ops.cosine_threshold_pairs(
+        corpus.where(F.col("vec_id").isin(0, 7777, 7778)), corpus, threshold=0.5
+    )
+    assert thr.where("id_a IN (7777, 7778) OR id_b IN (7777, 7778)").count() == 0
+    # NULL queries return no rows rather than crashing
+    assert sim_ops.brute_force_topk(corpus, bad, k=3).count() == 0
