@@ -2131,6 +2131,32 @@ def sim_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_reconstruction_stats(emb)
 
 
+def sim_semantic_dedup_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-bucket-distributed semantic dedup
+    (semantic_near_pairs(max_bucket_rows=...): buckets above the cap
+    split into hash chunks and the quadratic verify runs one task per
+    (chunk_i, chunk_j) pair — per-task memory bounded by two chunks,
+    work spread across the cluster, output bit-identical to the
+    single-task plan by construction). Same corpus, same closed-form
+    oracle as sim_semantic_dedup — this entry pins the chunked plan's
+    value-identity under the driver's gate."""
+    from modelardb_rs_spark.operators.similarity import semantic_dedup
+
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    dups = emb.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.001)).cast("float")
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.unionByName(dups)
+    kept = semantic_dedup(
+        corpus, threshold=0.999, n_clusters=8, max_bucket_rows=24
+    )
+    return kept.select("vec_id").orderBy("vec_id")
+
+
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (operators/similarity.py::
     semantic_dedup, Abbas et al. 2023): k-means clusters cap pairwise
@@ -2678,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_train_export": doc_train_export,
         "stream_vector_ingest": stream_vector_ingest,
         "sim_semantic_dedup": sim_semantic_dedup,
+        "sim_semantic_dedup_chunked": sim_semantic_dedup_chunked,
         "sim_semantic_dedup_collapsed": sim_semantic_dedup_collapsed,
         "sim_index_stats": sim_index_stats,
         "sim_index_maintenance": sim_index_maintenance,
@@ -4715,6 +4742,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["sim_semantic_dedup"] = """
         SELECT vec_id FROM embeddings ORDER BY vec_id
     """
+    # chunked hot-bucket plan is value-identical by construction
+    oracles["sim_semantic_dedup_chunked"] = oracles["sim_semantic_dedup"]
     # nprobe=2 widens the EXAMINED pair set only; the qualifying pairs
     # (cosine exactly 1) and therefore the kept set are unchanged
     oracles["sim_semantic_dedup_multiprobe"] = """

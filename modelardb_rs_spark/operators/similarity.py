@@ -32,7 +32,9 @@ operational rule, measured):
   pays above ~10^6 scored pairs with a known small dim.
 - **Whole-BUCKET quadratic verifies** (semantic dedup): one chunked
   numpy matmul per bucket inside ``applyInPandas``
-  (``_bucket_near_pairs_fn``) — candidates never exist as rows.
+  (``_bucket_near_pairs_fn``) — candidates never exist as rows; a hot
+  bucket distributes EXACTLY via ``max_bucket_rows`` (one task per
+  chunk pair, ``_chunk_pair_fn``).
 - **Per-(row, centroid) assignment** (k-means assign, multi-probe):
   ``_numpy_centroid_assign`` — a mapInPandas batch distance scan with
   the centroid matrix in the closure.
@@ -804,6 +806,52 @@ def _bucket_near_pairs_fn(threshold: float, vec_col: str):
     return fn
 
 
+def _chunk_pair_fn(threshold: float, vec_col: str):
+    """``applyInPandas`` body for the HOT-BUCKET chunked verify: one
+    task per (bucket, chunk_i, chunk_j) pair. The diagonal task
+    (i == j) computes its chunk's triangle exactly like
+    ``_bucket_near_pairs_fn``; an off-diagonal task computes the CROSS
+    cosine block between its two chunks. Every unordered within-bucket
+    pair lands in exactly one task (its members' chunk pair), so the
+    union over tasks reproduces the single-task verify bit-for-bit with
+    per-task memory bounded by TWO chunks instead of the whole bucket —
+    and the quadratic work spreads across the cluster instead of
+    serializing into one worker."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ti, tj = int(key[1]), int(key[2])
+        if ti == tj:
+            return _bucket_near_pairs_fn(threshold, vec_col)(pdf)
+        a_pdf = pdf[pdf["__c__"] == ti]
+        b_pdf = pdf[pdf["__c__"] == tj]
+        if not len(a_pdf) or not len(b_pdf):
+            empty = pdf["__id__"].iloc[:0]
+            return pd.DataFrame({"id_a": empty, "id_b": empty})
+        ids_a = a_pdf["__id__"].to_numpy()
+        ids_b = b_pdf["__id__"].to_numpy()
+        VA = np.stack(a_pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+        VB = np.stack(b_pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+        na = np.sqrt((VA * VA).sum(axis=1))
+        nb = np.sqrt((VB * VB).sum(axis=1))
+        out_a, out_b = [], []
+        bs = max(1, (1 << 22) // max(len(VB), 1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for st in range(0, len(VA), bs):
+                block = VA[st : st + bs] @ VB.T
+                cos = block / (na[st : st + bs, None] * nb[None, :])
+                ii, jj = np.nonzero(cos >= threshold)
+                ida, idb = ids_a[st + ii], ids_b[jj]
+                out_a.append(np.minimum(ida, idb))
+                out_b.append(np.maximum(ida, idb))
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return fn
+
+
 def semantic_near_pairs(
     corpus: DataFrame,
     threshold: float = 0.97,
@@ -814,6 +862,7 @@ def semantic_near_pairs(
     fit_sample: int | None = 65536,
     assignments: DataFrame | None = None,
     nprobe: int = 1,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """The verified near-duplicate PAIRS of the SemDeDup pipeline:
     cluster (or reuse ``assignments``), self-join ids within each
@@ -844,15 +893,22 @@ def semantic_near_pairs(
     WORSE: pair generation itself dominates). BLAS does the 12.5M
     dot products in under a second; the whole verify including the
     exchange measured ~3s. Arrow transfer is corpus x ``nprobe``
-    volume, never candidates. A hot bucket serializes into one
-    worker under ANY bucket-keyed design; here it must also fit its
-    vectors in that worker's memory (m x dim x 8 bytes — 10M x 64-dim
-    = 5 GB; the matmul itself is chunked to a fixed ~32 MB block, so
-    memory is the VECTORS, not the m^2 pair matrix). Upstream bucket
-    sizing (n_clusters) is the lever, as it already must be for the
-    quadratic work itself. ``nprobe > 1`` dedups pairs that co-occur
-    in several probed buckets with a distinct over SURVIVORS, not
-    candidates."""
+    volume, never candidates. By default a hot bucket serializes into
+    one worker and must fit its vectors in that worker's memory
+    (m x dim x 8 bytes — 10M x 64-dim = 5 GB; the matmul itself is
+    chunked to a fixed ~32 MB block, so memory is the VECTORS, not the
+    m^2 pair matrix); ``n_clusters`` is the first lever.
+    ``max_bucket_rows=M`` removes the ceiling EXACTLY: buckets larger
+    than M split into hash chunks of ~M rows and the verify runs one
+    task per (chunk_i, chunk_j) pair — per-task memory is TWO chunks,
+    the quadratic work spreads across the cluster, and every unordered
+    pair lands in exactly one task so the output is bit-identical to
+    the single-task path (tested). The cost is Arrow re-transfer: each
+    hot-bucket row ships to its n_chunks tasks, i.e. transfer grows by
+    ~m/M for that bucket — the unavoidable price of distributing m^2
+    work; small buckets (<= M) keep the one-task path unchanged.
+    ``nprobe > 1`` dedups pairs that co-occur in several probed
+    buckets with a distinct over SURVIVORS, not candidates."""
     has_nan = F.exists(F.col(vec_col), F.isnan)
     if assignments is not None:
         assigned = corpus.select(id_col, vec_col).join(
@@ -880,19 +936,51 @@ def semantic_near_pairs(
     from pyspark.sql import types as T
 
     id_type = corpus.schema[id_col].dataType
-    pairs = (
-        assigned.select("ivf_bucket", F.col(id_col).alias("__id__"), F.col(vec_col))
-        .groupBy("ivf_bucket")
-        .applyInPandas(
-            _bucket_near_pairs_fn(float(threshold), vec_col),
-            T.StructType(
-                [
-                    T.StructField("id_a", id_type, True),
-                    T.StructField("id_b", id_type, True),
-                ]
-            ),
-        )
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type, True),
+            T.StructField("id_b", id_type, True),
+        ]
     )
+    rows = assigned.select(
+        "ivf_bucket", F.col(id_col).alias("__id__"), F.col(vec_col)
+    )
+    if max_bucket_rows is None:
+        pairs = rows.groupBy("ivf_bucket").applyInPandas(
+            _bucket_near_pairs_fn(float(threshold), vec_col), out_schema
+        )
+    else:
+        if max_bucket_rows <= 0:
+            raise ValueError(f"max_bucket_rows must be positive, got {max_bucket_rows}")
+        # bucket sizes are index metadata (n_buckets tiny rows): one
+        # count aggregate, broadcast back as a chunk-count frame
+        spark = corpus.sparkSession
+        sizes = rows.groupBy("ivf_bucket").agg(F.count("*").alias("__n__")).collect()
+        nchunks_df = spark.createDataFrame(
+            [
+                (int(r["ivf_bucket"]), -(-int(r["__n__"]) // int(max_bucket_rows)))
+                for r in sizes
+            ],
+            "ivf_bucket INT, __nc__ INT",
+        )
+        tagged = rows.join(F.broadcast(nchunks_df), "ivf_bucket").withColumn(
+            "__c__",
+            F.pmod(F.xxhash64(F.col("__id__")), F.col("__nc__")).cast("int"),
+        )
+        # each row joins every (chunk_i, chunk_j) task it belongs to:
+        # one explode over its bucket's chunk count — a row in chunk c
+        # meets partner chunk o in task (min(c,o), max(c,o)), each
+        # exactly once, so no post-dedup is needed
+        tasks = (
+            tagged.withColumn(
+                "__o__", F.explode(F.sequence(F.lit(0), F.col("__nc__") - 1))
+            )
+            .withColumn("__ti__", F.least("__c__", "__o__"))
+            .withColumn("__tj__", F.greatest("__c__", "__o__"))
+        )
+        pairs = tasks.groupBy("ivf_bucket", "__ti__", "__tj__").applyInPandas(
+            _chunk_pair_fn(float(threshold), vec_col), out_schema
+        )
     if nprobe > 1:
         # a pair can co-occur in several probed buckets; the distinct
         # runs over SURVIVORS (true near-dups), not the candidate stream
@@ -911,6 +999,7 @@ def semantic_dedup(
     assignments: DataFrame | None = None,
     collapse_exact: bool = False,
     nprobe: int = 1,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cluster the embeddings, find
@@ -1012,6 +1101,7 @@ def semantic_dedup(
         fit_sample=fit_sample,
         assignments=assignments,
         nprobe=nprobe,
+        max_bucket_rows=max_bucket_rows,
     )
     drop = (
         duplicate_clusters(pairs)

@@ -857,3 +857,50 @@ def test_null_embeddings_never_pair_or_rank(vectors):
     assert thr.where("id_a IN (7777, 7778) OR id_b IN (7777, 7778)").count() == 0
     # NULL queries return no rows rather than crashing
     assert sim_ops.brute_force_topk(corpus, bad, k=3).count() == 0
+
+
+def test_semantic_near_pairs_chunked_matches_single_task(vectors):
+    """max_bucket_rows distributes a hot bucket's quadratic verify
+    across (chunk_i, chunk_j) tasks — the output must be bit-identical
+    to the single-task path (every unordered pair lands in exactly one
+    task), including under multi-probe assignment and through
+    semantic_dedup's survivor semantics."""
+    single = {
+        (r.id_a, r.id_b)
+        for r in sim_ops.semantic_near_pairs(
+            vectors, threshold=0.9, n_clusters=2
+        ).collect()
+    }
+    assert single  # the fixture's tight clusters produce pairs
+    for m in (1, 7, 10_000):  # 1 = max chunking, 10k = no bucket splits
+        chunked = {
+            (r.id_a, r.id_b)
+            for r in sim_ops.semantic_near_pairs(
+                vectors, threshold=0.9, n_clusters=2, max_bucket_rows=m
+            ).collect()
+        }
+        assert chunked == single, f"max_bucket_rows={m}"
+    multi_single = {
+        (r.id_a, r.id_b)
+        for r in sim_ops.semantic_near_pairs(
+            vectors, threshold=0.9, n_clusters=4, nprobe=2
+        ).collect()
+    }
+    multi_chunked = {
+        (r.id_a, r.id_b)
+        for r in sim_ops.semantic_near_pairs(
+            vectors, threshold=0.9, n_clusters=4, nprobe=2, max_bucket_rows=9
+        ).collect()
+    }
+    assert multi_chunked == multi_single
+    kept_single = {
+        r.vec_id
+        for r in sim_ops.semantic_dedup(vectors, threshold=0.9, n_clusters=2).collect()
+    }
+    kept_chunked = {
+        r.vec_id
+        for r in sim_ops.semantic_dedup(
+            vectors, threshold=0.9, n_clusters=2, max_bucket_rows=8
+        ).collect()
+    }
+    assert kept_chunked == kept_single
