@@ -903,7 +903,9 @@ def semantic_near_pairs(
     task per (chunk_i, chunk_j) pair — per-task memory is TWO chunks,
     the quadratic work spreads across the cluster, and every unordered
     pair lands in exactly one task so the output is bit-identical to
-    the single-task path (tested). The cost is Arrow re-transfer: each
+    the single-task path (tested; measured on a 60k-vector single hot
+    bucket at local[32]: 65.8 s single-task -> 12.4 s at M=8000 ->
+    7.5 s at M=3000, identical pairs — SCALE.md "Round-10"). The cost is Arrow re-transfer: each
     hot-bucket row ships to its n_chunks tasks, i.e. transfer grows by
     ~m/M for that bucket — the unavoidable price of distributing m^2
     work; small buckets (<= M) keep the one-task path unchanged.
