@@ -443,6 +443,12 @@ def test_string_ids_flow_through_lsh_and_semantic_paths(vectors):
     sem = sim_ops.semantic_near_pairs(corpus, threshold=0.999, n_clusters=2)
     assert dict(sem.dtypes)["id_a"] == "string"
     assert ("doc-0", "doc-copy") in {(r.id_a, r.id_b) for r in sem.collect()}
+    # the chunk-pair hot-bucket path must handle string ids too
+    # (xxhash64 chunk assignment + numpy min/max pair orientation)
+    chunked = sim_ops.semantic_near_pairs(
+        corpus, threshold=0.999, n_clusters=2, max_bucket_rows=9
+    )
+    assert ("doc-0", "doc-copy") in {(r.id_a, r.id_b) for r in chunked.collect()}
 
 
 def test_multimodal_plumbing(docs):
