@@ -762,7 +762,13 @@ def ivf_index_maintenance(
     (bucket_max/mean — probe cost concentration), ``max_drift``
     (1 - cos(stored centroid, current bucket mean); None by default
     because measuring drift costs the stats pass's one full corpus
-    scan — enable it for scheduled maintenance, not hot-path checks).
+    scan — enable it for scheduled maintenance, not hot-path checks.
+    Set it WELL ABOVE the post-rebuild residual: a sampled-fit build
+    stores the fitted quantizer centroids, which differ from the exact
+    posterior bucket means by the Lloyd convergence gap — measured
+    ~0.002 max on the fixture — so a threshold at or below that
+    residual would trip on every run and oscillate; ~10x the
+    post-build reading is a sane floor).
     A no-op run (nothing tripped) launches only the stats queries and
     changes nothing — safe to call on every ingest epoch.
 

@@ -533,3 +533,64 @@ def test_ivf_maintenance_self_heals_crashed_rebuild(engine, emb):
     again = ann_index.ivf_index_maintenance(engine, "chidx", max_appended_fraction=0.9)
     assert again["rebuilt"] is False
     assert engine.table(vt).count() == emb.count()
+
+
+def test_ivf_maintenance_trips_on_drift_and_imbalance(engine, spark, emb):
+    """The other two policy levers: a skewed append wave (many copies
+    of one far-offset vector) drags one bucket's mean and size, so
+    max_drift and max_imbalance each trip a rebuild on their own; after
+    the rebuild the drift is ~0 again (fitted centroids ARE the
+    quantizer geometry)."""
+    ann_index.build_ivf_index(engine, "didx", emb, bucket_col=None, n_buckets=6)
+    probe = emb.where(F.col("vec_id") == 7).select("embedding")
+    skew = (
+        spark.range(300)
+        .crossJoin(probe)
+        .select(
+            (F.col("id") + 10_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.lit(3.0) + F.lit(5.0)).cast("float")
+            ).alias("embedding"),
+        )
+    )
+    ann_index.append_to_ivf_index(engine, "didx", skew)
+    s = ann_index.ivf_index_stats(engine, "didx", drift=True)
+    assert s["max_centroid_drift"] > 0.001 and s["bucket_imbalance"] > 1.5
+    # imbalance-only policy trips (appended/drift thresholds disabled)
+    out = ann_index.ivf_index_maintenance(
+        engine, "didx", max_appended_fraction=None, max_imbalance=1.5
+    )
+    assert out["rebuilt"] is True
+    assert any("bucket_imbalance" in r for r in out["reasons"])
+    # drift-only policy. A sampled-fit rebuild leaves RESIDUAL drift
+    # (fitted centroids differ from exact posterior means by the Lloyd
+    # convergence gap, ~0.002 on this fixture — see the docstring), so
+    # the threshold sits above it: freshly rebuilt -> no-op; a second
+    # skew wave drags a bucket mean far past it -> trip.
+    fresh = ann_index.ivf_index_stats(engine, "didx", drift=True)
+    thr = max(0.02, 5 * fresh["max_centroid_drift"])
+    noop = ann_index.ivf_index_maintenance(
+        engine, "didx", max_appended_fraction=None, max_drift=thr
+    )
+    assert noop["rebuilt"] is False
+    # the rebuild gave the first wave its own bucket, so identical
+    # copies no longer drag a mean — the second wave sits at a NEW
+    # offset, pulling whichever bucket captures it
+    ann_index.append_to_ivf_index(
+        engine, "didx",
+        skew.select(
+            (F.col("vec_id") + 50_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.lit(-2.0) - F.lit(9.0)).cast("float")
+            ).alias("embedding"),
+        ),
+    )
+    waved = ann_index.ivf_index_stats(engine, "didx", drift=True)
+    assert waved["max_centroid_drift"] > thr  # the wave really trips it
+    tripped = ann_index.ivf_index_maintenance(
+        engine, "didx", max_appended_fraction=None, max_drift=thr
+    )
+    assert tripped["rebuilt"] is True
+    assert any("max_centroid_drift" in r for r in tripped["reasons"])
+    after = ann_index.ivf_index_stats(engine, "didx", drift=True)
+    assert after["max_centroid_drift"] < thr  # back under the policy line

@@ -349,3 +349,28 @@ def test_ann_rank_is_two_phase(spark):
     # executedPlan prints top-down: Final < Exchange < Partial
     assert final < exchange < partial, plan
     assert out.count() == 4 * 5
+
+
+def test_asof_hot_key_window_partitions_by_time_bucket(spark):
+    """The two-pass as-of plan's SCALE property is that the carried-
+    value window partitions by (key, time bucket) — one hot key spreads
+    over N tasks instead of one. Pin that in the physical plan: the
+    Window operator's partition spec must include the bucket column
+    (and the one-pass plan's must not)."""
+    from modelardb_rs_spark.operators.asof import asof_join
+
+    left = spark.range(200).selectExpr("CAST(0 AS INT) AS k", "id AS t", "id AS lv")
+    right = spark.range(50).selectExpr(
+        "CAST(0 AS INT) AS k", "id * 4 AS t", "id + 1000 AS rv"
+    )
+    two = asof_join(
+        left, right, on="t", by=["k"], right_value_cols=["rv"], hot_key_buckets=8
+    )
+    plan2 = two._jdf.queryExecution().executedPlan().toString()
+    win2 = [ln for ln in plan2.splitlines() if "Window" in ln and "windowspec" in ln.lower()]
+    assert win2 and all("__b__" in ln for ln in win2), plan2[:2000]
+
+    one = asof_join(left, right, on="t", by=["k"], right_value_cols=["rv"])
+    plan1 = one._jdf.queryExecution().executedPlan().toString()
+    win1 = [ln for ln in plan1.splitlines() if "Window" in ln and "windowspec" in ln.lower()]
+    assert win1 and not any("__b__" in ln for ln in win1)
