@@ -2693,13 +2693,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS to the driver (it verifies the FIRST 50 entries):
-    # rounds 8-9 sampled an identical 50-set, leaving every entry below
-    # position 50 driver-unverified, so the dict now leads with the
-    # never-yet-sampled surface (round-9 additions first) and the
-    # long-verified TPC-H/ts entries move to the tail. The full-124 run
-    # costs ~3-3.5 min (TESTDATA.md) — the standing proposal is to gate
-    # on all of it; until then this rotation is the widening lever.
+    # round 10 verified the previous first-50; cumulative coverage is now
+    # 103/127. This rotation puts the LAST 24 never-driver-sampled entries
+    # first, padded to 50 with the least-recently-verified entries
+    # (multimodal_* last sampled r1/r7; the q_*/stream_* block last
+    # sampled r9). A green CORRECTNESS_r11 on the first 24 completes
+    # cumulative driver verification of every declared entry. The full
+    # 127-entry run costs ~3-3.5 min (TESTDATA.md) -- the standing
+    # proposal is to gate on all of it; until then rotation is the lever.
     return {
+        # --- 24 never driver-sampled (complete the sweep) ---
+        "doc_domain_mix": doc_domain_mix,
+        "doc_shuffle_shards": doc_shuffle_shards,
+        "doc_stratified_sample": doc_stratified_sample,
+        "multimodal_resize": multimodal_resize,
+        "doc_repetition": doc_repetition,
+        "doc_tfidf": doc_tfidf,
+        "doc_profile": doc_profile,
+        "doc_sample": doc_sample,
+        "doc_chunks": doc_chunks,
+        "doc_top_ngrams": doc_top_ngrams,
+        "doc_unigram_lm": doc_unigram_lm,
+        "ts_correlation": ts_correlation,
+        "ts_autocorr": ts_autocorr,
+        "ts_trend": ts_trend,
+        "ts_seasonal": ts_seasonal,
+        "ts_periodicity": ts_periodicity,
+        "q_json_props": q_json_props,
+        "q_funnel": q_funnel,
+        "q_interval_join": q_interval_join,
+        "ts_retention": ts_retention,
+        "ts_rollup_retention": ts_rollup_retention,
+        "q10_returned_items": q10_returned_items,
+        "q18_large_orders": q18_large_orders,
+        "q_interp_join": q_interp_join,
+        # --- padding to 50: least-recently-verified (r1/r7/r9) ---
+        "multimodal_features": multimodal_features,
+        "multimodal_metadata": multimodal_metadata,
+        "multimodal_frames": multimodal_frames,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_revenue_forecast": q6_revenue_forecast,
+        "q_anti_join": q_anti_join,
+        "q_asof_join": q_asof_join,
+        "q_asof_sql": q_asof_sql,
+        "q_distinct_parts": q_distinct_parts,
+        "q_events_hourly": q_events_hourly,
+        "q_events_sessions": q_events_sessions,
+        "q_min_price_per_brand": q_min_price_per_brand,
+        "q_nation_volume": q_nation_volume,
+        "q_order_priority": q_order_priority,
+        "q_percentiles": q_percentiles,
+        "q_pivot": q_pivot,
+        "q_rollup": q_rollup,
+        "q_set_ops": q_set_ops,
+        "q_subquery_scalar": q_subquery_scalar,
+        "q_top_customers": q_top_customers,
+        "q_topk_per_group": q_topk_per_group,
+        "q_window_running_total": q_window_running_total,
+        "stream_continuous_rollup": stream_continuous_rollup,
+        "stream_dedup": stream_dedup,
+        # --- tail: driver-verified in rounds 9-10 ---
         "sim_semantic_dedup_multiprobe": sim_semantic_dedup_multiprobe,
         "doc_train_export": doc_train_export,
         "stream_vector_ingest": stream_vector_ingest,
@@ -2750,48 +2805,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "doc_clean_pipeline": doc_clean_pipeline,
         "doc_rag_pipeline": doc_rag_pipeline,
-        "doc_domain_mix": doc_domain_mix,
-        "doc_shuffle_shards": doc_shuffle_shards,
-        "doc_stratified_sample": doc_stratified_sample,
-        # --- position >50: never-sampled tail (rotate forward next) ---
-        "multimodal_frames": multimodal_frames,
-        "multimodal_metadata": multimodal_metadata,
-        "multimodal_features": multimodal_features,
-        "multimodal_resize": multimodal_resize,
-        "doc_repetition": doc_repetition,
-        "doc_tfidf": doc_tfidf,
-        "doc_profile": doc_profile,
-        "doc_sample": doc_sample,
-        "doc_chunks": doc_chunks,
-        "doc_top_ngrams": doc_top_ngrams,
-        "doc_unigram_lm": doc_unigram_lm,
-        "ts_correlation": ts_correlation,
-        "ts_autocorr": ts_autocorr,
-        "ts_trend": ts_trend,
-        "ts_seasonal": ts_seasonal,
-        "ts_periodicity": ts_periodicity,
-        "q_json_props": q_json_props,
-        "q_funnel": q_funnel,
-        "q_interval_join": q_interval_join,
-        "ts_retention": ts_retention,
-        "ts_rollup_retention": ts_rollup_retention,
-        "q10_returned_items": q10_returned_items,
-        "q18_large_orders": q18_large_orders,
-        "q_interp_join": q_interp_join,
-        # --- driver-verified green in rounds 8 AND 9 (moved back) ---
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_revenue_forecast": q6_revenue_forecast,
-        "q_top_customers": q_top_customers,
-        "q_order_priority": q_order_priority,
-        "q_window_running_total": q_window_running_total,
-        "q_distinct_parts": q_distinct_parts,
-        "q_set_ops": q_set_ops,
-        "q_rollup": q_rollup,
-        "q_anti_join": q_anti_join,
-        "q_events_hourly": q_events_hourly,
-        "q_events_sessions": q_events_sessions,
         "ts_grid_roundtrip": ts_grid_roundtrip,
         "ts_pushdown_aggs": ts_pushdown_aggs,
         "ts_pushdown_var": ts_pushdown_var,
@@ -2819,16 +2832,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_lossy_bound": ts_lossy_bound,
         "ts_time_travel": ts_time_travel,
         "stream_windowed_rollup": stream_windowed_rollup,
-        "stream_continuous_rollup": stream_continuous_rollup,
-        "stream_dedup": stream_dedup,
-        "q_subquery_scalar": q_subquery_scalar,
-        "q_min_price_per_brand": q_min_price_per_brand,
-        "q_nation_volume": q_nation_volume,
-        "q_pivot": q_pivot,
-        "q_asof_join": q_asof_join,
-        "q_asof_sql": q_asof_sql,
-        "q_topk_per_group": q_topk_per_group,
-        "q_percentiles": q_percentiles,
     }
 
 
