@@ -54,14 +54,28 @@ def _bucket_and_seed(
 ) -> DataFrame:
     """The first pass of the two-pass hot-key as-of: split the time axis
     into ``n_buckets`` contiguous ranges (one tiny min/max job fixes the
-    boundaries) and inject, for every (key, bucket), a SEED right row =
-    the last right row of all earlier buckets for that key. Seeds keep
-    their real ``on`` value — strictly before their bucket's range — so
-    the second pass's ordering, strict-tie, and tolerance logic apply to
-    them unchanged. Cost shape: a per-(key, bucket) ``max_by`` (map-side
-    combinable), a distinct over (key, bucket) pairs, and one per-key
-    window over at most ``n_buckets`` rows — all metadata-sized relative
-    to the input."""
+    boundaries) and inject, for every (key, bucket), a SEED right row
+    summarizing all earlier buckets for that key. Seeds keep a real
+    ``on`` value — strictly before their bucket's range — so the second
+    pass's ordering, strict-tie, and tolerance logic apply to them
+    unchanged.
+
+    The seed is built PER CARRIED COLUMN with last-non-null semantics,
+    exactly mirroring the one-pass plan's ``last(c, ignorenulls=True)``:
+    each column's seed value is the latest NON-NULL occurrence among
+    earlier right rows (``max_by`` over rows where that column is
+    non-null, then a per-column last-non-null across bucket summaries),
+    while the seed's ``on`` value is the latest right row's timestamp
+    regardless of null payloads — the value ``__right_ts__`` (and thus
+    the tolerance gate) sees in the one-pass plan. A single whole-row
+    ``max_by`` seed would instead carry a NULL when the latest right
+    row happens to hold NULL in one column, silently diverging from
+    the one-pass plan wherever carried columns are nullable.
+
+    Cost shape: one per-(key, bucket) aggregate (map-side combinable),
+    a distinct over (key, bucket) pairs, and one per-key window over at
+    most ``n_buckets`` rows — all metadata-sized relative to the
+    input."""
     if dict(u.dtypes)[on].startswith("timestamp"):
         t_num = F.unix_micros(F.col(on)).cast("double")
     else:
@@ -81,10 +95,19 @@ def _bucket_and_seed(
     ).cast("int")
     u = u.withColumn("__b__", b).drop("__tnum__")
     rights = u.where(F.col("__side__") == 0)
-    payload = F.struct(F.col(on).alias("__on__"), *[F.col(c) for c in carried_cols])
-    bucket_last = rights.groupBy(*by, "__b__").agg(
-        F.max_by(payload, F.col(on)).alias("__s__")
-    )
+    # per-bucket summary: the bucket's latest right timestamp, plus —
+    # per carried column — the value of the bucket's latest right row
+    # where THAT column is non-null (max_by ignores rows whose ordering
+    # expression is NULL, so null payloads are skipped, matching the
+    # one-pass window's ignorenulls carry)
+    aggs = [F.max(F.col(on)).alias("__on__")]
+    for c in carried_cols:
+        aggs.append(
+            F.max_by(
+                F.col(c), F.when(F.col(c).isNotNull(), F.col(on))
+            ).alias(c)
+        )
+    bucket_last = rights.groupBy(*by, "__b__").agg(*aggs)
     # every (key, bucket) that EXISTS needs a seed — including buckets
     # holding only left rows, which bucket_last alone would miss
     kb = u.select(*by, "__b__").distinct()
@@ -93,22 +116,23 @@ def _bucket_and_seed(
         .orderBy("__b__")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # cumulative across earlier buckets: buckets are time-ordered, so
+    # the last bucket summary with a non-null value for a column holds
+    # the globally-latest non-null value for that column
     seeds = (
         kb.join(bucket_last, [*by, "__b__"], "left")
         .select(
             *by,
             "__b__",
-            F.last("__s__", ignorenulls=True).over(wseed).alias("__seed__"),
+            F.last("__on__", ignorenulls=True).over(wseed).alias(on),
+            *[
+                F.last(F.col(c), ignorenulls=True).over(wseed).alias(c)
+                for c in carried_cols
+            ],
         )
-        .where(F.col("__seed__").isNotNull())
+        .where(F.col(on).isNotNull())
     )
-    seed_rows = seeds.select(
-        *by,
-        "__b__",
-        F.col("__seed__.__on__").alias(on),
-        *[F.col(f"__seed__.{c}").alias(c) for c in carried_cols],
-        F.lit(0).alias("__side__"),
-    )
+    seed_rows = seeds.withColumn("__side__", F.lit(0))
     return u.unionByName(seed_rows, allowMissingColumns=True)
 
 
@@ -122,7 +146,8 @@ def asof_join(
     suffix: str = "_right",
     strict: bool = False,
     match_ts_col: str | None = None,
-    hot_key_buckets: int | None = None,
+    hot_key_buckets: int | str | None = None,
+    hot_key_threshold: int = 2_000_000,
 ) -> DataFrame:
     """For every left row, attach the most recent right row (same ``by``
     keys, ``right.on <= left.on``). ``on`` must be the same column name
@@ -137,18 +162,34 @@ def asof_join(
     ``hot_key_buckets=N`` parallelizes a pathological hot key (one key
     ~ the whole input) across N tasks: the time axis splits into N
     contiguous ranges, each (key, bucket) windows independently, and a
-    seed row — the last right row of all EARLIER buckets for that key —
-    is injected at each bucket's start so carried values cross bucket
-    boundaries. The seed's time is its REAL time (strictly before the
-    bucket's range), so strict/non-strict tie handling and the
-    tolerance arithmetic are untouched. Value-identical to the default
-    one-pass plan wherever right timestamps are unique per key (among
-    EQUAL right timestamps both plans pick an arbitrary row, as any
-    as-of must); costs one min/max job plus two small aggregates. The
-    ``on`` axis must be NON-NULL on both sides: a NULL time has no
-    place on a time axis, and the two plans disagree on it (the
-    one-pass window happens to sort NULL first and carry its value,
-    the bucketed plan's max_by skips it) — filter NULLs out first."""
+    seed row — summarizing all EARLIER buckets for that key with
+    per-column last-non-null semantics — is injected at each bucket's
+    start so carried values cross bucket boundaries. The seed's time is
+    a REAL right timestamp (strictly before the bucket's range), so
+    strict/non-strict tie handling and the tolerance arithmetic are
+    untouched. Value-identical to the default one-pass plan wherever
+    right timestamps are unique per key (among EQUAL right timestamps
+    both plans pick an arbitrary row, as any as-of must); costs one
+    min/max job plus two small aggregates. The ``on`` axis must be
+    NON-NULL on both sides: a NULL time has no place on a time axis,
+    and the two plans disagree on it (the one-pass window happens to
+    sort NULL first and carry its value, the bucketed plan's max_by
+    skips it) — filter NULLs out first.
+
+    ``hot_key_buckets="auto"`` makes the lever a POLICY: one exact
+    key-histogram aggregate (groupBy(by).count() -> max, map-side
+    combinable so shuffle volume is distinct keys, not rows) engages
+    the two-pass plan only when the largest key exceeds
+    ``hot_key_threshold`` rows — default 2M, the midpoint of the
+    measured 1M-4M crossover (scripts/scale_probe_asof_hotkey.py;
+    below ~1M the fixed overhead loses, above ~4M the split wins
+    growing with size). When it engages, N = defaultParallelism
+    clamped to [8, 256] (the measurement used N=32 at local[32] —
+    bucket count should track cluster parallelism, not data size,
+    since each bucket is one window task). The detection aggregate
+    costs one extra scan of the unioned input — cheap next to the
+    window it avoids when hot, wasted when uniform; pass an explicit
+    int (or None) when the key distribution is already known."""
     l = left.withColumn("__side__", F.lit(1))
     r = right.select(
         *by, on, *[F.col(c).alias(c + suffix) for c in right_value_cols]
@@ -157,6 +198,23 @@ def asof_join(
     l = l.select(*[F.col(c) if c in l.columns else F.lit(None).alias(c) for c in all_cols])
     r = r.select(*[F.col(c) if c in r.columns else F.lit(None).alias(c) for c in all_cols])
     u = l.unionByName(r)
+
+    if isinstance(hot_key_buckets, str):
+        if hot_key_buckets != "auto":
+            raise ValueError(
+                f"hot_key_buckets must be an int, None, or 'auto', got {hot_key_buckets!r}"
+            )
+        mx = (
+            u.groupBy(*by)
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .first()["mx"]
+        )
+        if mx is not None and int(mx) > int(hot_key_threshold):
+            par = u.sparkSession.sparkContext.defaultParallelism
+            hot_key_buckets = max(8, min(256, int(par)))
+        else:
+            hot_key_buckets = None
 
     part_keys: list = list(by)
     if hot_key_buckets is not None and hot_key_buckets > 1:

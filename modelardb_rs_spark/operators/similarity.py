@@ -816,7 +816,13 @@ def _chunk_pair_fn(threshold: float, vec_col: str):
     union over tasks reproduces the single-task verify bit-for-bit with
     per-task memory bounded by TWO chunks instead of the whole bucket —
     and the quadratic work spreads across the cluster instead of
-    serializing into one worker."""
+    serializing into one worker. The cross block masks ``ida == idb``
+    to mirror the diagonal's STRICT ``>`` compare: today's chunk
+    assignment (xxhash64 of the id) co-locates duplicate ids so the
+    cross block never sees an equal pair, but the function must stay
+    partitioner-independent — under any assignment that splits a
+    duplicated id across chunks, an unmasked cross block would emit an
+    (x, x) self-pair the single-task path never produces."""
     import numpy as np
     import pandas as pd
 
@@ -843,8 +849,9 @@ def _chunk_pair_fn(threshold: float, vec_col: str):
                 cos = block / (na[st : st + bs, None] * nb[None, :])
                 ii, jj = np.nonzero(cos >= threshold)
                 ida, idb = ids_a[st + ii], ids_b[jj]
-                out_a.append(np.minimum(ida, idb))
-                out_b.append(np.maximum(ida, idb))
+                keep = ida != idb
+                out_a.append(np.minimum(ida[keep], idb[keep]))
+                out_b.append(np.maximum(ida[keep], idb[keep]))
         return pd.DataFrame(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
@@ -862,7 +869,9 @@ def semantic_near_pairs(
     fit_sample: int | None = 65536,
     assignments: DataFrame | None = None,
     nprobe: int = 1,
-    max_bucket_rows: int | None = None,
+    max_bucket_rows: int | str | None = None,
+    auto_chunk_floor: int = 4096,
+    auto_chunk_median_mult: int = 4,
 ) -> DataFrame:
     """The verified near-duplicate PAIRS of the SemDeDup pipeline:
     cluster (or reuse ``assignments``), self-join ids within each
@@ -909,8 +918,18 @@ def semantic_near_pairs(
     hot-bucket row ships to its n_chunks tasks, i.e. transfer grows by
     ~m/M for that bucket — the unavoidable price of distributing m^2
     work; small buckets (<= M) keep the one-task path unchanged.
-    ``nprobe > 1`` dedups pairs that co-occur in several probed
-    buckets with a distinct over SURVIVORS, not candidates."""
+    ``max_bucket_rows="auto"`` sizes M FROM THE DATA with the same
+    median-anchored rule as the LSH/SimHash caps: M =
+    max(``auto_chunk_floor``, ``auto_chunk_median_mult`` x the median
+    bucket size) — typical buckets (near the median under a sane k)
+    stay one-task, only genuine hot buckets chunk, and the floor stops
+    tiny corpora from paying chunk-task overhead. Any chunked run
+    (int or "auto") is EAGER: the assignment is persisted across the
+    size pass and the verify (one corpus map instead of two), then the
+    survivor pairs are checkpoint-materialized and the corpus-sized
+    cache released before returning. ``nprobe > 1`` dedups pairs that
+    co-occur in several probed buckets with a distinct over SURVIVORS,
+    not candidates."""
     has_nan = F.exists(F.col(vec_col), F.isnan)
     if assignments is not None:
         assigned = corpus.select(id_col, vec_col).join(
@@ -951,42 +970,76 @@ def semantic_near_pairs(
         pairs = rows.groupBy("ivf_bucket").applyInPandas(
             _bucket_near_pairs_fn(float(threshold), vec_col), out_schema
         )
-    else:
-        if max_bucket_rows <= 0:
-            raise ValueError(f"max_bucket_rows must be positive, got {max_bucket_rows}")
-        # bucket sizes are index metadata (n_buckets tiny rows): one
-        # count aggregate, broadcast back as a chunk-count frame
-        spark = corpus.sparkSession
-        sizes = rows.groupBy("ivf_bucket").agg(F.count("*").alias("__n__")).collect()
-        nchunks_df = spark.createDataFrame(
-            [
-                (int(r["ivf_bucket"]), -(-int(r["__n__"]) // int(max_bucket_rows)))
-                for r in sizes
-            ],
-            "ivf_bucket INT, __nc__ INT",
-        )
-        tagged = rows.join(F.broadcast(nchunks_df), "ivf_bucket").withColumn(
-            "__c__",
-            F.pmod(F.xxhash64(F.col("__id__")), F.col("__nc__")).cast("int"),
-        )
-        # each row joins every (chunk_i, chunk_j) task it belongs to:
-        # one explode over its bucket's chunk count — a row in chunk c
-        # meets partner chunk o in task (min(c,o), max(c,o)), each
-        # exactly once, so no post-dedup is needed
-        tasks = (
-            tagged.withColumn(
-                "__o__", F.explode(F.sequence(F.lit(0), F.col("__nc__") - 1))
+        if nprobe > 1:
+            # a pair can co-occur in several probed buckets; the distinct
+            # runs over SURVIVORS (true near-dups), not the candidates
+            pairs = pairs.distinct()
+        return pairs
+    if isinstance(max_bucket_rows, str):
+        if max_bucket_rows != "auto":
+            raise ValueError(
+                f"max_bucket_rows must be an int, None, or 'auto', got {max_bucket_rows!r}"
             )
-            .withColumn("__ti__", F.least("__c__", "__o__"))
-            .withColumn("__tj__", F.greatest("__c__", "__o__"))
+    elif max_bucket_rows <= 0:
+        raise ValueError(f"max_bucket_rows must be positive, got {max_bucket_rows}")
+    from pyspark import StorageLevel
+
+    from modelardb_rs_spark.operators.dedup import _truncate_lineage
+
+    spark = corpus.sparkSession
+    # the clustering/assignment lineage feeds BOTH the size pass and the
+    # verify: persist it so the dominant map cost (the numpy assignment
+    # over the whole corpus) runs once, not twice — the sizes collect
+    # below materializes the cache, the verify reads it, and the final
+    # survivor materialization releases it before returning
+    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+    # bucket sizes are index metadata (n_buckets tiny rows): one
+    # count aggregate, broadcast back as a chunk-count frame
+    sizes = rows.groupBy("ivf_bucket").agg(F.count("*").alias("__n__")).collect()
+    if max_bucket_rows == "auto":
+        # median-anchored cap, the family rule shared with the LSH and
+        # SimHash bucket caps (dedup.lsh_candidate_pairs): clusters are
+        # near the median when k is sane, so a generous multiple of the
+        # median leaves typical buckets on the one-task path and chunks
+        # only genuine hot buckets. The floor keeps tiny corpora from
+        # chunking at all (chunk-pair task overhead would dominate).
+        counts = sorted(int(r["__n__"]) for r in sizes)
+        med = counts[len(counts) // 2] if counts else 0
+        max_bucket_rows = max(int(auto_chunk_floor), int(auto_chunk_median_mult) * med)
+    nchunks_df = spark.createDataFrame(
+        [
+            (int(r["ivf_bucket"]), -(-int(r["__n__"]) // int(max_bucket_rows)))
+            for r in sizes
+        ],
+        "ivf_bucket INT, __nc__ INT",
+    )
+    tagged = rows.join(F.broadcast(nchunks_df), "ivf_bucket").withColumn(
+        "__c__",
+        F.pmod(F.xxhash64(F.col("__id__")), F.col("__nc__")).cast("int"),
+    )
+    # each row joins every (chunk_i, chunk_j) task it belongs to:
+    # one explode over its bucket's chunk count — a row in chunk c
+    # meets partner chunk o in task (min(c,o), max(c,o)), each
+    # exactly once, so no post-dedup is needed
+    tasks = (
+        tagged.withColumn(
+            "__o__", F.explode(F.sequence(F.lit(0), F.col("__nc__") - 1))
         )
-        pairs = tasks.groupBy("ivf_bucket", "__ti__", "__tj__").applyInPandas(
-            _chunk_pair_fn(float(threshold), vec_col), out_schema
-        )
+        .withColumn("__ti__", F.least("__c__", "__o__"))
+        .withColumn("__tj__", F.greatest("__c__", "__o__"))
+    )
+    pairs = tasks.groupBy("ivf_bucket", "__ti__", "__tj__").applyInPandas(
+        _chunk_pair_fn(float(threshold), vec_col), out_schema
+    )
     if nprobe > 1:
-        # a pair can co-occur in several probed buckets; the distinct
-        # runs over SURVIVORS (true near-dups), not the candidate stream
         pairs = pairs.distinct()
+    # materialize the survivors while the assignment cache is hot, then
+    # release the corpus-sized cache eagerly (a long-lived session must
+    # not accumulate MEMORY_AND_DISK blocks — the collapse_exact policy).
+    # Survivors are the true near-dup pairs: bounded by the duplicate
+    # mass, narrow (two ids), and consumed downstream anyway.
+    pairs = _truncate_lineage(pairs)
+    rows.unpersist()
     return pairs
 
 
@@ -1001,7 +1054,7 @@ def semantic_dedup(
     assignments: DataFrame | None = None,
     collapse_exact: bool = False,
     nprobe: int = 1,
-    max_bucket_rows: int | None = None,
+    max_bucket_rows: int | str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cluster the embeddings, find

@@ -441,7 +441,13 @@ def start_vector_ingest(
             from modelardb_rs_spark.operators.ann_index import ivf_index_stats
 
             log = logging.getLogger(__name__)
-            needs_drift = bool(maintenance and maintenance.get("max_drift"))
+            # `is not None`, not truthiness: max_drift=0.0 is a valid
+            # (always-trigger) threshold and must compute drift stats —
+            # ivf_index_maintenance reads stats["max_centroid_drift"]
+            # whenever its own max_drift is not None
+            needs_drift = bool(
+                maintenance and maintenance.get("max_drift") is not None
+            )
             stats = ivf_index_stats(engine, index_name, drift=needs_drift)
             if stats_every:
                 log.info(

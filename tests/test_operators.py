@@ -910,3 +910,67 @@ def test_semantic_near_pairs_chunked_matches_single_task(vectors):
         ).collect()
     }
     assert kept_chunked == kept_single
+
+
+def test_chunk_pair_fn_duplicate_ids_never_self_pair():
+    """The cross-chunk block must mirror the diagonal's STRICT id
+    compare: a duplicated id straddling two chunks (possible under any
+    partitioner that does not hash on the id) must not emit an (x, x)
+    self-pair — the single-task path's ``ids[jj] > ids[ii]`` drops it."""
+    import pandas as pd
+
+    fn = sim_ops._chunk_pair_fn(0.9, "embedding")
+    v = [1.0, 0.0]
+    pdf = pd.DataFrame(
+        {
+            "__id__": [5, 5, 9],  # id 5 duplicated ACROSS chunks 0 and 1
+            "embedding": [v, v, v],
+            "__c__": [0, 1, 1],
+        }
+    )
+    out = fn((0, 0, 1), pdf)
+    got = set(zip(out["id_a"], out["id_b"]))
+    # cosine(v, v) = 1 >= 0.9 for every cross pair; the equal-id pair
+    # must be masked, the distinct-id pairs kept (both 5s meet 9)
+    assert got == {(5, 9)}
+    # diagonal task on the same chunk: duplicate ids co-located
+    out_diag = fn((0, 1, 1), pdf[pdf["__c__"] == 1])
+    assert set(zip(out_diag["id_a"], out_diag["id_b"])) == {(5, 9)}
+
+
+def test_semantic_near_pairs_auto_chunk_sizing(vectors):
+    """max_bucket_rows='auto' derives the chunk cap from the bucket
+    histogram (median-anchored, floor-bounded) and must reproduce the
+    single-task output exactly; other strings are rejected."""
+    single = {
+        (r.id_a, r.id_b)
+        for r in sim_ops.semantic_near_pairs(
+            vectors, threshold=0.9, n_clusters=2
+        ).collect()
+    }
+    # default floor (4096) >> the 100-vector fixture: every bucket
+    # stays one-chunk — the auto path must still wire up correctly
+    auto_floor = {
+        (r.id_a, r.id_b)
+        for r in sim_ops.semantic_near_pairs(
+            vectors, threshold=0.9, n_clusters=2, max_bucket_rows="auto"
+        ).collect()
+    }
+    assert auto_floor == single
+    # tiny floor + mult forces genuine chunking through the auto rule
+    auto_chunked = {
+        (r.id_a, r.id_b)
+        for r in sim_ops.semantic_near_pairs(
+            vectors,
+            threshold=0.9,
+            n_clusters=2,
+            max_bucket_rows="auto",
+            auto_chunk_floor=8,
+            auto_chunk_median_mult=0,
+        ).collect()
+    }
+    assert auto_chunked == single
+    with pytest.raises(ValueError, match="auto"):
+        sim_ops.semantic_near_pairs(
+            vectors, threshold=0.9, n_clusters=2, max_bucket_rows="huge"
+        )

@@ -337,3 +337,117 @@ def test_asof_hot_key_buckets_matches_one_pass(spark):
                  best.t if best else None)
             )
         assert got_one == sorted(want), f"trial {trial} vs oracle"
+
+
+def test_asof_hot_key_null_carried_values_match_one_pass(spark):
+    """Nullable carried columns: the one-pass plan's last(c,
+    ignorenulls=True) falls back past a NULL payload to an older
+    non-null value, independently PER COLUMN, while match_ts tracks the
+    latest right row regardless of payload nulls. The bucketed plan's
+    per-column seed must reproduce that exactly (a whole-row seed would
+    carry the NULL). Fuzzed with two carried columns going NULL
+    independently, strict and non-strict, with and without tolerance,
+    on a 95%-hot-key corpus."""
+    import random
+
+    from pyspark.sql import Row
+
+    from modelardb_rs_spark.operators.asof import asof_join
+
+    for trial, (strict, tol) in enumerate(
+        [(False, None), (True, None), (False, 80), (True, 50)]
+    ):
+        rng = random.Random(500 + trial)
+        lrows = [
+            Row(k=0 if rng.random() < 0.95 else rng.randint(1, 3),
+                t=rng.randint(0, 300), lv=i)
+            for i in range(500)
+        ]
+        seen, rrows = set(), []
+        for i in range(250):
+            k = 0 if rng.random() < 0.95 else rng.randint(1, 3)
+            t = rng.randint(0, 300)
+            if (k, t) in seen:
+                continue
+            seen.add((k, t))
+            rrows.append(Row(
+                k=k, t=t,
+                rv=None if rng.random() < 0.3 else 10_000 + i,
+                rw=None if rng.random() < 0.5 else float(i),
+            ))
+        ldf = spark.createDataFrame(lrows)
+        rdf = spark.createDataFrame(rrows, "k INT, t BIGINT, rv BIGINT, rw DOUBLE")
+        kw = dict(on="t", by=["k"], right_value_cols=["rv", "rw"],
+                  strict=strict, tolerance_us=tol, match_ts_col="mt")
+        cols = ["k", "t", "lv", "rv_right", "rw_right", "mt"]
+        one = sorted(tuple(r) for r in asof_join(ldf, rdf, **kw).select(*cols).collect())
+        two = sorted(
+            tuple(r)
+            for r in asof_join(ldf, rdf, hot_key_buckets=7, **kw).select(*cols).collect()
+        )
+        assert one == two, f"trial {trial}"
+        # null-aware brute-force oracle: mt = latest candidate's t;
+        # each carried column = latest candidate with THAT column
+        # non-null; tolerance gates on mt only (one-pass semantics)
+        by_key = {}
+        for rr in rrows:
+            by_key.setdefault(rr.k, []).append(rr)
+        want = []
+        for lr in lrows:
+            cands = [
+                rr for rr in by_key.get(lr.k, [])
+                if (rr.t < lr.t if strict else rr.t <= lr.t)
+            ]
+            mt = max((rr.t for rr in cands), default=None)
+            rv = max((rr for rr in cands if rr.rv is not None),
+                     key=lambda rr: rr.t, default=None)
+            rw = max((rr for rr in cands if rr.rw is not None),
+                     key=lambda rr: rr.t, default=None)
+            rv, rw = rv.rv if rv else None, rw.rw if rw else None
+            if tol is not None and (mt is None or lr.t - mt > tol):
+                rv = rw = mt = None
+            want.append((lr.k, lr.t, lr.lv, rv, rw, mt))
+        assert one == sorted(want), f"trial {trial} vs oracle"
+
+
+def test_asof_auto_hot_key_policy(spark):
+    """hot_key_buckets='auto' engages the two-pass plan only when the
+    key histogram's max exceeds the crossover threshold: uniform keys
+    keep the one-pass window, a planted hot key (with the threshold
+    lowered to test scale) gets the bucketed window — and the auto
+    result stays value-identical to the one-pass plan."""
+    from modelardb_rs_spark.operators.asof import asof_join
+
+    left = spark.range(400).selectExpr(
+        "CAST(id % 100 AS INT) AS k", "id AS t", "id AS lv"
+    )
+    right = spark.range(100).selectExpr(
+        "CAST(id % 100 AS INT) AS k", "id * 3 AS t", "id + 1000 AS rv"
+    )
+    kw = dict(on="t", by=["k"], right_value_cols=["rv"])
+    uniform = asof_join(left, right, hot_key_buckets="auto",
+                        hot_key_threshold=50, **kw)
+    plan_u = uniform._jdf.queryExecution().executedPlan().toString()
+    assert "__b__" not in plan_u
+
+    hot_left = spark.range(400).selectExpr(
+        "CAST(0 AS INT) AS k", "id AS t", "id AS lv"
+    )
+    hot_right = spark.range(100).selectExpr(
+        "CAST(0 AS INT) AS k", "id * 3 AS t", "id + 1000 AS rv"
+    )
+    hot = asof_join(hot_left, hot_right, hot_key_buckets="auto",
+                    hot_key_threshold=50, **kw)
+    plan_h = hot._jdf.queryExecution().executedPlan().toString()
+    win = [ln for ln in plan_h.splitlines()
+           if "Window" in ln and "windowspec" in ln.lower()]
+    assert win and all("__b__" in ln for ln in win), plan_h[:2000]
+    one = asof_join(hot_left, hot_right, **kw)
+    cols = ["k", "t", "lv", "rv_right"]
+    assert sorted(map(tuple, hot.select(*cols).collect())) == sorted(
+        map(tuple, one.select(*cols).collect())
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="auto"):
+        asof_join(left, right, hot_key_buckets="turbo", **kw)

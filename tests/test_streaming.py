@@ -546,3 +546,39 @@ def test_streaming_vector_ingest_auto_maintenance(spark, engine, tmp_path):
     )
     out = ann_index.ivf_index_topk(engine, "mvidx", probe, k=3, nprobe=4)
     assert {r["neighbor_id"] for r in out.collect()} >= {490}
+
+
+def test_streaming_vector_ingest_zero_drift_threshold(spark, engine, tmp_path):
+    """max_drift=0.0 is a valid always-trigger threshold: the sink must
+    compute drift stats for it (a truthiness check would skip them and
+    ivf_index_maintenance would then KeyError inside foreachBatch,
+    killing the stream)."""
+    from modelardb_rs_spark.operators import ann_index
+    from modelardb_rs_spark.sources.testdata import load_table
+    from modelardb_rs_spark.streaming.ingest import start_vector_ingest
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.where(F.col("vec_id") < 300).select("vec_id", "embedding")
+    ann_index.build_ivf_index(engine, "zdidx", first, bucket_col=None, n_buckets=4)
+
+    src = str(tmp_path / "zd_in")
+    os.makedirs(src)
+    emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 360)).select(
+        "vec_id", "embedding"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(src)
+    q = start_vector_ingest(
+        engine, "zdidx", stream, str(tmp_path / "zd_ckpt"),
+        maintenance={"max_drift": 0.0},
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None  # the stream survived the epoch
+    finally:
+        q.stop()
+    # any nonzero drift trips 0.0, so the sink rebuilt after the append
+    s = ann_index.ivf_index_stats(engine, "zdidx", drift=False)
+    assert s["current_vectors"] == 360
+    assert s["appended_fraction"] == 0.0
