@@ -692,6 +692,7 @@ class Engine:
         df: DataFrame,
         partition_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
+        commit_meta: dict | None = None,
     ) -> int | None:
         """Append a DataFrame. Returns the committed log version, or
         None when a txn replay gate skipped the write (callers auditing
@@ -707,7 +708,11 @@ class Engine:
         the same commit as the data (Delta SetTransaction semantics),
         and a write whose (app_id, version) the log already shows is a
         no-op. Already-applied epochs are skipped before any Spark job
-        runs; a concurrent race is still caught at commit time."""
+        runs; a concurrent race is still caught at commit time.
+
+        ``commit_meta`` (normal tables only) attaches an application
+        metadata payload atomically to the same commit — see
+        ``TransactionLog.commit`` and ``Snapshot.meta``."""
         if txn is not None:
             prev = self.last_txn_version(name, txn[0])
             if prev is not None and prev >= txn[1]:
@@ -720,8 +725,11 @@ class Engine:
                 *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
             )
             return self.folder.write_normal(
-                name, cast, partition_by=partition_by, txn=txn
+                name, cast, partition_by=partition_by, txn=txn,
+                commit_meta=commit_meta,
             )
+        if commit_meta is not None:
+            raise ValueError("commit_meta applies to normal tables only")
         if partition_by:
             raise ValueError("partition_by applies to normal tables only")
         meta = self.catalog.time_series_metadata(name)
@@ -752,6 +760,7 @@ class Engine:
         partition_by: list[str] | None = None,
         expected_paths: list[str] | None = None,
         txn: tuple[str, int] | None = None,
+        commit_meta: dict | None = None,
     ) -> int:
         """Atomically replace a NORMAL table's contents in one commit
         (readers see the old snapshot until the commit lands, then the
@@ -771,7 +780,7 @@ class Engine:
         )
         return self.folder.replace_normal(
             name, cast, partition_by=partition_by, expected_paths=expected_paths,
-            txn=txn,
+            txn=txn, commit_meta=commit_meta,
         )
 
     def last_txn_version(self, name: str, app_id: str) -> int | None:

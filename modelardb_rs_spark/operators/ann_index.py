@@ -17,7 +17,13 @@ engine tables inside the data folder:
 
 Both tables go through the transactional commit log like every other
 table: index builds are atomic, rebuilds are snapshot-isolated with
-time travel, and VACUUM applies.
+time travel, and VACUUM applies. The AUTHORITATIVE centroids ride the
+vectors table's commit as its meta payload (``Snapshot.meta`` — the
+Delta metaData-action analog), so vectors and centroids flip in ONE
+atomic commit: a probe overlapping a rebuild reads either the old
+files+centroids pair or the new pair, never a mix. The
+``<index>__centroids`` table is a derived mirror for SQL consumers,
+resynced by maintenance if a crash ever leaves it stale.
 
 Buckets come from a provided column (e.g. a label) or an MLlib-KMeans
 coarse quantizer (``similarity.kmeans_buckets``). Probing reuses
@@ -47,28 +53,72 @@ def _centroids_table(index_name: str) -> str:
     return f"{index_name}__centroids"
 
 
-def _cached_centroids(engine, index_name: str) -> DataFrame:
-    """Centroids as a local-rows DataFrame, cached per engine instance
-    and centroid-table VERSION (they're index metadata — n_buckets tiny
-    rows). High-QPS probing then runs no centroid-table scan per call:
-    freshness costs one commit-log listing, and a rebuild/append bumps
-    the version so the cache refills itself."""
-    tbl = _centroids_table(index_name)
-    snap = engine.folder.log(tbl).snapshot()
+def _centroid_rows(
+    engine, index_name: str, snap=None
+) -> list[tuple[int, list[float], int]]:
+    """(bucket, centroid, n_vectors) rows for the index, cached per
+    engine instance — the single authoritative centroid read.
+
+    The authoritative source is the VECTORS table's commit metadata
+    (``Snapshot.meta["ann_centroids"]``): builds and rebuilds commit
+    the centroids IN the same commit as the vector files, so one
+    snapshot resolution yields a files+centroids pair that is
+    consistent by construction — a probe overlapping a rebuild reads
+    either the old pair or the new pair, never new vectors against old
+    centroids (the two-commit window the ``<index>__centroids`` mirror
+    table had). Indexes written before the meta payload existed fall
+    back to reading the mirror table (their builds were two commits;
+    the first rebuild upgrades them).
+
+    Cached by the vectors snapshot's meta generation (appends bump the
+    table version but not the centroids, so sustained ingest never
+    refills the cache); the legacy path keys on the mirror table's
+    live file set as before.
+
+    ``snap`` accepts a pre-resolved vectors-table snapshot so a probe
+    can read centroids AND pin its vector scan to the SAME snapshot —
+    one resolution, no window between the two reads."""
+    vt = _vectors_table(index_name)
+    if snap is None:
+        snap = engine.folder.log(vt).snapshot()
     cache = engine.__dict__.setdefault("_ann_centroid_cache", {})
-    # keyed by the live FILE SET, not the version number: a drop +
-    # rebuild restarts versions at 0 but stages under fresh txn= dirs
-    key = (tbl, snap.version, hash(tuple(sorted(snap.paths))))
+    meta = snap.meta or {}
+    if "ann_centroids" in meta:
+        # keyed by the build's unique id + generation: appends never
+        # refill (they don't change the meta), and a drop + rebuild —
+        # which restarts generations — gets a fresh build_id
+        key = (vt, meta.get("build_id"), meta.get("gen"))
+        if key not in cache:
+            for stale in [k for k in cache if k[0] == vt]:
+                del cache[stale]
+            cache[key] = [
+                (int(b), [float(x) for x in c], int(n))
+                for b, c, n in meta["ann_centroids"]
+            ]
+        return cache[key]
+    tbl = _centroids_table(index_name)
+    ct_snap = engine.folder.log(tbl).snapshot()
+    key = (tbl, ct_snap.version, hash(tuple(sorted(ct_snap.paths))))
     if key not in cache:
         for stale in [k for k in cache if k[0] == tbl]:
             del cache[stale]
-        rows = [
-            (int(r["ivf_bucket"]), list(r["centroid"]))
-            for r in engine.table(tbl).select("ivf_bucket", "centroid").collect()
+        cache[key] = [
+            (int(r["ivf_bucket"]), list(r["centroid"]), int(r["n_vectors"]))
+            for r in engine.table(tbl)
+            .select("ivf_bucket", "centroid", "n_vectors")
+            .collect()
         ]
-        cache[key] = rows
+    return cache[key]
+
+
+def _cached_centroids(engine, index_name: str) -> DataFrame:
+    """Centroids as a local-rows DataFrame (n_buckets tiny rows) from
+    the per-engine cache — see ``_centroid_rows``. High-QPS probing
+    runs no table scan per call: freshness costs one commit-log
+    listing."""
     return engine.spark.createDataFrame(
-        cache[key], "ivf_bucket INT, centroid ARRAY<FLOAT>"
+        [(b, c) for b, c, _ in _centroid_rows(engine, index_name)],
+        "ivf_bucket INT, centroid ARRAY<FLOAT>",
     )
 
 
@@ -135,12 +185,12 @@ def build_ivf_index(
             engine.drop(t)
     engine.create_table(vt, f"{id_col} BIGINT, {vec_col} ARRAY<FLOAT>, ivf_bucket INT")
     engine.create_table(ct, "ivf_bucket INT, centroid ARRAY<FLOAT>, n_vectors BIGINT")
-    engine.write(vt, vectors, partition_by=["ivf_bucket"])
-    # centroids ARE index metadata (n_buckets rows): collect once, write
-    # the local rows, and derive the build stats without another scan
+    # centroids ARE index metadata (n_buckets rows): collect once, ride
+    # the vectors commit as its meta payload (files + centroids flip in
+    # ONE atomic commit — probes resolving any snapshot get a consistent
+    # pair), then mirror them as a table for SQL consumers
     if fitted_C is not None:
         cent_rows = _fitted_cent_rows(vectors, fitted_C)
-        vectors.unpersist()
     else:
         cents = bucket_centroids(vectors, vec_col, "ivf_bucket").join(
             vectors.groupBy("ivf_bucket").agg(
@@ -152,11 +202,16 @@ def build_ivf_index(
             (int(r["ivf_bucket"]), list(r["centroid"]), int(r["n_vectors"]))
             for r in cents.collect()
         ]
+    meta = _centroids_meta(cent_rows, gen=0)
+    engine.write(vt, vectors, partition_by=["ivf_bucket"], commit_meta=meta)
+    if fitted_C is not None:
+        vectors.unpersist()
     engine.write(
         ct,
         engine.spark.createDataFrame(
             cent_rows, "ivf_bucket INT, centroid ARRAY<FLOAT>, n_vectors BIGINT"
         ),
+        txn=(f"ivf_rebuild::{index_name}", 0),
     )
     return {
         "n_vectors": sum(r[2] for r in cent_rows),
@@ -401,12 +456,16 @@ def build_ivfpq_index(
     )
     engine.create_table(ct, "ivf_bucket INT, centroid ARRAY<FLOAT>, n_vectors BIGINT")
     engine.create_table(bt, "subspace INT, code INT, centroid ARRAY<FLOAT>")
-    engine.write(vt, rows, partition_by=["ivf_bucket"])
+    engine.write(
+        vt, rows, partition_by=["ivf_bucket"],
+        commit_meta=_centroids_meta(cent_rows, gen=0),
+    )
     engine.write(
         ct,
         spark.createDataFrame(
             cent_rows, "ivf_bucket INT, centroid ARRAY<FLOAT>, n_vectors BIGINT"
         ),
+        txn=(f"ivf_rebuild::{index_name}", 0),
     )
     book_rows = [
         (s, j, [float(x) for x in books[s][j]])
@@ -466,9 +525,16 @@ def ivfpq_topk(
     )
 
     books = _cached_pq_books(engine, index_name)
+    # one snapshot resolution serves centroids AND both vector scans:
+    # snapshot-atomic under concurrent rebuilds (codes are re-encoded
+    # against each rebuild's centroids, so a torn pair would score ADC
+    # against the wrong geometry; books are immutable across rebuilds
+    # and need no pin)
+    vt = _vectors_table(index_name)
+    vt_snap = engine.folder.log(vt).snapshot()
     cents = {
-        int(r["ivf_bucket"]): np.asarray(list(r["centroid"]))
-        for r in _cached_centroids(engine, index_name).collect()
+        b: np.asarray(list(c))
+        for b, c, _ in _centroid_rows(engine, index_name, snap=vt_snap)
     }
     qrows = collect_query_rows(queries, id_col, vec_col, max_queries)
     lut_rows = []
@@ -491,7 +557,7 @@ def ivfpq_topk(
     )
     probed = sorted({b for _, b, *_ in lut_rows})
     codes = (
-        engine.table(_vectors_table(index_name))
+        engine.table(vt, version=vt_snap.version)
         .where(F.col("ivf_bucket").isin(probed))
         .select(
             F.col(id_col).alias("neighbor_id"), "ivf_bucket", "pq_codes", "pq_norm"
@@ -521,7 +587,7 @@ def ivfpq_topk(
         norm(F.col(vec_col)).alias("__qn2__"),
     )
     cv = (
-        engine.table(_vectors_table(index_name))
+        engine.table(vt, version=vt_snap.version)
         .where(F.col("ivf_bucket").isin(probed))
         .select(
             F.col(id_col).alias("neighbor_id"),
@@ -563,10 +629,19 @@ def ivf_index_topk(
     vectors table, so planning prunes every unprobed directory; the
     per-query restriction then rides the same probes join as the inline
     pipeline. Value-identical to ``ivf_topk`` over the same buckets.
-    Centroids come from the per-engine cache (_cached_centroids), so
-    probe-many workloads never re-scan the centroid table.
+    Centroids come from the per-engine cache (_centroid_rows), so
+    probe-many workloads never re-scan any table — and the probe is
+    SNAPSHOT-ATOMIC: centroids and the vector scan derive from ONE
+    resolved snapshot (the commit-meta design), so a concurrent rebuild
+    can never serve this probe new vectors under old centroids or vice
+    versa.
     """
-    cents = _cached_centroids(engine, index_name)
+    vt = _vectors_table(index_name)
+    snap = engine.folder.log(vt).snapshot()
+    cents = engine.spark.createDataFrame(
+        [(b, c) for b, c, _ in _centroid_rows(engine, index_name, snap=snap)],
+        "ivf_bucket INT, centroid ARRAY<FLOAT>",
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),
@@ -586,7 +661,10 @@ def ivf_index_topk(
             .collect()
         )
     ]
-    vectors = engine.table(_vectors_table(index_name)).where(
+    # pinned to the SAME snapshot the centroids came from: without the
+    # pin a rebuild committing between the two reads would pair old
+    # centroids with new vectors (the torn read the meta design removes)
+    vectors = engine.table(vt, version=snap.version).where(
         F.col("ivf_bucket").isin(probed_buckets)
     )
     return probe_topk(vectors, cents, queries, k, nprobe, id_col, vec_col, "ivf_bucket")
@@ -628,9 +706,11 @@ def ivf_index_stats(engine, index_name: str, drift: bool = True) -> dict:
     """
     import numpy as np
 
-    ct, vt = _centroids_table(index_name), _vectors_table(index_name)
-    cent_rows = engine.table(ct).select("ivf_bucket", "centroid", "n_vectors").collect()
-    built = {int(r["ivf_bucket"]): (np.array(r["centroid"], dtype=np.float64), int(r["n_vectors"])) for r in cent_rows}
+    vt = _vectors_table(index_name)
+    built = {
+        b: (np.array(c, dtype=np.float64), n)
+        for b, c, n in _centroid_rows(engine, index_name)
+    }
     n_files = len(engine.folder.log(vt).snapshot().files)
 
     sizes = {
@@ -696,6 +776,29 @@ def ivf_index_stats(engine, index_name: str, drift: bool = True) -> dict:
         out["mean_centroid_drift"] = round(float(np.mean(drifts)), 6) if drifts else 0.0
         out["max_centroid_drift"] = round(float(np.max(drifts)), 6) if drifts else 0.0
     return out
+
+
+def _centroids_meta(cent_rows: list, gen: int) -> dict:
+    """The commit-meta payload carrying the centroids atomically with
+    the vectors files. Values are rounded THROUGH float32 so the meta
+    read path is bit-identical to the legacy mirror-table read (the
+    ``<index>__centroids`` table stores ARRAY<FLOAT>). ``gen`` is the
+    monotonically increasing rebuild stamp (also the mirror table's
+    SetTransaction version — staleness shows as a gen/stamp mismatch);
+    ``build_id`` uniquely identifies this build for the centroid cache
+    (appends keep the meta, a drop + rebuild gets a fresh id)."""
+    import uuid
+
+    import numpy as np
+
+    return {
+        "ann_centroids": [
+            [int(b), [float(np.float32(x)) for x in c], int(n)]
+            for b, c, n in cent_rows
+        ],
+        "gen": int(gen),
+        "build_id": uuid.uuid4().hex,
+    }
 
 
 def _fitted_cent_rows(vectors, fitted_C) -> list:
@@ -775,28 +878,26 @@ def ivf_index_maintenance(
     Rebuild: seeded numpy k-means re-fit on a hash-ordered sample
     (``numpy_kmeans_buckets`` — same contract as ``build_ivf_index``),
     map-only reassignment of the CURRENT vectors (built + appended),
-    then ``Engine.overwrite`` replaces the vectors table and the
-    centroid table. Atomicity, stated precisely: each table flips in
-    ONE commit — probes never see a dropped, empty, or partially
-    written table, and the old snapshots stay time-travel-readable
-    until VACUUM — but the TWO commits are not jointly atomic (the
-    commit log is per-table). A probe overlapping the short
-    inter-commit window can read new vectors against old centroids (or
-    vice versa): results are well-formed and complete, with recall
-    degraded exactly as by a drifted quantizer — the state the rebuild
-    is fixing anyway. A crash BETWEEN the commits is detected: both
-    replaces carry the same SetTransaction stamp
-    (``ivf_rebuild::<index>``, monotonically increasing version), and
-    the next maintenance call sees the two tables' stamps disagree and
-    forces a rebuild regardless of thresholds — the index self-heals
-    on the next policy run. The vectors replace is additionally
-    CONDITIONAL on the live file set the rebuild read (a concurrent
-    append aborts it with ConcurrentModificationError rather than
-    being silently dropped — re-run maintenance after the ingest
-    quiesces or from the ingest coordinator itself). IVF-PQ indexes
-    keep their trained codebooks (the expensive, slowly-drifting part)
-    and re-ENCODE every residual against the new coarse geometry in
-    the same pass; retraining books is a full ``build_ivfpq_index``.
+    then ONE ``Engine.overwrite`` of the vectors table whose commit
+    carries the new centroids as its meta payload
+    (``TransactionLog.commit`` 4-tuple builds). Atomicity: vectors and
+    centroids flip in a SINGLE commit — a probe overlapping the
+    rebuild resolves one snapshot and gets either the old files+
+    centroids pair or the new pair, consistent by construction; there
+    is no inter-commit window and nothing to self-heal. The
+    ``<index>__centroids`` mirror table is rewritten in a SECOND,
+    derived commit purely for SQL consumers: no probe or stats path
+    reads it anymore, and if a crash leaves it stale (its
+    SetTransaction stamp behind the meta's gen) the next maintenance
+    call resyncs it from the meta — a k-row rewrite, not a rebuild.
+    The vectors replace is CONDITIONAL on the live file set the
+    rebuild read (a concurrent append aborts it with
+    ConcurrentModificationError rather than being silently dropped —
+    re-run maintenance after the ingest quiesces or from the ingest
+    coordinator itself). IVF-PQ indexes keep their trained codebooks
+    (the expensive, slowly-drifting part) and re-ENCODE every residual
+    against the new coarse geometry in the same pass; retraining books
+    is a full ``build_ivfpq_index``.
 
     ``n_buckets`` defaults to the index's current bucket count.
     ``stats`` accepts a just-computed ``ivf_index_stats`` dict so
@@ -820,13 +921,23 @@ def ivf_index_maintenance(
         reasons.append(f"max_centroid_drift {stats['max_centroid_drift']} > {max_drift}")
     vt, ct = _vectors_table(index_name), _centroids_table(index_name)
     rebuild_app = f"ivf_rebuild::{index_name}"
-    vt_stamp = engine.last_txn_version(vt, rebuild_app)
-    ct_stamp = engine.last_txn_version(ct, rebuild_app)
-    if vt_stamp != ct_stamp:
-        reasons.append(
-            f"crashed rebuild detected (vectors stamp {vt_stamp} != "
-            f"centroids stamp {ct_stamp}) — self-healing"
-        )
+    vt_meta = engine.folder.log(vt).snapshot().meta or {}
+    if "ann_centroids" in vt_meta:
+        # mirror resync: a crash between the (authoritative) vectors
+        # commit and the (derived) mirror commit leaves the mirror's
+        # stamp behind the meta's gen — rewrite the k mirror rows from
+        # the meta. Cheap, idempotent, and NOT a rebuild trigger: every
+        # probe/stats path reads the meta, so nothing was inconsistent.
+        mirror_stamp = engine.last_txn_version(ct, rebuild_app)
+        if mirror_stamp is None or mirror_stamp < int(vt_meta["gen"]):
+            engine.overwrite(
+                ct,
+                engine.spark.createDataFrame(
+                    [(b, c, n) for b, c, n in vt_meta["ann_centroids"]],
+                    "ivf_bucket INT, centroid ARRAY<FLOAT>, n_vectors BIGINT",
+                ),
+                txn=(rebuild_app, int(vt_meta["gen"])),
+            )
     if not reasons:
         return {"rebuilt": False, "reasons": [], "stats_before": stats}
 
@@ -858,10 +969,13 @@ def ivf_index_maintenance(
     vectors = vectors.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         cent_rows = _fitted_cent_rows(vectors, fitted_C)
+        # the ONE atomic flip: new files + new centroids in one commit
         engine.overwrite(
             vt, vectors, partition_by=["ivf_bucket"], expected_paths=expected,
-            txn=(rebuild_app, stamp),
+            commit_meta=_centroids_meta(cent_rows, gen=stamp),
         )
+        # derived mirror for SQL consumers (resynced above if this
+        # second commit is lost to a crash)
         engine.overwrite(
             ct,
             engine.spark.createDataFrame(

@@ -181,6 +181,7 @@ class DataFolder:
         remove: list[str] | None = None,
         txn: tuple[str, int] | None = None,
         replace_expected: list[str] | None = None,
+        commit_meta: dict | None = None,
     ) -> int | None:
         """Run `write_staged(staged_uri)` into a fresh txn= directory,
         then commit the produced parquet files atomically.
@@ -258,6 +259,8 @@ class DataFolder:
                         f"({delta} file(s) differ from the snapshot the "
                         "replacement was computed from); re-run the rebuild"
                     )
+                if commit_meta is not None:
+                    return (op, add, sorted(live), commit_meta)
                 return (op, add, sorted(live))
             gone = remove_set - set(snap.paths)
             if gone:
@@ -265,6 +268,8 @@ class DataFolder:
                     f"{name}: {len(gone)} input file(s) were removed concurrently "
                     f"(e.g. {sorted(gone)[0]}); retry the operation"
                 )
+            if commit_meta is not None:
+                return (op, add, sorted(remove_set), commit_meta)
             return (op, add, sorted(remove_set))
 
         committed = self.log(name).commit(build, txn=txn)
@@ -502,6 +507,7 @@ class DataFolder:
         df: DataFrame,
         partition_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
+        commit_meta: dict | None = None,
     ) -> int | None:
         """Atomically append rows to a normal table. Returns the
         committed version, or None when a txn replay gate skipped the
@@ -510,7 +516,9 @@ class DataFolder:
         filters on them prune whole directories at planning time (the
         ANN index stores vectors partitioned by bucket this way).
         ``txn=(app_id, version)`` records a SetTransaction-style replay
-        gate atomically with the append (see TransactionLog.commit)."""
+        gate atomically with the append (see TransactionLog.commit).
+        ``commit_meta`` attaches an application metadata payload to the
+        same commit (Snapshot.meta)."""
 
         def write_staged(staged: str) -> None:
             writer = df.write.option("compression", "zstd")
@@ -518,7 +526,9 @@ class DataFolder:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(staged)
 
-        return self._stage_and_commit(name, write_staged, txn=txn)
+        return self._stage_and_commit(
+            name, write_staged, txn=txn, commit_meta=commit_meta
+        )
 
     def replace_normal(
         self,
@@ -527,6 +537,7 @@ class DataFolder:
         partition_by: list[str] | None = None,
         expected_paths: list[str] | None = None,
         txn: tuple[str, int] | None = None,
+        commit_meta: dict | None = None,
     ) -> int:
         """Atomically REPLACE a normal table's entire live file set in
         ONE commit (the Delta overwrite analog): readers resolve either
@@ -555,7 +566,7 @@ class DataFolder:
 
         return self._stage_and_commit(
             name, write_staged, op="replace", replace_expected=expected_paths,
-            txn=txn,
+            txn=txn, commit_meta=commit_meta,
         )
 
     def last_txn_version(self, name: str, app_id: str) -> int | None:

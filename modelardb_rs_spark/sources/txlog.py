@@ -66,6 +66,14 @@ class Snapshot:
     # marker: probing the data itself is foiled by id reuse, and a
     # separate marker table is a second non-atomic commit.
     txns: dict[str, int] = field(default_factory=dict)
+    # latest application metadata payload committed WITH data (the Delta
+    # metaData-action analog): an opaque JSON dict a commit may carry so
+    # derived state that must flip atomically with the files (e.g. an
+    # ANN index's coarse-quantizer centroids) lives in the SAME commit —
+    # readers resolving one snapshot get files + meta consistent by
+    # construction, with no second-table commit window. None until some
+    # commit sets one; later commits without meta inherit the latest.
+    meta: dict | None = None
 
     @property
     def paths(self) -> list[str]:
@@ -204,18 +212,23 @@ class TransactionLog:
         base = max((cv for cv in cp_vs if cv <= version), default=None)
         live: dict[str, dict] = {}
         txns: dict[str, int] = {}
+        meta: dict | None = None
         v = -1
         if base is not None:
             cp = self._read_json_validated(self._checkpoint_uri(base), checkpoints[base])
             live = {entry["path"]: entry for entry in cp["files"]}
             txns = dict(cp.get("txns", {}))
+            meta = cp.get("meta")
             v = cp["version"]
         for cv in commit_vs:
             if cv <= (base if base is not None else -1) or cv > version:
                 continue
-            self._apply(live, self._read_json_validated(self._commit_uri(cv), commits[cv]), txns)
+            doc = self._read_json_validated(self._commit_uri(cv), commits[cv])
+            self._apply(live, doc, txns)
+            if doc.get("meta") is not None:
+                meta = doc["meta"]
             v = cv
-        return Snapshot(version=v, files=list(live.values()), txns=txns)
+        return Snapshot(version=v, files=list(live.values()), txns=txns, meta=meta)
 
     # ---------------------------------------------------------- writing
 
@@ -231,14 +244,26 @@ class TransactionLog:
         SKIPPED and None is returned — the one-atomic-unit idempotency
         gate at-least-once streaming replays need. The check re-runs
         against the fresh snapshot on every version-race retry, so two
-        racing replays of the same epoch commit exactly once."""
+        racing replays of the same epoch commit exactly once.
+
+        ``build`` may return a 4-tuple ``(op, add, remove, meta)`` to
+        attach an application metadata payload (JSON dict) to the SAME
+        commit — the Delta metaData-action analog. Snapshots expose the
+        latest committed meta (``Snapshot.meta``); derived state that
+        must stay consistent with the files (e.g. ANN centroids) rides
+        here so the flip is one atomic unit, not two commits."""
         for _ in range(_MAX_COMMIT_ATTEMPTS):
             snap = self.snapshot()
             if txn is not None:
                 prev = snap.txns.get(txn[0])
                 if prev is not None and prev >= txn[1]:
                     return None  # already applied: replay no-op
-            op, add, remove = build(snap)
+            built = build(snap)
+            if len(built) == 4:
+                op, add, remove, meta = built
+            else:
+                op, add, remove = built
+                meta = None
             version = snap.version + 1
             doc = {
                 "version": version,
@@ -247,6 +272,8 @@ class TransactionLog:
                 "add": add,
                 "remove": remove,
             }
+            if meta is not None:
+                doc["meta"] = meta
             if txn is not None:
                 doc["txn"] = {"appId": txn[0], "version": int(txn[1])}
             payload = json.dumps(doc, separators=(",", ":")).encode("utf-8")
@@ -711,6 +738,7 @@ class TransactionLog:
         live = {entry["path"]: entry for entry in base.files}
         txns = dict(base.txns)
         self._apply(live, commit, txns)
+        meta = commit.get("meta") if commit.get("meta") is not None else base.meta
         doc = {
             "version": commit["version"],
             "timestamp_ms": commit["timestamp_ms"],
@@ -720,6 +748,9 @@ class TransactionLog:
             # the commits that originally recorded them
             "txns": txns,
         }
+        if meta is not None:
+            # the latest app metadata likewise survives log truncation
+            doc["meta"] = meta
         try:
             self.fs.create_exclusive(
                 self._checkpoint_uri(commit["version"]),
@@ -754,9 +785,12 @@ class TransactionLog:
             if staging_grace_seconds is None
             else staging_grace_seconds
         )
-        stage_horizon_ms = min(
-            horizon_ms, int((time.time() - grace) * 1000)
-        )
+        # the grace clock ALONE: min()-ing with the data horizon would
+        # silently defer orphan sweeps to the (typically much longer)
+        # data retention whenever retain_seconds > grace, contradicting
+        # the own-clock contract above — crashed-write staging is
+        # garbage as soon as it is older than the longest honest write
+        stage_horizon_ms = int((time.time() - grace) * 1000)
         commits = self.commits()
         live = set(self.snapshot().paths)
         referenced: set[str] = set()

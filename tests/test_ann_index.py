@@ -318,27 +318,32 @@ def test_rag_encoder_seam_swaps_in(engine, spark):
 
 
 def test_centroid_cache_versioned_per_engine(engine, emb):
-    """Probing twice reuses the per-engine centroid cache (no centroid
-    table re-read); a rebuild bumps the centroid-table version and the
-    cache refills with the new centroids."""
+    """Probing twice reuses the per-engine centroid cache (no re-read);
+    an append keeps the cache (the commit meta is unchanged); a rebuild
+    gets a fresh build_id, evicting the old key and refilling."""
     from modelardb_rs_spark.operators import ann_index as ai
 
     ai.build_ivf_index(engine, "cidx", emb, bucket_col="label")
-    queries = emb.limit(2).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    )
     r1 = ai.ivf_index_topk(engine, "cidx", emb.limit(2), k=3, nprobe=2).collect()
     cache = engine._ann_centroid_cache
     assert len(cache) >= 1
-    key1 = next(k for k in cache if k[0] == "cidx__centroids")
+    key1 = next(k for k in cache if k[0] == "cidx__vectors")
     rows1 = cache[key1]
     r2 = ai.ivf_index_topk(engine, "cidx", emb.limit(2), k=3, nprobe=2).collect()
     assert cache[key1] is rows1  # same cached rows object — no re-read
     assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
-    # rebuild: live file set changes, old key evicted, fresh rows cached
+    # append: vectors version bumps but the centroids meta does not —
+    # the cache entry survives (sustained ingest never refills it)
+    ai.append_to_ivf_index(
+        engine, "cidx",
+        emb.limit(3).select((F.col("vec_id") + 90_000).alias("vec_id"), "embedding", "label"),
+    )
+    ai.ivf_index_topk(engine, "cidx", emb.limit(2), k=3, nprobe=2).collect()
+    assert cache.get(key1) is rows1
+    # rebuild: fresh build_id, old key evicted, fresh rows cached
     ai.build_ivf_index(engine, "cidx", emb, bucket_col="label")
     ai.ivf_index_topk(engine, "cidx", emb.limit(2), k=3, nprobe=2).collect()
-    keys = [k for k in engine._ann_centroid_cache if k[0] == "cidx__centroids"]
+    keys = [k for k in engine._ann_centroid_cache if k[0] == "cidx__vectors"]
     assert keys and keys[0] != key1
     assert key1 not in engine._ann_centroid_cache
 
@@ -506,33 +511,122 @@ def test_overwrite_is_atomic_and_conditional(engine, spark):
     assert engine.table("ow").count() == 3  # aborted replace changed nothing
 
 
-def test_ivf_maintenance_self_heals_crashed_rebuild(engine, emb):
-    """The two rebuild commits are per-table; a crash between them
-    leaves the tables' ivf_rebuild txn stamps disagreeing. The next
-    maintenance call must detect that and force a rebuild even when no
-    threshold trips."""
+def test_ivf_rebuild_is_one_atomic_commit_and_mirror_resyncs(engine, emb):
+    """The authoritative centroids ride the vectors commit's meta, so a
+    rebuild is ONE atomic flip: a crash after it (before the derived
+    mirror-table commit) leaves probes fully consistent — the next
+    maintenance call resyncs the stale mirror with a k-row rewrite, not
+    a rebuild."""
     ann_index.build_ivf_index(engine, "chidx", emb, bucket_col=None, n_buckets=4)
     out = ann_index.ivf_index_maintenance(engine, "chidx", max_appended_fraction=0.9)
     assert out["rebuilt"] is False
-    # simulate the crash: stamp ONLY the vectors table (the state a
-    # death between the two overwrite commits leaves behind)
-    vt = "chidx__vectors"
-    snap = engine.folder.log(vt).snapshot()
+    vt, ct = "chidx__vectors", "chidx__centroids"
+    # simulate the crash: the authoritative vectors+meta commit landed
+    # (here with a freshly-fitted 8-bucket geometry) but the process
+    # died before the mirror commit
+    from modelardb_rs_spark.operators.ann_index import (
+        _centroids_meta,
+        _fitted_cent_rows,
+    )
+    from modelardb_rs_spark.operators.similarity import numpy_kmeans_buckets
+
+    corpus = engine.table(vt).select("vec_id", "embedding")
+    bucketed, fitted_C = numpy_kmeans_buckets(
+        corpus, k=8, id_col="vec_id", vec_col="embedding", seed=7,
+        return_centroids=True,
+    )
+    vectors = bucketed.select(
+        "vec_id", "embedding", F.col("ivf_bucket").cast("int").alias("ivf_bucket")
+    )
+    cent_rows = _fitted_cent_rows(vectors, fitted_C)
+    gen = int(engine.folder.log(vt).snapshot().version) + 1
     engine.overwrite(
-        vt,
-        engine.table(vt),
-        partition_by=["ivf_bucket"],
-        txn=("ivf_rebuild::chidx", int(snap.version) + 1),
+        vt, vectors, partition_by=["ivf_bucket"],
+        commit_meta=_centroids_meta(cent_rows, gen=gen),
     )
-    healed = ann_index.ivf_index_maintenance(
-        engine, "chidx", max_appended_fraction=0.9
+    # probes are consistent IMMEDIATELY — the 8-bucket centroids come
+    # from the same snapshot as the 8-bucket vectors, even though the
+    # mirror table still holds the old 4-bucket rows
+    s = ann_index.ivf_index_stats(engine, "chidx", drift=False)
+    assert s["n_buckets"] == 8
+    # query under a fresh id (probe_topk excludes the query's own id):
+    # vector 5's embedding must find the STORED row 5 at cosine 1
+    q = emb.where(F.col("vec_id") == 5).select(
+        F.lit(999_999).alias("vec_id"), "embedding"
     )
-    assert healed["rebuilt"] is True
-    assert any("crashed rebuild" in r for r in healed["reasons"])
-    # stamps agree again afterwards: a rerun is a no-op
+    hit = ann_index.ivf_index_topk(engine, "chidx", q, k=1, nprobe=8).collect()
+    assert hit and hit[0]["neighbor_id"] == 5 and abs(hit[0]["cos"] - 1.0) < 1e-5
+    assert engine.table(ct).count() == 4  # the mirror IS stale
+    # maintenance resyncs the mirror without rebuilding
+    healed = ann_index.ivf_index_maintenance(engine, "chidx", max_appended_fraction=0.9)
+    assert healed["rebuilt"] is False
+    assert engine.table(ct).count() == 8
+    assert engine.last_txn_version(ct, "ivf_rebuild::chidx") == gen
+    # mirror content matches the authoritative meta exactly
+    mirror = {
+        (int(r["ivf_bucket"]), tuple(r["centroid"]), int(r["n_vectors"]))
+        for r in engine.table(ct).collect()
+    }
+    meta_rows = {
+        (b, tuple(c), n)
+        for b, c, n in ann_index._centroid_rows(engine, "chidx")
+    }
+    assert mirror == meta_rows
+    # a rerun is a no-op (stamp now matches the gen)
     again = ann_index.ivf_index_maintenance(engine, "chidx", max_appended_fraction=0.9)
     assert again["rebuilt"] is False
     assert engine.table(vt).count() == emb.count()
+
+
+def test_ivf_probe_consistent_under_concurrent_rebuilds(engine, emb):
+    """Chaos: probes racing rebuilds must ALWAYS read a consistent
+    vectors/centroids pair. Rebuilds alternate 4- and 8-bucket
+    geometries while a probe loop looks up a vector that is IN the
+    corpus with nprobe covering EVERY bucket — under any consistent
+    snapshot the identical twin is always found at cosine ~1; a torn
+    read pairing the 4-bucket centroids with the 8-bucket vectors
+    exposes only bucket ids 0-3 to the scan filter, so a twin living
+    in buckets 4-7 vanishes and the probe misses (the pre-meta design
+    had exactly this window between its two commits)."""
+    import threading
+
+    ann_index.build_ivf_index(engine, "czidx", emb, bucket_col=None, n_buckets=4)
+    # fresh query id: probe_topk excludes the query's own id, so the
+    # exact-match hit must be the STORED row 17
+    q = emb.where(F.col("vec_id") == 17).select(
+        F.lit(888_888).alias("vec_id"), "embedding"
+    )
+    stop = threading.Event()
+    errors: list = []
+
+    def rebuilder():
+        try:
+            for i in range(4):
+                ann_index.ivf_index_maintenance(
+                    engine, "czidx",
+                    max_appended_fraction=-1.0,  # always trips
+                    n_buckets=8 if i % 2 == 0 else 4,
+                )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+        finally:
+            stop.set()
+
+    t = threading.Thread(target=rebuilder)
+    t.start()
+    probes = 0
+    try:
+        while not stop.is_set():
+            out = ann_index.ivf_index_topk(
+                engine, "czidx", q, k=1, nprobe=8
+            ).collect()
+            assert out and out[0]["neighbor_id"] == 17, out
+            assert abs(out[0]["cos"] - 1.0) < 1e-5, out
+            probes += 1
+    finally:
+        t.join()
+    assert not errors, errors
+    assert probes >= 3  # the loop genuinely overlapped the rebuilds
 
 
 def test_ivf_maintenance_trips_on_drift_and_imbalance(engine, spark, emb):

@@ -121,9 +121,12 @@ def test_vacuum_sweeps_orphaned_staging(ts_table, spark):
     # chaos test caught vacuum deleting live writers' staging)
     assert folder.vacuum("acid", retain_seconds=0) == []
     assert folder.fs.exists(staged)
-    # past the grace it is a crashed write and sweeps
+    # past the grace it is a crashed write and sweeps — on the grace
+    # clock ALONE: a long data retention (here 1h) must not defer the
+    # orphan sweep (staging older than grace but newer than the data
+    # horizon is still garbage)
     assert folder.vacuum(
-        "acid", retain_seconds=0, staging_grace_seconds=0
+        "acid", retain_seconds=3600, staging_grace_seconds=0
     ) == [staged]
     assert not folder.fs.exists(staged)
     # committed data untouched
@@ -898,3 +901,46 @@ def test_chaos_concurrent_writes_optimize_vacuum_time_travel(engine, spark):
         except Exception:
             pass  # vacuumed history: clean failure is the contract
     assert readable > 0  # at least the latest version reads back
+
+
+def test_commit_meta_payload_flows_through_snapshots(engine, spark):
+    """A commit may carry an application metadata payload (the Delta
+    metaData-action analog, used by the ANN index to flip vectors and
+    centroids in ONE atomic commit): the latest meta rides every later
+    snapshot, commits without meta inherit it, a newer meta replaces
+    it, checkpoints persist it, and time travel resolves the meta as
+    of the requested version."""
+    engine.read_sql("CREATE TABLE mt(x BIGINT)")
+    df = spark.range(3).selectExpr("id AS x")
+    engine.write("mt", df, commit_meta={"kind": "a", "gen": 0})
+    log = engine.folder.log("mt")
+    assert log.snapshot().meta == {"kind": "a", "gen": 0}
+    # plain commits inherit the latest meta
+    engine.write("mt", df)
+    assert log.snapshot().meta == {"kind": "a", "gen": 0}
+    # a newer meta replaces it; time travel sees the old one
+    v = engine.write("mt", df, commit_meta={"kind": "b", "gen": 1})
+    assert log.snapshot().meta == {"kind": "b", "gen": 1}
+    assert log.snapshot(version=v - 1).meta == {"kind": "a", "gen": 0}
+    # overwrite carries meta in the same (single) replace commit
+    engine.overwrite("mt", df, commit_meta={"kind": "c", "gen": 2})
+    assert log.snapshot().meta == {"kind": "c", "gen": 2}
+    # checkpoints persist the inherited meta: cross a checkpoint
+    # boundary with meta-less commits, then verify a snapshot built
+    # FROM the checkpoint (not full replay) still carries it
+    from modelardb_rs_spark.sources import txlog as txmod
+
+    while log.snapshot().version % txmod._CHECKPOINT_INTERVAL != 0:
+        engine.write("mt", df)
+    cp_version = log.snapshot().version
+    assert engine.folder.fs.exists(log._checkpoint_uri(cp_version))
+    fresh = txmod.TransactionLog(engine.folder.fs, log.table_uri)
+    assert fresh.snapshot().meta == {"kind": "c", "gen": 2}
+    # meta on time series tables is rejected (normal tables only)
+    engine.read_sql("CREATE TIME SERIES TABLE mts(timestamp TIMESTAMP, f FIELD)")
+    with pytest.raises(ValueError, match="normal tables only"):
+        engine.write(
+            "mts",
+            spark.createDataFrame([Row(timestamp=TS0, f=1.0)]),
+            commit_meta={"nope": 1},
+        )
