@@ -67,6 +67,40 @@ _TS_TABLE_DDL = (
 # re-resolve the same immutable state every time.
 _ENGINE_CACHE: dict = {}
 
+# /tmp cache roots the entries build once per (process, sf): each kind
+# is one sparkmodelar_<kind> directory. Single source of truth so
+# bench.py and the gate replica clear them through ONE helper instead
+# of parallel rmtree blocks that drift as kinds are added.
+_CACHE_KINDS = ("entry", "annidx", "statsidx", "maintidx", "trainexport")
+
+
+def cache_root(kind: str) -> str:
+    """The /tmp root for one entry-cache kind (see _CACHE_KINDS)."""
+    if kind not in _CACHE_KINDS:
+        raise ValueError(f"unknown cache kind {kind!r}; have {_CACHE_KINDS}")
+    return os.path.join(tempfile.gettempdir(), f"sparkmodelar_{kind}")
+
+
+def clear_caches(
+    kinds: tuple[str, ...] = _CACHE_KINDS, sf_name: str | None = None
+) -> None:
+    """Remove entry caches so a run measures current code, not stale
+    files. ``sf_name`` limits the (versioned, per-sf) ``entry`` kind to
+    that scale factor's subdirectories; every other kind is removed
+    whole. bench.py clears before timing; the gate replica clears the
+    kinds whose staleness could mask a broken writer."""
+    import shutil
+
+    for kind in kinds:
+        root = cache_root(kind)
+        if kind == "entry" and sf_name is not None:
+            if os.path.isdir(root):
+                for d in os.listdir(root):
+                    if d.startswith(sf_name):
+                        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        else:
+            shutil.rmtree(root, ignore_errors=True)
+
 
 def _cached_engine(spark: SparkSession, root: str) -> Engine:
     ck = (spark.sparkContext.applicationId, root)
@@ -84,7 +118,7 @@ def _ts_engine(spark: SparkSession, sf_dir: str) -> Engine:
     # version the cache by the DDL and the physical segment layout so
     # schema changes across rounds never read a stale /tmp data folder
     ver = hashlib.md5(f"{_TS_TABLE_DDL}|layout=4".encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_entry", f"{key}_{ver}")
+    root = os.path.join(cache_root("entry"), f"{key}_{ver}")
     ck = (spark.sparkContext.applicationId, root)
     cached = _ENGINE_CACHE.get(ck)
     if cached is not None and os.path.exists(os.path.join(root, ".build_done")):
@@ -611,7 +645,7 @@ def ts_many_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     import fcntl
 
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_entry", key + "_users")
+    root = os.path.join(cache_root("entry"), key + "_users")
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, ".build_lock"), "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
@@ -685,7 +719,7 @@ def ts_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import fcntl
 
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_entry", key + "_travel")
+    root = os.path.join(cache_root("entry"), key + "_travel")
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, ".build_lock"), "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
@@ -739,7 +773,7 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through a per-sf symlink dir (testdata itself is read-only)
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     stream_dir = os.path.join(
-        tempfile.gettempdir(), "sparkmodelar_entry", f"{key}_streamsrc"
+        cache_root("entry"), f"{key}_streamsrc"
     )
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
@@ -793,7 +827,7 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     stream_dir = os.path.join(
-        tempfile.gettempdir(), "sparkmodelar_entry", f"{key}_streamsrc"
+        cache_root("entry"), f"{key}_streamsrc"
     )
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
@@ -841,7 +875,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "documents.parquet")
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     stream_dir = os.path.join(
-        tempfile.gettempdir(), "sparkmodelar_entry", f"{key}_docstream"
+        cache_root("entry"), f"{key}_docstream"
     )
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "documents.parquet")
@@ -2027,7 +2061,7 @@ def sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (emb,) = _prep(spark, sf_dir, "embeddings")
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_annidx", f"{key}_v1")
+    root = os.path.join(cache_root("annidx"), f"{key}_v1")
     os.makedirs(root, exist_ok=True)
     marker = os.path.join(root, ".build_done")
     with open(os.path.join(root, ".build_lock"), "w") as lock:
@@ -2055,7 +2089,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (emb,) = _prep(spark, sf_dir, "embeddings")
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_annidx", f"{key}_v1")
+    root = os.path.join(cache_root("annidx"), f"{key}_v1")
     os.makedirs(root, exist_ok=True)
     marker = os.path.join(root, ".pq_kmeans_build_done")
     with open(os.path.join(root, ".build_lock"), "w") as lock:
@@ -2450,7 +2484,7 @@ def sim_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a lightweight dedicated folder — _ts_engine would ingest the whole
     # ts_events table this entry never touches
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_statsidx", f"{key}_v1")
+    root = os.path.join(cache_root("statsidx"), f"{key}_v1")
     os.makedirs(root, exist_ok=True)
     eng = _cached_engine(spark, root)
     (emb,) = _prep(spark, sf_dir, "embeddings")
@@ -2499,7 +2533,7 @@ def sim_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modelardb_rs_spark.operators import ann_index
 
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_maintidx", f"{key}_v1")
+    root = os.path.join(cache_root("maintidx"), f"{key}_v1")
     os.makedirs(root, exist_ok=True)
     eng = _cached_engine(spark, root)
     (emb,) = _prep(spark, sf_dir, "embeddings")
@@ -2631,7 +2665,7 @@ def doc_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modelardb_rs_spark.operators.packing import export_training_shards
 
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_trainexport", f"{key}_v3")
+    root = os.path.join(cache_root("trainexport"), f"{key}_v3")
     os.makedirs(root, exist_ok=True)
     out_dir = os.path.join(root, "shards")
     marker = os.path.join(root, ".export_done")

@@ -127,11 +127,7 @@ def main() -> None:
 
     # Fresh ts-table cache so ingest cost is measured, not skipped
     # (cache dirs are versioned by DDL hash: sf0.1, sf0.1_<hash>, ...).
-    root = os.path.join(tempfile.gettempdir(), "sparkmodelar_entry")
-    if os.path.isdir(root):
-        for d in os.listdir(root):
-            if d.startswith(sf_name):
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    entry.clear_caches(kinds=("entry",), sf_name=sf_name)
 
     spark = make_spark(app_name="sparkmodelar-bench")
     qs = entry.queries()
@@ -175,23 +171,13 @@ def main() -> None:
     # ANN index build is once-per-corpus in serving reality: build it
     # outside the timed loop (fresh dir each bench run), so the
     # sim_ivf_index line measures the probe path it represents.
-    shutil.rmtree(
-        os.path.join(tempfile.gettempdir(), "sparkmodelar_annidx"), ignore_errors=True
-    )
-    # doc_train_export caches its written shards per (tmpdir, sf): clear
-    # so the line times the chain + write + read-back manifest, not a
-    # marker check over a previous run's files.
-    shutil.rmtree(
-        os.path.join(tempfile.gettempdir(), "sparkmodelar_trainexport"),
-        ignore_errors=True,
-    )
-    # sim_index_maintenance rebuilds its index per call; clear the folder
-    # so the timed line isn't inflated by a prior run's accumulated
-    # commit history
-    shutil.rmtree(
-        os.path.join(tempfile.gettempdir(), "sparkmodelar_maintidx"),
-        ignore_errors=True,
-    )
+    # doc_train_export caches its written shards per (tmpdir, sf) —
+    # clear so the line times the chain + write + read-back manifest,
+    # not a marker check over a previous run's files. And
+    # sim_index_maintenance rebuilds its index per call — clear so the
+    # timed line isn't inflated by a prior run's accumulated commit
+    # history.
+    entry.clear_caches(kinds=("annidx", "trainexport", "maintidx"))
     t0 = time.time()
     qs["sim_ivf_index"](spark, sf_dir).count()
     timings["ann_index_build"] = round(time.time() - t0, 3)

@@ -87,13 +87,7 @@ def main() -> int:
     # keyed by (sf, chain version): clear it (as bench.py does) so the
     # gate exercises the CURRENT export code, not a prior run's files —
     # a stale cache would let a newly broken writer pass.
-    import shutil
-    import tempfile
-
-    shutil.rmtree(
-        os.path.join(tempfile.gettempdir(), "sparkmodelar_trainexport"),
-        ignore_errors=True,
-    )
+    entry.clear_caches(kinds=("trainexport",))
     spark = make_spark(app_name="correctness-check")
     # warm the session (executor launch + first-job scheduling, ~5 s)
     # OUTSIDE any entry's timer: without this the first entry's wall in
