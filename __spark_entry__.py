@@ -1039,6 +1039,37 @@ def q_asof_hot_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_auto_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auto-engaging hot-key policy (asof_join(
+    hot_key_buckets="auto"): one exact key-histogram aggregate flips
+    the two-pass plan on only when the largest key exceeds the
+    measured rows/key crossover). The threshold is lowered here so the
+    policy ENGAGES at this scale — the engaged plan must stay
+    value-identical to the one-pass plan, so this entry shares
+    q_asof_join's DuckDB native-ASOF oracle."""
+    from modelardb_rs_spark.operators.asof import asof_join
+
+    (ev,) = _prep(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("ts").alias("click_ts"))
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by=["user_id"],
+        right_value_cols=["click_ts"],
+        hot_key_buckets="auto", hot_key_threshold=2,
+    )
+    gap_us = F.unix_micros("ts") - F.unix_micros("click_ts_right")
+    return joined.agg(
+        F.count("*").alias("n_purchases"),
+        F.count("click_ts_right").alias("n_with_click"),
+        F.round(F.sum(gap_us) / F.count("click_ts_right"), 2).alias("avg_gap_us"),
+    )
+
+
 def q_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASOF JOIN through the SQL surface (engine.read_sql → the
     parser-level rewrite in operators/asof.py::rewrite_asof_sql,
@@ -2191,6 +2222,33 @@ def sim_semantic_dedup_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("vec_id").orderBy("vec_id")
 
 
+def sim_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTO-sized hot-bucket lever (semantic_near_pairs(
+    max_bucket_rows="auto"): the chunk cap derives from the bucket
+    histogram — max(floor, mult x median bucket size), the same
+    median-anchored family rule as the LSH/SimHash caps — so hot
+    buckets chunk without a hand-tuned constant). Floor/mult are set
+    low here so the auto rule genuinely CHUNKS at this scale; the
+    output must stay bit-identical to the single-task plan, so this
+    entry shares sim_semantic_dedup's closed-form oracle."""
+    from modelardb_rs_spark.operators.similarity import semantic_dedup
+
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    dups = emb.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.001)).cast("float")
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.unionByName(dups)
+    kept = semantic_dedup(
+        corpus, threshold=0.999, n_clusters=8, max_bucket_rows="auto",
+        auto_chunk_floor=16, auto_chunk_median_mult=1,
+    )
+    return kept.select("vec_id").orderBy("vec_id")
+
+
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (operators/similarity.py::
     semantic_dedup, Abbas et al. 2023): k-means clusters cap pairwise
@@ -2866,6 +2924,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_lossy_bound": ts_lossy_bound,
         "ts_time_travel": ts_time_travel,
         "stream_windowed_rollup": stream_windowed_rollup,
+        # round-11 additions: the auto policies, value-pinned vs the same
+        # oracles as their hand-tuned siblings
+        "sim_semantic_dedup_auto": sim_semantic_dedup_auto,
+        "q_asof_auto_hot": q_asof_auto_hot,
     }
 
 
@@ -4099,6 +4161,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["sim_ivf_index"] = oracles["sim_ivf_topk"]
     # value-identical two-pass plan: same oracle as the one-pass entry
     oracles["q_asof_hot_bucketed"] = oracles["q_asof_join"]
+    oracles["q_asof_auto_hot"] = oracles["q_asof_join"]
     oracles["sim_ivfpq_topk"] = oracles["sim_ivf_trained"]
     oracles["q_interp_join"] = """
         WITH r AS (
@@ -4781,6 +4844,7 @@ def oracle_sql() -> dict[str, str]:
     """
     # chunked hot-bucket plan is value-identical by construction
     oracles["sim_semantic_dedup_chunked"] = oracles["sim_semantic_dedup"]
+    oracles["sim_semantic_dedup_auto"] = oracles["sim_semantic_dedup"]
     # nprobe=2 widens the EXAMINED pair set only; the qualifying pairs
     # (cosine exactly 1) and therefore the kept set are unchanged
     oracles["sim_semantic_dedup_multiprobe"] = """

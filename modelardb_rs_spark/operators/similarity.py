@@ -1055,6 +1055,8 @@ def semantic_dedup(
     collapse_exact: bool = False,
     nprobe: int = 1,
     max_bucket_rows: int | str | None = None,
+    auto_chunk_floor: int = 4096,
+    auto_chunk_median_mult: int = 4,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cluster the embeddings, find
@@ -1157,6 +1159,8 @@ def semantic_dedup(
         assignments=assignments,
         nprobe=nprobe,
         max_bucket_rows=max_bucket_rows,
+        auto_chunk_floor=auto_chunk_floor,
+        auto_chunk_median_mult=auto_chunk_median_mult,
     )
     drop = (
         duplicate_clusters(pairs)
