@@ -251,8 +251,7 @@ def append_to_ivf_index(
     from pyspark.sql import types as T
 
     cent_rows = sorted(
-        (int(r["ivf_bucket"]), list(r["centroid"]))
-        for r in _cached_centroids(engine, index_name).collect()
+        (b, c) for b, c, _ in _centroid_rows(engine, index_name)
     )
     buckets_np = np.asarray([b for b, _ in cent_rows], dtype="int32")
     C = np.asarray([c for _, c in cent_rows], dtype=np.float64)

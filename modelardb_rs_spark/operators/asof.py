@@ -18,7 +18,9 @@ task's sort. That is the same asymptotic hot-key bound a sort-merge
 join has (its matching key also lands on one task), and the sort is
 external (spills, never OOMs), but wall-clock degrades to the hot
 key's size. For pathological keys (one key ~ the whole input), pass
-``hot_key_buckets=N``: the time axis splits into N contiguous ranges,
+``hot_key_buckets=N`` (or ``"auto"``, which engages the lever from one
+exact key-histogram aggregate when the largest key exceeds the
+measured crossover): the time axis splits into N contiguous ranges,
 the window runs per (key, time_bucket) — the hot key's rows then
 parallelize across N tasks — and each bucket is seeded with the
 previous buckets' LAST right row (a per-(key, bucket) max_by plus one

@@ -157,7 +157,17 @@ def train_bpe_on_corpus(
     modest fractions reproduce the full fit's early merges (measured in
     SCALE.md "Round-10"; ``1.0`` is byte-identical by construction).
     Deterministic in (text value, ``seed``) — stable across runs,
-    partitionings, and engines."""
+    partitionings, and engines.
+
+    Supported envelope (measured, SCALE.md "Round-11"): the merge loop
+    is nearly FLAT in merge count — 32k/64k/128k merges over a 766k-
+    piece sampled table take 652/826/840 s (the wall is the initial
+    pair-table build plus the zipfian head, not the merges) — so every
+    production vocabulary size trains as a one-shot driver step;
+    distributing per-merge pair updates would cost one Spark job per
+    merge and was rejected on measurement. Scale ``max_pieces`` and
+    ``sample_fraction`` to bound the driver table, not the merge
+    count."""
     from pyspark.sql.functions import pandas_udf
 
     if sample_fraction is not None:
