@@ -693,6 +693,7 @@ class Engine:
         partition_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
         commit_meta: dict | None = None,
+        expected_meta: tuple[str, object] | None = None,
     ) -> int | None:
         """Append a DataFrame. Returns the committed log version, or
         None when a txn replay gate skipped the write (callers auditing
@@ -726,9 +727,9 @@ class Engine:
             )
             return self.folder.write_normal(
                 name, cast, partition_by=partition_by, txn=txn,
-                commit_meta=commit_meta,
+                commit_meta=commit_meta, expected_meta=expected_meta,
             )
-        if commit_meta is not None:
+        if commit_meta is not None or expected_meta is not None:
             raise ValueError("commit_meta applies to normal tables only")
         if partition_by:
             raise ValueError("partition_by applies to normal tables only")

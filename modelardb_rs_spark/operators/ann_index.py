@@ -236,7 +236,17 @@ def append_to_ivf_index(
     recall sags. ``txn`` passes a SetTransaction replay gate through to
     the commit (see Engine.write) for exactly-once streaming appends —
     same contract as ``dedup_index.append_to_minhash_index``. Returns
-    ``{"appended", "replayed"}``."""
+    ``{"appended", "replayed"}``.
+
+    Rebuild-safe: the append commit is CONDITIONAL on the centroids
+    generation it assigned against (``expected_meta`` on the index's
+    build_id). A maintenance rebuild landing between the centroid read
+    and the append commit swaps the geometry, and unconditionally
+    committing would plant rows with superseded bucket ids — valid ids
+    in the new geometry but the WRONG buckets, a silent recall hole no
+    stat would ever surface. On conflict the append re-reads the fresh
+    centroids, re-assigns, and retries (bounded); the mirror-image race
+    is already covered by the rebuild's conditional replace."""
     # nearest-EXISTING-centroid assignment as a numpy batch scan
     # (mapInPandas, centroid matrix in the closure): the former
     # crossJoin + per-(vector, bucket) interpreted cosine + window was
@@ -250,64 +260,84 @@ def append_to_ivf_index(
 
     from pyspark.sql import types as T
 
-    cent_rows = sorted(
-        (b, c) for b, c, _ in _centroid_rows(engine, index_name)
-    )
-    buckets_np = np.asarray([b for b, _ in cent_rows], dtype="int32")
-    C = np.asarray([c for _, c in cent_rows], dtype=np.float64)
-    Cn = np.sqrt((C * C).sum(axis=1))
+    from modelardb_rs_spark.sources.datafolder import ConcurrentModificationError
+
+    vt = _vectors_table(index_name)
     in_schema = new_vectors.select(id_col, vec_col).schema
     out_schema = T.StructType(
         list(in_schema.fields) + [T.StructField("ivf_bucket", T.IntegerType(), False)]
     )
-
-    def assign_batches(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = (V @ C.T) / (
-                    np.sqrt((V * V).sum(axis=1))[:, None] * Cn[None, :]
-                )
-            out = pdf.copy()
-            out["ivf_bucket"] = buckets_np[np.argmax(cos, axis=1)]
-            yield out
-
-    assigned = new_vectors.select(id_col, vec_col).mapInPandas(
-        assign_batches, out_schema
-    )
-    if _pqbooks_table(index_name) in engine.tables():
-        # IVF-PQ index: appended vectors must also carry codes — encode
-        # residuals against the FIXED books + centroids (classic IVFPQ
-        # add; books drift from new data the same way centroids do);
-        # exact |c_b + dec(codes)| norms ride the same numpy encode pass
-        assigned = _encode_residuals(
-            engine, index_name, assigned, cent_rows, id_col, vec_col
+    last_err: Exception | None = None
+    for _ in range(3):
+        # one snapshot resolution: the centroids assigned against AND
+        # the generation the commit is conditioned on come from it
+        snap = engine.folder.log(vt).snapshot()
+        gen_id = (snap.meta or {}).get("build_id")
+        cent_rows = sorted(
+            (b, c) for b, c, _ in _centroid_rows(engine, index_name, snap=snap)
         )
-    # Count rows as a side effect of the write job itself (Observation
-    # metrics piggyback on the action that executes the plan): a caller
-    # with expensive upstream lineage pays for it ONCE, not again for a
-    # count job that exists only to report `appended`.
-    from pyspark.sql import Observation
+        buckets_np = np.asarray([b for b, _ in cent_rows], dtype="int32")
+        C = np.asarray([c for _, c in cent_rows], dtype=np.float64)
+        Cn = np.sqrt((C * C).sum(axis=1))
 
-    obs = Observation()
-    assigned = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
-    version = engine.write(
-        _vectors_table(index_name), assigned, partition_by=["ivf_bucket"], txn=txn
-    )
-    if version is None:
-        # txn replay gate skipped the commit: nothing was appended, and
-        # reporting new_vectors.count() would both mislead exactly-once
-        # audits and launch a pointless Spark job on the no-op path.
-        return {"appended": 0, "replayed": True}
-    # Sustained appends write one small file per touched bucket per
-    # commit; the auto-OPTIMIZE cadence compacts them (preserving the
-    # ivf_bucket= layout — sources/datafolder.py infers it from live
-    # paths) so probe-time file counts stay bounded, the same policy
-    # the streaming ingest paths apply to their tables.
-    engine.maybe_optimize(_vectors_table(index_name))
-    return {"appended": int(obs.get["n"]), "replayed": False}
+        def assign_batches(batches, C=C, Cn=Cn, buckets_np=buckets_np):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (V @ C.T) / (
+                        np.sqrt((V * V).sum(axis=1))[:, None] * Cn[None, :]
+                    )
+                out = pdf.copy()
+                out["ivf_bucket"] = buckets_np[np.argmax(cos, axis=1)]
+                yield out
+
+        assigned = new_vectors.select(id_col, vec_col).mapInPandas(
+            assign_batches, out_schema
+        )
+        if _pqbooks_table(index_name) in engine.tables():
+            # IVF-PQ index: appended vectors must also carry codes —
+            # encode residuals against the FIXED books + centroids
+            # (classic IVFPQ add; books drift from new data the same way
+            # centroids do); exact |c_b + dec(codes)| norms ride the
+            # same numpy encode pass
+            assigned = _encode_residuals(
+                engine, index_name, assigned, cent_rows, id_col, vec_col
+            )
+        # Count rows as a side effect of the write job itself
+        # (Observation metrics piggyback on the action that executes the
+        # plan): a caller with expensive upstream lineage pays for it
+        # ONCE, not again for a count job that only reports `appended`.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        assigned = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
+        try:
+            version = engine.write(
+                vt, assigned, partition_by=["ivf_bucket"], txn=txn,
+                expected_meta=("build_id", gen_id),
+            )
+        except ConcurrentModificationError as e:
+            # a rebuild swapped the geometry between our centroid read
+            # and the commit: the staged rows carry superseded bucket
+            # ids — re-read the fresh centroids and re-assign
+            last_err = e
+            continue
+        if version is None:
+            # txn replay gate skipped the commit: nothing was appended,
+            # and reporting new_vectors.count() would both mislead
+            # exactly-once audits and launch a pointless Spark job on
+            # the no-op path.
+            return {"appended": 0, "replayed": True}
+        # Sustained appends write one small file per touched bucket per
+        # commit; the auto-OPTIMIZE cadence compacts them (preserving
+        # the ivf_bucket= layout — sources/datafolder.py infers it from
+        # live paths) so probe-time file counts stay bounded, the same
+        # policy the streaming ingest paths apply to their tables.
+        engine.maybe_optimize(vt)
+        return {"appended": int(obs.get["n"]), "replayed": False}
+    raise last_err  # three geometry swaps mid-append: surface the race
 
 
 def _pqbooks_table(index_name: str) -> str:

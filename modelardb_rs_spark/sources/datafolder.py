@@ -182,6 +182,7 @@ class DataFolder:
         txn: tuple[str, int] | None = None,
         replace_expected: list[str] | None = None,
         commit_meta: dict | None = None,
+        expected_meta: tuple[str, object] | None = None,
     ) -> int | None:
         """Run `write_staged(staged_uri)` into a fresh txn= directory,
         then commit the produced parquet files atomically.
@@ -197,7 +198,16 @@ class DataFolder:
         ``remove`` lists rel-paths this commit replaces (OPTIMIZE). The
         commit aborts if any of them left the live set concurrently —
         re-adding their data then would resurrect truncated/compacted
-        rows (Delta's ConcurrentDeleteReadException semantics)."""
+        rows (Delta's ConcurrentDeleteReadException semantics).
+
+        ``expected_meta=(key, value)`` makes the commit conditional on
+        the snapshot's meta payload still carrying ``value`` under
+        ``key`` at commit time — the guard for writes whose CONTENT was
+        derived from the meta (an ANN append assigns vectors against
+        the centroids in the meta; if a rebuild swaps them mid-flight
+        the staged rows belong to a geometry that no longer exists, so
+        the commit must abort and the caller re-derive). Checked on
+        every optimistic-retry snapshot, like ``replace_expected``."""
         table = self.table_path(name)
         staged_rel = f"txn={uuid.uuid4().hex[:16]}"
         staged = self.fs.join(table, staged_rel)
@@ -246,6 +256,15 @@ class DataFolder:
         expected_set = set(replace_expected) if replace_expected is not None else None
 
         def build(snap):
+            if expected_meta is not None:
+                mk, mv = expected_meta
+                cur = (snap.meta or {}).get(mk)
+                if cur != mv:
+                    raise ConcurrentModificationError(
+                        f"{name}: commit meta[{mk!r}] changed concurrently "
+                        f"({mv!r} -> {cur!r}); the staged write was derived "
+                        "from superseded metadata — re-derive and retry"
+                    )
             if expected_set is not None:
                 # full-replace commit: the staged data was computed FROM
                 # expected_set, so ANY concurrent change to the live set
@@ -508,6 +527,7 @@ class DataFolder:
         partition_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
         commit_meta: dict | None = None,
+        expected_meta: tuple[str, object] | None = None,
     ) -> int | None:
         """Atomically append rows to a normal table. Returns the
         committed version, or None when a txn replay gate skipped the
@@ -527,7 +547,8 @@ class DataFolder:
             writer.parquet(staged)
 
         return self._stage_and_commit(
-            name, write_staged, txn=txn, commit_meta=commit_meta
+            name, write_staged, txn=txn, commit_meta=commit_meta,
+            expected_meta=expected_meta,
         )
 
     def replace_normal(

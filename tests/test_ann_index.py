@@ -688,3 +688,88 @@ def test_ivf_maintenance_trips_on_drift_and_imbalance(engine, spark, emb):
     assert any("max_centroid_drift" in r for r in tripped["reasons"])
     after = ann_index.ivf_index_stats(engine, "didx", drift=True)
     assert after["max_centroid_drift"] < thr  # back under the policy line
+
+
+def _swap_geometry(engine, vt, k, seed=7):
+    """Replace the vectors table with a freshly-fitted k-bucket geometry
+    carried in the commit meta — the state a maintenance rebuild leaves."""
+    from modelardb_rs_spark.operators.ann_index import (
+        _centroids_meta,
+        _fitted_cent_rows,
+    )
+    from modelardb_rs_spark.operators.similarity import numpy_kmeans_buckets
+
+    corpus = engine.table(vt).select("vec_id", "embedding")
+    bucketed, fitted_C = numpy_kmeans_buckets(
+        corpus, k=k, id_col="vec_id", vec_col="embedding", seed=seed,
+        return_centroids=True,
+    )
+    vectors = bucketed.select(
+        "vec_id", "embedding", F.col("ivf_bucket").cast("int").alias("ivf_bucket")
+    )
+    cent_rows = _fitted_cent_rows(vectors, fitted_C)
+    gen = int(engine.folder.log(vt).snapshot().version) + 1
+    engine.overwrite(
+        vt, vectors, partition_by=["ivf_bucket"],
+        commit_meta=_centroids_meta(cent_rows, gen=gen),
+    )
+
+
+def test_write_expected_meta_is_conditional(engine, spark):
+    """expected_meta=(key, value) aborts the commit when the snapshot's
+    meta no longer carries that value — the guard for writes derived
+    from the meta."""
+    from modelardb_rs_spark.sources.datafolder import ConcurrentModificationError
+
+    engine.read_sql("CREATE TABLE cm(x BIGINT)")
+    df = spark.range(2).selectExpr("id AS x")
+    engine.write("cm", df, commit_meta={"build_id": "aaa"})
+    # matching expectation commits
+    assert engine.write("cm", df, expected_meta=("build_id", "aaa")) is not None
+    # stale expectation aborts
+    engine.write("cm", df, commit_meta={"build_id": "bbb"})
+    with pytest.raises(ConcurrentModificationError, match="build_id"):
+        engine.write("cm", df, expected_meta=("build_id", "aaa"))
+
+
+def test_append_retries_when_rebuild_swaps_geometry(engine, emb, monkeypatch):
+    """An append racing a rebuild must not plant rows assigned against
+    the superseded centroids (valid bucket ids in the new geometry, but
+    the WRONG buckets — a silent recall hole). The append commit is
+    conditional on the centroids generation; on conflict it re-reads
+    the fresh geometry and re-assigns."""
+    import numpy as np
+
+    ann_index.build_ivf_index(engine, "rcidx", emb, bucket_col=None, n_buckets=4)
+    vt = "rcidx__vectors"
+    new_vecs = emb.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 70_000).alias("vec_id"), "embedding"
+    )
+    real_write = engine.write
+    state = {"swapped": False}
+
+    def racing_write(name, df, **kw):
+        if name == vt and not state["swapped"]:
+            state["swapped"] = True
+            _swap_geometry(engine, vt, k=8)  # the rebuild lands first
+        return real_write(name, df, **kw)
+
+    monkeypatch.setattr(engine, "write", racing_write)
+    out = ann_index.append_to_ivf_index(engine, "rcidx", new_vecs)
+    assert out == {"appended": 3, "replayed": False}
+    # the appended rows' buckets must match assignment under the NEW
+    # (8-bucket) geometry, not the 4-bucket one the first attempt saw
+    rows = ann_index._centroid_rows(engine, "rcidx")
+    assert len(rows) == 8
+    C = np.asarray([c for _, c, _ in sorted(rows)], dtype=np.float64)
+    ids = np.asarray([b for b, _, _ in sorted(rows)], dtype="int32")
+    got = {
+        int(r["vec_id"]): int(r["ivf_bucket"])
+        for r in engine.table(vt).where("vec_id >= 70000").collect()
+    }
+    src = {int(r["vec_id"]): list(r["embedding"]) for r in new_vecs.collect()}
+    assert len(got) == 3
+    for vid, bucket in got.items():
+        v = np.asarray(src[vid], dtype=np.float64)
+        cos = (C @ v) / (np.sqrt((C * C).sum(axis=1)) * np.sqrt((v * v).sum()))
+        assert bucket == int(ids[int(np.argmax(cos))]), vid
