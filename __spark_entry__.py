@@ -2106,6 +2106,44 @@ def sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ops.ivf_index_topk(eng, "emb_idx", queries, k=5, nprobe=2)
 
 
+def sim_ingest_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online SemDeDup admission gate (operators/ann_index.py::
+    semantic_dedup_check): a batch of incoming vectors probes the
+    persisted IVF index (one snapshot-atomic probe, nprobe bucket
+    slices — no corpus scan) and rows whose best indexed cosine clears
+    the threshold are flagged with their duplicate's id. The batch here
+    mixes exact copies of indexed vectors (new ids — must flag, cos 1)
+    with negated vectors (cosine -1 to their source — must pass as
+    unique). Reuses sim_ivf_index's cached label-bucketed index; the
+    oracle replays the label-centroid probe and the top-1 flag rule in
+    closed form."""
+    import fcntl
+
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(cache_root("annidx"), f"{key}_v1")
+    os.makedirs(root, exist_ok=True)
+    marker = os.path.join(root, ".build_done")
+    with open(os.path.join(root, ".build_lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        eng = _cached_engine(spark, root)
+        if not os.path.exists(marker):
+            ann_ops.build_ivf_index(eng, "emb_idx", emb, bucket_col="label")
+            with open(marker, "w") as m:
+                m.write("ok")
+    copies = emb.where(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding"
+    )
+    negated = emb.where(F.col("vec_id") % 101 == 0).select(
+        (F.col("vec_id") + 950_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (-x).cast("float")).alias("embedding"),
+    )
+    checked = ann_ops.semantic_dedup_check(
+        eng, "emb_idx", copies.unionByName(negated), threshold=0.999, nprobe=2
+    )
+    return checked.select("vec_id", "dup_of", "dup_cos").orderBy("vec_id")
+
+
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composition over the persisted index (the FAISS IndexIVFPQ
     shape, Jegou/Douze/Schmid TPAMI 2011 SV): coarse-assign vectors to
@@ -2928,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracles as their hand-tuned siblings
         "sim_semantic_dedup_auto": sim_semantic_dedup_auto,
         "q_asof_auto_hot": q_asof_auto_hot,
+        "sim_ingest_dedup_check": sim_ingest_dedup_check,
     }
 
 
@@ -4159,6 +4198,53 @@ def oracle_sql() -> dict[str, str]:
     # the persisted index probes the same buckets with the same math as
     # the inline pipeline, so it shares sim_ivf_topk's oracle verbatim
     oracles["sim_ivf_index"] = oracles["sim_ivf_topk"]
+    # online SemDeDup gate: replay the label-centroid probe (same CTEs
+    # as sim_ivf_topk), take each query's top-1 by (cos desc, neighbor
+    # asc), and flag it a duplicate when the cosine clears the 0.999
+    # threshold — copies of indexed vectors flag at cos 1, negated
+    # vectors (cosine -1 to their source) pass as unique
+    oracles["sim_ingest_dedup_check"] = """
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        ex AS (SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
+        cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i),
+        cent AS (SELECT label,
+                        list_transform(list(CAST(m AS FLOAT) ORDER BY i),
+                                       x -> CAST(x AS DOUBLE)) AS cv
+                 FROM cm GROUP BY label),
+        q AS (
+            SELECT vec_id + 900000 AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0
+            UNION ALL
+            SELECT vec_id + 950000 AS query_id,
+                   list_transform(embedding,
+                                  x -> CAST(CAST(-x AS FLOAT) AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id % 101 = 0
+        ),
+        pc AS (SELECT query_id, qv, label,
+                      list_dot_product(qv, cv) /
+                      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS ccos
+               FROM q CROSS JOIN cent),
+        pr AS (SELECT query_id, qv, label,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY ccos DESC, label) AS prn
+               FROM pc),
+        probes AS (SELECT query_id, qv, label FROM pr WHERE prn <= 2),
+        scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                          round(list_dot_product(qv, e.v) /
+                                (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+                   FROM probes JOIN e USING (label)
+                   WHERE e.vec_id <> query_id),
+        top1 AS (SELECT query_id, neighbor_id, cos,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id) AS rnk
+                 FROM scored)
+        SELECT q.query_id AS vec_id,
+               CASE WHEN t.cos >= 0.999 THEN t.neighbor_id END AS dup_of,
+               CASE WHEN t.cos >= 0.999 THEN t.cos END AS dup_cos
+        FROM q LEFT JOIN top1 t ON t.query_id = q.query_id AND t.rnk = 1
+        ORDER BY vec_id
+    """
     # value-identical two-pass plan: same oracle as the one-pass entry
     oracles["q_asof_hot_bucketed"] = oracles["q_asof_join"]
     oracles["q_asof_auto_hot"] = oracles["q_asof_join"]

@@ -699,6 +699,55 @@ def ivf_index_topk(
     return probe_topk(vectors, cents, queries, k, nprobe, id_col, vec_col, "ivf_bucket")
 
 
+def semantic_dedup_check(
+    engine,
+    index_name: str,
+    new_vectors: DataFrame,
+    threshold: float = 0.97,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ingest-time semantic-dedup gate against a persisted IVF index —
+    the ONLINE half of SemDeDup (the batch half is
+    ``similarity.semantic_dedup`` over a whole corpus): each new vector
+    probes its ``nprobe`` nearest buckets and is flagged a duplicate
+    when its best cosine against the INDEXED corpus clears
+    ``threshold``. Returns ``new_vectors`` plus ``dup_of`` (the indexed
+    near-duplicate's id) and ``dup_cos`` — both NULL for unique
+    vectors, so ``.where(F.col("dup_of").isNull())`` is the admission
+    filter. The embedding-space sibling of
+    ``dedup_index.check_against_index`` (MinHash/lexical).
+
+    Scale shape: ONE snapshot-atomic probe job (``ivf_index_topk``,
+    k=1) touching only the probed bucket partitions; no corpus scan,
+    no quadratic work — cost is |batch| x nprobe bucket slices, the
+    same as any probe. Approximate exactly as IVF probing is
+    approximate: a near-dup whose match lives outside the probed
+    buckets is missed (raise ``nprobe``; the periodic corpus-level
+    ``semantic_dedup`` is the exhaustive backstop). NaN/zero-norm
+    vectors never match (NaN cosine fails every threshold). Ids in
+    ``new_vectors`` must be unique (they key the flag join) and not
+    collide with indexed ids (``probe_topk`` excludes self-id matches,
+    so a colliding id would mask a real duplicate). Two copies arriving
+    in the SAME batch are both unique vs the index — dedup the batch
+    internally first (exact: one groupBy on the vector) when that
+    matters."""
+    top = ivf_index_topk(
+        engine, index_name, new_vectors, k=1, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )
+    hits = top.where(~F.isnan("cos") & (F.col("cos") >= float(threshold))).select(
+        F.col("query_id").alias(id_col),
+        F.col("neighbor_id").alias("dup_of"),
+        F.col("cos").alias("dup_cos"),
+    )
+    # no broadcast hint: hits is |batch|-bounded — tiny for micro-batch
+    # ingest (AQE broadcasts it), arbitrarily large for offline bulk
+    # checks (a forced broadcast would OOM the driver there)
+    return new_vectors.join(hits, id_col, "left")
+
+
 def ivf_index_stats(engine, index_name: str, drift: bool = True) -> dict:
     """Index health telemetry — the numbers an operator watches to decide
     WHEN to rebuild, instead of waiting for recall to sag silently.

@@ -359,6 +359,7 @@ def start_vector_ingest(
     app_id: str | None = None,
     stats_every: int | None = 1,
     maintenance: dict | None = None,
+    dedup: dict | None = None,
 ) -> StreamingQuery:
     """Streaming growth of a persisted IVF / IVF-PQ index
     (operators/ann_index.py): each micro-batch of (id, embedding) rows
@@ -418,7 +419,14 @@ def start_vector_ingest(
     (ConcurrentModificationError) is logged and retried at the next
     cadence tick rather than failing the stream; this stream's own
     appends can't race it — epochs serialize through the sink. A no-op
-    policy check costs only the metadata stats queries."""
+    policy check costs only the metadata stats queries.
+
+    ``dedup={"threshold": t[, "nprobe": n]}`` adds the ONLINE SemDeDup
+    admission gate (``ann_index.semantic_dedup_check``): each batch
+    probes the index and drops vectors whose best indexed cosine clears
+    ``t`` before appending, so the index only grows by semantically-new
+    content — see ``vector_ingest_batch`` for the exact replay and
+    within-batch semantics."""
     if app_id is None:
         app_id = vector_ingest_app_id(index_name, checkpoint_dir)
 
@@ -428,7 +436,8 @@ def start_vector_ingest(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         res = vector_ingest_batch(
-            engine, index_name, batch_df, epoch_id, id_col, vec_col, app_id=app_id
+            engine, index_name, batch_df, epoch_id, id_col, vec_col,
+            app_id=app_id, dedup=dedup,
         )
         if (
             cadence
@@ -495,18 +504,61 @@ def vector_ingest_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     app_id: str | None = None,
+    dedup: dict | None = None,
 ) -> dict:
     """One micro-batch of the vector ingest — idempotent under replay
     (see start_vector_ingest). Factored out so replays are directly
     testable. ``app_id`` defaults to the bare per-index id for direct
-    batch callers; streams pass their per-(index, checkpoint) id."""
+    batch callers; streams pass their per-(index, checkpoint) id.
+
+    ``dedup={"threshold": t[, "nprobe": n]}`` gates admission through
+    ``ann_index.semantic_dedup_check``: vectors whose best indexed
+    cosine clears ``t`` are dropped BEFORE the append (the online
+    SemDeDup gate — the index only grows by semantically-new content).
+    Replay-safe: the check is a read, the decision is deterministic in
+    (batch, index snapshot), and the replay gate skips the whole
+    epoch before the probe runs. Exact copies arriving within ONE
+    batch additionally collapse to their min-id representative (one
+    vector-value groupBy) so a burst of identical vectors admits one
+    row, not the whole burst; NEAR-dup pairs inside one batch still
+    co-admit — the corpus-level ``semantic_dedup`` is the backstop.
+    The returned dict gains ``deduped`` (rows dropped by the gate)."""
     from modelardb_rs_spark.operators import ann_index as ann
+    from modelardb_rs_spark.operators.ann_index import _vectors_table
 
     if batch_df.isEmpty():
         return {"appended": 0, "replayed": False}
     if app_id is None:
         app_id = f"vector_ingest::{index_name}"
-    return ann.append_to_ivf_index(
+    deduped = 0
+    if dedup is not None:
+        # replay gate FIRST: a replayed epoch must not pay the probe
+        prev = engine.last_txn_version(_vectors_table(index_name), app_id)
+        if prev is not None and prev >= int(epoch_id):
+            return {"appended": 0, "replayed": True, "deduped": 0}
+        total = batch_df.count()
+        exact = (
+            batch_df.groupBy(vec_col)
+            .agg(F.min(F.col(id_col)).alias(id_col))
+            .select(id_col, vec_col)
+        )
+        checked = ann.semantic_dedup_check(
+            engine, index_name, exact,
+            threshold=float(dedup["threshold"]),
+            nprobe=int(dedup.get("nprobe", 2)),
+            id_col=id_col, vec_col=vec_col,
+        )
+        batch_df = checked.where(F.col("dup_of").isNull()).select(id_col, vec_col)
+        admitted = batch_df.count()
+        deduped = total - admitted
+        if admitted == 0:
+            # commit an empty-epoch marker so the replay gate still
+            # advances: without it a restart would re-probe this epoch
+            engine.folder.log(_vectors_table(index_name)).commit(
+                lambda snap: ("append", [], []), txn=(app_id, int(epoch_id))
+            )
+            return {"appended": 0, "replayed": False, "deduped": deduped}
+    out = ann.append_to_ivf_index(
         engine,
         index_name,
         batch_df,
@@ -514,6 +566,8 @@ def vector_ingest_batch(
         vec_col,
         txn=(app_id, int(epoch_id)),
     )
+    out["deduped"] = deduped
+    return out
 
 
 def near_dup_ingest_batch(

@@ -773,3 +773,26 @@ def test_append_retries_when_rebuild_swaps_geometry(engine, emb, monkeypatch):
         v = np.asarray(src[vid], dtype=np.float64)
         cos = (C @ v) / (np.sqrt((C * C).sum(axis=1)) * np.sqrt((v * v).sum()))
         assert bucket == int(ids[int(np.argmax(cos))]), vid
+
+
+def test_semantic_dedup_check_flags_indexed_near_dups(engine, emb):
+    """The online SemDeDup gate: exact copies of indexed vectors (new
+    ids) flag with dup_of = the indexed id at cosine ~1; negated
+    vectors pass as unique (cosine -1 to their source)."""
+    ann_index.build_ivf_index(engine, "gateidx", emb, bucket_col=None, n_buckets=6)
+    copies = emb.where(F.col("vec_id").isin(3, 44)).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"), "embedding"
+    )
+    fresh = emb.where(F.col("vec_id") == 9).select(
+        F.lit(600_009).alias("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: (-x).cast("float")).alias("embedding"),
+    )
+    out = ann_index.semantic_dedup_check(
+        engine, "gateidx", copies.unionByName(fresh),
+        threshold=0.999, nprobe=6,
+    ).collect()
+    by_id = {int(r["vec_id"]): r for r in out}
+    assert len(by_id) == 3
+    assert by_id[500_003]["dup_of"] == 3 and by_id[500_003]["dup_cos"] >= 0.999
+    assert by_id[500_044]["dup_of"] == 44 and by_id[500_044]["dup_cos"] >= 0.999
+    assert by_id[600_009]["dup_of"] is None and by_id[600_009]["dup_cos"] is None

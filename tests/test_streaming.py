@@ -582,3 +582,53 @@ def test_streaming_vector_ingest_zero_drift_threshold(spark, engine, tmp_path):
     s = ann_index.ivf_index_stats(engine, "zdidx", drift=False)
     assert s["current_vectors"] == 360
     assert s["appended_fraction"] == 0.0
+
+
+def test_vector_ingest_dedup_gate(spark, engine):
+    """vector_ingest_batch(dedup=...): vectors already in the index are
+    dropped before the append, exact within-batch copies collapse to
+    one representative, an all-duplicate epoch still advances the
+    replay gate, and replays of a deduped epoch skip the probe."""
+    from modelardb_rs_spark.operators import ann_index
+    from modelardb_rs_spark.sources.testdata import load_table
+    from modelardb_rs_spark.streaming.ingest import vector_ingest_batch
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.where(F.col("vec_id") < 300).select("vec_id", "embedding")
+    ann_index.build_ivf_index(engine, "dgidx", first, bucket_col=None, n_buckets=4)
+    dd = {"threshold": 0.999, "nprobe": 4}
+
+    # epoch 1: 2 copies of indexed vectors + 2 fresh + the SAME fresh
+    # vector twice (within-batch exact pair -> one representative)
+    copies = emb.where(F.col("vec_id").isin(5, 17)).select(
+        (F.col("vec_id") + 800_000).alias("vec_id"), "embedding"
+    )
+    fresh = emb.where(F.col("vec_id").isin(301, 302)).select("vec_id", "embedding")
+    twin = emb.where(F.col("vec_id") == 305).select(
+        (F.col("vec_id") + F.lit(810_000)).alias("vec_id"), "embedding"
+    ).unionByName(
+        emb.where(F.col("vec_id") == 305).select(
+            (F.col("vec_id") + F.lit(820_000)).alias("vec_id"), "embedding"
+        )
+    )
+    batch = copies.unionByName(fresh).unionByName(twin)
+    out = vector_ingest_batch(engine, "dgidx", batch, 1, dedup=dd)
+    assert out["replayed"] is False
+    assert out["appended"] == 3  # 301, 302, one of the twins
+    assert out["deduped"] == 3   # two indexed copies + the collapsed twin
+    assert engine.table("dgidx__vectors").count() == 303
+
+    # replay of epoch 1: commit-layer no-op, no probe, no growth
+    again = vector_ingest_batch(engine, "dgidx", batch, 1, dedup=dd)
+    assert again == {"appended": 0, "replayed": True, "deduped": 0}
+    assert engine.table("dgidx__vectors").count() == 303
+
+    # epoch 2: ALL duplicates — nothing appends, but the gate advances
+    alldup = emb.where(F.col("vec_id").isin(301, 302)).select(
+        (F.col("vec_id") + 830_000).alias("vec_id"), "embedding"
+    )
+    out2 = vector_ingest_batch(engine, "dgidx", alldup, 2, dedup=dd)
+    assert out2 == {"appended": 0, "replayed": False, "deduped": 2}
+    assert engine.table("dgidx__vectors").count() == 303
+    replay2 = vector_ingest_batch(engine, "dgidx", alldup, 2, dedup=dd)
+    assert replay2 == {"appended": 0, "replayed": True, "deduped": 0}
