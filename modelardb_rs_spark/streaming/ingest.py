@@ -542,31 +542,44 @@ def vector_ingest_batch(
             .agg(F.min(F.col(id_col)).alias(id_col))
             .select(id_col, vec_col)
         )
+        from pyspark import StorageLevel
+
+        # persist the probe's verdicts: the admitted-count action, the
+        # append job, and the append's geometry-swap retries all read
+        # the ONE probe execution instead of re-running it (the dedup
+        # decision depends on index CONTENT, which a rebuild does not
+        # change, so a cached verdict stays valid across retries)
         checked = ann.semantic_dedup_check(
             engine, index_name, exact,
             threshold=float(dedup["threshold"]),
             nprobe=int(dedup.get("nprobe", 2)),
             id_col=id_col, vec_col=vec_col,
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         batch_df = checked.where(F.col("dup_of").isNull()).select(id_col, vec_col)
         admitted = batch_df.count()
         deduped = total - admitted
         if admitted == 0:
+            checked.unpersist()
             # commit an empty-epoch marker so the replay gate still
             # advances: without it a restart would re-probe this epoch
             engine.folder.log(_vectors_table(index_name)).commit(
                 lambda snap: ("append", [], []), txn=(app_id, int(epoch_id))
             )
             return {"appended": 0, "replayed": False, "deduped": deduped}
-    out = ann.append_to_ivf_index(
-        engine,
-        index_name,
-        batch_df,
-        id_col,
-        vec_col,
-        txn=(app_id, int(epoch_id)),
-    )
-    out["deduped"] = deduped
+    try:
+        out = ann.append_to_ivf_index(
+            engine,
+            index_name,
+            batch_df,
+            id_col,
+            vec_col,
+            txn=(app_id, int(epoch_id)),
+        )
+    finally:
+        if dedup is not None:
+            checked.unpersist()
+    if dedup is not None:
+        out["deduped"] = deduped
     return out
 
 
