@@ -732,7 +732,12 @@ def semantic_dedup_check(
     so a colliding id would mask a real duplicate). Two copies arriving
     in the SAME batch are both unique vs the index — dedup the batch
     internally first (exact: one groupBy on the vector) when that
-    matters."""
+    matters. Batch size bound, stated honestly: the probe broadcasts
+    the (query, vector) set to the scored join (``probe_topk``), so the
+    batch must be broadcast-sized — right for ingest micro-batches and
+    bounded admission queues; a CORPUS-scale check is the batch
+    operator's job (``similarity.semantic_near_pairs`` with
+    ``assignments=`` reusing this index's buckets)."""
     top = ivf_index_topk(
         engine, index_name, new_vectors, k=1, nprobe=nprobe,
         id_col=id_col, vec_col=vec_col,
@@ -742,9 +747,8 @@ def semantic_dedup_check(
         F.col("neighbor_id").alias("dup_of"),
         F.col("cos").alias("dup_cos"),
     )
-    # no broadcast hint: hits is |batch|-bounded — tiny for micro-batch
-    # ingest (AQE broadcasts it), arbitrarily large for offline bulk
-    # checks (a forced broadcast would OOM the driver there)
+    # no broadcast hint: hits is |batch|-bounded and AQE broadcasts it
+    # when small — no need to force what the planner already picks
     return new_vectors.join(hits, id_col, "left")
 
 
