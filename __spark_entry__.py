@@ -2828,8 +2828,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first, padded to 50 with the least-recently-verified entries
     # (multimodal_* last sampled r1/r7; the q_*/stream_* block last
     # sampled r9). A green CORRECTNESS_r11 on the first 24 completes
-    # cumulative driver verification of every declared entry. The full
-    # 127-entry run costs ~3-3.5 min (TESTDATA.md) -- the standing
+    # driver verification of every entry DECLARED BEFORE this round;
+    # the three round-11 additions (sim_semantic_dedup_auto,
+    # q_asof_auto_hot, sim_ingest_dedup_check) sit at the tail, pass the
+    # local gate, and await the next rotation for driver coverage. The
+    # full 130-entry run costs ~3-3.5 min (TESTDATA.md) -- the standing
     # proposal is to gate on all of it; until then rotation is the lever.
     return {
         # --- 24 never driver-sampled (complete the sweep) ---

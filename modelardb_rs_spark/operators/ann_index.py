@@ -111,17 +111,6 @@ def _centroid_rows(
     return cache[key]
 
 
-def _cached_centroids(engine, index_name: str) -> DataFrame:
-    """Centroids as a local-rows DataFrame (n_buckets tiny rows) from
-    the per-engine cache — see ``_centroid_rows``. High-QPS probing
-    runs no table scan per call: freshness costs one commit-log
-    listing."""
-    return engine.spark.createDataFrame(
-        [(b, c) for b, c, _ in _centroid_rows(engine, index_name)],
-        "ivf_bucket INT, centroid ARRAY<FLOAT>",
-    )
-
-
 def build_ivf_index(
     engine,
     index_name: str,
@@ -348,7 +337,7 @@ def _cached_pq_books(engine, index_name: str):
     """PQ codebooks as numpy arrays (list of (ks, D/m) per subspace),
     cached per engine instance and books-table file set — index
     metadata, m x ks tiny rows, same caching contract as
-    _cached_centroids."""
+    ``_centroid_rows``."""
     import numpy as np
 
     tbl = _pqbooks_table(index_name)
@@ -650,8 +639,12 @@ def ivf_index_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    drop_nan: bool = False,
 ) -> DataFrame:
     """Top-k against a persisted index, touching only probed buckets.
+    ``drop_nan`` passes through to ``probe_topk`` (NaN-cosine corpus
+    rows removed BEFORE the rank — see its docstring for why a
+    post-rank filter is not equivalent).
 
     The union of the queries' probe buckets (a handful of ints — index
     metadata, not data) becomes a static IN-filter on the partitioned
@@ -696,7 +689,10 @@ def ivf_index_topk(
     vectors = engine.table(vt, version=snap.version).where(
         F.col("ivf_bucket").isin(probed_buckets)
     )
-    return probe_topk(vectors, cents, queries, k, nprobe, id_col, vec_col, "ivf_bucket")
+    return probe_topk(
+        vectors, cents, queries, k, nprobe, id_col, vec_col, "ivf_bucket",
+        drop_nan=drop_nan,
+    )
 
 
 def semantic_dedup_check(
@@ -738,11 +734,16 @@ def semantic_dedup_check(
     bounded admission queues; a CORPUS-scale check is the batch
     operator's job (``similarity.semantic_near_pairs`` with
     ``assignments=`` reusing this index's buckets)."""
+    # drop_nan=True: the NaN filter must run BEFORE the k=1 rank — a
+    # degenerate (zero-norm) indexed vector scores NaN, which Spark
+    # ranks ABOVE every real cosine, so with a post-rank filter one bad
+    # vector would consume the top-1 slot and mask a true duplicate in
+    # its bucket (silently disabling the gate there)
     top = ivf_index_topk(
         engine, index_name, new_vectors, k=1, nprobe=nprobe,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, drop_nan=True,
     )
-    hits = top.where(~F.isnan("cos") & (F.col("cos") >= float(threshold))).select(
+    hits = top.where(F.col("cos") >= float(threshold)).select(
         F.col("query_id").alias(id_col),
         F.col("neighbor_id").alias("dup_of"),
         F.col("cos").alias("dup_cos"),
@@ -1004,6 +1005,21 @@ def ivf_index_maintenance(
     vt, ct = _vectors_table(index_name), _centroids_table(index_name)
     rebuild_app = f"ivf_rebuild::{index_name}"
     vt_meta = engine.folder.log(vt).snapshot().meta or {}
+    if "ann_centroids" not in vt_meta:
+        # legacy pre-meta index: its rebuilds were TWO commits stamped
+        # with the same SetTransaction version — a crash between them
+        # left the stamps disagreeing and probes reading a torn pair
+        # (the old design's window). Force a rebuild to heal it; the
+        # rebuild installs the meta payload, upgrading the index so
+        # this branch never fires again.
+        vt_stamp = engine.last_txn_version(vt, rebuild_app)
+        ct_stamp = engine.last_txn_version(ct, rebuild_app)
+        if vt_stamp != ct_stamp:
+            reasons.append(
+                f"crashed pre-meta rebuild detected (vectors stamp {vt_stamp}"
+                f" != centroids stamp {ct_stamp}) — rebuilding to heal and"
+                " upgrade to the atomic commit-meta layout"
+            )
     if "ann_centroids" in vt_meta:
         # mirror resync: a crash between the (authoritative) vectors
         # commit and the (derived) mirror commit leaves the mirror's

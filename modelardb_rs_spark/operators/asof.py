@@ -111,21 +111,32 @@ def _bucket_and_seed(
         )
     bucket_last = rights.groupBy(*by, "__b__").agg(*aggs)
     # every (key, bucket) that EXISTS needs a seed — including buckets
-    # holding only left rows, which bucket_last alone would miss
+    # holding only left rows, which bucket_last alone would miss.
+    # NULL-SAFE key equality: the one-pass window puts NULL keys in one
+    # partition group and carries values within it, so the seed join
+    # must match NULL keys too — a plain equi-join (NULL != NULL) would
+    # silently drop every NULL-key seed and diverge from the one-pass
+    # plan exactly when "auto" engages on a NULL hot key
     kb = u.select(*by, "__b__").distinct()
+    bl = bucket_last
+    for c in by:
+        bl = bl.withColumnRenamed(c, f"__blk_{c}__")
+    bl = bl.withColumnRenamed("__b__", "__blk_b__")
+    cond = [kb[c].eqNullSafe(bl[f"__blk_{c}__"]) for c in by]
+    cond.append(kb["__b__"] == bl["__blk_b__"])  # __b__ is computed, never NULL
     wseed = (
-        Window.partitionBy(*by)
-        .orderBy("__b__")
+        Window.partitionBy(*[kb[c] for c in by])
+        .orderBy(kb["__b__"])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     # cumulative across earlier buckets: buckets are time-ordered, so
     # the last bucket summary with a non-null value for a column holds
     # the globally-latest non-null value for that column
     seeds = (
-        kb.join(bucket_last, [*by, "__b__"], "left")
+        kb.join(bl, cond, "left")
         .select(
-            *by,
-            "__b__",
+            *[kb[c] for c in by],
+            kb["__b__"],
             F.last("__on__", ignorenulls=True).over(wseed).alias(on),
             *[
                 F.last(F.col(c), ignorenulls=True).over(wseed).alias(c)

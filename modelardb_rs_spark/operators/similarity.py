@@ -319,12 +319,22 @@ def probe_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: str = "label",
+    drop_nan: bool = False,
 ) -> DataFrame:
     """The probe half of IVF: queries score the (small, broadcast)
     centroid set, keep their ``nprobe`` nearest buckets, and exact-rank
     within the probed subset only. ``centroids`` must be
     (bucket_col, centroid) as produced by ``bucket_centroids`` or read
     from a persisted index.
+
+    ``drop_nan=True`` removes NaN-cosine candidates (zero-norm or
+    malformed corpus vectors) BEFORE the rank: Spark orders NaN above
+    every double, so with the default a single degenerate corpus vector
+    consumes a top-k slot in its bucket and a post-rank isnan filter
+    would MASK the real k-th neighbor — callers whose downstream logic
+    filters NaN (the dedup admission gate) must drop pre-rank instead.
+    Default off: the historical NaN-ranked-first semantics are pinned
+    by the DuckDB oracles (which order NaN the same way).
 
     The bucket-scan cosine — evaluated once per (candidate, probed
     query), the corpus-sized term — is the vectorized
@@ -362,6 +372,8 @@ def probe_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", F.round(cos_udf(F.col("__qv__"), F.col("__cv__")), 6))
     )
+    if drop_nan:
+        scored = scored.where(~F.isnan(F.col("cos")))
     return ranked_topk(scored, k)
 
 

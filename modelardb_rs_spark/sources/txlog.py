@@ -769,28 +769,33 @@ class TransactionLog:
         deleted URIs. Time travel to versions older than the horizon
         stops working — same contract as Delta VACUUM.
 
-        Unreferenced staging is swept on its OWN clock: an in-flight
-        write's ``txn=`` directory is indistinguishable from a crashed
-        one until its commit lands, so the sweep requires the directory
-        to be at least ``staging_grace_seconds`` old (default
-        ``_STAGING_ORPHAN_GRACE_SECONDS``) REGARDLESS of how aggressive
-        ``retain_seconds`` is — a zero-retention vacuum racing a live
-        writer must not delete the files its commit is about to
-        reference (found by the round-10 chaos test; Delta guards the
-        same hazard by refusing sub-default retention without an
-        override). Keep the grace above the longest staging write."""
+        Unreferenced staging sweeps on a clock that never trails the
+        data retention DOWNWARD: an in-flight write's ``txn=``
+        directory is indistinguishable from a crashed one until its
+        commit lands, so the sweep always requires the directory to be
+        at least ``_STAGING_ORPHAN_GRACE_SECONDS`` old — a
+        zero-retention vacuum racing a live writer must not delete the
+        files its commit is about to reference (found by the round-10
+        chaos test; Delta guards the same hazard by refusing
+        sub-default retention without an override). By DEFAULT the
+        sweep additionally waits for the data retention horizon (the
+        older of the two clocks): a staging write slower than the
+        600 s default grace is plausible at large table scale, and
+        nothing enforces that operators sized the grace to their
+        slowest write — the conservative default costs only deferred
+        garbage collection, never data. Passing
+        ``staging_grace_seconds`` EXPLICITLY asserts "no honest write
+        stages longer than this" and switches staging to that grace
+        clock alone, so orphans stop waiting out a long data
+        retention."""
         horizon_ms = int((time.time() - retain_seconds) * 1000)
-        grace = (
-            _STAGING_ORPHAN_GRACE_SECONDS
-            if staging_grace_seconds is None
-            else staging_grace_seconds
-        )
-        # the grace clock ALONE: min()-ing with the data horizon would
-        # silently defer orphan sweeps to the (typically much longer)
-        # data retention whenever retain_seconds > grace, contradicting
-        # the own-clock contract above — crashed-write staging is
-        # garbage as soon as it is older than the longest honest write
-        stage_horizon_ms = int((time.time() - grace) * 1000)
+        if staging_grace_seconds is None:
+            stage_horizon_ms = min(
+                horizon_ms,
+                int((time.time() - _STAGING_ORPHAN_GRACE_SECONDS) * 1000),
+            )
+        else:
+            stage_horizon_ms = int((time.time() - staging_grace_seconds) * 1000)
         commits = self.commits()
         live = set(self.snapshot().paths)
         referenced: set[str] = set()

@@ -796,3 +796,27 @@ def test_semantic_dedup_check_flags_indexed_near_dups(engine, emb):
     assert by_id[500_003]["dup_of"] == 3 and by_id[500_003]["dup_cos"] >= 0.999
     assert by_id[500_044]["dup_of"] == 44 and by_id[500_044]["dup_cos"] >= 0.999
     assert by_id[600_009]["dup_of"] is None and by_id[600_009]["dup_cos"] is None
+
+
+def test_semantic_dedup_check_survives_degenerate_indexed_vector(engine, spark, emb):
+    """A zero-norm vector admitted to the index scores NaN against every
+    query, and Spark ranks NaN above all real cosines — the gate must
+    drop NaN candidates BEFORE its top-1 rank, or one bad vector in a
+    bucket masks every true duplicate there (silently disabling
+    admission checking for that bucket)."""
+    target = emb.where(F.col("vec_id") == 3)
+    zero = target.select(
+        F.lit(7777).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(0.0)).cast("float")).alias(
+            "embedding"
+        ),
+        F.col("label"),  # same bucket as the target under bucket_col
+    )
+    corpus = emb.unionByName(zero)
+    ann_index.build_ivf_index(engine, "nanidx", corpus, bucket_col="label")
+    batch = target.select((F.col("vec_id") + 500_000).alias("vec_id"), "embedding")
+    out = ann_index.semantic_dedup_check(
+        engine, "nanidx", batch, threshold=0.999, nprobe=10
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["dup_of"] == 3 and out[0]["dup_cos"] >= 0.999

@@ -451,3 +451,66 @@ def test_asof_auto_hot_key_policy(spark):
 
     with pytest.raises(ValueError, match="auto"):
         asof_join(left, right, hot_key_buckets="turbo", **kw)
+
+
+def test_asof_hot_key_null_by_keys_match_one_pass(spark):
+    """NULL join keys: the one-pass window groups NULL keys into one
+    partition and carries right values within it; the bucketed plan's
+    seed join must therefore be NULL-SAFE — a plain equi-join would
+    drop every NULL-key seed and diverge exactly when 'auto' engages on
+    a NULL hot key. Fuzzed with ~40% NULL keys against the one-pass
+    plan and a brute-force oracle that treats NULL as a key."""
+    import random
+
+    from pyspark.sql import Row
+
+    from modelardb_rs_spark.operators.asof import asof_join
+
+    for trial, (strict, tol) in enumerate([(False, None), (True, 70)]):
+        rng = random.Random(900 + trial)
+        key = lambda: None if rng.random() < 0.4 else rng.randint(1, 3)  # noqa: E731
+        lrows = [Row(k=key(), t=rng.randint(0, 300), lv=i) for i in range(400)]
+        seen, rrows = set(), []
+        for i in range(200):
+            k, t = key(), rng.randint(0, 300)
+            if (k, t) in seen:
+                continue
+            seen.add((k, t))
+            rrows.append(Row(k=k, t=t, rv=10_000 + i))
+        ldf = spark.createDataFrame(lrows, "k INT, t BIGINT, lv BIGINT")
+        rdf = spark.createDataFrame(rrows, "k INT, t BIGINT, rv BIGINT")
+        kw = dict(on="t", by=["k"], right_value_cols=["rv"], strict=strict,
+                  tolerance_us=tol, match_ts_col="mt")
+        cols = ["k", "t", "lv", "rv_right", "mt"]
+        skey = lambda tup: tuple((x is None, x) for x in tup)  # noqa: E731
+        one = sorted(
+            (tuple(r) for r in asof_join(ldf, rdf, **kw).select(*cols).collect()),
+            key=skey,
+        )
+        two = sorted(
+            (
+                tuple(r)
+                for r in asof_join(ldf, rdf, hot_key_buckets=6, **kw)
+                .select(*cols)
+                .collect()
+            ),
+            key=skey,
+        )
+        assert one == two, f"trial {trial}"
+        by_key: dict = {}
+        for rr in rrows:
+            by_key.setdefault(rr.k, []).append(rr)
+        want = []
+        for lr in lrows:
+            cands = [
+                rr for rr in by_key.get(lr.k, [])
+                if (rr.t < lr.t if strict else rr.t <= lr.t)
+            ]
+            best = max(cands, key=lambda rr: rr.t) if cands else None
+            if best is not None and tol is not None and lr.t - best.t > tol:
+                best = None
+            want.append(
+                (lr.k, lr.t, lr.lv, best.rv if best else None,
+                 best.t if best else None)
+            )
+        assert one == sorted(want, key=skey), f"trial {trial} vs oracle"

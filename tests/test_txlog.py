@@ -121,10 +121,12 @@ def test_vacuum_sweeps_orphaned_staging(ts_table, spark):
     # chaos test caught vacuum deleting live writers' staging)
     assert folder.vacuum("acid", retain_seconds=0) == []
     assert folder.fs.exists(staged)
-    # past the grace it is a crashed write and sweeps — on the grace
-    # clock ALONE: a long data retention (here 1h) must not defer the
-    # orphan sweep (staging older than grace but newer than the data
-    # horizon is still garbage)
+    # an EXPLICIT grace asserts "no honest write stages longer than
+    # this" and switches staging to that clock alone: a long data
+    # retention (here 1h) no longer defers the orphan sweep. (The
+    # DEFAULT, with no explicit grace, stays conservative — the older
+    # of the two horizons — because nothing enforces that the 600 s
+    # default exceeds a deployment's slowest staging write.)
     assert folder.vacuum(
         "acid", retain_seconds=3600, staging_grace_seconds=0
     ) == [staged]
