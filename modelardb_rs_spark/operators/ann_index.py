@@ -722,31 +722,149 @@ def semantic_dedup_check(
     approximate: a near-dup whose match lives outside the probed
     buckets is missed (raise ``nprobe``; the periodic corpus-level
     ``semantic_dedup`` is the exhaustive backstop). NaN/zero-norm
-    vectors never match (NaN cosine fails every threshold). Ids in
-    ``new_vectors`` must be unique (they key the flag join) and not
-    collide with indexed ids (``probe_topk`` excludes self-id matches,
-    so a colliding id would mask a real duplicate). Two copies arriving
-    in the SAME batch are both unique vs the index — dedup the batch
-    internally first (exact: one groupBy on the vector) when that
-    matters. Batch size bound, stated honestly: the probe broadcasts
-    the (query, vector) set to the scored join (``probe_topk``), so the
-    batch must be broadcast-sized — right for ingest micro-batches and
-    bounded admission queues; a CORPUS-scale check is the batch
-    operator's job (``similarity.semantic_near_pairs`` with
-    ``assignments=`` reusing this index's buckets)."""
-    # drop_nan=True: the NaN filter must run BEFORE the k=1 rank — a
-    # degenerate (zero-norm) indexed vector scores NaN, which Spark
-    # ranks ABOVE every real cosine, so with a post-rank filter one bad
-    # vector would consume the top-1 slot and mask a true duplicate in
-    # its bucket (silently disabling the gate there)
-    top = ivf_index_topk(
-        engine, index_name, new_vectors, k=1, nprobe=nprobe,
-        id_col=id_col, vec_col=vec_col, drop_nan=True,
+    vectors never match (NaN cosine fails every threshold — masked
+    BEFORE the per-bucket max, so a degenerate indexed vector cannot
+    shadow a true duplicate in its bucket). Ids in ``new_vectors`` must
+    be unique (they key the flag join) and not collide with indexed
+    ids (self-id pairs are excluded, so a colliding id would mask a
+    real duplicate). Two copies arriving in the SAME batch are both
+    unique vs the index — dedup the batch internally first (exact: one
+    groupBy on the vector) when that matters.
+
+    Plan shape (chosen after MEASURING the broadcast-probe alternative
+    at 1M indexed vectors / 8k batch: 710 s, 87 ms/vector — every
+    (query, candidate) pair became a JVM row through ``probe_topk``'s
+    broadcast join, the module-rule violation for unbounded pair
+    streams): the batch coarse-assigns to its ``nprobe`` buckets
+    map-side (numpy, centroids in the closure), then COGROUPS with the
+    probed bucket slices of the vectors table and each bucket's
+    bipartite cosine block runs as chunked numpy matmul — candidate
+    pairs never exist as rows, only per-(query, bucket) bests do
+    (<= |batch| x nprobe rows). One exchange of the probed corpus
+    slices on the bucket key + one |batch|-sized exchange; small
+    batches still prune unprobed partitions (the probed-bucket union is
+    a static IN-filter). A hot bucket serializes its slice into one
+    task (the ``semantic_near_pairs`` default's documented bound);
+    ``n_buckets`` is the lever."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    vt = _vectors_table(index_name)
+    snap = engine.folder.log(vt).snapshot()
+    cent_rows = sorted(_centroid_rows(engine, index_name, snap=snap))
+    buckets_np = np.asarray([b for b, _, _ in cent_rows], dtype="int64")
+    C = np.asarray([c for _, c, _ in cent_rows], dtype=np.float64)
+    k = len(C)
+    npb = max(1, min(int(nprobe), k))
+    Cn = np.sqrt((C * C).sum(axis=1))
+    thr = float(threshold)
+
+    q = new_vectors.select(
+        F.col(id_col).alias("__qid__"), F.col(vec_col).alias("__qv__")
     )
-    hits = top.where(F.col("cos") >= float(threshold)).select(
-        F.col("query_id").alias(id_col),
-        F.col("neighbor_id").alias("dup_of"),
-        F.col("cos").alias("dup_cos"),
+    probe_schema = T.StructType(
+        [
+            T.StructField("__qid__", q.schema["__qid__"].dataType, True),
+            T.StructField("__qv__", q.schema["__qv__"].dataType, True),
+            T.StructField("ivf_bucket", T.IntegerType(), False),
+        ]
+    )
+
+    def probe_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["__qv__"].to_numpy()).astype(np.float64, copy=False)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (V @ C.T) / (
+                    np.sqrt((V * V).sum(axis=1))[:, None] * Cn[None, :]
+                )
+            # NaN query rows rank arbitrarily here; their verify cosines
+            # are NaN and masked below, so they can never flag
+            cos = np.nan_to_num(cos, nan=-np.inf)
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :npb]
+            out = pdf.iloc[np.repeat(np.arange(len(pdf)), npb)].reset_index(drop=True)
+            out["ivf_bucket"] = buckets_np[top.reshape(-1)].astype("int32")
+            yield out
+
+    probed = q.mapInPandas(probe_fn, probe_schema)
+    # the probed-bucket union is index metadata (<= n_buckets ints): one
+    # tiny action preserves planning-time partition pruning for small
+    # batches; large batches cover every bucket and scan them all
+    probed_buckets = [
+        int(r["ivf_bucket"]) for r in probed.select("ivf_bucket").distinct().collect()
+    ]
+    corpus = (
+        engine.table(vt, version=snap.version)
+        .where(F.col("ivf_bucket").isin(probed_buckets))
+        .select(
+            F.col(id_col).alias("__nid__"),
+            F.col(vec_col).alias("__nv__"),
+            "ivf_bucket",
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("__qid__", q.schema["__qid__"].dataType, True),
+            T.StructField("dup_of", corpus.schema["__nid__"].dataType, True),
+            T.StructField("dup_cos", T.DoubleType(), True),
+        ]
+    )
+
+    def bucket_best_fn(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                {"__qid__": left["__qid__"].iloc[:0], "dup_of": [], "dup_cos": []}
+            )
+        # corpus slice sorted by id: np.argmax then returns the SMALLEST
+        # id among equal-max cosines — the (cos desc, id asc) tie rule
+        order = np.argsort(right["__nid__"].to_numpy(), kind="stable")
+        nids = right["__nid__"].to_numpy()[order]
+        Xn = np.stack(right["__nv__"].to_numpy()[order]).astype(np.float64, copy=False)
+        nn = np.sqrt((Xn * Xn).sum(axis=1))
+        qids = left["__qid__"].to_numpy()
+        Q = np.stack(left["__qv__"].to_numpy()).astype(np.float64, copy=False)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        out_q, out_n, out_c = [], [], []
+        bs = max(1, (1 << 22) // max(len(Xn), 1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(0, len(Q), bs):
+                cos = np.round(
+                    (Q[s : s + bs] @ Xn.T) / (qn[s : s + bs, None] * nn[None, :]), 6
+                )
+                # NaN (degenerate vectors) and self-id pairs never match
+                cos = np.where(np.isnan(cos), -np.inf, cos)
+                cos = np.where(nids[None, :] == qids[s : s + bs, None], -np.inf, cos)
+                best_j = np.argmax(cos, axis=1)
+                best = cos[np.arange(len(best_j)), best_j]
+                keep = best >= thr
+                out_q.append(qids[s : s + bs][keep])
+                out_n.append(nids[best_j[keep]])
+                out_c.append(best[keep])
+        return pd.DataFrame(
+            {
+                "__qid__": np.concatenate(out_q),
+                "dup_of": np.concatenate(out_n),
+                "dup_cos": np.concatenate(out_c),
+            }
+        )
+
+    bests = (
+        probed.groupby("ivf_bucket")
+        .cogroup(corpus.groupby("ivf_bucket"))
+        .applyInPandas(bucket_best_fn, out_schema)
+    )
+    # global best across the query's nprobe buckets, (cos desc, id asc)
+    w = Window.partitionBy("__qid__").orderBy(
+        F.col("dup_cos").desc(), F.col("dup_of").asc()
+    )
+    hits = (
+        bests.withColumn("__r__", F.row_number().over(w))
+        .where(F.col("__r__") == 1)
+        .select(F.col("__qid__").alias(id_col), "dup_of", "dup_cos")
     )
     # no broadcast hint: hits is |batch|-bounded and AQE broadcasts it
     # when small — no need to force what the planner already picks
