@@ -2823,19 +2823,101 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS to the driver (it verifies the FIRST 50 entries):
-    # round 10 verified the previous first-50; cumulative coverage is now
-    # 103/127. This rotation puts the LAST 24 never-driver-sampled entries
-    # first, padded to 50 with the least-recently-verified entries
-    # (multimodal_* last sampled r1/r7; the q_*/stream_* block last
-    # sampled r9). A green CORRECTNESS_r11 on the first 24 completes
-    # driver verification of every entry DECLARED BEFORE this round;
-    # the three round-11 additions (sim_semantic_dedup_auto,
-    # q_asof_auto_hot, sim_ingest_dedup_check) sit at the tail, pass the
-    # local gate, and await the next rotation for driver coverage. The
-    # full 130-entry run costs ~3-3.5 min (TESTDATA.md) -- the standing
-    # proposal is to gate on all of it; until then rotation is the lever.
+    # round 11 completed cumulative driver verification of every entry
+    # declared before round 11 (127/127). This rotation puts the ONLY
+    # three never-driver-sampled entries — the round-11 additions
+    # sim_semantic_dedup_auto / q_asof_auto_hot / sim_ingest_dedup_check
+    # — first, padded to 50 with the least-recently-verified block
+    # (last sampled r9-r10). A green CORRECTNESS_r12 on the first three
+    # finishes driver coverage of EVERY declared entry. Round-12
+    # additions sit behind them in the same window. The full 130+-entry
+    # run costs ~3-3.5 min (TESTDATA.md) -- the standing proposal is to
+    # gate on all of it; until then rotation is the lever.
     return {
-        # --- 24 never driver-sampled (complete the sweep) ---
+        # --- never driver-sampled: the three round-11 additions ---
+        "sim_semantic_dedup_auto": sim_semantic_dedup_auto,
+        "q_asof_auto_hot": q_asof_auto_hot,
+        "sim_ingest_dedup_check": sim_ingest_dedup_check,
+        # --- padding to 50: least-recently-verified (r9-r10) ---
+        "sim_semantic_dedup_multiprobe": sim_semantic_dedup_multiprobe,
+        "doc_train_export": doc_train_export,
+        "stream_vector_ingest": stream_vector_ingest,
+        "sim_semantic_dedup": sim_semantic_dedup,
+        "sim_semantic_dedup_chunked": sim_semantic_dedup_chunked,
+        "sim_semantic_dedup_collapsed": sim_semantic_dedup_collapsed,
+        "sim_index_stats": sim_index_stats,
+        "sim_index_maintenance": sim_index_maintenance,
+        "q_asof_hot_bucketed": q_asof_hot_bucketed,
+        "doc_train_sequences": doc_train_sequences,
+        "doc_train_pipeline": doc_train_pipeline,
+        "doc_train_pipeline_bpe": doc_train_pipeline_bpe,
+        "doc_bpe_encode": doc_bpe_encode,
+        "doc_bpe_tokens": doc_bpe_tokens,
+        "doc_pack_sequences": doc_pack_sequences,
+        "sim_int8_quantize": sim_int8_quantize,
+        "sim_bruteforce_topk": sim_bruteforce_topk,
+        "sim_threshold_count": sim_threshold_count,
+        "sim_ivf_topk": sim_ivf_topk,
+        "sim_ivf_trained": sim_ivf_trained,
+        "sim_ivf_index": sim_ivf_index,
+        "sim_ivfpq_topk": sim_ivfpq_topk,
+        "sim_pq_topk": sim_pq_topk,
+        "sim_lsh_topk": sim_lsh_topk,
+        "dedup_embedding": dedup_embedding,
+        "dedup_minhash": dedup_minhash,
+        "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+        "dedup_minhash_verified": dedup_minhash_verified,
+        "dedup_clusters": dedup_clusters,
+        "dedup_corpus": dedup_corpus,
+        "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_contamination": dedup_contamination,
+        "dedup_index_check": dedup_index_check,
+        "dedup_sampled_recall": dedup_sampled_recall,
+        "dedup_capped_lsh": dedup_capped_lsh,
+        "doc_exact_dups": doc_exact_dups,
+        "doc_line_dedup": doc_line_dedup,
+        "doc_span_dedup": doc_span_dedup,
+        "doc_span_cleaned": doc_span_cleaned,
+        "doc_token_stats": doc_token_stats,
+        "doc_quality": doc_quality,
+        "doc_quality_filter": doc_quality_filter,
+        "doc_langid": doc_langid,
+        "doc_pii": doc_pii,
+        "doc_pii_redacted": doc_pii_redacted,
+        # --- tail: r9-r10-verified remainder ---
+        "doc_fingerprints": doc_fingerprints,
+        "doc_clean_pipeline": doc_clean_pipeline,
+        "doc_rag_pipeline": doc_rag_pipeline,
+        "ts_grid_roundtrip": ts_grid_roundtrip,
+        "ts_pushdown_aggs": ts_pushdown_aggs,
+        "ts_pushdown_var": ts_pushdown_var,
+        "ts_pushdown_grouped": ts_pushdown_grouped,
+        "ts_time_range": ts_time_range,
+        "ts_generated_column": ts_generated_column,
+        "ts_tag_filter_pushdown": ts_tag_filter_pushdown,
+        "ts_limit_pushdown": ts_limit_pushdown,
+        "ts_value_filter_pushdown": ts_value_filter_pushdown,
+        "ts_range_partial_pushdown": ts_range_partial_pushdown,
+        "ts_multifield": ts_multifield,
+        "ts_many_series": ts_many_series,
+        "ts_resample": ts_resample,
+        "ts_resample_sql": ts_resample_sql,
+        "ts_latest": ts_latest,
+        "ts_gapfill": ts_gapfill,
+        "ts_last_sql": ts_last_sql,
+        "ts_value_at": ts_value_at,
+        "ts_m4": ts_m4,
+        "ts_outliers": ts_outliers,
+        "ts_histogram": ts_histogram,
+        "ts_series_spans": ts_series_spans,
+        "ts_rate": ts_rate,
+        "ts_rolling": ts_rolling,
+        "ts_lossy_bound": ts_lossy_bound,
+        "ts_time_travel": ts_time_travel,
+        "stream_windowed_rollup": stream_windowed_rollup,
+        # --- tail: r11-verified ---
         "doc_domain_mix": doc_domain_mix,
         "doc_shuffle_shards": doc_shuffle_shards,
         "doc_stratified_sample": doc_stratified_sample,
@@ -2887,89 +2969,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_running_total": q_window_running_total,
         "stream_continuous_rollup": stream_continuous_rollup,
         "stream_dedup": stream_dedup,
-        # --- tail: driver-verified in rounds 9-10 ---
-        "sim_semantic_dedup_multiprobe": sim_semantic_dedup_multiprobe,
-        "doc_train_export": doc_train_export,
-        "stream_vector_ingest": stream_vector_ingest,
-        "sim_semantic_dedup": sim_semantic_dedup,
-        "sim_semantic_dedup_chunked": sim_semantic_dedup_chunked,
-        "sim_semantic_dedup_collapsed": sim_semantic_dedup_collapsed,
-        "sim_index_stats": sim_index_stats,
-        "sim_index_maintenance": sim_index_maintenance,
-        "q_asof_hot_bucketed": q_asof_hot_bucketed,
-        "doc_train_sequences": doc_train_sequences,
-        "doc_train_pipeline": doc_train_pipeline,
-        "doc_train_pipeline_bpe": doc_train_pipeline_bpe,
-        "doc_bpe_encode": doc_bpe_encode,
-        "doc_bpe_tokens": doc_bpe_tokens,
-        "doc_pack_sequences": doc_pack_sequences,
-        "sim_int8_quantize": sim_int8_quantize,
-        "sim_bruteforce_topk": sim_bruteforce_topk,
-        "sim_threshold_count": sim_threshold_count,
-        "sim_ivf_topk": sim_ivf_topk,
-        "sim_ivf_trained": sim_ivf_trained,
-        "sim_ivf_index": sim_ivf_index,
-        "sim_ivfpq_topk": sim_ivfpq_topk,
-        "sim_pq_topk": sim_pq_topk,
-        "sim_lsh_topk": sim_lsh_topk,
-        "dedup_embedding": dedup_embedding,
-        "dedup_minhash": dedup_minhash,
-        "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
-        "dedup_minhash_verified": dedup_minhash_verified,
-        "dedup_clusters": dedup_clusters,
-        "dedup_corpus": dedup_corpus,
-        "dedup_simhash": dedup_simhash,
-        "dedup_simhash_pairs": dedup_simhash_pairs,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_contamination": dedup_contamination,
-        "dedup_index_check": dedup_index_check,
-        "dedup_sampled_recall": dedup_sampled_recall,
-        "dedup_capped_lsh": dedup_capped_lsh,
-        "doc_exact_dups": doc_exact_dups,
-        "doc_line_dedup": doc_line_dedup,
-        "doc_span_dedup": doc_span_dedup,
-        "doc_span_cleaned": doc_span_cleaned,
-        "doc_token_stats": doc_token_stats,
-        "doc_quality": doc_quality,
-        "doc_quality_filter": doc_quality_filter,
-        "doc_langid": doc_langid,
-        "doc_pii": doc_pii,
-        "doc_pii_redacted": doc_pii_redacted,
-        "doc_fingerprints": doc_fingerprints,
-        "doc_clean_pipeline": doc_clean_pipeline,
-        "doc_rag_pipeline": doc_rag_pipeline,
-        "ts_grid_roundtrip": ts_grid_roundtrip,
-        "ts_pushdown_aggs": ts_pushdown_aggs,
-        "ts_pushdown_var": ts_pushdown_var,
-        "ts_pushdown_grouped": ts_pushdown_grouped,
-        "ts_time_range": ts_time_range,
-        "ts_generated_column": ts_generated_column,
-        "ts_tag_filter_pushdown": ts_tag_filter_pushdown,
-        "ts_limit_pushdown": ts_limit_pushdown,
-        "ts_value_filter_pushdown": ts_value_filter_pushdown,
-        "ts_range_partial_pushdown": ts_range_partial_pushdown,
-        "ts_multifield": ts_multifield,
-        "ts_many_series": ts_many_series,
-        "ts_resample": ts_resample,
-        "ts_resample_sql": ts_resample_sql,
-        "ts_latest": ts_latest,
-        "ts_gapfill": ts_gapfill,
-        "ts_last_sql": ts_last_sql,
-        "ts_value_at": ts_value_at,
-        "ts_m4": ts_m4,
-        "ts_outliers": ts_outliers,
-        "ts_histogram": ts_histogram,
-        "ts_series_spans": ts_series_spans,
-        "ts_rate": ts_rate,
-        "ts_rolling": ts_rolling,
-        "ts_lossy_bound": ts_lossy_bound,
-        "ts_time_travel": ts_time_travel,
-        "stream_windowed_rollup": stream_windowed_rollup,
-        # round-11 additions: the auto policies, value-pinned vs the same
-        # oracles as their hand-tuned siblings
-        "sim_semantic_dedup_auto": sim_semantic_dedup_auto,
-        "q_asof_auto_hot": q_asof_auto_hot,
-        "sim_ingest_dedup_check": sim_ingest_dedup_check,
     }
 
 
