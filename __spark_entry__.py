@@ -4237,10 +4237,19 @@ def oracle_sql() -> dict[str, str]:
                                 (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
                    FROM probes JOIN e USING (label)
                    WHERE e.vec_id <> query_id),
+        -- within-batch rule: a row is also flagged by any SMALLER-id
+        -- batch peer sharing a probed bucket (pairs co-probing several
+        -- buckets dedup via DISTINCT)
+        selfsc AS (SELECT DISTINCT a.query_id, b.query_id AS neighbor_id,
+                          round(list_dot_product(a.qv, b.qv) /
+                                (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))), 6) AS cos
+                   FROM probes a JOIN probes b
+                     ON a.label = b.label AND b.query_id < a.query_id),
+        allsc AS (SELECT * FROM scored UNION ALL SELECT * FROM selfsc),
         top1 AS (SELECT query_id, neighbor_id, cos,
                         row_number() OVER (PARTITION BY query_id
                                            ORDER BY cos DESC, neighbor_id) AS rnk
-                 FROM scored)
+                 FROM allsc)
         SELECT q.query_id AS vec_id,
                CASE WHEN t.cos >= 0.999 THEN t.neighbor_id END AS dup_of,
                CASE WHEN t.cos >= 0.999 THEN t.cos END AS dup_cos

@@ -185,6 +185,18 @@ def main() -> None:
     qs["sim_ivfpq_topk"](spark, sf_dir).count()
     timings["ivfpq_index_build"] = round(time.time() - t0, 3)
 
+    # Mid-suite canary RE-PROBE (BASELINE.md "Bench normalization"): the
+    # opening canary pins host speed at t=0, but ambient load can swing
+    # DURING the ~2-3 min suite — round 10's factor-1.717 contamination
+    # episode was exactly this, invisible in the artifact and only
+    # adjudicated by manual re-times. Re-running the same canary after
+    # the heavyweight ingest + index-build block records the drift IN
+    # the JSON: a calibration_mid factor far from `calibration`'s says
+    # the calibrated figures are suspect for that run; close factors
+    # certify a quiet host. Reading rule: compare the two factors
+    # before trusting any calibrated ratio.
+    calibration_mid = calibrate(spark)
+
     # ts_correlation carried a documented 1.17-1.27x run-to-run jitter
     # across rounds 2-4 with UNTOUCHED operator code: at sf0.1 its plan
     # is several small shuffle stages over a few thousand rows, where
@@ -216,6 +228,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "calibration": calibration,
+                "calibration_mid": calibration_mid,
                 "value_calibrated": round(total / factor, 3),
                 "queries_calibrated": calibrated,
             }

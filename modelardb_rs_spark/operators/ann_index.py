@@ -53,6 +53,27 @@ def _centroids_table(index_name: str) -> str:
     return f"{index_name}__centroids"
 
 
+def _cache_put(cache: dict, key: tuple, value) -> None:
+    """Install ``key -> value`` in a per-engine metadata cache, evicting
+    stale entries for the same table (``key[0]``) — THREAD-SAFELY.
+
+    Probes are documented to race rebuilds in separate threads
+    (test_ivf_probe_consistent_under_concurrent_rebuilds), so the
+    read-evict-write sequence must never re-index the shared dict: a
+    concurrent caller resolving a newer build can evict the key between
+    our write and a ``return cache[key]`` (KeyError), two evictors can
+    race ``del`` (KeyError), and iterating the live dict during a
+    concurrent insert raises RuntimeError. ``list()`` snapshots the
+    keys, ``pop(k, None)`` tolerates concurrent eviction, and callers
+    return their LOCAL value, never a fresh dict lookup. Plain-dict
+    item assignment is atomic under both the GIL and per-object locking
+    (free-threaded builds), so no explicit lock is needed — the worst
+    case is two threads computing the same tiny metadata rows once."""
+    for stale in [k for k in list(cache) if k[0] == key[0] and k != key]:
+        cache.pop(stale, None)
+    cache[key] = value
+
+
 def _centroid_rows(
     engine, index_name: str, snap=None
 ) -> list[tuple[int, list[float], int]]:
@@ -88,27 +109,27 @@ def _centroid_rows(
         # refill (they don't change the meta), and a drop + rebuild —
         # which restarts generations — gets a fresh build_id
         key = (vt, meta.get("build_id"), meta.get("gen"))
-        if key not in cache:
-            for stale in [k for k in cache if k[0] == vt]:
-                del cache[stale]
-            cache[key] = [
+        rows = cache.get(key)
+        if rows is None:
+            rows = [
                 (int(b), [float(x) for x in c], int(n))
                 for b, c, n in meta["ann_centroids"]
             ]
-        return cache[key]
+            _cache_put(cache, key, rows)
+        return rows
     tbl = _centroids_table(index_name)
     ct_snap = engine.folder.log(tbl).snapshot()
     key = (tbl, ct_snap.version, hash(tuple(sorted(ct_snap.paths))))
-    if key not in cache:
-        for stale in [k for k in cache if k[0] == tbl]:
-            del cache[stale]
-        cache[key] = [
+    rows = cache.get(key)
+    if rows is None:
+        rows = [
             (int(r["ivf_bucket"]), list(r["centroid"]), int(r["n_vectors"]))
             for r in engine.table(tbl)
             .select("ivf_bucket", "centroid", "n_vectors")
             .collect()
         ]
-    return cache[key]
+        _cache_put(cache, key, rows)
+    return rows
 
 
 def build_ivf_index(
@@ -344,17 +365,16 @@ def _cached_pq_books(engine, index_name: str):
     snap = engine.folder.log(tbl).snapshot()
     cache = engine.__dict__.setdefault("_ann_pqbooks_cache", {})
     key = (tbl, snap.version, hash(tuple(sorted(snap.paths))))
-    if key not in cache:
-        for stale in [k for k in cache if k[0] == tbl]:
-            del cache[stale]
+    books = cache.get(key)
+    if books is None:
         rows = engine.table(tbl).select("subspace", "code", "centroid").collect()
         m = max(r["subspace"] for r in rows) + 1
         ks = max(r["code"] for r in rows) + 1
         books = [np.zeros((ks, len(rows[0]["centroid"]))) for _ in range(m)]
         for r in rows:
             books[r["subspace"]][r["code"]] = np.asarray(list(r["centroid"]))
-        cache[key] = books
-    return cache[key]
+        _cache_put(cache, key, books)
+    return books
 
 
 def build_ivfpq_index(
@@ -703,49 +723,92 @@ def semantic_dedup_check(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    within_batch: bool = True,
+    max_bucket_rows: int | str | None = "auto",
+    auto_chunk_floor: int = 4096,
+    auto_chunk_median_mult: int = 4,
+    prescreen: int | None = None,
+    _probe_counter=None,
 ) -> DataFrame:
     """Ingest-time semantic-dedup gate against a persisted IVF index —
     the ONLINE half of SemDeDup (the batch half is
     ``similarity.semantic_dedup`` over a whole corpus): each new vector
     probes its ``nprobe`` nearest buckets and is flagged a duplicate
-    when its best cosine against the INDEXED corpus clears
-    ``threshold``. Returns ``new_vectors`` plus ``dup_of`` (the indexed
-    near-duplicate's id) and ``dup_cos`` — both NULL for unique
-    vectors, so ``.where(F.col("dup_of").isNull())`` is the admission
-    filter. The embedding-space sibling of
-    ``dedup_index.check_against_index`` (MinHash/lexical).
+    when its best cosine against the INDEXED corpus — or, with
+    ``within_batch`` (default), against a SMALLER-ID row of the same
+    batch sharing a probed bucket — clears ``threshold``. Returns
+    ``new_vectors`` plus ``dup_of`` (the near-duplicate's id) and
+    ``dup_cos`` — both NULL for unique vectors, so
+    ``.where(F.col("dup_of").isNull())`` is the admission filter. The
+    embedding-space sibling of ``dedup_index.check_against_index``
+    (MinHash/lexical).
 
-    Scale shape: ONE snapshot-atomic probe job (``ivf_index_topk``,
-    k=1) touching only the probed bucket partitions; no corpus scan,
-    no quadratic work — cost is |batch| x nprobe bucket slices, the
-    same as any probe. Approximate exactly as IVF probing is
-    approximate: a near-dup whose match lives outside the probed
-    buckets is missed (raise ``nprobe``; the periodic corpus-level
-    ``semantic_dedup`` is the exhaustive backstop). NaN/zero-norm
-    vectors never match (NaN cosine fails every threshold — masked
-    BEFORE the per-bucket max, so a degenerate indexed vector cannot
-    shadow a true duplicate in its bucket). Ids in ``new_vectors`` must
-    be unique (they key the flag join) and not collide with indexed
-    ids (self-id pairs are excluded, so a colliding id would mask a
-    real duplicate). Two copies arriving in the SAME batch are both
-    unique vs the index — dedup the batch internally first (exact: one
-    groupBy on the vector) when that matters.
+    ``within_batch=True`` closes the co-admission hole a pure
+    index-probe gate has: a burst of near-identical (not
+    byte-identical) vectors arriving in ONE batch admits exactly its
+    minimum-id member. The rule is pairwise, not transitive: a row is
+    flagged when ANY smaller-id batch peer in a shared probed bucket
+    clears the threshold, whether or not that peer is itself admitted
+    (the peer's own duplicate is within ``threshold`` of it, so the
+    flagged row is near the index anyway up to the usual non-transitive
+    slack; the corpus-level ``semantic_dedup`` remains the exhaustive
+    backstop). Batch ids must be unique, share the index id column's
+    type, and not collide with indexed ids.
 
-    Plan shape (chosen after MEASURING the broadcast-probe alternative
-    at 1M indexed vectors / 8k batch: 710 s, 87 ms/vector — every
-    (query, candidate) pair became a JVM row through ``probe_topk``'s
-    broadcast join, the module-rule violation for unbounded pair
-    streams): the batch coarse-assigns to its ``nprobe`` buckets
-    map-side (numpy, centroids in the closure), then COGROUPS with the
-    probed bucket slices of the vectors table and each bucket's
-    bipartite cosine block runs as chunked numpy matmul — candidate
-    pairs never exist as rows, only per-(query, bucket) bests do
-    (<= |batch| x nprobe rows). One exchange of the probed corpus
-    slices on the bucket key + one |batch|-sized exchange; small
-    batches still prune unprobed partitions (the probed-bucket union is
-    a static IN-filter). A hot bucket serializes its slice into one
-    task (the ``semantic_near_pairs`` default's documented bound);
-    ``n_buckets`` is the lever."""
+    Scale shape: the probe (a map-side numpy coarse assignment with the
+    centroids in the closure) executes EXACTLY ONCE per call — its
+    output is local-checkpointed, so the probed-bucket collect, the
+    cogrouped verify, and everything upstream (e.g. the ingest path's
+    exact-collapse groupBy) read the materialized blocks instead of
+    re-running the lineage; the blocks are freed by the ContextCleaner
+    when the returned plan is garbage-collected, so long-running ingest
+    sessions accumulate no persisted state. The batch then COGROUPS
+    with the probed bucket slices of the vectors table and each
+    bucket's bipartite cosine block runs as chunked numpy matmul —
+    candidate pairs never exist as rows, only per-(query, bucket) bests
+    do (<= |batch| x nprobe rows). One exchange of the probed corpus
+    slices on the bucket key + one |batch|-sized exchange; the
+    probed-bucket union is a static IN-filter, so small batches still
+    prune unprobed partitions at planning time. (Chosen after MEASURING
+    the broadcast-probe alternative at 1M indexed vectors / 8k batch:
+    710 s vs 12.5 s — every (query, candidate) pair became a JVM row
+    through ``probe_topk``'s broadcast join, the module-rule violation
+    for unbounded pair streams.)
+
+    ``max_bucket_rows`` bounds the per-task corpus slice: a hot probed
+    bucket's slice no longer serializes into one task — buckets larger
+    than the cap split into hash chunks and the verify runs one
+    (bucket, chunk) task per corpus chunk, with the batch's rows
+    replicated to each (the bipartite form of ``semantic_near_pairs``'s
+    chunked verify; re-transfer grows by ~n_b/M for that bucket, the
+    price of distributing the work). ``"auto"`` (default) applies the
+    family's median-anchored rule — max(``auto_chunk_floor``,
+    ``auto_chunk_median_mult`` x median built bucket size) — computed
+    from the centroid metadata's per-bucket counts, so sizing costs
+    ZERO extra jobs; built counts lag post-build appends, which can
+    only under-chunk (fewer tasks than ideal), never change results.
+    Chunked and unchunked runs are value-identical: per-chunk bests
+    meet in the global (cos desc, id asc) window.
+
+    ``prescreen=s`` (IVF-PQ indexes only) makes the verify an ADC
+    PRE-SCREEN: the cogroup scans the probed slices' CODE columns
+    (m bytes/vector instead of dim x 4 — column pruning drops the raw
+    vectors, so gate I/O shrinks by ~dim*4/m), keeps the top-``s`` ADC
+    candidates per query, and exact-re-ranks only that |batch| x s
+    shortlist against raw vectors (the ``ivfpq_topk`` rerank shape).
+    Approximate exactly as ADC is: a true near-dup can fall outside
+    the ADC top-``s`` (raise ``s``; recall is floored in tests). The
+    within-batch block stays exact — it uses the batch's own raw
+    vectors, already in task memory.
+
+    Approximate exactly as IVF probing is approximate: a near-dup whose
+    match lives outside the probed buckets is missed (raise
+    ``nprobe``). NaN/zero-norm vectors never match (NaN cosine fails
+    every threshold — masked BEFORE the per-bucket max, so a degenerate
+    indexed vector cannot shadow a true duplicate in its bucket);
+    self-id pairs are excluded. ``_probe_counter`` is test
+    instrumentation: a Spark accumulator incremented per probed row,
+    pinning the one-execution contract."""
     import numpy as np
 
     from pyspark.sql import types as T
@@ -755,6 +818,7 @@ def semantic_dedup_check(
     cent_rows = sorted(_centroid_rows(engine, index_name, snap=snap))
     buckets_np = np.asarray([b for b, _, _ in cent_rows], dtype="int64")
     C = np.asarray([c for _, c, _ in cent_rows], dtype=np.float64)
+    cent_map = {int(b): np.asarray(c, dtype=np.float64) for b, c, _ in cent_rows}
     k = len(C)
     npb = max(1, min(int(nprobe), k))
     Cn = np.sqrt((C * C).sum(axis=1))
@@ -775,6 +839,8 @@ def semantic_dedup_check(
         for pdf in batches:
             if not len(pdf):
                 continue
+            if _probe_counter is not None:
+                _probe_counter.add(len(pdf))
             V = np.stack(pdf["__qv__"].to_numpy()).astype(np.float64, copy=False)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = (V @ C.T) / (
@@ -788,45 +854,149 @@ def semantic_dedup_check(
             out["ivf_bucket"] = buckets_np[top.reshape(-1)].astype("int32")
             yield out
 
-    probed = q.mapInPandas(probe_fn, probe_schema)
+    # ONE probe execution per call: localCheckpoint materializes the
+    # coarse assignment (and its upstream lineage) into executor-local
+    # blocks that both downstream jobs read
+    probed = q.mapInPandas(probe_fn, probe_schema).localCheckpoint(eager=True)
     # the probed-bucket union is index metadata (<= n_buckets ints): one
-    # tiny action preserves planning-time partition pruning for small
-    # batches; large batches cover every bucket and scan them all
+    # tiny action (a checkpoint-block scan, not a re-probe) preserves
+    # planning-time partition pruning for small batches; large batches
+    # cover every bucket and scan them all
     probed_buckets = [
         int(r["ivf_bucket"]) for r in probed.select("ivf_bucket").distinct().collect()
     ]
-    corpus = (
-        engine.table(vt, version=snap.version)
-        .where(F.col("ivf_bucket").isin(probed_buckets))
-        .select(
+
+    # chunk plan from index METADATA (built per-bucket counts): zero
+    # extra jobs; stale counts under appends only under-chunk
+    sizes = {int(b): int(n) for b, _, n in cent_rows}
+    if max_bucket_rows is None:
+        cap = None
+    elif isinstance(max_bucket_rows, str):
+        if max_bucket_rows != "auto":
+            raise ValueError(
+                f"max_bucket_rows must be an int, None, or 'auto', got {max_bucket_rows!r}"
+            )
+        counts = sorted(sizes.values())
+        med = counts[len(counts) // 2] if counts else 0
+        cap = max(1, int(auto_chunk_floor), int(auto_chunk_median_mult) * med)
+    elif max_bucket_rows <= 0:
+        raise ValueError(f"max_bucket_rows must be positive, got {max_bucket_rows}")
+    else:
+        cap = int(max_bucket_rows)
+    nchunks = {b: (-(-sizes.get(b, 1) // cap) if cap else 1) for b in probed_buckets}
+    chunked = any(nc > 1 for nc in nchunks.values())
+
+    base = engine.table(vt, version=snap.version).where(
+        F.col("ivf_bucket").isin(probed_buckets)
+    )
+    use_pq = prescreen is not None
+    if use_pq:
+        if _pqbooks_table(index_name) not in engine.tables():
+            raise ValueError(
+                f"prescreen requires an IVF-PQ index; {index_name!r} has no pqbooks table"
+            )
+        s_short = int(prescreen)
+        if s_short < 1:
+            raise ValueError(f"prescreen must be >= 1, got {prescreen}")
+        books = _cached_pq_books(engine, index_name)
+        sub_d = books[0].shape[1]
+        # column pruning is the point: codes + norm, never raw vectors
+        corpus = base.select(
+            F.col(id_col).alias("__nid__"), "pq_codes", "pq_norm", "ivf_bucket"
+        )
+    else:
+        corpus = base.select(
             F.col(id_col).alias("__nid__"),
             F.col(vec_col).alias("__nv__"),
             "ivf_bucket",
         )
+    if chunked:
+        nchunks_df = engine.spark.createDataFrame(
+            sorted(nchunks.items()), "ivf_bucket INT, __nc__ INT"
+        )
+        corpus = (
+            corpus.join(F.broadcast(nchunks_df), "ivf_bucket")
+            .withColumn(
+                "__cj__",
+                F.pmod(F.xxhash64(F.col("__nid__")), F.col("__nc__")).cast("int"),
+            )
+            .drop("__nc__")
+        )
+        # each batch row joins every chunk task of its probed bucket —
+        # the bipartite analog of semantic_near_pairs' (chunk_i, chunk_j)
+        left = (
+            probed.join(F.broadcast(nchunks_df), "ivf_bucket")
+            .withColumn("__cj__", F.explode(F.sequence(F.lit(0), F.col("__nc__") - 1)))
+            .drop("__nc__")
+        )
+    else:
+        corpus = corpus.withColumn("__cj__", F.lit(0))
+        left = probed.withColumn("__cj__", F.lit(0))
+
+    nid_type = (
+        base.schema[id_col].dataType if use_pq else corpus.schema["__nid__"].dataType
     )
     out_schema = T.StructType(
         [
             T.StructField("__qid__", q.schema["__qid__"].dataType, True),
-            T.StructField("dup_of", corpus.schema["__nid__"].dataType, True),
+            T.StructField("dup_of", nid_type, True),
             T.StructField("dup_cos", T.DoubleType(), True),
+            T.StructField("__exact__", T.BooleanType(), False),
         ]
     )
 
-    def bucket_best_fn(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+    def _self_frame(left_pdf):
+        """Batch-vs-batch block for one probed bucket (run in the cj==0
+        task only, where every batch row of the bucket is present):
+        best strictly-smaller-id peer per query, exact cosine."""
         import pandas as pd
 
-        if not len(left) or not len(right):
-            return pd.DataFrame(
-                {"__qid__": left["__qid__"].iloc[:0], "dup_of": [], "dup_cos": []}
-            )
+        order = np.argsort(left_pdf["__qid__"].to_numpy(), kind="stable")
+        ids = left_pdf["__qid__"].to_numpy()[order]
+        Q = np.stack(left_pdf["__qv__"].to_numpy()[order]).astype(
+            np.float64, copy=False
+        )
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        out_q, out_n, out_c = [], [], []
+        bs = max(1, (1 << 22) // max(len(Q), 1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(0, len(Q), bs):
+                cos = np.round(
+                    (Q[s : s + bs] @ Q.T) / (qn[s : s + bs, None] * qn[None, :]), 6
+                )
+                cos = np.where(np.isnan(cos), -np.inf, cos)
+                # only strictly-smaller ids are admissible representatives
+                # (ids sorted asc, so argmax ties pick the smallest peer)
+                cos = np.where(ids[None, :] < ids[s : s + bs, None], cos, -np.inf)
+                best_j = np.argmax(cos, axis=1)
+                best = cos[np.arange(len(best_j)), best_j]
+                keep = best >= thr
+                out_q.append(ids[s : s + bs][keep])
+                out_n.append(ids[best_j[keep]])
+                out_c.append(best[keep])
+        oq = np.concatenate(out_q)
+        return pd.DataFrame(
+            {
+                "__qid__": oq,
+                "dup_of": np.concatenate(out_n),
+                "dup_cos": np.concatenate(out_c),
+                "__exact__": np.ones(len(oq), dtype=bool),
+            }
+        )
+
+    def _exact_bipartite(left_pdf, right_pdf):
+        import pandas as pd
+
         # corpus slice sorted by id: np.argmax then returns the SMALLEST
         # id among equal-max cosines — the (cos desc, id asc) tie rule
-        order = np.argsort(right["__nid__"].to_numpy(), kind="stable")
-        nids = right["__nid__"].to_numpy()[order]
-        Xn = np.stack(right["__nv__"].to_numpy()[order]).astype(np.float64, copy=False)
+        order = np.argsort(right_pdf["__nid__"].to_numpy(), kind="stable")
+        nids = right_pdf["__nid__"].to_numpy()[order]
+        Xn = np.stack(right_pdf["__nv__"].to_numpy()[order]).astype(
+            np.float64, copy=False
+        )
         nn = np.sqrt((Xn * Xn).sum(axis=1))
-        qids = left["__qid__"].to_numpy()
-        Q = np.stack(left["__qv__"].to_numpy()).astype(np.float64, copy=False)
+        qids = left_pdf["__qid__"].to_numpy()
+        Q = np.stack(left_pdf["__qv__"].to_numpy()).astype(np.float64, copy=False)
         qn = np.sqrt((Q * Q).sum(axis=1))
         out_q, out_n, out_c = [], [], []
         bs = max(1, (1 << 22) // max(len(Xn), 1))
@@ -844,28 +1014,147 @@ def semantic_dedup_check(
                 out_q.append(qids[s : s + bs][keep])
                 out_n.append(nids[best_j[keep]])
                 out_c.append(best[keep])
+        oq = np.concatenate(out_q)
         return pd.DataFrame(
             {
-                "__qid__": np.concatenate(out_q),
+                "__qid__": oq,
                 "dup_of": np.concatenate(out_n),
                 "dup_cos": np.concatenate(out_c),
+                "__exact__": np.ones(len(oq), dtype=bool),
             }
         )
 
+    def _adc_bipartite(bucket, left_pdf, right_pdf):
+        """ADC-score the batch against one corpus chunk's CODES and keep
+        the top-``s_short`` candidates per query (exact re-rank happens
+        downstream on the pooled shortlist)."""
+        import pandas as pd
+
+        qids = left_pdf["__qid__"].to_numpy()
+        Q = np.stack(left_pdf["__qv__"].to_numpy()).astype(np.float64, copy=False)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        cvec = cent_map[int(bucket)]
+        nids = right_pdf["__nid__"].to_numpy()
+        codes = np.stack(right_pdf["pq_codes"].to_numpy()).astype(np.int64, copy=False)
+        pqn = np.maximum(
+            right_pdf["pq_norm"].to_numpy().astype(np.float64), 1e-12
+        )
+        n_c = len(nids)
+        s_eff = min(s_short, n_c)
+        out_q, out_n, out_c = [], [], []
+        bs = max(1, (1 << 22) // max(n_c, 1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for st in range(0, len(Q), bs):
+                Qb = Q[st : st + bs]
+                # q.(c_b + r) = q.c_b + q.r: one scalar + m LUT lookups
+                acc = np.broadcast_to(
+                    (Qb @ cvec)[:, None], (len(Qb), n_c)
+                ).copy()
+                for s in range(len(books)):
+                    lut_s = Qb[:, s * sub_d : (s + 1) * sub_d] @ books[s].T
+                    acc += lut_s[:, codes[:, s]]
+                adc = np.round(acc / (qn[st : st + bs, None] * pqn[None, :]), 6)
+                adc = np.where(np.isnan(adc), -np.inf, adc)
+                adc = np.where(nids[None, :] == qids[st : st + bs, None], -np.inf, adc)
+                if s_eff >= n_c:
+                    idx = np.broadcast_to(np.arange(n_c), (len(Qb), n_c))
+                else:
+                    idx = np.argpartition(-adc, s_eff - 1, axis=1)[:, :s_eff]
+                vals = np.take_along_axis(adc, idx, axis=1).reshape(-1)
+                keep = np.isfinite(vals)
+                out_q.append(np.repeat(qids[st : st + bs], idx.shape[1])[keep])
+                out_n.append(nids[idx.reshape(-1)][keep])
+                out_c.append(vals[keep])
+        oq = np.concatenate(out_q)
+        return pd.DataFrame(
+            {
+                "__qid__": oq,
+                "dup_of": np.concatenate(out_n),
+                "dup_cos": np.concatenate(out_c),
+                "__exact__": np.zeros(len(oq), dtype=bool),
+            }
+        )
+
+    def pair_fn(key, left_pdf, right_pdf):
+        import pandas as pd
+
+        parts = []
+        if within_batch and int(key[1]) == 0 and len(left_pdf) > 1:
+            parts.append(_self_frame(left_pdf))
+        if len(left_pdf) and len(right_pdf):
+            if use_pq:
+                parts.append(_adc_bipartite(key[0], left_pdf, right_pdf))
+            else:
+                parts.append(_exact_bipartite(left_pdf, right_pdf))
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "__qid__": left_pdf["__qid__"].iloc[:0],
+                    "dup_of": left_pdf["__qid__"].iloc[:0],
+                    "dup_cos": np.array([], dtype=np.float64),
+                    "__exact__": np.array([], dtype=bool),
+                }
+            )
+        return pd.concat(parts, ignore_index=True)
+
     bests = (
-        probed.groupby("ivf_bucket")
-        .cogroup(corpus.groupby("ivf_bucket"))
-        .applyInPandas(bucket_best_fn, out_schema)
+        left.groupby("ivf_bucket", "__cj__")
+        .cogroup(corpus.groupby("ivf_bucket", "__cj__"))
+        .applyInPandas(pair_fn, out_schema)
     )
-    # global best across the query's nprobe buckets, (cos desc, id asc)
+    # global best across the query's probed buckets (and chunks),
+    # (cos desc, id asc) — identical to the unchunked single-task rule
     w = Window.partitionBy("__qid__").orderBy(
         F.col("dup_cos").desc(), F.col("dup_of").asc()
     )
-    hits = (
-        bests.withColumn("__r__", F.row_number().over(w))
-        .where(F.col("__r__") == 1)
-        .select(F.col("__qid__").alias(id_col), "dup_of", "dup_cos")
-    )
+    if not use_pq:
+        hits = (
+            bests.withColumn("__r__", F.row_number().over(w))
+            .where(F.col("__r__") == 1)
+            .select(F.col("__qid__").alias(id_col), "dup_of", "dup_cos")
+        )
+    else:
+        from modelardb_rs_spark.operators.similarity import dot, norm
+
+        self_hits = bests.where(F.col("__exact__")).select(
+            "__qid__", "dup_of", "dup_cos"
+        )
+        shortlist = (
+            bests.where(~F.col("__exact__"))
+            .withColumn("__r__", F.row_number().over(w))
+            .where(F.col("__r__") <= s_short)
+            .select("__qid__", "dup_of")
+        )
+        # exact re-rank of the |batch| x s shortlist (the ivfpq_topk
+        # rerank shape): raw vectors are read for shortlisted rows out
+        # of the probed partitions only
+        cv = (
+            engine.table(vt, version=snap.version)
+            .where(F.col("ivf_bucket").isin(probed_buckets))
+            .select(F.col(id_col).alias("dup_of"), F.col(vec_col).alias("__cv__"))
+        )
+        rerank = (
+            shortlist.join(F.broadcast(q), "__qid__")
+            .join(cv, "dup_of")
+            .withColumn(
+                "dup_cos",
+                F.round(
+                    F.try_divide(
+                        dot(F.col("__qv__"), F.col("__cv__")),
+                        norm(F.col("__qv__")) * norm(F.col("__cv__")),
+                    ),
+                    6,
+                ),
+            )
+            .where(~F.isnan(F.col("dup_cos")) & (F.col("dup_cos") >= F.lit(thr)))
+            .select("__qid__", "dup_of", "dup_cos")
+        )
+        hits = (
+            self_hits.unionByName(rerank)
+            .withColumn("__r__", F.row_number().over(w))
+            .where(F.col("__r__") == 1)
+            .select(F.col("__qid__").alias(id_col), "dup_of", "dup_cos")
+        )
     # no broadcast hint: hits is |batch|-bounded and AQE broadcasts it
     # when small — no need to force what the planner already picks
     return new_vectors.join(hits, id_col, "left")

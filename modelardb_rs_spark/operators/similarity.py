@@ -1017,7 +1017,12 @@ def semantic_near_pairs(
         # chunking at all (chunk-pair task overhead would dominate).
         counts = sorted(int(r["__n__"]) for r in sizes)
         med = counts[len(counts) // 2] if counts else 0
-        max_bucket_rows = max(int(auto_chunk_floor), int(auto_chunk_median_mult) * med)
+        # clamp to >= 1: floor=0 with mult*median == 0 (empty/tiny corpus
+        # or mult=0) must degrade to one-row chunks, not a ceil-division
+        # ZeroDivisionError the int path's validation would have caught
+        max_bucket_rows = max(
+            1, int(auto_chunk_floor), int(auto_chunk_median_mult) * med
+        )
     nchunks_df = spark.createDataFrame(
         [
             (int(r["ivf_bucket"]), -(-int(r["__n__"]) // int(max_bucket_rows)))

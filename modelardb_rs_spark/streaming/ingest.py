@@ -511,18 +511,26 @@ def vector_ingest_batch(
     testable. ``app_id`` defaults to the bare per-index id for direct
     batch callers; streams pass their per-(index, checkpoint) id.
 
-    ``dedup={"threshold": t[, "nprobe": n]}`` gates admission through
-    ``ann_index.semantic_dedup_check``: vectors whose best indexed
-    cosine clears ``t`` are dropped BEFORE the append (the online
-    SemDeDup gate — the index only grows by semantically-new content).
-    Replay-safe: the check is a read, the decision is deterministic in
-    (batch, index snapshot), and the replay gate skips the whole
-    epoch before the probe runs. Exact copies arriving within ONE
-    batch additionally collapse to their min-id representative (one
-    vector-value groupBy) so a burst of identical vectors admits one
-    row, not the whole burst; NEAR-dup pairs inside one batch still
-    co-admit — the corpus-level ``semantic_dedup`` is the backstop.
-    The returned dict gains ``deduped`` (rows dropped by the gate)."""
+    ``dedup={"threshold": t[, "nprobe": n, ...]}`` gates admission
+    through ``ann_index.semantic_dedup_check``: vectors whose best
+    indexed cosine clears ``t`` are dropped BEFORE the append (the
+    online SemDeDup gate — the index only grows by semantically-new
+    content); extra keys (``within_batch``, ``max_bucket_rows``,
+    ``prescreen``, ...) pass through to the gate. Replay-safe: the
+    check is a read, the decision is deterministic in (batch, index
+    snapshot), and the replay gate skips the whole epoch before the
+    probe runs. Exact copies arriving within ONE batch collapse to
+    their min-id representative (one vector-value groupBy) before the
+    probe, and the gate's within-batch block (on by default) flags
+    NEAR-dup pairs inside the batch too, so a burst of near-identical
+    vectors admits exactly one row.
+    The returned dict gains ``deduped`` (rows the GATE dropped — best
+    indexed cosine cleared the threshold) and ``collapsed_exact``
+    (rows the within-batch exact-duplicate groupBy collapsed), kept
+    SEPARATE so gate-effectiveness audits don't over-count on bursty
+    exact-duplicate traffic. Both counts come from the persisted
+    ``checked`` frame, so the split costs one cache-read count, not a
+    second probe."""
     from modelardb_rs_spark.operators import ann_index as ann
     from modelardb_rs_spark.operators.ann_index import _vectors_table
 
@@ -530,12 +538,15 @@ def vector_ingest_batch(
         return {"appended": 0, "replayed": False}
     if app_id is None:
         app_id = f"vector_ingest::{index_name}"
-    deduped = 0
+    deduped = collapsed_exact = 0
     if dedup is not None:
         # replay gate FIRST: a replayed epoch must not pay the probe
         prev = engine.last_txn_version(_vectors_table(index_name), app_id)
         if prev is not None and prev >= int(epoch_id):
-            return {"appended": 0, "replayed": True, "deduped": 0}
+            return {
+                "appended": 0, "replayed": True,
+                "deduped": 0, "collapsed_exact": 0,
+            }
         total = batch_df.count()
         exact = (
             batch_df.groupBy(vec_col)
@@ -549,15 +560,21 @@ def vector_ingest_batch(
         # the ONE probe execution instead of re-running it (the dedup
         # decision depends on index CONTENT, which a rebuild does not
         # change, so a cached verdict stays valid across retries)
+        gate_opts = {k: v for k, v in dedup.items() if k not in ("threshold", "nprobe")}
         checked = ann.semantic_dedup_check(
             engine, index_name, exact,
             threshold=float(dedup["threshold"]),
             nprobe=int(dedup.get("nprobe", 2)),
             id_col=id_col, vec_col=vec_col,
+            **gate_opts,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         batch_df = checked.where(F.col("dup_of").isNull()).select(id_col, vec_col)
+        # both counts read the persisted probe verdicts: the split of
+        # gate drops vs exact collapse costs a cache scan, not a re-probe
+        n_checked = checked.count()
         admitted = batch_df.count()
-        deduped = total - admitted
+        deduped = n_checked - admitted
+        collapsed_exact = total - n_checked
         if admitted == 0:
             checked.unpersist()
             # commit an empty-epoch marker so the replay gate still
@@ -565,7 +582,10 @@ def vector_ingest_batch(
             engine.folder.log(_vectors_table(index_name)).commit(
                 lambda snap: ("append", [], []), txn=(app_id, int(epoch_id))
             )
-            return {"appended": 0, "replayed": False, "deduped": deduped}
+            return {
+                "appended": 0, "replayed": False,
+                "deduped": deduped, "collapsed_exact": collapsed_exact,
+            }
     try:
         out = ann.append_to_ivf_index(
             engine,
@@ -580,6 +600,7 @@ def vector_ingest_batch(
             checked.unpersist()
     if dedup is not None:
         out["deduped"] = deduped
+        out["collapsed_exact"] = collapsed_exact
     return out
 
 

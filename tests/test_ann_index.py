@@ -820,3 +820,200 @@ def test_semantic_dedup_check_survives_degenerate_indexed_vector(engine, spark, 
     ).collect()
     assert len(out) == 1
     assert out[0]["dup_of"] == 3 and out[0]["dup_cos"] >= 0.999
+
+
+def test_semantic_dedup_check_probe_runs_once(engine, spark, emb):
+    """The gate's mapInPandas coarse assignment feeds two jobs (the
+    probed-bucket collect and the cogrouped verify) plus the caller's
+    downstream actions — the localCheckpoint must make it execute
+    exactly ONCE per call, not once per consumer (the inner half of
+    commit f9daa85's one-probe-per-batch contract)."""
+    first = emb.where(F.col("vec_id") < 400)
+    ann_index.build_ivf_index(engine, "onceg", first, bucket_col="label")
+    batch = emb.where(F.col("vec_id") >= 400).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"), "embedding"
+    )
+    n = batch.count()
+    acc = spark.sparkContext.accumulator(0)
+    out = ann_index.semantic_dedup_check(
+        engine, "onceg", batch, threshold=0.999, nprobe=2, _probe_counter=acc
+    )
+    out.collect()
+    out.count()  # a second consumer must not re-run the probe either
+    # speculative/retried tasks could add a few ticks; a second full
+    # evaluation would land at exactly 2x
+    assert n <= acc.value < 2 * n
+
+
+def test_semantic_dedup_check_within_batch_near_dups(engine, emb):
+    """Two near-identical (NOT byte-identical — scaled, so exact
+    within-batch collapse can't catch them) vectors in one batch admit
+    exactly the min-id one: the larger id flags dup_of = the smaller.
+    within_batch=False reproduces the documented co-admission hole."""
+    first = emb.where(F.col("vec_id") < 300)
+    ann_index.build_ivf_index(engine, "wbidx", first, bucket_col=None, n_buckets=4)
+    src = emb.where(F.col("vec_id") == 305)
+    a = src.select(F.lit(700_001).cast("long").alias("vec_id"), "embedding")
+    b = src.select(
+        F.lit(700_002).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.25)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    out = {
+        int(r["vec_id"]): r
+        for r in ann_index.semantic_dedup_check(
+            engine, "wbidx", a.unionByName(b), threshold=0.999, nprobe=2
+        ).collect()
+    }
+    assert out[700_001]["dup_of"] is None
+    assert out[700_002]["dup_of"] == 700_001 and out[700_002]["dup_cos"] >= 0.999
+    legacy = {
+        int(r["vec_id"]): r
+        for r in ann_index.semantic_dedup_check(
+            engine, "wbidx", a.unionByName(b), threshold=0.999, nprobe=2,
+            within_batch=False,
+        ).collect()
+    }
+    assert legacy[700_001]["dup_of"] is None and legacy[700_002]["dup_of"] is None
+
+
+def test_vector_ingest_gate_admits_one_of_in_batch_near_dups(engine, emb):
+    """End-to-end through the ingest path: a burst of near-identical
+    (non-exact) vectors in one micro-batch appends exactly one row."""
+    from modelardb_rs_spark.streaming.ingest import vector_ingest_batch
+
+    first = emb.where(F.col("vec_id") < 300)
+    ann_index.build_ivf_index(engine, "wbing", first, bucket_col=None, n_buckets=4)
+    src = emb.where(F.col("vec_id") == 307)
+
+    def scaled(s):
+        # single-arg lambda: a two-arg one would receive (element, INDEX)
+        return lambda x: (x * F.lit(s)).cast("float")
+
+    burst = src.select(F.lit(710_001).cast("long").alias("vec_id"), "embedding")
+    for i, scale in ((2, 1.5), (3, 0.5)):
+        burst = burst.unionByName(
+            src.select(
+                F.lit(710_000 + i).cast("long").alias("vec_id"),
+                F.transform("embedding", scaled(scale)).alias("embedding"),
+            )
+        )
+    out = vector_ingest_batch(
+        engine, "wbing", burst, 1, dedup={"threshold": 0.999, "nprobe": 4}
+    )
+    assert out["appended"] == 1
+    assert out["deduped"] == 2 and out["collapsed_exact"] == 0
+    admitted = engine.table("wbing__vectors").where("vec_id >= 710000").collect()
+    assert [int(r["vec_id"]) for r in admitted] == [710_001]
+
+
+def test_semantic_dedup_check_chunked_matches_unchunked(engine, emb):
+    """A planted hot bucket (every vector in one bucket) chunked at
+    max_bucket_rows=50 must produce bit-identical flags to the
+    single-task path — per-chunk bests meet in the same global
+    (cos desc, id asc) window."""
+    corpus = emb.withColumn("hot", F.lit(0))
+    ann_index.build_ivf_index(engine, "hotg", corpus, bucket_col="hot")
+    copies = emb.where(F.col("vec_id") % 83 == 0).select(
+        (F.col("vec_id") + 720_000).alias("vec_id"), "embedding"
+    )
+    near = emb.where(F.col("vec_id") == 11).select(
+        F.lit(730_000).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    batch = copies.unionByName(near)
+    kw = dict(threshold=0.999, nprobe=1)
+    plain = ann_index.semantic_dedup_check(
+        engine, "hotg", batch, max_bucket_rows=None, **kw
+    )
+    chunked = ann_index.semantic_dedup_check(
+        engine, "hotg", batch, max_bucket_rows=50, **kw
+    )
+    p = sorted(map(tuple, plain.collect()))
+    c = sorted(map(tuple, chunked.collect()))
+    assert p == c
+    assert any(r[-2] is not None for r in p)  # the gate actually flagged
+
+
+def test_semantic_dedup_check_prescreen_reads_codes_and_matches_exact(engine, emb):
+    """prescreen=s on an IVF-PQ index: the cogroup's corpus scan reads
+    CODE columns only (column pruning drops the raw vectors — the
+    ~dim*4/m gate-I/O bound), the exact re-rank touches raw vectors for
+    the shortlist only, and every prescreen flag is exact-verified so
+    flagged_pre <= flagged_exact with full recall on the fixture."""
+    ann_index.build_ivfpq_index(engine, "pqg", emb, bucket_col="label")
+    copies = emb.where(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + 740_000).alias("vec_id"), "embedding"
+    )
+    negated = emb.where(F.col("vec_id") % 101 == 0).select(
+        (F.col("vec_id") + 750_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (-x).cast("float")).alias("embedding"),
+    )
+    batch = copies.unionByName(negated)
+    kw = dict(threshold=0.999, nprobe=2, within_batch=False)
+    exact = ann_index.semantic_dedup_check(engine, "pqg", batch, **kw)
+    pre = ann_index.semantic_dedup_check(engine, "pqg", batch, prescreen=8, **kw)
+    e = {int(r["vec_id"]): r for r in exact.collect()}
+    p = {int(r["vec_id"]): r for r in pre.collect()}
+    flagged_e = {k for k, r in e.items() if r["dup_of"] is not None}
+    flagged_p = {k for k, r in p.items() if r["dup_of"] is not None}
+    assert flagged_p <= flagged_e  # rerank is exact: no false flags ever
+    assert flagged_e, "fixture must exercise the gate"
+    assert flagged_p == flagged_e  # recall floor: 1.0 on the fixture
+    for k in flagged_p:
+        assert p[k]["dup_of"] == e[k]["dup_of"]
+        assert p[k]["dup_cos"] == e[k]["dup_cos"]
+    # plan: at least one vectors scan reads pq_codes WITHOUT the raw
+    # embedding column (the ADC pre-screen scan); the rerank scan may
+    # read embeddings for the shortlist join
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    # pq_codes only exists in the vectors table, so matching on the
+    # ReadSchema alone is enough (the Location string is truncated to
+    # ~100 chars and can cut off before the table name)
+    read_schemas = [
+        seg.split("ReadSchema:")[1].splitlines()[0]
+        for seg in plan.split("FileScan")[1:]
+        if "ReadSchema:" in seg
+    ]
+    assert any("pq_codes" in rs and "embedding" not in rs for rs in read_schemas), (
+        read_schemas
+    )
+
+
+def test_semantic_dedup_check_prescreen_requires_pq_index(engine, emb):
+    ann_index.build_ivf_index(engine, "nopq", emb, bucket_col="label")
+    batch = emb.limit(2).select((F.col("vec_id") + 760_000).alias("vec_id"), "embedding")
+    with pytest.raises(ValueError, match="pqbooks"):
+        ann_index.semantic_dedup_check(engine, "nopq", batch, prescreen=4)
+
+
+def test_cache_put_is_thread_safe():
+    """The per-engine metadata caches are read and refilled by probe
+    threads racing rebuild threads: _cache_put must never raise under
+    concurrent eviction (the old read-evict-write re-indexed the shared
+    dict and could KeyError/RuntimeError mid-race)."""
+    import threading
+
+    from modelardb_rs_spark.operators.ann_index import _cache_put
+
+    cache = {}
+    errs = []
+
+    def worker(i):
+        try:
+            for j in range(3000):
+                key = ("tbl", i, j)
+                _cache_put(cache, key, j)
+                cache.get(key)
+        except Exception as e:  # pragma: no cover - only on regression
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs

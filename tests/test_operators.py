@@ -970,6 +970,21 @@ def test_semantic_near_pairs_auto_chunk_sizing(vectors):
         ).collect()
     }
     assert auto_chunked == single
+    # degenerate auto inputs (floor=0, mult=0) must clamp the derived
+    # cap to 1 (one-row chunks) instead of ZeroDivisionError in the
+    # ceil division — the positivity check the int path already has
+    degenerate = {
+        (r.id_a, r.id_b)
+        for r in sim_ops.semantic_near_pairs(
+            vectors,
+            threshold=0.9,
+            n_clusters=2,
+            max_bucket_rows="auto",
+            auto_chunk_floor=0,
+            auto_chunk_median_mult=0,
+        ).collect()
+    }
+    assert degenerate == single
     with pytest.raises(ValueError, match="auto"):
         sim_ops.semantic_near_pairs(
             vectors, threshold=0.9, n_clusters=2, max_bucket_rows="huge"

@@ -588,7 +588,10 @@ def test_vector_ingest_dedup_gate(spark, engine):
     """vector_ingest_batch(dedup=...): vectors already in the index are
     dropped before the append, exact within-batch copies collapse to
     one representative, an all-duplicate epoch still advances the
-    replay gate, and replays of a deduped epoch skip the probe."""
+    replay gate, and replays of a deduped epoch skip the probe. The
+    returned metrics keep GATE drops (deduped) separate from the
+    within-batch exact collapse (collapsed_exact), so audits of gate
+    effectiveness don't over-count on bursty exact-duplicate traffic."""
     from modelardb_rs_spark.operators import ann_index
     from modelardb_rs_spark.sources.testdata import load_table
     from modelardb_rs_spark.streaming.ingest import vector_ingest_batch
@@ -615,12 +618,15 @@ def test_vector_ingest_dedup_gate(spark, engine):
     out = vector_ingest_batch(engine, "dgidx", batch, 1, dedup=dd)
     assert out["replayed"] is False
     assert out["appended"] == 3  # 301, 302, one of the twins
-    assert out["deduped"] == 3   # two indexed copies + the collapsed twin
+    assert out["deduped"] == 2          # the two indexed copies (gate)
+    assert out["collapsed_exact"] == 1  # the within-batch twin
     assert engine.table("dgidx__vectors").count() == 303
 
     # replay of epoch 1: commit-layer no-op, no probe, no growth
     again = vector_ingest_batch(engine, "dgidx", batch, 1, dedup=dd)
-    assert again == {"appended": 0, "replayed": True, "deduped": 0}
+    assert again == {
+        "appended": 0, "replayed": True, "deduped": 0, "collapsed_exact": 0,
+    }
     assert engine.table("dgidx__vectors").count() == 303
 
     # epoch 2: ALL duplicates — nothing appends, but the gate advances
@@ -628,7 +634,11 @@ def test_vector_ingest_dedup_gate(spark, engine):
         (F.col("vec_id") + 830_000).alias("vec_id"), "embedding"
     )
     out2 = vector_ingest_batch(engine, "dgidx", alldup, 2, dedup=dd)
-    assert out2 == {"appended": 0, "replayed": False, "deduped": 2}
+    assert out2 == {
+        "appended": 0, "replayed": False, "deduped": 2, "collapsed_exact": 0,
+    }
     assert engine.table("dgidx__vectors").count() == 303
     replay2 = vector_ingest_batch(engine, "dgidx", alldup, 2, dedup=dd)
-    assert replay2 == {"appended": 0, "replayed": True, "deduped": 0}
+    assert replay2 == {
+        "appended": 0, "replayed": True, "deduped": 0, "collapsed_exact": 0,
+    }
