@@ -23,7 +23,11 @@ Delta metaData-action analog), so vectors and centroids flip in ONE
 atomic commit: a probe overlapping a rebuild reads either the old
 files+centroids pair or the new pair, never a mix. The
 ``<index>__centroids`` table is a derived mirror for SQL consumers,
-resynced by maintenance if a crash ever leaves it stale.
+resynced by maintenance if a crash ever leaves it stale. Indexes
+built before the meta payload existed read the mirror directly (two
+reads, not snapshot-atomic) until their first ``ivf_index_maintenance``
+call upgrades them in place — run maintenance once after deploying to
+get the atomicity guarantee on pre-existing indexes.
 
 Buckets come from a provided column (e.g. a label) or an MLlib-KMeans
 coarse quantizer (``similarity.kmeans_buckets``). Probing reuses
@@ -88,8 +92,10 @@ def _centroid_rows(
     either the old pair or the new pair, never new vectors against old
     centroids (the two-commit window the ``<index>__centroids`` mirror
     table had). Indexes written before the meta payload existed fall
-    back to reading the mirror table (their builds were two commits;
-    the first rebuild upgrades them).
+    back to reading the mirror table — the legacy two-read path, NOT
+    snapshot-atomic; the first ``ivf_index_maintenance`` call upgrades
+    them in place (installs the meta from the mirror in one empty
+    commit), after which this branch never runs for that index.
 
     Cached by the vectors snapshot's meta generation (appends bump the
     table version but not the centroids, so sustained ingest never
@@ -1413,15 +1419,36 @@ def ivf_index_maintenance(
     rebuild_app = f"ivf_rebuild::{index_name}"
     vt_meta = engine.folder.log(vt).snapshot().meta or {}
     if "ann_centroids" not in vt_meta:
-        # legacy pre-meta index: its rebuilds were TWO commits stamped
-        # with the same SetTransaction version — a crash between them
-        # left the stamps disagreeing and probes reading a torn pair
-        # (the old design's window). Force a rebuild to heal it; the
-        # rebuild installs the meta payload, upgrading the index so
-        # this branch never fires again.
+        # legacy pre-meta index (built before the commit-meta layout):
+        # upgrade it IN PLACE by installing the mirror table's centroids
+        # as the vectors table's meta payload — one empty-append commit,
+        # no data rewrite — so every subsequent probe is snapshot-atomic
+        # WITHOUT waiting for a threshold-tripped rebuild (the documented
+        # migration: run maintenance once after deploying). The mirror is
+        # trustworthy only when its rebuild stamp agrees with the vectors
+        # table's: a crash between a legacy rebuild's two commits left
+        # the mirror one geometry behind, and blessing it as meta would
+        # FREEZE the torn pair — that (rare) state still forces a healing
+        # rebuild, which installs a consistent meta itself.
         vt_stamp = engine.last_txn_version(vt, rebuild_app)
         ct_stamp = engine.last_txn_version(ct, rebuild_app)
-        if vt_stamp != ct_stamp:
+        if vt_stamp == ct_stamp:
+            upgrade_rows = [
+                (
+                    int(r["ivf_bucket"]),
+                    [float(x) for x in r["centroid"]],
+                    int(r["n_vectors"]),
+                )
+                for r in engine.table(ct)
+                .select("ivf_bucket", "centroid", "n_vectors")
+                .collect()
+            ]
+            upgrade_meta = _centroids_meta(upgrade_rows, gen=int(vt_stamp or 0))
+            engine.folder.log(vt).commit(
+                lambda snap: ("append", [], [], upgrade_meta)
+            )
+            vt_meta = engine.folder.log(vt).snapshot().meta or {}
+        else:
             reasons.append(
                 f"crashed pre-meta rebuild detected (vectors stamp {vt_stamp}"
                 f" != centroids stamp {ct_stamp}) — rebuilding to heal and"

@@ -1017,3 +1017,70 @@ def test_cache_put_is_thread_safe():
     for t in threads:
         t.join()
     assert not errs
+
+
+def test_legacy_pre_meta_index_upgrades_on_first_maintenance(engine, emb):
+    """An index built before the commit-meta layout (no ann_centroids
+    payload) upgrades IN PLACE on its first maintenance call: the
+    mirror table's centroids are installed as the vectors table's meta
+    in one empty-append commit — no rebuild, no data rewrite — and
+    probes are snapshot-atomic from then on. Only a crashed legacy
+    rebuild (disagreeing stamps — the mirror is one geometry behind)
+    still forces a healing rebuild."""
+    ann_index.build_ivf_index(engine, "legidx", emb, bucket_col=None, n_buckets=4)
+    vt, ct = "legidx__vectors", "legidx__centroids"
+    files_before = sorted(engine.folder.log(vt).snapshot().paths)
+    # simulate the legacy layout: strip the meta payload, stamps aligned
+    # the way a successful legacy rebuild left them (build already
+    # stamped the mirror with version 0)
+    engine.folder.log(vt).commit(
+        lambda snap: ("append", [], [], {}), txn=("ivf_rebuild::legidx", 0)
+    )
+    assert "ann_centroids" not in (engine.folder.log(vt).snapshot().meta or {})
+    out = ann_index.ivf_index_maintenance(
+        engine, "legidx", max_appended_fraction=0.9
+    )
+    assert out["rebuilt"] is False  # an upgrade is NOT a rebuild
+    snap = engine.folder.log(vt).snapshot()
+    assert "ann_centroids" in (snap.meta or {})
+    assert sorted(snap.paths) == files_before  # no data rewrite
+    # installed meta matches the mirror exactly (float32-rounded)
+    meta_rows = {
+        (int(b), tuple(c), int(n)) for b, c, n in snap.meta["ann_centroids"]
+    }
+    mirror = {
+        (int(r["ivf_bucket"]), tuple(r["centroid"]), int(r["n_vectors"]))
+        for r in engine.table(ct).collect()
+    }
+    assert meta_rows == mirror
+    # probes work and are now pinned to the meta path
+    q = emb.where(F.col("vec_id") == 5).select(
+        F.lit(999_999).alias("vec_id"), "embedding"
+    )
+    hit = ann_index.ivf_index_topk(engine, "legidx", q, k=1, nprobe=4).collect()
+    assert hit and hit[0]["neighbor_id"] == 5 and abs(hit[0]["cos"] - 1.0) < 1e-5
+    # second call: branch never fires again, still no rebuild
+    again = ann_index.ivf_index_maintenance(
+        engine, "legidx", max_appended_fraction=0.9
+    )
+    assert again["rebuilt"] is False
+
+
+def test_crashed_legacy_rebuild_still_heals_by_rebuilding(engine, emb):
+    """Disagreeing legacy stamps mean the mirror lags the vectors table
+    by one geometry — installing it as meta would freeze the torn pair,
+    so maintenance must rebuild instead of upgrading in place."""
+    ann_index.build_ivf_index(engine, "crashidx", emb, bucket_col=None, n_buckets=4)
+    vt = "crashidx__vectors"
+    # legacy layout with a crash signature: vectors stamped ahead of the
+    # mirror (the legacy rebuild's first commit landed, second didn't)
+    engine.folder.log(vt).commit(
+        lambda snap: ("append", [], [], {}), txn=("ivf_rebuild::crashidx", 3)
+    )
+    out = ann_index.ivf_index_maintenance(
+        engine, "crashidx", max_appended_fraction=0.9
+    )
+    assert out["rebuilt"] is True
+    assert any("crashed pre-meta rebuild" in r for r in out["reasons"])
+    # the healing rebuild installed the meta: upgraded, consistent
+    assert "ann_centroids" in (engine.folder.log(vt).snapshot().meta or {})
