@@ -560,7 +560,11 @@ def vector_ingest_batch(
         # the ONE probe execution instead of re-running it (the dedup
         # decision depends on index CONTENT, which a rebuild does not
         # change, so a cached verdict stays valid across retries)
-        gate_opts = {k: v for k, v in dedup.items() if k not in ("threshold", "nprobe")}
+        gate_opts = {
+            k: v
+            for k, v in dedup.items()
+            if k not in ("threshold", "nprobe", "id_col", "vec_col")
+        }
         checked = ann.semantic_dedup_check(
             engine, index_name, exact,
             threshold=float(dedup["threshold"]),

@@ -642,3 +642,12 @@ def test_vector_ingest_dedup_gate(spark, engine):
     assert replay2 == {
         "appended": 0, "replayed": True, "deduped": 0, "collapsed_exact": 0,
     }
+
+    # epoch 3: a dedup dict that redundantly names the column keys must
+    # not collide with the explicit id_col/vec_col kwargs the batch
+    # function already forwards (regression: duplicate-kwarg TypeError)
+    dd3 = {**dd, "id_col": "vec_id", "vec_col": "embedding", "within_batch": True}
+    fresh3 = emb.where(F.col("vec_id").isin(310, 311)).select("vec_id", "embedding")
+    out3 = vector_ingest_batch(engine, "dgidx", fresh3, 3, dedup=dd3)
+    assert out3["appended"] == 2
+    assert engine.table("dgidx__vectors").count() == 305
