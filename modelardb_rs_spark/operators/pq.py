@@ -80,11 +80,127 @@ def train_pq_codebooks(
     return books
 
 
+def _encode_np(X: np.ndarray, books: list[np.ndarray]) -> np.ndarray:
+    """(n, m) int32 codes for float64 rows X — the one argmin-encode
+    routine, shared by the OPQ training loop (driver sample) and the
+    distributed ``encode_pq`` batch function. Ties break to the lowest
+    code (numpy argmin returns the first minimum)."""
+    m = len(books)
+    sub_d = books[0].shape[1]
+    codes = np.empty((len(X), m), dtype=np.int32)
+    for s in range(m):
+        S = X[:, s * sub_d : (s + 1) * sub_d]
+        d2 = ((S[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+        codes[:, s] = np.argmin(d2, axis=1)
+    return codes
+
+
+def _decode_np(codes: np.ndarray, books: list[np.ndarray]) -> np.ndarray:
+    """Reconstruct (n, D) float64 rows from (n, m) codes."""
+    return np.concatenate(
+        [books[s][codes[:, s]] for s in range(len(books))], axis=1
+    )
+
+
+def train_opq(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 4096,
+    opq_iters: int = 10,
+    lloyd_iters: int = 4,
+    iters: int = 10,
+    seed: int = 7,
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Optimized product quantization (Ge, He, Ke, Sun: "Optimized
+    Product Quantization", CVPR 2013 — the FAISS ``OPQMatrix`` shape):
+    learn an ORTHONORMAL rotation ``R`` (D x D) jointly with the
+    codebooks so that PQ quantizes ``x @ R`` instead of ``x``, then
+    return ``(R, books)`` for ``encode_pq(..., rotate=R)`` /
+    ``pq_topk(..., rotate=R)``.
+
+    Why it composes with the whole ADC stack unchanged: R is
+    orthonormal, so it preserves inner products and norms —
+    ``(x @ R) . (q @ R) = x . q`` — which means ADC scores computed in
+    the rotated space approximate the ORIGINAL cosine, and ``pq_norm``
+    of a rotated reconstruction estimates the original norm. The win is
+    recall per byte: plain PQ quantizes each contiguous subspace
+    independently, so variance that straddles subspace boundaries (or
+    concentrates in a few correlated dimensions — the usual shape of
+    learned embeddings) is quantized badly; the rotation redistributes
+    it so every subspace carries quantizable structure. Same code size,
+    same query cost, strictly more preparation.
+
+    Training is the paper's non-parametric alternation, run in numpy on
+    the same seeded-hash driver sample ``train_pq_codebooks`` uses
+    (never the corpus): rotate -> refresh codebooks (warm-started Lloyd)
+    -> reconstruct -> orthogonal Procrustes (SVD of ``X^T X_rec``,
+    ``R = U V^T``) -> repeat ``opq_iters`` times, then a final
+    ``iters``-iteration codebook fit at the converged rotation. All
+    numpy ops are deterministic for a fixed seed, so the same corpus
+    always yields the same (R, books).
+
+    Scale envelope: the rotation ships to executors inside the encode
+    closure at D^2 floats — negligible to D~1k (64-dim: 32 KB; 1024-dim:
+    8 MB), and at embedding dims (4k-8k) pass ``R.astype(np.float32)``
+    (128-512 MB float32) or train at a reduced ``sample``; the
+    alternation itself is sample x D and never touches the corpus."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dimension {d} not divisible by m={m}")
+    sub_d = d // m
+    rng = np.random.default_rng(seed)
+    # random orthonormal init (QR of a seeded gaussian): identity can
+    # sit at a symmetric saddle of the alternation on isotropic data
+    Q, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    R = Q
+
+    def fit(Y: np.ndarray, books, n_iters: int):
+        out = []
+        for s in range(m):
+            Ys = Y[:, s * sub_d : (s + 1) * sub_d]
+            if books is None:
+                C = Ys[rng.choice(len(Ys), size=min(ks, len(Ys)), replace=False)].copy()
+            else:
+                C = books[s].copy()
+            for _ in range(n_iters):
+                d2 = ((Ys[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                assign = d2.argmin(1)
+                for j in range(len(C)):
+                    pts = Ys[assign == j]
+                    if len(pts):
+                        C[j] = pts.mean(0)
+            out.append(C)
+        return out
+
+    books = None
+    for _ in range(opq_iters):
+        Y = X @ R
+        books = fit(Y, books, lloyd_iters)
+        recon = _decode_np(_encode_np(Y, books), books)
+        # orthogonal Procrustes: argmin_R ||X R - recon||_F over
+        # orthonormal R has the closed form U V^T from X^T recon
+        U, _, Vt = np.linalg.svd(X.T @ recon)
+        R = U @ Vt
+    books = fit(X @ R, books, iters)
+    return R, books
+
+
 def encode_pq(
     corpus: DataFrame,
     books: list[np.ndarray],
     vec_col: str = "embedding",
     recon_norm_base: str | None = None,
+    rotate: np.ndarray | None = None,
 ) -> DataFrame:
     """Append ``pq_codes`` (array<int>, one code per subspace) and
     ``pq_norm``. Ties in subspace distance break to the lowest code
@@ -115,7 +231,14 @@ def encode_pq(
     centroid the residual was taken against) it is the EXACT
     ``|base + decode(codes)|`` — computed in the same batch pass,
     replacing the separate interpreted full-D dot the IVF-PQ build
-    used to pay per row."""
+    used to pay per row.
+
+    ``rotate=R`` (from ``train_opq``) encodes ``v @ R`` instead of
+    ``v`` — the OPQ path. The base column rotates too when
+    ``recon_norm_base`` is set, so the reconstructed norm stays the
+    ORIGINAL-space estimate (orthonormal R preserves norms:
+    ``|base + r| = |base @ R + r @ R|``). R rides the closure at D^2
+    floats (see train_opq's scale envelope)."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -123,6 +246,7 @@ def encode_pq(
     m = len(books)
     sub_d = books[0].shape[1]
     books64 = [np.asarray(b, dtype=np.float64) for b in books]
+    R64 = None if rotate is None else np.asarray(rotate, dtype=np.float64)
     cent_norms_sq = [(b ** 2).sum(axis=1) for b in books64]
     out_schema = T.StructType(
         list(corpus.schema.fields)
@@ -137,6 +261,8 @@ def encode_pq(
             if not len(pdf):
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            if R64 is not None:
+                V = V @ R64
             n = len(V)
             codes = np.empty((n, m), dtype=np.int32)
             for s in range(m):
@@ -150,6 +276,8 @@ def encode_pq(
                 base = np.stack(pdf[recon_norm_base].to_numpy()).astype(
                     np.float64, copy=False
                 )
+                if R64 is not None:
+                    base = base @ R64
                 recon = base + dec
                 norms = np.sqrt((recon * recon).sum(axis=1))
             else:
@@ -204,6 +332,7 @@ def pq_topk(
     vec_col: str = "embedding",
     rerank: int | None = None,
     max_queries: int | None = None,
+    rotate: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via ADC over PQ codes.
 
@@ -221,15 +350,25 @@ def pq_topk(
     refine step): ADC selects an N-candidate shortlist per query, then
     TRUE cosine ranks only those N rows — the raw vectors are read for
     |Q|·N rows instead of the whole corpus, trading a sliver of I/O for
-    near-exact recall."""
+    near-exact recall.
+
+    ``rotate=R`` scores an OPQ index (codes from
+    ``encode_pq(..., rotate=R)``): each query rotates driver-side
+    before its LUT — ``(x @ R) . (q @ R) = x . q`` for orthonormal R,
+    so the ADC score still approximates the ORIGINAL cosine and the
+    exact re-rank stage (raw, unrotated vectors) is untouched. Query
+    norms are taken pre-rotation (rotation preserves them)."""
     from modelardb_rs_spark.operators.similarity import collect_query_rows
 
     qrows = collect_query_rows(queries, id_col, vec_col, max_queries)
     spark = encoded.sparkSession
+    R64 = None if rotate is None else np.asarray(rotate, dtype=np.float64)
     lut_rows = []
     for r in qrows:
         qv = np.asarray(list(r[1]), dtype=np.float64)
         qn = float(np.sqrt((qv**2).sum()))
+        if R64 is not None:
+            qv = qv @ R64
         lut_rows.append((int(r[0]), qn, query_lut(books, qv)))
     luts = spark.createDataFrame(
         lut_rows, "query_id long, __qn__ double, __lut__ array<double>"

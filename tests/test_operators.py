@@ -842,6 +842,79 @@ def test_pq_topk_recall_with_rerank(spark):
     assert len(pq_ops.pq_topk(enc, books, q, k=5, max_queries=5).collect()) == 25
 
 
+def test_opq_rotation_orthonormal_and_deterministic(spark):
+    from modelardb_rs_spark.operators import pq as pq_ops
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    R, books = pq_ops.train_opq(df, m=4, ks=8, sample=300, opq_iters=4)
+    assert R.shape == (16, 16)
+    assert np.abs(R @ R.T - np.eye(16)).max() < 1e-9  # orthonormal
+    R2, books2 = pq_ops.train_opq(df, m=4, ks=8, sample=300, opq_iters=4)
+    assert np.array_equal(R, R2)  # deterministic training
+    assert all(np.array_equal(a, b) for a, b in zip(books, books2))
+    enc = {r["vec_id"]: r["pq_codes"]
+           for r in pq_ops.encode_pq(df, books, rotate=R).collect()}
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in enc.values())
+
+
+def test_opq_reduces_quantization_error_on_anisotropic_data(spark):
+    """The OPQ claim itself: on data whose variance is anisotropic and
+    correlated ACROSS subspace boundaries (the shape of learned
+    embeddings), the learned rotation must cut the mean squared
+    reconstruction error vs plain PQ at the same (m, ks) code budget.
+    Orthonormal R preserves norms, so errors in rotated space compare
+    directly to errors in the original space."""
+    from modelardb_rs_spark.operators import pq as pq_ops
+
+    rng = np.random.default_rng(0)
+    G = rng.normal(size=(1500, 32))
+    A = rng.normal(size=(32, 32)) * np.linspace(3, 0.1, 32)[None, :]
+    X = G @ A
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    bpq = pq_ops.train_pq_codebooks(df, m=8, ks=16, sample=1500)
+    R, bopq = pq_ops.train_opq(df, m=8, ks=16, sample=1500)
+
+    def mse(books, rot):
+        Y = X @ rot if rot is not None else X
+        rec = pq_ops._decode_np(pq_ops._encode_np(Y, books), books)
+        return float(((Y - rec) ** 2).sum(1).mean())
+
+    e_pq, e_opq = mse(bpq, None), mse(bopq, R)
+    assert e_opq < 0.8 * e_pq, (e_pq, e_opq)
+
+
+def test_opq_topk_recall_with_rerank(spark):
+    """OPQ ADC + exact re-rank recovers true neighbors; plain OPQ ADC
+    returns valid ranked rows. Mirrors test_pq_topk_recall_with_rerank
+    on the same clustered corpus so the two paths stay comparable."""
+    from modelardb_rs_spark.operators import pq as pq_ops
+    from modelardb_rs_spark.operators import similarity as sim_ops
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(10, 32)) * 4
+    rows = []
+    for i in range(400):
+        c = centers[i % 10]
+        rows.append((i, [float(x) for x in c + rng.normal(size=32) * 0.3]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    R, books = pq_ops.train_opq(df, m=8, ks=16, sample=400)
+    enc = pq_ops.encode_pq(df, books, rotate=R)
+    q = df.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in sim_ops.brute_force_topk(df, q, k=5).collect()}
+    plain = pq_ops.pq_topk(enc, books, q, k=5, rotate=R).collect()
+    assert len(plain) == 25
+    assert all(r["query_id"] != r["neighbor_id"] for r in plain)
+    rer = {(r["query_id"], r["neighbor_id"])
+           for r in pq_ops.pq_topk(enc, books, q, k=5, rerank=40, rotate=R).collect()}
+    recall = len(exact & rer) / len(exact)
+    assert recall >= 0.8, recall
+
+
 def test_null_embeddings_never_pair_or_rank(vectors):
     """A NULL embedding must behave like a zero-norm one — dropped by
     every scorer, not a numpy stack crash (the batched cosine handles
