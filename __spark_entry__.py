@@ -2199,6 +2199,39 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_summary(exact, approx, min_floor=None, avg_floor=0.4)
 
 
+def sim_ivfpq_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF-PQ index with an OPQ rotation
+    (build_ivfpq_index(opq=True) — Ge et al. CVPR 2013): residuals are
+    quantized in a learned rotated space at the same code budget, the
+    rotation persists as subspace=-1 pqbooks rows, and ivfpq_topk picks
+    it up automatically (the LUT reads q @ R, the bucket scalar stays
+    raw — q.(c_b + r) = q.c_b + (qR).(rR)). Same recall floors as
+    sim_ivfpq_topk: at these settings recall is governed by coarse
+    probing; the rotation's win is quantization error per byte
+    (SCALE.md)."""
+    import fcntl
+
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(cache_root("annidx"), f"{key}_opq_v1")
+    os.makedirs(root, exist_ok=True)
+    marker = os.path.join(root, ".opq_build_done")
+    with open(os.path.join(root, ".build_lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        eng = _cached_engine(spark, root)
+        if not os.path.exists(marker):
+            ann_ops.build_ivfpq_index(
+                eng, "emb_opq_idx", emb, bucket_col=None, n_buckets=8, m=8, ks=16,
+                opq=True,
+            )
+            with open(marker, "w") as mk:
+                mk.write("ok")
+    queries = emb.where(F.col("vec_id") < 10)
+    approx = ann_ops.ivfpq_topk(eng, "emb_opq_idx", queries, k=5, nprobe=3, rerank=50)
+    exact = sim_ops.brute_force_topk(emb, queries, k=5)
+    return _recall_summary(exact, approx, min_floor=None, avg_floor=0.4)
+
+
 def ts_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-series Pearson correlation on daily buckets
     (Engine.correlate → operators/correlate.py): bucket means come from
@@ -2858,8 +2891,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_semantic_dedup_auto": sim_semantic_dedup_auto,
         "q_asof_auto_hot": q_asof_auto_hot,
         "sim_ingest_dedup_check": sim_ingest_dedup_check,
-        # --- round-12 addition (inside the first-50 window) ---
+        # --- round-12 additions (inside the first-50 window) ---
         "sim_opq_topk": sim_opq_topk,
+        "sim_ivfpq_opq": sim_ivfpq_opq,
         # --- padding to 50: least-recently-verified (r9-r10) ---
         "sim_semantic_dedup_multiprobe": sim_semantic_dedup_multiprobe,
         "doc_train_export": doc_train_export,
@@ -4287,6 +4321,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["q_asof_hot_bucketed"] = oracles["q_asof_join"]
     oracles["q_asof_auto_hot"] = oracles["q_asof_join"]
     oracles["sim_ivfpq_topk"] = oracles["sim_ivf_trained"]
+    oracles["sim_ivfpq_opq"] = oracles["sim_ivf_trained"]
     oracles["q_interp_join"] = """
         WITH r AS (
             SELECT event_type AS etype, epoch_ns(ts) // 1000 AS t,

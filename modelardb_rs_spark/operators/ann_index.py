@@ -361,26 +361,42 @@ def _pqbooks_table(index_name: str) -> str:
 
 
 def _cached_pq_books(engine, index_name: str):
-    """PQ codebooks as numpy arrays (list of (ks, D/m) per subspace),
-    cached per engine instance and books-table file set — index
-    metadata, m x ks tiny rows, same caching contract as
-    ``_centroid_rows``."""
+    """``(books, rotation)`` for the index, cached per engine instance
+    and books-table file set — index metadata, m x ks (+D rotation)
+    tiny rows, same caching contract as ``_centroid_rows``.
+
+    ``books`` is the list of (ks, D/m) per-subspace codebooks;
+    ``rotation`` is the OPQ matrix (D x D, ``pq.train_opq``) or None
+    for a plain-PQ index. The rotation persists in the SAME pqbooks
+    table as ``subspace = -1`` rows (``code`` = row index, ``centroid``
+    = that row of R) — one metadata table carries the whole trained
+    state, and rebuilds (which never rewrite the books table) keep the
+    rotation alongside the books automatically."""
     import numpy as np
 
     tbl = _pqbooks_table(index_name)
     snap = engine.folder.log(tbl).snapshot()
     cache = engine.__dict__.setdefault("_ann_pqbooks_cache", {})
     key = (tbl, snap.version, hash(tuple(sorted(snap.paths))))
-    books = cache.get(key)
-    if books is None:
-        rows = engine.table(tbl).select("subspace", "code", "centroid").collect()
+    pair = cache.get(key)
+    if pair is None:
+        all_rows = engine.table(tbl).select("subspace", "code", "centroid").collect()
+        rows = [r for r in all_rows if r["subspace"] >= 0]
+        rot_rows = [r for r in all_rows if r["subspace"] < 0]
         m = max(r["subspace"] for r in rows) + 1
         ks = max(r["code"] for r in rows) + 1
         books = [np.zeros((ks, len(rows[0]["centroid"]))) for _ in range(m)]
         for r in rows:
             books[r["subspace"]][r["code"]] = np.asarray(list(r["centroid"]))
-        _cache_put(cache, key, books)
-    return books
+        rotation = None
+        if rot_rows:
+            d = len(rot_rows[0]["centroid"])
+            rotation = np.zeros((d, d))
+            for r in rot_rows:
+                rotation[r["code"]] = np.asarray(list(r["centroid"]))
+        pair = (books, rotation)
+        _cache_put(cache, key, pair)
+    return pair
 
 
 def build_ivfpq_index(
@@ -397,6 +413,8 @@ def build_ivfpq_index(
     sample: int = 4096,
     iters: int = 10,
     fit_sample: int | None = 65536,
+    opq: bool = False,
+    opq_iters: int = 10,
 ) -> dict:
     """Persisted IVF-PQ index — the FAISS ``IndexIVFPQ`` composition
     (Jégou/Douze/Schmid TPAMI 2011 §V): coarse-quantize each vector to
@@ -405,6 +423,19 @@ def build_ivfpq_index(
     ``nprobe`` probed buckets' code columns — the flat ``pq_topk``
     scan shrinks by n_buckets/nprobe, the missing piece that made it a
     scan ceiling at billions of vectors.
+
+    ``opq=True`` trains an orthonormal rotation on the residuals
+    (``pq.train_opq`` — the FAISS ``OPQMatrix`` pre-transform) and
+    quantizes ``r @ R`` instead of ``r``: same code budget, lower
+    quantization error, higher recall at every downstream nprobe/rerank
+    setting. The rotation persists as ``subspace = -1`` rows of the
+    pqbooks table, so every consumer (``ivfpq_topk``, appends,
+    maintenance re-encodes, the dedup gate's ADC pre-screen) picks it
+    up through ``_cached_pq_books`` with no further flags; probing
+    still scores the ORIGINAL cosine because orthonormal R preserves
+    inner products — ``q.(c_b + r) = q.c_b + (q @ R).(r @ R)``. R is
+    float32-round-tripped before use so the build's encode and every
+    later append encode against bit-identical rotation values.
 
     Storage is a strict SUPERSET of ``build_ivf_index``'s layout: the
     vectors table gains ``pq_codes``/``pq_norm`` columns (still
@@ -477,15 +508,29 @@ def build_ivfpq_index(
             F.col(vec_col), F.col("__c__"), lambda x, y: (x - y).cast("float")
         ),
     )
-    books = pq_ops.train_pq_codebooks(
-        resid, m=m, ks=ks, vec_col="__resid__", id_col=id_col,
-        sample=sample, iters=iters, seed=seed,
-    )
+    import numpy as np
+
+    rotation = None
+    if opq:
+        rotation, books = pq_ops.train_opq(
+            resid, m=m, ks=ks, vec_col="__resid__", id_col=id_col,
+            sample=sample, opq_iters=opq_iters, iters=iters, seed=seed,
+        )
+        # the stored rotation is ARRAY<FLOAT>: round-trip through
+        # float32 NOW so this build's codes match what appends (which
+        # read the stored rows) would encode, bit for bit
+        rotation = rotation.astype(np.float32).astype(np.float64)
+    else:
+        books = pq_ops.train_pq_codebooks(
+            resid, m=m, ks=ks, vec_col="__resid__", id_col=id_col,
+            sample=sample, iters=iters, seed=seed,
+        )
     # exact reconstructed-vector norm |c_b + dec(codes)| computed in the
     # SAME numpy encode pass (encode_pq's default pq_norm is the
     # RESIDUAL's norm — not what cosine ranking needs here)
     enc = pq_ops.encode_pq(
-        resid, books, vec_col="__resid__", recon_norm_base="__c__"
+        resid, books, vec_col="__resid__", recon_norm_base="__c__",
+        rotate=rotation,
     )
     rows = enc.select(id_col, vec_col, "ivf_bucket", "pq_codes", "pq_norm")
 
@@ -516,6 +561,12 @@ def build_ivfpq_index(
         for s in range(len(books))
         for j in range(books[s].shape[0])
     ]
+    if rotation is not None:
+        # subspace = -1 marks rotation rows; code is the row index
+        book_rows += [
+            (-1, i, [float(x) for x in rotation[i]])
+            for i in range(rotation.shape[0])
+        ]
     engine.write(
         bt,
         spark.createDataFrame(book_rows, "subspace INT, code INT, centroid ARRAY<FLOAT>"),
@@ -527,6 +578,7 @@ def build_ivfpq_index(
         "n_buckets": len(cent_rows),
         "m": len(books),
         "ks": int(books[0].shape[0]),
+        "opq": rotation is not None,
     }
 
 
@@ -568,7 +620,7 @@ def ivfpq_topk(
         ranked_topk,
     )
 
-    books = _cached_pq_books(engine, index_name)
+    books, rotation = _cached_pq_books(engine, index_name)
     # one snapshot resolution serves centroids AND both vector scans:
     # snapshot-atomic under concurrent rebuilds (codes are re-encoded
     # against each rebuild's centroids, so a torn pair would score ADC
@@ -585,7 +637,10 @@ def ivfpq_topk(
     for r in qrows:
         qv = np.asarray(list(r[1]), dtype=np.float64)
         qn = float(np.sqrt((qv**2).sum()))
-        lut = pq_ops.query_lut(books, qv)
+        # OPQ index: codes quantize r @ R, so the residual LUT reads
+        # the ROTATED query — the bucket scalar q.c_b and the bucket
+        # probe order stay in the original space
+        lut = pq_ops.query_lut(books, qv @ rotation if rotation is not None else qv)
         sims = sorted(
             (
                 (-(qv @ c) / (np.sqrt((c**2).sum()) or 1.0), b)
@@ -904,7 +959,7 @@ def semantic_dedup_check(
         s_short = int(prescreen)
         if s_short < 1:
             raise ValueError(f"prescreen must be >= 1, got {prescreen}")
-        books = _cached_pq_books(engine, index_name)
+        books, pq_rotation = _cached_pq_books(engine, index_name)
         sub_d = books[0].shape[1]
         # column pruning is the point: codes + norm, never raw vectors
         corpus = base.select(
@@ -1039,6 +1094,9 @@ def semantic_dedup_check(
         qids = left_pdf["__qid__"].to_numpy()
         Q = np.stack(left_pdf["__qv__"].to_numpy()).astype(np.float64, copy=False)
         qn = np.sqrt((Q * Q).sum(axis=1))
+        # OPQ index: codes live in the rotated residual space, so the
+        # LUT side reads Q @ R; the bucket scalar and norms stay raw
+        QR = Q if pq_rotation is None else Q @ pq_rotation
         cvec = cent_map[int(bucket)]
         nids = right_pdf["__nid__"].to_numpy()
         codes = np.stack(right_pdf["pq_codes"].to_numpy()).astype(np.int64, copy=False)
@@ -1052,12 +1110,13 @@ def semantic_dedup_check(
         with np.errstate(divide="ignore", invalid="ignore"):
             for st in range(0, len(Q), bs):
                 Qb = Q[st : st + bs]
-                # q.(c_b + r) = q.c_b + q.r: one scalar + m LUT lookups
+                QRb = QR[st : st + bs]
+                # q.(c_b + r) = q.c_b + (qR).(rR): one scalar + m LUT lookups
                 acc = np.broadcast_to(
                     (Qb @ cvec)[:, None], (len(Qb), n_c)
                 ).copy()
                 for s in range(len(books)):
-                    lut_s = Qb[:, s * sub_d : (s + 1) * sub_d] @ books[s].T
+                    lut_s = QRb[:, s * sub_d : (s + 1) * sub_d] @ books[s].T
                     acc += lut_s[:, codes[:, s]]
                 adc = np.round(acc / (qn[st : st + bs, None] * pqn[None, :]), 6)
                 adc = np.where(np.isnan(adc), -np.inf, adc)
@@ -1319,10 +1378,13 @@ def _encode_residuals(engine, index_name, assigned, cent_pairs, id_col, vec_col)
     given (bucket, centroid) pairs using the index's cached PQ books:
     broadcast centroid join, JVM zip_with residual, one numpy encode
     pass with exact |c_b + dec(codes)| norms. The shared IVF-PQ encode
-    recipe of append_to_ivf_index and ivf_index_maintenance."""
+    recipe of append_to_ivf_index and ivf_index_maintenance; an OPQ
+    index's stored rotation applies here automatically, so appends and
+    rebuild re-encodes quantize in the same rotated space the build
+    did."""
     from modelardb_rs_spark.operators import pq as pq_ops
 
-    books = _cached_pq_books(engine, index_name)
+    books, rotation = _cached_pq_books(engine, index_name)
     cent_df = engine.spark.createDataFrame(
         [(int(b), [float(x) for x in c]) for b, c in cent_pairs],
         "ivf_bucket INT, __c__ ARRAY<FLOAT>",
@@ -1333,7 +1395,9 @@ def _encode_residuals(engine, index_name, assigned, cent_pairs, id_col, vec_col)
             F.col(vec_col), F.col("__c__"), lambda x, y: (x - y).cast("float")
         ),
     )
-    enc = pq_ops.encode_pq(resid, books, vec_col="__resid__", recon_norm_base="__c__")
+    enc = pq_ops.encode_pq(
+        resid, books, vec_col="__resid__", recon_norm_base="__c__", rotate=rotation
+    )
     return enc.select(id_col, vec_col, "ivf_bucket", "pq_codes", "pq_norm")
 
 
