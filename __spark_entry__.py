@@ -1513,6 +1513,84 @@ def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_summary(exact, approx, min_floor=0.4, avg_floor=0.75)
 
 
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal marginal relevance diversity re-rank
+    (operators/similarity.mmr_rerank — Carbonell & Goldstein SIGIR
+    1998): greedy selection of 5 from each query's 20-candidate pool
+    maximizing lam*rel - (1-lam)*max_sim_to_selected, the standard
+    guard against near-duplicates crowding a retrieval list. The oracle
+    replays the greedy loop EXACTLY as five unrolled SQL selection
+    steps (same rounding, same smallest-id tie rule, same float64
+    coefficients), so selection order is value-checked, not just
+    floor-checked."""
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    cands = sim_ops.brute_force_topk(emb, queries, k=20)
+    return sim_ops.mmr_rerank(cands, emb, k=5, lam=0.7)
+
+
+def _mmr_oracle_sql(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """The DuckDB mirror of sim_mmr_rerank: greedy MMR unrolled into
+    ``k`` chained selection CTEs. Coefficients are emitted with full
+    float64 repr so 1-lam matches Spark's binary value bit-for-bit."""
+    lam_s, dis_s = repr(float(lam)), repr(1.0 - float(lam))
+    cte = [f"""
+        v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+              FROM embeddings),
+        q AS (SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 10),
+        scored AS (
+            SELECT query_id, c.vec_id AS neighbor_id,
+                   round(list_dot_product(qv, c.ev) /
+                         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS rel
+            FROM q CROSS JOIN v c WHERE c.vec_id <> query_id
+        ),
+        pool AS (
+            SELECT query_id, neighbor_id, rel FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+                FROM scored) WHERE rn <= {pool}
+        ),
+        sims AS (
+            SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+                   round(list_dot_product(va.ev, vb.ev) /
+                         (sqrt(list_dot_product(va.ev, va.ev)) * sqrt(list_dot_product(vb.ev, vb.ev))), 6) AS sim
+            FROM pool a JOIN pool b ON a.query_id = b.query_id
+            JOIN v va ON va.vec_id = a.neighbor_id
+            JOIN v vb ON vb.vec_id = b.neighbor_id
+        ),
+        sel1 AS (
+            SELECT query_id, neighbor_id, 1 AS mmr_rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY {lam_s} * rel DESC, neighbor_id) AS r
+                FROM pool) WHERE r = 1
+        )"""]
+    for t in range(2, k + 1):
+        cte.append(f"""
+        m{t} AS (
+            SELECT p.query_id, p.neighbor_id, p.rel, max(s.sim) AS ms
+            FROM pool p
+            JOIN sel{t - 1} d ON d.query_id = p.query_id
+            JOIN sims s ON s.query_id = p.query_id
+                       AND s.ia = p.neighbor_id AND s.ib = d.neighbor_id
+            WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} x
+                              WHERE x.query_id = p.query_id
+                                AND x.neighbor_id = p.neighbor_id)
+            GROUP BY p.query_id, p.neighbor_id, p.rel
+        ),
+        sel{t} AS (
+            SELECT * FROM sel{t - 1}
+            UNION ALL
+            SELECT query_id, neighbor_id, {t} AS mmr_rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY {lam_s} * rel - {dis_s} * ms DESC, neighbor_id) AS r
+                FROM m{t}) WHERE r = 1
+        )""")
+    return (
+        "WITH" + ",".join(cte)
+        + f"\n        SELECT query_id, neighbor_id, CAST(mmr_rank AS INTEGER) AS mmr_rank FROM sel{k}"
+    )
+
+
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table random-hyperplane LSH: recall@5 vs brute force must
     clear floors (seeded hyperplanes make the pipeline deterministic)."""
@@ -2894,6 +2972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-12 additions (inside the first-50 window) ---
         "sim_opq_topk": sim_opq_topk,
         "sim_ivfpq_opq": sim_ivfpq_opq,
+        "sim_mmr_rerank": sim_mmr_rerank,
         # --- padding to 50: least-recently-verified (r9-r10) ---
         "sim_semantic_dedup_multiprobe": sim_semantic_dedup_multiprobe,
         "doc_train_export": doc_train_export,
@@ -4322,6 +4401,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["q_asof_auto_hot"] = oracles["q_asof_join"]
     oracles["sim_ivfpq_topk"] = oracles["sim_ivf_trained"]
     oracles["sim_ivfpq_opq"] = oracles["sim_ivf_trained"]
+    oracles["sim_mmr_rerank"] = _mmr_oracle_sql()
     oracles["q_interp_join"] = """
         WITH r AS (
             SELECT event_type AS etype, epoch_ns(ts) // 1000 AS t,

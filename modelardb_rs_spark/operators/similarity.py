@@ -266,6 +266,99 @@ def brute_force_topk(
     return ranked_topk(scored, k)
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal marginal relevance re-rank (Carbonell & Goldstein, SIGIR
+    1998 — the standard diversity re-rank for retrieval and
+    training-data sampling): greedily select ``k`` of each query's
+    candidates maximizing ``lam * rel - (1 - lam) * max_sim_to_selected``,
+    so near-duplicate candidates can't crowd a result list. ``lam=1``
+    degenerates to plain top-k; lower ``lam`` trades relevance for
+    diversity.
+
+    ``candidates`` is any scored top-N frame of shape (query_id,
+    neighbor_id, cos) — ``brute_force_topk`` / ``ivf_index_topk`` /
+    ``ivfpq_topk`` output feeds in directly, so the candidate generator
+    and the re-rank compose freely. Returns (query_id, neighbor_id,
+    mmr_rank) with mmr_rank 1..k in selection order.
+
+    Scale shape: one hash join attaches candidate vectors (the
+    candidate side is |Q| x N rows — tiny next to the corpus; AQE
+    broadcasts it when it fits), then ONE ``applyInPandas`` group per
+    query runs the greedy loop over its own N candidates — per-task
+    memory is N x dim + N^2 scores, bounded by the pool size, and
+    queries distribute freely (no driver-side query collect, unlike
+    the LUT paths — this re-rank serves unbounded query tables).
+    Pairwise sims round to 6 decimals like every cosine in this module
+    so ranks can't flip across engines; ties break to the smallest
+    neighbor id; the empty-selected-set similarity term is 0. NaN-rel
+    candidates never arrive (ranked_topk drops them) and zero-norm
+    pairwise sims count as 0 via try-divide semantics."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv__")
+    )
+    j = candidates.select("query_id", "neighbor_id", "cos").join(nv, "neighbor_id")
+    qid_type = j.schema["query_id"].dataType
+    nid_type = j.schema["neighbor_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_type, True),
+            T.StructField("neighbor_id", nid_type, True),
+            T.StructField("mmr_rank", T.IntegerType(), False),
+        ]
+    )
+    lam64 = float(lam)
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["cos"].to_numpy().astype(np.float64)
+        V = np.stack(pdf["__nv__"].to_numpy()).astype(np.float64, copy=False)
+        n = len(ids)
+        norms = np.sqrt((V * V).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round((V @ V.T) / (norms[:, None] * norms[None, :]), 6)
+        sims = np.nan_to_num(sims, nan=0.0)
+        # first pick: S is empty, the similarity term is 0 by
+        # convention, so the score is lam * rel for every candidate
+        pick = int(np.lexsort((ids, -(lam64 * rel)))[0])
+        selected: list[int] = [pick]
+        remaining = np.ones(n, dtype=bool)
+        remaining[pick] = False
+        # TRUE max over the selected set — no 0 floor: a candidate
+        # anti-correlated with everything selected gets a BOOST, the
+        # standard MMR semantics (and what the SQL oracle replays)
+        max_sim = sims[:, pick].copy()
+        for _ in range(min(k, n) - 1):
+            score = np.where(
+                remaining, lam64 * rel - (1.0 - lam64) * max_sim, -np.inf
+            )
+            # argmax with smallest-id ties: lexsort is ascending, so
+            # sort by (-score, id) and take the first
+            pick = int(np.lexsort((ids, -score))[0])
+            selected.append(pick)
+            remaining[pick] = False
+            max_sim = np.maximum(max_sim, sims[:, pick])
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].to_numpy()[selected],
+                "neighbor_id": ids[selected],
+                "mmr_rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+            }
+        )
+
+    return j.groupBy("query_id").applyInPandas(fn, out_schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -842,6 +842,80 @@ def test_pq_topk_recall_with_rerank(spark):
     assert len(pq_ops.pq_topk(enc, books, q, k=5, max_queries=5).collect()) == 25
 
 
+def test_mmr_rerank_matches_naive_greedy(spark):
+    """mmr_rerank must equal a literal python replay of the greedy MMR
+    rule (score = lam*rel - (1-lam)*max_sim_to_selected, empty-set term
+    0, ties to the smallest id) on every query."""
+    from modelardb_rs_spark.operators import similarity as sim_ops
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") < 4)
+    cands = sim_ops.brute_force_topk(df, q, k=10)
+    got = {}
+    for r in sim_ops.mmr_rerank(cands, df, k=4, lam=0.7).collect():
+        got.setdefault(r["query_id"], []).append((r["mmr_rank"], r["neighbor_id"]))
+    vec = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+    pool = {}
+    for r in cands.collect():
+        pool.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cos"]))
+    for qid, cand in pool.items():
+        # true max over the selected set (NO 0 floor — the term is 0
+        # only while S is empty, i.e. for the first pick)
+        sel, max_sim = [], {nid: None for nid, _ in cand}
+        for _ in range(4):
+            best = None
+            for nid, rel in cand:
+                if nid in sel:
+                    continue
+                s = 0.7 * rel - 0.3 * (max_sim[nid] if max_sim[nid] is not None else 0.0)
+                if best is None or s > best[0] or (s == best[0] and nid < best[1]):
+                    best = (s, nid)
+            sel.append(best[1])
+            bv = vec[best[1]]
+            for nid, _ in cand:
+                sim = float(np.round(
+                    (vec[nid] @ bv)
+                    / (np.linalg.norm(vec[nid]) * np.linalg.norm(bv)), 6
+                ))
+                if max_sim[nid] is None or sim > max_sim[nid]:
+                    max_sim[nid] = sim
+        assert [n for _, n in sorted(got[qid])] == sel, qid
+
+
+def test_mmr_rerank_diversifies_planted_near_dups(spark):
+    """Three near-copies of the best candidate crowd a plain top-3;
+    MMR at lam=0.5 admits one representative and fills the rest with
+    distinct vectors. lam=1 must reduce to plain relevance order."""
+    from modelardb_rs_spark.operators import similarity as sim_ops
+
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=16)
+    rows = [(0, [float(x) for x in base])]  # the query
+    for i in (1, 2, 3):  # near-copies of the query
+        rows.append((i, [float(x) for x in base + rng.normal(size=16) * 0.01]))
+    for i in range(4, 40):  # distinct fillers
+        rows.append((i, [float(x) for x in rng.normal(size=16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") == 0)
+    cands = sim_ops.brute_force_topk(df, q, k=10)
+    plain = [r["neighbor_id"] for r in cands.orderBy("rank").limit(3).collect()]
+    assert set(plain) == {1, 2, 3}  # the copies crowd plain top-3
+    mmr = sorted(
+        (r["mmr_rank"], r["neighbor_id"])
+        for r in sim_ops.mmr_rerank(cands, df, k=3, lam=0.5).collect()
+    )
+    picked = [n for _, n in mmr]
+    assert len(set(picked) & {1, 2, 3}) == 1  # one representative
+    assert picked[0] in {1, 2, 3}  # first pick is still the most relevant
+    topk = [n for _, n in sorted(
+        (r["mmr_rank"], r["neighbor_id"])
+        for r in sim_ops.mmr_rerank(cands, df, k=3, lam=1.0).collect()
+    )]
+    assert topk == plain  # lam=1 degenerates to relevance order
+
+
 def test_opq_rotation_orthonormal_and_deterministic(spark):
     from modelardb_rs_spark.operators import pq as pq_ops
 
