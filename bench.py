@@ -64,6 +64,10 @@ HEADLINE = [
     # for round-over-round comparability)
     "q_asof_hot_bucketed",
     "sim_index_maintenance",
+    # round-12 additions: the persisted OPQ index (build + probe) and
+    # the MMR diversity re-rank (brute-force pool + greedy per query)
+    "sim_ivfpq_opq",
+    "sim_mmr_rerank",
 ]
 
 
