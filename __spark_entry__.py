@@ -26,6 +26,7 @@ from modelardb_rs_spark.operators import ann_index as ann_ops
 from modelardb_rs_spark.operators import asof as asof_ops
 from modelardb_rs_spark.operators import dedup as dedup_ops
 from modelardb_rs_spark.operators import lines as line_ops
+from modelardb_rs_spark.operators import mixing as mix_ops
 from modelardb_rs_spark.operators import multimodal as mm_ops
 from modelardb_rs_spark.operators import pii as pii_ops
 from modelardb_rs_spark.operators import similarity as sim_ops
@@ -1172,6 +1173,19 @@ def doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("kept_chars"),
         F.lit(overlap).cast("long").alias("salt_overlap_by_chance"),
     )
+
+
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement
+    (operators/mixing.weighted_sample — Efraimidis & Spirakis 2006
+    A-Res): rank by ln(u)/w with a md5-derived deterministic uniform,
+    take the top k. Weighting by n_chars samples documents proportional
+    to training mass; the oracle replays key and rank EXACTLY, so the
+    selected set AND its order are value-checked. The selection plans
+    as TakeOrderedAndProject (per-partition top-k, no global sort)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    out = mix_ops.weighted_sample(docs, 25, "n_chars", salt="w12")
+    return out.select("sample_order", "doc_id", "n_chars")
 
 
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2973,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_opq_topk": sim_opq_topk,
         "sim_ivfpq_opq": sim_ivfpq_opq,
         "sim_mmr_rerank": sim_mmr_rerank,
+        "doc_weighted_sample": doc_weighted_sample,
         # --- padding to 50: least-recently-verified (r9-r10) ---
         "sim_semantic_dedup_multiprobe": sim_semantic_dedup_multiprobe,
         "doc_train_export": doc_train_export,
@@ -4402,6 +4417,17 @@ def oracle_sql() -> dict[str, str]:
     oracles["sim_ivfpq_topk"] = oracles["sim_ivf_trained"]
     oracles["sim_ivfpq_opq"] = oracles["sim_ivf_trained"]
     oracles["sim_mmr_rerank"] = _mmr_oracle_sql()
+    oracles["doc_weighted_sample"] = """
+        WITH w AS (
+            SELECT doc_id, n_chars,
+                   ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'w12'), 1, 8)) AS BIGINT) + 1)
+                      / 4294967296.0) / CAST(n_chars AS DOUBLE) AS wkey
+            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        )
+        SELECT CAST(row_number() OVER (ORDER BY wkey DESC, doc_id) AS INTEGER) AS sample_order,
+               doc_id, n_chars
+        FROM w ORDER BY wkey DESC, doc_id LIMIT 25
+    """
     oracles["q_interp_join"] = """
         WITH r AS (
             SELECT event_type AS etype, epoch_ns(ts) // 1000 AS t,

@@ -125,6 +125,59 @@ def domain_mix(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of ``k`` rows — the
+    Efraimidis & Spirakis (2006) A-Res scheme: each row draws a
+    deterministic uniform ``u`` from the md5 of its id (+salt) and is
+    ranked by ``ln(u) / w`` descending (the monotone-equivalent of the
+    paper's ``u^(1/w)`` key); the top ``k`` keys ARE a weighted sample
+    without replacement. The quality-weighted data-selection primitive:
+    weight by a quality score to upsample good documents, by token
+    count to sample proportional to training mass, etc.
+
+    Like ``deterministic_sample`` this is reproducible across runs,
+    partitionings, and engines (md5 is the portable hash; the exact SQL
+    oracle replays key and rank), and different salts draw independent
+    samples. Scale shape: the key is map-only Column algebra and the
+    selection is ``orderBy(key).limit(k)``, which Spark plans as
+    TakeOrderedAndProject — each partition forwards only its k best
+    rows, no global sort, no single-partition window. Rows with NULL or
+    non-positive weight are excluded (zero-weight rows are never
+    sampled; negative weights are undefined under A-Res).
+
+    Returns the selected rows with ``sample_order`` (1..k in key-rank
+    order, ties by id) appended."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / 4294967296.0
+    lkey = F.log(u) / F.col(weight_col).cast("double")
+    picked = (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__wkey__", lkey)
+        .orderBy(F.col("__wkey__").desc(), F.col(id_col))
+        .limit(int(k))
+    )
+    # rank the k survivors (bounded set — this window is k rows, not
+    # corpus-sized; the heavy selection already happened in the limit)
+    w = Window.orderBy(F.col("__wkey__").desc(), F.col(id_col))
+    return picked.withColumn("sample_order", F.row_number().over(w)).drop("__wkey__")
+
+
 def shuffle_shards(
     df: DataFrame,
     n_shards: int,

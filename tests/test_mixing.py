@@ -9,6 +9,7 @@ from modelardb_rs_spark.operators.mixing import (
     domain_mix,
     normalized_weights,
     shuffle_shards,
+    weighted_sample,
 )
 from modelardb_rs_spark.operators.quantize import (
     int8_reconstruction_stats,
@@ -173,6 +174,63 @@ class TestShuffleShards:
     def test_validation(self, docs):
         with pytest.raises(ValueError):
             shuffle_shards(docs, 0)
+
+
+class TestWeightedSample:
+    def test_matches_python_replay_and_is_deterministic(self, spark):
+        """The selected set and order must equal a literal python replay
+        of the A-Res rule (md5-derived uniform, ln(u)/w key, ties by
+        id) — pins the portable-hash formula the SQL oracle relies on."""
+        import hashlib
+        import math
+
+        rows = [(i, float(1 + (i * 7) % 50)) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        out = weighted_sample(df, 20, "w", salt="t")
+        got = [(r["sample_order"], r["doc_id"]) for r in out.collect()]
+        assert sorted(r[0] for r in got) == list(range(1, 21))
+
+        def key(i, wt):
+            h = hashlib.md5(f"{i}t".encode()).hexdigest()[:8]
+            u = (int(h, 16) + 1) / 4294967296.0
+            return math.log(u) / wt
+        expect = sorted(rows, key=lambda r: (-key(r[0], r[1]), r[0]))[:20]
+        assert [d for _, d in sorted(got)] == [d for d, _ in expect]
+        again = [(r["sample_order"], r["doc_id"]) for r in out.collect()]
+        assert sorted(again) == sorted(got)
+
+    def test_prefers_heavy_weights_and_excludes_nonpositive(self, spark):
+        rows = [(i, 500.0 if i < 10 else 1.0) for i in range(200)]
+        rows += [(900, 0.0), (901, -3.0), (902, None)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        heavy_hits = 0
+        for salt in ("a", "b", "c", "d"):
+            picked = {r["doc_id"] for r in
+                      weighted_sample(df, 10, "w", salt=salt).collect()}
+            assert picked.isdisjoint({900, 901, 902})
+            heavy_hits += len(picked & set(range(10)))
+        # 10 rows at weight 500 vs 190 at weight 1: the heavy rows
+        # dominate every draw (expected ~9.6/10 per salt)
+        assert heavy_hits >= 30
+
+    def test_k_bounds(self, spark):
+        df = spark.createDataFrame([(1, 2.0), (2, 1.0)], "doc_id long, w double")
+        assert weighted_sample(df, 5, "w").count() == 2  # k > n: all rows
+        with pytest.raises(ValueError, match="k must be"):
+            weighted_sample(df, 0, "w")
+
+    def test_selection_plans_as_take_ordered(self, spark):
+        """The top-k selection must plan as TakeOrderedAndProject
+        (per-partition partial top-k, no global sort) — the shape that
+        keeps the operator corpus-scale; the rank window runs on the k
+        survivors only."""
+        rows = [(i, 1.0 + i) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        plan = (
+            weighted_sample(df, 5, "w")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan, plan
 
 
 class TestInt8Quantize:
