@@ -2324,6 +2324,35 @@ def sim_ivfpq_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_summary(exact, approx, min_floor=None, avg_floor=0.4)
 
 
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series CUSUM mean-shift changepoint
+    (operators/series.py::cusum_changepoint — Page 1954) over daily
+    bucket means from the resample pushdown: D_i = |S_i - (i/n)S_n|
+    argmax over interior points, reported with both segment means. The
+    bucket means round to 6 BEFORE the cumulative sums, so the running
+    sums (and therefore the split point, not just its statistic) are
+    bit-reproducible cross-engine — the oracle value-checks the
+    detected day itself. One exchange keyed by series (plan-pinned in
+    tests/test_aggregates.py)."""
+    from modelardb_rs_spark.operators.series import cusum_changepoint
+
+    eng = _ts_engine(spark, sf_dir)
+    res = eng.resample("ts_events", "1 day", {"value": "avg"}, group_by=["etype"])
+    pts = res.select(
+        "etype", "bucket", F.round("avg_value", 6).alias("y")
+    )
+    out = cusum_changepoint(pts, ["etype"], ts_col="bucket", value_col="y")
+    return out.select(
+        "etype",
+        "n_points",
+        (F.unix_micros("cp_bucket") / F.lit(86_400_000_000.0)).alias("cp_day"),
+        "d_stat",
+        "mean_before",
+        "mean_after",
+        "shift",
+    )
+
+
 def ts_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-series Pearson correlation on daily buckets
     (Engine.correlate → operators/correlate.py): bucket means come from
@@ -2988,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_opq": sim_ivfpq_opq,
         "sim_mmr_rerank": sim_mmr_rerank,
         "doc_weighted_sample": doc_weighted_sample,
+        "ts_changepoint": ts_changepoint,
         # --- padding to 50: least-recently-verified (r9-r10) ---
         "sim_semantic_dedup_multiprobe": sim_semantic_dedup_multiprobe,
         "doc_train_export": doc_train_export,
@@ -4417,6 +4447,38 @@ def oracle_sql() -> dict[str, str]:
     oracles["sim_ivfpq_topk"] = oracles["sim_ivf_trained"]
     oracles["sim_ivfpq_opq"] = oracles["sim_ivf_trained"]
     oracles["sim_mmr_rerank"] = _mmr_oracle_sql()
+    oracles["ts_changepoint"] = """
+        WITH b AS (
+          SELECT event_type AS etype,
+                 CAST((epoch_ns(ts) // 1000) // 86400000000 AS DOUBLE) AS day,
+                 round(avg(CAST(CAST(value AS FLOAT) AS DOUBLE)), 6) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        sc AS (
+          SELECT etype, day, y,
+                 row_number() OVER w AS i,
+                 sum(y) OVER w AS s,
+                 count(*) OVER (PARTITION BY etype) AS n,
+                 sum(y) OVER (PARTITION BY etype) AS tot
+          FROM b
+          WINDOW w AS (PARTITION BY etype ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        d AS (
+          SELECT *, abs(s - CAST(i AS DOUBLE) / n * tot) AS dd
+          FROM sc WHERE n >= 2 AND i < n
+        ),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY etype ORDER BY dd DESC, day) AS rr
+          FROM d
+        )
+        SELECT etype, CAST(n AS BIGINT) AS n_points, day AS cp_day,
+               round(dd, 6) AS d_stat,
+               round(s / i, 6) AS mean_before,
+               round((tot - s) / (n - i), 6) AS mean_after,
+               round((tot - s) / (n - i) - s / i, 6) AS shift
+        FROM r WHERE rr = 1
+    """
     oracles["doc_weighted_sample"] = """
         WITH w AS (
             SELECT doc_id, n_chars,

@@ -1905,6 +1905,28 @@ class Engine:
             pts, meta.tag_columns, n, ts_col=meta.timestamp_column, value_col=field
         )
 
+    def changepoints(
+        self,
+        name: str,
+        field: str,
+        start=None,
+        end=None,
+        tags: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Single CUSUM mean-shift changepoint per series
+        (operators/series.py::cusum_changepoint) over the gridded view.
+        For long series, resample first and run the detector on bucket
+        means — the pushdown keeps the detector's input tiny."""
+        from modelardb_rs_spark.operators.series import cusum_changepoint
+
+        meta = self.catalog.time_series_metadata(name)
+        pts = self.table(name, fields=[field], start=start, end=end)
+        for tcol, v in (tags or {}).items():
+            pts = pts.where(F.col(tcol) == F.lit(v))
+        return cusum_changepoint(
+            pts, meta.tag_columns, ts_col=meta.timestamp_column, value_col=field
+        )
+
     def first_points(
         self,
         name: str,

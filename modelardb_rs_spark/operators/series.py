@@ -64,3 +64,73 @@ def rolling_mean(
         .rowsBetween(-(int(n) - 1), Window.currentRow)
     )
     return points.withColumn(out_col, F.avg(F.col(value_col).cast("double")).over(w))
+
+
+def cusum_changepoint(
+    points: DataFrame,
+    series_cols: list[str],
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+) -> DataFrame:
+    """Single mean-shift changepoint per series by the CUSUM statistic
+    (Page 1954 / the binary-segmentation first split): with running sum
+    ``S_i`` over the series' ``n`` points in time order, the statistic
+    ``D_i = |S_i - (i/n) * S_n|`` peaks at the point where the mean
+    shifts; the argmax over INTERIOR points (1 <= i <= n-1) is the
+    split, reported with the means of the two segments it induces. The
+    "when did this sensor change regime" read; series with fewer than
+    2 points have no interior split and are dropped.
+
+    Output, one row per series: series_cols + ``n_points``,
+    ``cp_<ts_col>`` (the LAST point of the left segment), ``d_stat``
+    (rounded 6), ``mean_before`` / ``mean_after`` / ``shift``
+    (rounded 6). Ties in D break to the earliest point.
+
+    Scale shape: everything is windows over ONE partitioning by series
+    — the running sum, the per-series totals, and the argmax rank reuse
+    the same exchange (per-partition re-sorts only), so the cost is a
+    single shuffle keyed by series and the work distributes across
+    series. Exactly SQL-expressible, so entries can round values
+    upstream and value-check the split point itself. No decode beyond
+    the input frame: feed it resampled bucket means and the model-store
+    pushdown keeps the input tiny.
+    """
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy(*series_cols).orderBy(ts_col)
+    w_all = Window.partitionBy(*series_cols)
+    v = F.col(value_col).cast("double")
+    scanned = (
+        points.withColumn("__i__", F.row_number().over(w_ord))
+        .withColumn("__s__", F.sum(v).over(w_ord))
+        .withColumn("__n__", F.count("*").over(w_all))
+        .withColumn("__tot__", F.sum(v).over(w_all))
+    )
+    interior = scanned.where(
+        (F.col("__n__") >= 2) & (F.col("__i__") < F.col("__n__"))
+    ).withColumn(
+        "__d__",
+        F.abs(
+            F.col("__s__")
+            - F.col("__i__").cast("double") / F.col("__n__") * F.col("__tot__")
+        ),
+    )
+    w_rank = Window.partitionBy(*series_cols).orderBy(
+        F.col("__d__").desc(), F.col(ts_col)
+    )
+    best = interior.withColumn("__r__", F.row_number().over(w_rank)).where(
+        F.col("__r__") == 1
+    )
+    mean_before = F.col("__s__") / F.col("__i__")
+    mean_after = (F.col("__tot__") - F.col("__s__")) / (
+        F.col("__n__") - F.col("__i__")
+    )
+    return best.select(
+        *series_cols,
+        F.col("__n__").alias("n_points"),
+        F.col(ts_col).alias(f"cp_{ts_col}"),
+        F.round(F.col("__d__"), 6).alias("d_stat"),
+        F.round(mean_before, 6).alias("mean_before"),
+        F.round(mean_after, 6).alias("mean_after"),
+        F.round(mean_after - mean_before, 6).alias("shift"),
+    )

@@ -788,6 +788,49 @@ def test_deltas_and_rolling_mean(engine, spark):
     assert rm[16.0] == pytest.approx((4 + 9 + 16) / 3)
 
 
+def test_cusum_changepoint(engine, spark):
+    """A planted mean shift must be found at the exact split point with
+    the two segment means; a constant series peaks nowhere meaningful
+    but still returns one interior argmax (earliest tie); a 1-point
+    series is dropped (no interior split). Plan: all three windows
+    reuse ONE exchange keyed by series."""
+    rows = []
+    for i in range(10):  # series "a": mean 1.0 then mean 5.0 after i=5
+        rows.append(Row(
+            timestamp=TS0 + datetime.timedelta(seconds=10 * i),
+            value=1.0 if i < 6 else 5.0, s="a",
+        ))
+    for i in range(4):  # series "b": constant
+        rows.append(Row(
+            timestamp=TS0 + datetime.timedelta(seconds=10 * i), value=2.0, s="b",
+        ))
+    rows.append(Row(timestamp=TS0, value=9.0, s="c"))  # singleton
+    engine.read_sql(
+        "CREATE TIME SERIES TABLE cps(timestamp TIMESTAMP, value FIELD, s TAG)"
+    )
+    engine.write("cps", spark.createDataFrame(rows))
+    out = {r["s"]: r for r in engine.changepoints("cps", "value").collect()}
+    assert set(out) == {"a", "b"}  # singleton dropped
+    a = out["a"]
+    assert a["n_points"] == 10
+    # collected timestamps come back session-local-naive: compare on
+    # the UTC epoch instead of datetime identity
+    cp_utc = a["cp_timestamp"].replace(tzinfo=datetime.timezone.utc)
+    assert cp_utc == TS0 + datetime.timedelta(seconds=50)  # i=5
+    assert a["mean_before"] == 1.0 and a["mean_after"] == 5.0
+    assert a["shift"] == 4.0
+    # D at the true split: |6*1 - (6/10)*26| = 9.6
+    assert a["d_stat"] == pytest.approx(9.6)
+    b = out["b"]
+    assert b["d_stat"] == 0.0 and b["shift"] == 0.0
+    assert b["cp_timestamp"].replace(tzinfo=datetime.timezone.utc) == TS0  # earliest tie
+    # one exchange: every window reuses the per-series partitioning
+    plan = engine.changepoints("cps", "value")._jdf.queryExecution(
+    ).executedPlan().toString()
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
 def test_resample_randomized_mixed_series(engine, spark):
     """Seeded random mix of plateaus (PMC), ramps (Swing), and noise
     (Gorilla) resampled at odd widths must equal the decode-everything
