@@ -831,6 +831,45 @@ def test_cusum_changepoint(engine, spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
 
 
+def test_cusum_changepoint_fuzz_vs_numpy(spark):
+    """60 seeded random series (varying lengths, planted and unplanted
+    shifts, ties) in ONE frame must each match a numpy replay of the
+    CUSUM rule bit-for-bat on split index, statistic, and means."""
+    import numpy as np
+
+    from modelardb_rs_spark.operators.series import cusum_changepoint
+
+    rng = np.random.default_rng(42)
+    rows, series = [], {}
+    for s in range(60):
+        n = int(rng.integers(2, 40))
+        y = rng.normal(size=n)
+        if s % 3 == 0:  # planted shift
+            cp = int(rng.integers(1, n))
+            y[cp:] += rng.uniform(1, 5)
+        if s % 7 == 0:  # constant series: all-tie D
+            y = np.full(n, float(rng.integers(-3, 3)))
+        y = np.round(y, 6)
+        series[f"s{s}"] = y
+        rows += [(f"s{s}", i, float(y[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "k string, t int, y double")
+    got = {r["k"]: r for r in cusum_changepoint(df, ["k"], "t", "y").collect()}
+    assert set(got) == set(series)
+    for k, y in series.items():
+        n = len(y)
+        S = np.cumsum(y)
+        D = np.abs(S[:-1] - (np.arange(1, n) / n) * S[-1])
+        i = int(np.argmax(D))  # earliest tie, matching the operator
+        r = got[k]
+        assert r["cp_t"] == i, k
+        # floats compare to half an ulp of the 6-decimal rounding:
+        # Spark rounds HALF_UP, python round() half-even — exact
+        # equality flips on .5 boundaries (hit at seed 42, series s4)
+        assert abs(r["d_stat"] - float(D[i])) <= 6e-7, k
+        assert abs(r["mean_before"] - float(S[i] / (i + 1))) <= 6e-7, k
+        assert abs(r["mean_after"] - float((S[-1] - S[i]) / (n - i - 1))) <= 6e-7, k
+
+
 def test_resample_randomized_mixed_series(engine, spark):
     """Seeded random mix of plateaus (PMC), ramps (Swing), and noise
     (Gorilla) resampled at odd widths must equal the decode-everything
