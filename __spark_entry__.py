@@ -2381,6 +2381,22 @@ def doc_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.select("doc_id", "source", "epoch")
 
 
+def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing (operators/mixing.py::
+    temperature_weights -> domain_mix — the mT5/XLM-R p_s ∝ |s|^alpha
+    rule at alpha=0.5): weights derive from the corpus's own per-lang
+    counts, upsampling low-resource languages. Exact oracle: the SQL
+    replays BOTH normalizing sums with the same left-to-right
+    sorted-lang association order python uses (float sums over strata
+    are order-sensitive in the last ulp and the keep-decision is
+    exact), then the same factor arithmetic + md5 keep rule as
+    doc_domain_mix."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    w = mix_ops.temperature_weights(docs, 0.5, "lang")
+    mixed = mix_ops.domain_mix(docs, w, "lang", salt="temp12")
+    return mixed.select("doc_id", "lang", "epoch")
+
+
 def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into training shards
     (operators/mixing.py::shuffle_shards): hash-assigned shard plus
@@ -3018,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr_rerank": sim_mmr_rerank,
         "doc_weighted_sample": doc_weighted_sample,
         "ts_changepoint": ts_changepoint,
+        "doc_temperature_mix": doc_temperature_mix,
         # --- padding to 50: least-recently-verified (r9-r10) ---
         "sim_semantic_dedup_multiprobe": sim_semantic_dedup_multiprobe,
         "doc_train_export": doc_train_export,
@@ -4447,6 +4464,43 @@ def oracle_sql() -> dict[str, str]:
     oracles["sim_ivfpq_topk"] = oracles["sim_ivf_trained"]
     oracles["sim_ivfpq_opq"] = oracles["sim_ivf_trained"]
     oracles["sim_mmr_rerank"] = _mmr_oracle_sql()
+    # The five langs are pinned in sorted order: the two normalizing
+    # sums must associate left-to-right exactly as python's sorted-key
+    # iteration does (temperature_weights then normalized_weights), or
+    # last-ulp drift can flip the exact md5 keep-decision boundary.
+    oracles["doc_temperature_mix"] = """
+        WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        tot AS (SELECT count(*) AS n FROM documents),
+        pw AS (SELECT lang, pow(CAST(c AS DOUBLE), 0.5) AS p FROM cnt),
+        t1 AS (SELECT (((((SELECT p FROM pw WHERE lang='de')
+                      + (SELECT p FROM pw WHERE lang='en'))
+                      + (SELECT p FROM pw WHERE lang='es'))
+                      + (SELECT p FROM pw WHERE lang='fr'))
+                      + (SELECT p FROM pw WHERE lang='zh')) AS s),
+        w1 AS (SELECT lang, p / t1.s AS w FROM pw, t1),
+        t2 AS (SELECT (((((SELECT w FROM w1 WHERE lang='de')
+                      + (SELECT w FROM w1 WHERE lang='en'))
+                      + (SELECT w FROM w1 WHERE lang='es'))
+                      + (SELECT w FROM w1 WHERE lang='fr'))
+                      + (SELECT w FROM w1 WHERE lang='zh')) AS s),
+        w2 AS (SELECT lang, w / t2.s AS wt FROM w1, t2),
+        f AS (
+          SELECT cnt.lang,
+                 w2.wt * CAST(tot.n AS DOUBLE) / CAST(cnt.c AS DOUBLE) AS factor
+          FROM cnt JOIN w2 USING (lang), tot
+        ),
+        reps AS (
+          SELECT d.doc_id, d.lang, f.factor, u.epoch
+          FROM documents d JOIN f USING (lang),
+               LATERAL (SELECT unnest(generate_series(
+                   0, CAST(greatest(ceil(f.factor) - 1, 0) AS BIGINT))) AS epoch) u
+        )
+        SELECT doc_id, lang, CAST(epoch AS INT) AS epoch FROM reps
+        WHERE epoch < floor(factor)
+           OR CAST(concat('0x', substr(md5(concat_ws(':',
+                CAST(doc_id AS VARCHAR), CAST(epoch AS VARCHAR), 'temp12')), 1, 8)) AS BIGINT)
+              % 1000000 < (factor - floor(factor)) * 1000000
+    """
     oracles["ts_changepoint"] = """
         WITH b AS (
           SELECT event_type AS etype,

@@ -125,6 +125,41 @@ def domain_mix(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    alpha: float,
+    strata_col: str = "source",
+) -> dict[str, float]:
+    """Temperature-scaled mixture weights from the corpus's own
+    stratum sizes — the multilingual/multi-domain sampling rule
+    (mT5 / XLM-R: p_s ∝ |s|^alpha): ``alpha = 1`` keeps natural
+    proportions, ``alpha = 0`` gives uniform strata, and values in
+    between upsample low-resource strata smoothly. Feed the result to
+    ``domain_mix`` to materialize the resampled corpus.
+
+    One tiny per-stratum count aggregate collected to the driver
+    (|strata| rows — mixture metadata, like domain_mix's own count
+    join). DETERMINISM CONTRACT: powers and the normalizing sum run in
+    SORTED-KEY order, left to right, in python doubles — a SQL oracle
+    replays the identical arithmetic by summing the per-stratum powers
+    with the same explicit association order (see doc_temperature_mix),
+    because a float sum over strata is order-sensitive in the last ulp
+    and domain_mix's keep-decision boundary is exact."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = {
+        r[0]: int(r[1])
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("c")).collect()
+    }
+    if not counts:
+        raise ValueError("corpus has no strata")
+    pw = {k: float(counts[k]) ** float(alpha) for k in sorted(counts)}
+    tot = 0.0
+    for k in sorted(pw):
+        tot += pw[k]
+    return {k: pw[k] / tot for k in sorted(pw)}
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,
