@@ -516,10 +516,14 @@ def build_ivfpq_index(
             resid, m=m, ks=ks, vec_col="__resid__", id_col=id_col,
             sample=sample, opq_iters=opq_iters, iters=iters, seed=seed,
         )
-        # the stored rotation is ARRAY<FLOAT>: round-trip through
-        # float32 NOW so this build's codes match what appends (which
-        # read the stored rows) would encode, bit for bit
+        # the stored rotation AND books are ARRAY<FLOAT>: round-trip
+        # both through float32 NOW so this build's codes match what
+        # appends and rebuild re-encodes (which read the stored rows
+        # via _cached_pq_books) would encode, bit for bit — rounding
+        # only one of them would leave tie-adjacent residuals encoding
+        # differently across the build/append boundary
         rotation = rotation.astype(np.float32).astype(np.float64)
+        books = [b.astype(np.float32).astype(np.float64) for b in books]
     else:
         books = pq_ops.train_pq_codebooks(
             resid, m=m, ks=ks, vec_col="__resid__", id_col=id_col,

@@ -179,7 +179,15 @@ def weighted_sample(
     Like ``deterministic_sample`` this is reproducible across runs,
     partitionings, and engines (md5 is the portable hash; the exact SQL
     oracle replays key and rank), and different salts draw independent
-    samples. Scale shape: the key is map-only Column algebra and the
+    samples. One honest caveat: ``ln`` is the module's first
+    transcendental on a value-checked path — the JVM's Math.log is
+    1-ulp-accurate while other engines use correctly-rounded libm, so
+    two keys agreeing to ~1e-16 RELATIVE could in principle order
+    differently across engines. Distinct md5-derived u's make adjacent
+    key gaps ~1e-3 relative in practice, so the boundary is unreachable
+    without a 32-bit hash collision at equal weight; documented rather
+    than rounded away because any fixed decimal rounding would collapse
+    the small-|key| (high-weight) end of the range. Scale shape: the key is map-only Column algebra and the
     selection is ``orderBy(key).limit(k)``, which Spark plans as
     TakeOrderedAndProject — each partition forwards only its k best
     rows, no global sort, no single-partition window. Rows with NULL or

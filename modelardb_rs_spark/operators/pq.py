@@ -53,22 +53,49 @@ def train_pq_codebooks(
     content whenever ids are assigned in time/source order (a drifting
     corpus would train books on its oldest slice only). Ties on the
     hash break by id so duplicate hash values stay deterministic."""
+    X = _driver_sample(corpus, id_col, vec_col, sample, seed)
+    if X.shape[1] % m:
+        raise ValueError(f"dimension {X.shape[1]} not divisible by m={m}")
+    rng = np.random.default_rng(seed)
+    return _fit_books(X, m, ks, iters, rng)
+
+
+def _driver_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, sample: int, seed: int
+) -> np.ndarray:
+    """The seeded-hash driver sample shared by PQ and OPQ training —
+    one sampler so the two trainers see the SAME rows for the same
+    (corpus, seed)."""
     rows = (
         corpus.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
         .limit(sample)
         .collect()
     )
-    X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
-    d = X.shape[1]
-    if d % m:
-        raise ValueError(f"dimension {d} not divisible by m={m}")
-    sub_d = d // m
-    rng = np.random.default_rng(seed)
-    books: list[np.ndarray] = []
+    return np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+
+
+def _fit_books(
+    X: np.ndarray,
+    m: int,
+    ks: int,
+    iters: int,
+    rng: np.random.Generator,
+    books: list[np.ndarray] | None = None,
+) -> list[np.ndarray]:
+    """Per-subspace Lloyd fit shared by train_pq_codebooks and
+    train_opq's alternation: seeded-choice init when ``books`` is None
+    (one rng.choice per subspace, in subspace order — the rng stream
+    train_pq_codebooks has always consumed), warm start otherwise;
+    empty clusters keep their previous centroid."""
+    sub_d = X.shape[1] // m
+    out: list[np.ndarray] = []
     for s in range(m):
         Xs = X[:, s * sub_d : (s + 1) * sub_d]
-        C = Xs[rng.choice(len(Xs), size=min(ks, len(Xs)), replace=False)].copy()
+        if books is None:
+            C = Xs[rng.choice(len(Xs), size=min(ks, len(Xs)), replace=False)].copy()
+        else:
+            C = books[s].copy()
         for _ in range(iters):
             d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
             assign = d2.argmin(1)
@@ -76,8 +103,8 @@ def train_pq_codebooks(
                 pts = Xs[assign == j]
                 if len(pts):
                     C[j] = pts.mean(0)
-        books.append(C)
-    return books
+        out.append(C)
+    return out
 
 
 def _encode_np(X: np.ndarray, books: list[np.ndarray]) -> np.ndarray:
@@ -147,51 +174,26 @@ def train_opq(
     8 MB), and at embedding dims (4k-8k) pass ``R.astype(np.float32)``
     (128-512 MB float32) or train at a reduced ``sample``; the
     alternation itself is sample x D and never touches the corpus."""
-    rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
-        .limit(sample)
-        .collect()
-    )
-    X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    X = _driver_sample(corpus, id_col, vec_col, sample, seed)
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dimension {d} not divisible by m={m}")
-    sub_d = d // m
     rng = np.random.default_rng(seed)
     # random orthonormal init (QR of a seeded gaussian): identity can
     # sit at a symmetric saddle of the alternation on isotropic data
     Q, _ = np.linalg.qr(rng.normal(size=(d, d)))
     R = Q
 
-    def fit(Y: np.ndarray, books, n_iters: int):
-        out = []
-        for s in range(m):
-            Ys = Y[:, s * sub_d : (s + 1) * sub_d]
-            if books is None:
-                C = Ys[rng.choice(len(Ys), size=min(ks, len(Ys)), replace=False)].copy()
-            else:
-                C = books[s].copy()
-            for _ in range(n_iters):
-                d2 = ((Ys[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-                assign = d2.argmin(1)
-                for j in range(len(C)):
-                    pts = Ys[assign == j]
-                    if len(pts):
-                        C[j] = pts.mean(0)
-            out.append(C)
-        return out
-
     books = None
     for _ in range(opq_iters):
         Y = X @ R
-        books = fit(Y, books, lloyd_iters)
+        books = _fit_books(Y, m, ks, lloyd_iters, rng, books)
         recon = _decode_np(_encode_np(Y, books), books)
         # orthogonal Procrustes: argmin_R ||X R - recon||_F over
         # orthonormal R has the closed form U V^T from X^T recon
         U, _, Vt = np.linalg.svd(X.T @ recon)
         R = U @ Vt
-    books = fit(X @ R, books, iters)
+    books = _fit_books(X @ R, m, ks, iters, rng, books)
     return R, books
 
 
@@ -244,7 +246,6 @@ def encode_pq(
     from pyspark.sql import types as T
 
     m = len(books)
-    sub_d = books[0].shape[1]
     books64 = [np.asarray(b, dtype=np.float64) for b in books]
     R64 = None if rotate is None else np.asarray(rotate, dtype=np.float64)
     cent_norms_sq = [(b ** 2).sum(axis=1) for b in books64]
@@ -264,15 +265,9 @@ def encode_pq(
             if R64 is not None:
                 V = V @ R64
             n = len(V)
-            codes = np.empty((n, m), dtype=np.int32)
-            for s in range(m):
-                S = V[:, s * sub_d : (s + 1) * sub_d]
-                d2 = ((S[:, None, :] - books64[s][None, :, :]) ** 2).sum(-1)
-                codes[:, s] = np.argmin(d2, axis=1)
+            codes = _encode_np(V, books64)
             if recon_norm_base is not None:
-                dec = np.concatenate(
-                    [books64[s][codes[:, s]] for s in range(m)], axis=1
-                )
+                dec = _decode_np(codes, books64)
                 base = np.stack(pdf[recon_norm_base].to_numpy()).astype(
                     np.float64, copy=False
                 )

@@ -94,14 +94,30 @@ def cusum_changepoint(
     upstream and value-check the split point itself. No decode beyond
     the input frame: feed it resampled bucket means and the model-store
     pushdown keeps the input tiny.
+
+    NULL values are dropped before the scan (they carry no mean
+    information; counting them would divide the segment means by
+    phantom points). The running sum uses an explicit ROWS frame so it
+    advances per ROW like ``row_number`` does — the default RANGE frame
+    would lump timestamp peers together and de-sync S_i from i.
+    Timestamps should be unique within a series (the gridded view and
+    resampled buckets guarantee this); ties make the peer order, and
+    therefore the split attribution among the tied points,
+    partitioner-dependent.
     """
     from pyspark.sql import Window
 
-    w_ord = Window.partitionBy(*series_cols).orderBy(ts_col)
+    w_ord = (
+        Window.partitionBy(*series_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rn = Window.partitionBy(*series_cols).orderBy(ts_col)
     w_all = Window.partitionBy(*series_cols)
     v = F.col(value_col).cast("double")
     scanned = (
-        points.withColumn("__i__", F.row_number().over(w_ord))
+        points.where(v.isNotNull())
+        .withColumn("__i__", F.row_number().over(w_rn))
         .withColumn("__s__", F.sum(v).over(w_ord))
         .withColumn("__n__", F.count("*").over(w_all))
         .withColumn("__tot__", F.sum(v).over(w_all))

@@ -326,7 +326,12 @@ def mmr_rerank(
         n = len(ids)
         norms = np.sqrt((V * V).sum(axis=1))
         with np.errstate(divide="ignore", invalid="ignore"):
-            sims = np.round((V @ V.T) / (norms[:, None] * norms[None, :]), 6)
+            raw = (V @ V.T) / (norms[:, None] * norms[None, :])
+        # round HALF-AWAY-FROM-ZERO (floor(|x|*1e6 + 0.5)), matching
+        # Spark's F.round and DuckDB's round() — np.round is half-even
+        # and would disagree with the SQL oracle exactly on the .5
+        # boundaries a low-entropy corpus can hit
+        sims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
         sims = np.nan_to_num(sims, nan=0.0)
         # first pick: S is empty, the similarity term is 0 by
         # convention, so the score is lam * rel for every candidate

@@ -560,6 +560,17 @@ def vector_ingest_batch(
         # the ONE probe execution instead of re-running it (the dedup
         # decision depends on index CONTENT, which a rebuild does not
         # change, so a cached verdict stays valid across retries)
+        # id_col/vec_col are forwarded explicitly from the function's
+        # own args; a dedup dict naming DIFFERENT columns is a
+        # misconfiguration that must not pass silently (the gate would
+        # quietly run on the wrong columns)
+        for col_key, col_val in (("id_col", id_col), ("vec_col", vec_col)):
+            if col_key in dedup and dedup[col_key] != col_val:
+                raise ValueError(
+                    f"dedup[{col_key!r}]={dedup[col_key]!r} conflicts with "
+                    f"{col_key}={col_val!r}; pass the column through the "
+                    "function argument, not the dedup dict"
+                )
         gate_opts = {
             k: v
             for k, v in dedup.items()

@@ -831,6 +831,25 @@ def test_cusum_changepoint(engine, spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
 
 
+def test_cusum_changepoint_ignores_null_values(spark):
+    """NULL values must not count toward n or the segment means — a
+    NULL row is no observation, and the per-row ROWS frame keeps S_i
+    aligned with i around it."""
+    from modelardb_rs_spark.operators.series import cusum_changepoint
+
+    rows = [("a", 0, 1.0), ("a", 1, None), ("a", 2, 1.0),
+            ("a", 3, 5.0), ("a", 4, 5.0)]
+    df = spark.createDataFrame(rows, "k string, t int, y double")
+    r = cusum_changepoint(df, ["k"], "t", "y").collect()[0]
+    assert r["n_points"] == 4          # the NULL row is not a point
+    assert r["cp_t"] == 2              # split after the second real 1.0
+    assert r["mean_before"] == 1.0 and r["mean_after"] == 5.0
+    # an all-NULL series yields nothing rather than a divide-by-zero
+    df2 = spark.createDataFrame([("b", 0, None), ("b", 1, None)],
+                                "k string, t int, y double")
+    assert cusum_changepoint(df2, ["k"], "t", "y").count() == 0
+
+
 def test_cusum_changepoint_fuzz_vs_numpy(spark):
     """60 seeded random series (varying lengths, planted and unplanted
     shifts, ties) in ONE frame must each match a numpy replay of the

@@ -875,10 +875,11 @@ def test_mmr_rerank_matches_naive_greedy(spark):
             sel.append(best[1])
             bv = vec[best[1]]
             for nid, _ in cand:
-                sim = float(np.round(
-                    (vec[nid] @ bv)
-                    / (np.linalg.norm(vec[nid]) * np.linalg.norm(bv)), 6
-                ))
+                raw = (vec[nid] @ bv) / (
+                    np.linalg.norm(vec[nid]) * np.linalg.norm(bv)
+                )
+                # half-away rounding, the operator's (and oracle's) rule
+                sim = float(np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6)
                 if max_sim[nid] is None or sim > max_sim[nid]:
                     max_sim[nid] = sim
         assert [n for _, n in sorted(got[qid])] == sel, qid
