@@ -378,8 +378,21 @@ class BPETokenizer:
 # ---------------------------------------------------------------------------
 
 
-def bpe_encode_udf():
-    """pandas UDF: text -> array<int> of real BPE token ids."""
+def bpe_encode_udf(deterministic: bool = False):
+    """pandas UDF: text -> array<int> of real BPE token ids.
+
+    Default is MARKED non-deterministic as an optimizer fence (the
+    tokenizer is pure): the training chains gate on a column computed
+    by these UDFs (``where(size(bpe_ids) >= n)`` / ``where(n_tok >=
+    n)``), and Catalyst's filter pushdown otherwise evaluates the UDF
+    once below the pushed filter and AGAIN in the surviving
+    projection — real BPE over every document TWICE (the double
+    ArrowEvalPython in plans/r13/doc_train_pipeline_bpe_before.txt).
+    Guide §4.4: fence the expensive UDFs. ``deterministic=True``
+    restores the unfenced form for contexts that REQUIRE it — the
+    analyzer rejects non-deterministic expressions inside aggregate
+    arguments, so the SQL registration (where users write arbitrary
+    ``sum(bpe_count(text))``) uses it."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<int>")
@@ -388,12 +401,14 @@ def bpe_encode_udf():
         for s in batches:
             yield s.map(lambda t: tok.encode(t) if t is not None else None)
 
-    return enc
+    return enc if deterministic else enc.asNondeterministic()
 
 
-def bpe_count_udf():
+def bpe_count_udf(deterministic: bool = False):
     """pandas UDF: text -> exact BPE token count (long). Cheaper than
-    encode-then-size when only the count is packed on."""
+    encode-then-size when only the count is packed on. Default carries
+    the same optimizer fence as ``bpe_encode_udf`` (the gate filters on
+    this column; without the fence the count tokenizes twice)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -402,11 +417,14 @@ def bpe_count_udf():
         for s in batches:
             yield s.map(lambda t: len(tok.encode(t)) if t is not None else None)
 
-    return cnt
+    return cnt if deterministic else cnt.asNondeterministic()
 
 
-def bpe_decode_udf():
-    """pandas UDF: array<int> -> text (exact inverse of encode)."""
+def bpe_decode_udf(deterministic: bool = False):
+    """pandas UDF: array<int> -> text (exact inverse of encode).
+    Default fenced for consistency with encode/count (decode feeds
+    equality projections like ``doc_bpe_encode``'s roundtrip flag,
+    where a copied evaluation would decode twice)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
@@ -415,7 +433,7 @@ def bpe_decode_udf():
         for s in batches:
             yield s.map(lambda ids: tok.decode(ids) if ids is not None else None)
 
-    return dec
+    return dec if deterministic else dec.asNondeterministic()
 
 
 def encode_documents(
@@ -454,7 +472,11 @@ def register_sql_functions(spark) -> None:
     per worker, never per row."""
     if getattr(spark, "_bpe_sql_registered", False):
         return
-    spark.udf.register("bpe_count", bpe_count_udf())
-    spark.udf.register("bpe_encode", bpe_encode_udf())
-    spark.udf.register("bpe_decode", bpe_decode_udf())
+    # DETERMINISTIC registrations: SQL users aggregate over these
+    # (``sum(bpe_count(text))``), and the analyzer rejects
+    # non-deterministic expressions inside aggregate arguments — the
+    # DataFrame-surface factories keep the §4.4 optimizer fence instead.
+    spark.udf.register("bpe_count", bpe_count_udf(deterministic=True))
+    spark.udf.register("bpe_encode", bpe_encode_udf(deterministic=True))
+    spark.udf.register("bpe_decode", bpe_decode_udf(deterministic=True))
     spark._bpe_sql_registered = True

@@ -110,7 +110,17 @@ def cosine_batch_udf():
     yielded NULL for NULLs; both are dropped by every caller's guard) —
     note a Spark-side ``cos >= t`` compare PASSES NaN (NaN > any
     double), so callers thresholding the result must pair it with a
-    ``~isnan`` guard (as ``embedding_near_dup_pairs`` does)."""
+    ``~isnan`` guard (as ``embedding_near_dup_pairs`` does).
+
+    Marked NON-DETERMINISTIC as an optimizer fence, not as a semantic
+    statement (the function is a pure cosine): every ranking caller
+    filters on the UDF-computed column (``ranked_topk``'s NaN guard),
+    and Catalyst's filter pushdown then evaluates the UDF TWICE — once
+    below the pushed filter and once in the surviving projection
+    (plans/r13/sim_bruteforce_topk_before.txt shows the double
+    ArrowEvalPython). The flag forbids the duplication, halving the
+    Python-eval work of every corpus-sized scoring stage (guide §4.4
+    pattern)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -140,7 +150,7 @@ def cosine_batch_udf():
                 )
         return pd.Series(out)
 
-    return _cos
+    return _cos.asNondeterministic()
 
 
 MAX_COLLECTED_QUERIES = 4096
