@@ -2629,6 +2629,8 @@ def doc_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same normalized double literals on both engines, and the packed
     token spans pin the final layout — drift in any stage, or in how
     the stages compose, breaks the compare."""
+    from pyspark import StorageLevel
+
     from modelardb_rs_spark.operators.mixing import domain_mix, shuffle_shards
     from modelardb_rs_spark.operators.packing import pack_documents
     from modelardb_rs_spark.operators.text import token_count
@@ -2647,10 +2649,20 @@ def doc_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rep_id", F.col("doc_id") * F.lit(64).cast("long") + F.col("epoch")
     )
     sharded = shuffle_shards(rep, 4, id_col="rep_id", salt="train7")
-    # pack in shuffled training order: shard-major, position-minor
-    packed_in = sharded.withColumn(
-        "pack_id",
-        F.col("shard").cast("long") * F.lit(1 << 40).cast("long") + F.col("pos"),
+    # pack in shuffled training order: shard-major, position-minor.
+    # Persist the NARROW mix output (ids + counts, no text): it feeds
+    # pack_documents' checkpoint AND the final span join, and without
+    # the cache each branch re-executes the whole gate -> dedup-window
+    # -> mix -> shard-window chain (the round-12 plan ran that chain
+    # ~4x per action; plans/r13/doc_train_pipeline_before.txt). Same
+    # persist-the-thin-columns discipline as doc_train_pipeline_bpe.
+    packed_in = (
+        sharded.withColumn(
+            "pack_id",
+            F.col("shard").cast("long") * F.lit(1 << 40).cast("long") + F.col("pos"),
+        )
+        .select("pack_id", "doc_id", "epoch", "shard", "n_tok")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     packed = pack_documents(packed_in, 256, id_col="pack_id", token_count_col="n_tok")
     return packed.join(
@@ -2736,9 +2748,17 @@ def doc_train_pipeline_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rep_id", F.col("doc_id") * F.lit(64).cast("long") + F.col("epoch")
     )
     sharded = shuffle_shards(rep, 4, id_col="rep_id", salt="train8")
-    packed_in = sharded.withColumn(
-        "pack_id",
-        F.col("shard").cast("long") * F.lit(1 << 40).cast("long") + F.col("pos"),
+    # persist the narrow pack input too: the pack checkpoint and the
+    # final span join otherwise each re-run the mix + shard-window
+    # chain (from the persisted dedup frame, but still one extra
+    # window shuffle per branch)
+    packed_in = (
+        sharded.withColumn(
+            "pack_id",
+            F.col("shard").cast("long") * F.lit(1 << 40).cast("long") + F.col("pos"),
+        )
+        .select("pack_id", "doc_id", "epoch", "shard", "n_tok")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     packed = pack_documents(packed_in, 256, id_col="pack_id", token_count_col="n_tok")
     return packed.join(
@@ -2892,9 +2912,16 @@ def _train_sequences_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rep_id", F.col("doc_id") * F.lit(64).cast("long") + F.col("epoch")
     )
     sharded = shuffle_shards(rep, 4, id_col="rep_id", salt="train8")
-    packed_in = sharded.withColumn(
-        "pack_id",
-        F.col("shard").cast("long") * F.lit(1 << 40).cast("long") + F.col("pos"),
+    # narrow pack-input persist: the pack checkpoint, the span join,
+    # and the tokens_by_pack join all read this frame (see
+    # doc_train_pipeline's plan note)
+    packed_in = (
+        sharded.withColumn(
+            "pack_id",
+            F.col("shard").cast("long") * F.lit(1 << 40).cast("long") + F.col("pos"),
+        )
+        .select("pack_id", "doc_id", "epoch", "shard", "n_tok")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     packed = pack_documents(packed_in, 256, id_col="pack_id", token_count_col="n_tok")
     tokens_by_pack = packed_in.select("pack_id", "doc_id").join(

@@ -92,13 +92,22 @@ def domain_mix(
         wt = F.when(F.col(strata_col) == F.lit(k), F.lit(v)).otherwise(wt)
 
     counts = df.groupBy(strata_col).agg(F.count("*").alias("__cnt__"))
-    joined = df.join(F.broadcast(counts), strata_col)
     if target_total is None:
-        total = df.agg(F.count("*").alias("__tot__"))
-        joined = joined.crossJoin(F.broadcast(total))
+        # the corpus total is the SUM of the per-stratum counts: derive
+        # it with a window over the |strata|-row counts frame instead of
+        # a second corpus-wide aggregate — the former shape re-executed
+        # the ENTIRE upstream plan a third time for the total (an
+        # expensive chain upstream, e.g. the dedup window in
+        # doc_train_pipeline, ran once per branch; see
+        # plans/r13/doc_train_pipeline_before.txt nodes 44-58). Exact
+        # same long value, same cast, same arithmetic order.
+        counts = counts.withColumn(
+            "__tot__", F.sum("__cnt__").over(Window.partitionBy())
+        )
         tot_col = F.col("__tot__").cast("double")
     else:
         tot_col = F.lit(float(int(target_total)))
+    joined = df.join(F.broadcast(counts), strata_col)
 
     with_f = joined.withColumn(
         "__f__", wt * tot_col / F.col("__cnt__").cast("double")
