@@ -53,6 +53,81 @@ def _vectors_table(index_name: str) -> str:
     return f"{index_name}__vectors"
 
 
+def _entry_bucket_counts(add_entries: list[dict]) -> dict[int, int] | None:
+    """Per-bucket row counts straight from a commit's staged add
+    entries: each normal-table entry records its parquet ``num_rows``
+    (footer read at stage time, sources/datafolder.py) and its
+    ``ivf_bucket=`` Hive path segment carries the bucket — so a
+    partitioned write's own commit statistics ARE the bucket histogram,
+    at any bucket count, with zero extra jobs and zero plan overhead.
+    Returns None when any entry lacks either piece (unreadable footer —
+    callers fall back to an aggregate)."""
+    import re as _re
+
+    out: dict[int, int] = {}
+    for e in add_entries:
+        m = _re.search(r"ivf_bucket=(-?\d+)/", e.get("path", ""))
+        n = e.get("num_rows")
+        if m is None or n is None:
+            return None
+        b = int(m.group(1))
+        out[b] = out.get(b, 0) + int(n)
+    return out
+
+
+def _fitted_meta_fn(engine, vectors, fitted_C, cent_rows: list, gen: int):
+    """commit_meta callable for fitted-quantizer writes: fills
+    ``cent_rows`` (mutated in place — the caller's mirror write and
+    return stats read it) from the staged add entries' bucket counts
+    and returns the centroids meta payload. Falls back to one counts
+    aggregate over ``vectors`` if any staged footer was unreadable.
+    Empty buckets drop (no vectors -> no partition directory ->
+    nothing to probe)."""
+
+    def meta_fn(add_entries):
+        counts = _entry_bucket_counts(add_entries)
+        if counts is None:
+            counts = {
+                int(r["ivf_bucket"]): int(r["n"])
+                for r in vectors.groupBy("ivf_bucket")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+        cent_rows.extend(
+            (b, [float(x) for x in fitted_C[b]], counts[b])
+            for b in range(len(fitted_C))
+            if counts.get(b, 0) > 0
+        )
+        return _centroids_meta(cent_rows, gen=gen)
+
+    return meta_fn
+
+
+def _bucket_spread(df: DataFrame, id_col: str, n_buckets: int) -> DataFrame:
+    """Repartition an assignment frame so the ``partitionBy(ivf_bucket)``
+    write produces ~P files instead of tasks x buckets files (guide §6:
+    a map-side partitioned write opens one file per (task, partition
+    value) — P tasks x k buckets small files per build, a listing and
+    open() tax every later probe pays). P follows
+    ``spark.sql.shuffle.partitions`` (scale-adaptive conf, cores-sized
+    locally, cluster-sized in production). Buckets hash to at most k
+    distinct partitions, so when P > k a deterministic id-derived salt
+    splits each bucket across ceil(P/k) writers — big buckets never
+    serialize into one task (the §2.5 skew rule; the salt is
+    id-derived, so task retries reproduce the same placement)."""
+    spark = df.sparkSession
+    try:
+        P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        P = spark.sparkContext.defaultParallelism
+    S = max(1, -(-P // max(int(n_buckets), 1)))
+    if S == 1:
+        return df.repartition(P, F.col("ivf_bucket"))
+    return df.repartition(
+        P, F.col("ivf_bucket"), F.pmod(F.xxhash64(F.col(id_col)), F.lit(S))
+    )
+
+
 def _centroids_table(index_name: str) -> str:
     return f"{index_name}__centroids"
 
@@ -188,12 +263,6 @@ def build_ivf_index(
         F.col(vec_col),
         F.col(bucket_src).cast("int").alias("ivf_bucket"),
     )
-    if fitted_C is not None:
-        # the assignment lineage (a python-worker pass) feeds the write
-        # AND the per-bucket counts: persist so it runs once per build
-        from pyspark import StorageLevel
-
-        vectors = vectors.persist(StorageLevel.MEMORY_AND_DISK)
 
     vt, ct = _vectors_table(index_name), _centroids_table(index_name)
     for t in (vt, ct):
@@ -201,12 +270,25 @@ def build_ivf_index(
             engine.drop(t)
     engine.create_table(vt, f"{id_col} BIGINT, {vec_col} ARRAY<FLOAT>, ivf_bucket INT")
     engine.create_table(ct, "ivf_bucket INT, centroid ARRAY<FLOAT>, n_vectors BIGINT")
-    # centroids ARE index metadata (n_buckets rows): collect once, ride
-    # the vectors commit as its meta payload (files + centroids flip in
-    # ONE atomic commit — probes resolving any snapshot get a consistent
-    # pair), then mirror them as a table for SQL consumers
+    # centroids ARE index metadata (n_buckets rows): they ride the
+    # vectors commit as its meta payload (files + centroids flip in ONE
+    # atomic commit — probes resolving any snapshot get a consistent
+    # pair), then mirror as a table for SQL consumers.
+    cent_rows: list = []
     if fitted_C is not None:
-        cent_rows = _fitted_cent_rows(vectors, fitted_C)
+        # fitted-quantizer path: centroids are known BEFORE the corpus
+        # pass, and the per-bucket counts come from the WRITE's own
+        # staged add entries (num_rows + ivf_bucket= path values) via
+        # the commit_meta callable — the build's only corpus pass is
+        # the fused assign+write job (was: persist the assignment, run
+        # a counts job, then write — three reads of the assignment
+        # output per build)
+        engine.write(
+            vt,
+            _bucket_spread(vectors, id_col, len(fitted_C)),
+            partition_by=["ivf_bucket"],
+            commit_meta=_fitted_meta_fn(engine, vectors, fitted_C, cent_rows, gen=0),
+        )
     else:
         cents = bucket_centroids(vectors, vec_col, "ivf_bucket").join(
             vectors.groupBy("ivf_bucket").agg(
@@ -218,10 +300,12 @@ def build_ivf_index(
             (int(r["ivf_bucket"]), list(r["centroid"]), int(r["n_vectors"]))
             for r in cents.collect()
         ]
-    meta = _centroids_meta(cent_rows, gen=0)
-    engine.write(vt, vectors, partition_by=["ivf_bucket"], commit_meta=meta)
-    if fitted_C is not None:
-        vectors.unpersist()
+        engine.write(
+            vt,
+            _bucket_spread(vectors, id_col, max(len(cent_rows), 1)),
+            partition_by=["ivf_bucket"],
+            commit_meta=_centroids_meta(cent_rows, gen=0),
+        )
     engine.write(
         ct,
         engine.spark.createDataFrame(
@@ -321,14 +405,20 @@ def append_to_ivf_index(
             assigned = _encode_residuals(
                 engine, index_name, assigned, cent_rows, id_col, vec_col
             )
-        # Count rows as a side effect of the write job itself
-        # (Observation metrics piggyback on the action that executes the
-        # plan): a caller with expensive upstream lineage pays for it
-        # ONCE, not again for a count job that only reports `appended`.
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        assigned = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
+        # one file per TOUCHED bucket per commit: without the
+        # repartition the partitioned writer opens (batch partitions x
+        # touched buckets) files per epoch — the small-file tax
+        # maybe_optimize then has to keep paying down (guide §6). No
+        # salt here: append batches are micro-batch-sized, and one
+        # writer per bucket is the file-count optimum.
+        spark = engine.spark
+        try:
+            P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            P = spark.sparkContext.defaultParallelism
+        assigned = assigned.repartition(
+            max(1, min(P, len(cent_rows))), F.col("ivf_bucket")
+        )
         try:
             version = engine.write(
                 vt, assigned, partition_by=["ivf_bucket"], txn=txn,
@@ -352,7 +442,25 @@ def append_to_ivf_index(
         # live paths) so probe-time file counts stay bounded, the same
         # policy the streaming ingest paths apply to their tables.
         engine.maybe_optimize(vt)
-        return {"appended": int(obs.get["n"]), "replayed": False}
+        # `appended` from the commit's own add entries (per-file
+        # num_rows footer stats): no count job, no Observation — the
+        # former Observation form broke on EMPTY batches, where AQE's
+        # empty-relation propagation eliminates the CollectMetrics node
+        # and the metrics never materialize.
+        commit = engine.folder.log(vt).read_commit(version)
+        appended = 0
+        for e in commit.get("add", []):
+            n = e.get("num_rows")
+            if n is None:
+                # unreadable footer at stage time (pathological): one
+                # bounded read-back of just that file
+                n = engine.spark.read.parquet(
+                    engine.folder.fs.join(
+                        engine.folder.table_path(vt), e["path"]
+                    )
+                ).count()
+            appended += int(n)
+        return {"appended": appended, "replayed": False}
     raise last_err  # three geometry swaps mid-append: surface the race
 
 
@@ -481,11 +589,20 @@ def build_ivfpq_index(
         F.col(bucket_src).cast("int").alias("ivf_bucket"),
     )
     spark = engine.spark
+    cent_rows: list = []
     if fitted_C is not None:
         from pyspark import StorageLevel
 
+        # the assignment (a python-worker pass) feeds the PQ-sample
+        # collect AND the encode+write job: persist so it runs once.
+        # The residual join only needs (bucket, centroid) — known
+        # before any corpus pass; per-bucket counts come from the
+        # write's staged add entries (see build_ivf_index), so the
+        # separate counts aggregate disappears.
         vectors = vectors.persist(StorageLevel.MEMORY_AND_DISK)
-        cent_rows = _fitted_cent_rows(vectors, fitted_C)
+        cent_pairs = [
+            (b, [float(x) for x in fitted_C[b]]) for b in range(len(fitted_C))
+        ]
     else:
         cents = bucket_centroids(vectors, vec_col, "ivf_bucket").join(
             vectors.groupBy("ivf_bucket").agg(
@@ -499,8 +616,9 @@ def build_ivfpq_index(
             (int(r["ivf_bucket"]), list(r["centroid"]), int(r["n_vectors"]))
             for r in cents.collect()
         ]
+        cent_pairs = [(b, c) for b, c, _ in cent_rows]
     cent_df = spark.createDataFrame(
-        [(b, c) for b, c, _ in cent_rows], "ivf_bucket INT, __c__ ARRAY<FLOAT>"
+        cent_pairs, "ivf_bucket INT, __c__ ARRAY<FLOAT>"
     )
     resid = vectors.join(F.broadcast(cent_df), "ivf_bucket").withColumn(
         "__resid__",
@@ -549,9 +667,13 @@ def build_ivfpq_index(
     )
     engine.create_table(ct, "ivf_bucket INT, centroid ARRAY<FLOAT>, n_vectors BIGINT")
     engine.create_table(bt, "subspace INT, code INT, centroid ARRAY<FLOAT>")
+    if fitted_C is not None:
+        vectors_meta = _fitted_meta_fn(engine, rows, fitted_C, cent_rows, gen=0)
+    else:
+        vectors_meta = _centroids_meta(cent_rows, gen=0)
     engine.write(
-        vt, rows, partition_by=["ivf_bucket"],
-        commit_meta=_centroids_meta(cent_rows, gen=0),
+        vt, _bucket_spread(rows, id_col, max(len(cent_pairs), 1)),
+        partition_by=["ivf_bucket"], commit_meta=vectors_meta,
     )
     engine.write(
         ct,
@@ -756,17 +878,24 @@ def ivf_index_topk(
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("__ccos__").desc(), F.col("ivf_bucket")
     )
+    # ONE probe computation: the |Q| x n_buckets cross + per-query rank
+    # materializes into executor-local blocks that BOTH consumers read —
+    # the probed-bucket collect below and the corpus scan's broadcast
+    # join inside probe_topk (the former shape re-ran the whole probe
+    # subplan inside the main job; plans/r13/sim_ivf_index_before.txt
+    # nodes 11-18). Block size is |Q| x nprobe rows (query-bounded, the
+    # same envelope as the dedup gate's probe checkpoint); the
+    # ContextCleaner frees them when the plan is garbage-collected.
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__ccos__", cosine(F.col("__qv__"), F.col("centroid")))
+        .withColumn("__pr__", F.row_number().over(probe_w))
+        .where(F.col("__pr__") <= nprobe)
+        .select("query_id", "__qv__", F.col("ivf_bucket").alias("__bucket__"))
+        .localCheckpoint(eager=True)
+    )
     probed_buckets = [
-        r["ivf_bucket"]
-        for r in (
-            q.crossJoin(F.broadcast(cents))
-            .withColumn("__ccos__", cosine(F.col("__qv__"), F.col("centroid")))
-            .withColumn("__pr__", F.row_number().over(probe_w))
-            .where(F.col("__pr__") <= nprobe)
-            .select("ivf_bucket")
-            .distinct()
-            .collect()
-        )
+        r["__bucket__"] for r in probes.select("__bucket__").distinct().collect()
     ]
     # pinned to the SAME snapshot the centroids came from: without the
     # pin a rebuild committing between the two reads would pair old
@@ -776,7 +905,7 @@ def ivf_index_topk(
     )
     return probe_topk(
         vectors, cents, queries, k, nprobe, id_col, vec_col, "ivf_bucket",
-        drop_nan=drop_nan,
+        drop_nan=drop_nan, probes=probes,
     )
 
 
@@ -1263,19 +1392,44 @@ def ivf_index_stats(engine, index_name: str, drift: bool = True) -> dict:
                                                # 1 - cos(stored centroid,
                                                # current bucket mean)
     """
+    import re as _re
+
     import numpy as np
 
     vt = _vectors_table(index_name)
+    snap = engine.folder.log(vt).snapshot()
     built = {
         b: (np.array(c, dtype=np.float64), n)
-        for b, c, n in _centroid_rows(engine, index_name)
+        for b, c, n in _centroid_rows(engine, index_name, snap=snap)
     }
-    n_files = len(engine.folder.log(vt).snapshot().files)
+    n_files = len(snap.files)
 
-    sizes = {
-        int(r["ivf_bucket"]): int(r["n"])
-        for r in engine.table(vt).groupBy("ivf_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    # bucket sizes from the COMMIT LOG: every normal-table add entry
+    # records its parquet num_rows and the ivf_bucket= partition value
+    # is in the path, so the histogram needs ZERO Spark jobs — the
+    # telemetry an ingest epoch polls no longer costs a table scan.
+    # Any file missing either piece (pre-round-13 commits) falls back
+    # to the counting query, pinned to the same snapshot.
+    by_bucket: dict[int, int] = {}
+    log_ok = True
+    for f in snap.files:
+        m = _re.search(r"ivf_bucket=(-?\d+)/", f.get("path", ""))
+        n = f.get("num_rows")
+        if m is None or n is None:
+            log_ok = False
+            break
+        b = int(m.group(1))
+        by_bucket[b] = by_bucket.get(b, 0) + int(n)
+    if log_ok:
+        sizes = by_bucket
+    else:
+        sizes = {
+            int(r["ivf_bucket"]): int(r["n"])
+            for r in engine.table(vt, version=snap.version)
+            .groupBy("ivf_bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     counts = sorted(sizes.values()) or [0]
     current = sum(counts)
     built_total = sum(n for _, n in built.values())
@@ -1358,23 +1512,6 @@ def _centroids_meta(cent_rows: list, gen: int) -> dict:
         "gen": int(gen),
         "build_id": uuid.uuid4().hex,
     }
-
-
-def _fitted_cent_rows(vectors, fitted_C) -> list:
-    """(bucket, centroid, n_vectors) rows for a fitted-quantizer store:
-    ONE counts aggregate over the (persisted) assignment; empty buckets
-    drop (no vectors -> no partition directory -> nothing to probe).
-    Shared by build_ivf_index, build_ivfpq_index, and the maintenance
-    rebuild so the bookkeeping can't drift between them."""
-    counts = {
-        int(r["ivf_bucket"]): int(r["n"])
-        for r in vectors.groupBy("ivf_bucket").agg(F.count("*").alias("n")).collect()
-    }
-    return [
-        (b, [float(x) for x in fitted_C[b]], counts.get(b, 0))
-        for b in range(len(fitted_C))
-        if counts.get(b, 0) > 0
-    ]
 
 
 def _encode_residuals(engine, index_name, assigned, cent_pairs, id_col, vec_col):
@@ -1541,8 +1678,6 @@ def ivf_index_maintenance(
     if not reasons:
         return {"rebuilt": False, "reasons": [], "stats_before": stats}
 
-    from pyspark import StorageLevel
-
     from modelardb_rs_spark.operators.similarity import numpy_kmeans_buckets
 
     vt_snap = engine.folder.log(vt).snapshot()
@@ -1564,27 +1699,27 @@ def ivf_index_maintenance(
             engine, index_name, vectors,
             [(b, fitted_C[b]) for b in range(len(fitted_C))], id_col, vec_col,
         )
-    # the reassignment (a python-worker pass) feeds the replace AND the
-    # per-bucket counts: persist so it runs once per rebuild
-    vectors = vectors.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        cent_rows = _fitted_cent_rows(vectors, fitted_C)
-        # the ONE atomic flip: new files + new centroids in one commit
-        engine.overwrite(
-            vt, vectors, partition_by=["ivf_bucket"], expected_paths=expected,
-            commit_meta=_centroids_meta(cent_rows, gen=stamp),
-        )
-        # derived mirror for SQL consumers (resynced above if this
-        # second commit is lost to a crash)
-        engine.overwrite(
-            ct,
-            engine.spark.createDataFrame(
-                cent_rows, "ivf_bucket INT, centroid ARRAY<FLOAT>, n_vectors BIGINT"
-            ),
-            txn=(rebuild_app, stamp),
-        )
-    finally:
-        vectors.unpersist()
+    # per-bucket counts come from the replace commit's own staged add
+    # entries (num_rows + ivf_bucket= paths — see build_ivf_index), so
+    # the rebuild's only corpus passes are the fit-sample collect and
+    # the fused reassign+encode+replace job (was: persist the
+    # reassignment, run a counts job, then write)
+    cent_rows = []
+    # the ONE atomic flip: new files + new centroids in one commit
+    engine.overwrite(
+        vt, _bucket_spread(vectors, id_col, len(fitted_C)),
+        partition_by=["ivf_bucket"], expected_paths=expected,
+        commit_meta=_fitted_meta_fn(engine, vectors, fitted_C, cent_rows, gen=stamp),
+    )
+    # derived mirror for SQL consumers (resynced above if this
+    # second commit is lost to a crash)
+    engine.overwrite(
+        ct,
+        engine.spark.createDataFrame(
+            cent_rows, "ivf_bucket INT, centroid ARRAY<FLOAT>, n_vectors BIGINT"
+        ),
+        txn=(rebuild_app, stamp),
+    )
     return {
         "rebuilt": True,
         "reasons": reasons,

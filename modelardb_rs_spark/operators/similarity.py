@@ -428,12 +428,19 @@ def probe_topk(
     vec_col: str = "embedding",
     bucket_col: str = "label",
     drop_nan: bool = False,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """The probe half of IVF: queries score the (small, broadcast)
     centroid set, keep their ``nprobe`` nearest buckets, and exact-rank
     within the probed subset only. ``centroids`` must be
     (bucket_col, centroid) as produced by ``bucket_centroids`` or read
     from a persisted index.
+
+    ``probes`` accepts a PRE-COMPUTED (query_id, __qv__, __bucket__)
+    probe-assignment frame (``ivf_index_topk`` materializes one so its
+    probed-bucket collect and this scan share a single probe
+    computation instead of re-running the |Q| x n_buckets cross + rank
+    per consumer); None keeps the self-contained construction.
 
     ``drop_nan=True`` removes NaN-cosine candidates (zero-norm or
     malformed corpus vectors) BEFORE the rank: Spark orders NaN above
@@ -451,24 +458,25 @@ def probe_topk(
     probe stays Column algebra: its UNROUNDED ranking decides which
     buckets are scanned, and the sequential-sum Column form is what
     the exact DuckDB oracles reproduce term-for-term."""
-    centroids = centroids.select(
-        F.col(bucket_col).alias("__bucket__"),
-        F.col("centroid").alias("__centroid__"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv__"),
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("__ccos__").desc(), F.col("__bucket__")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("__ccos__", cosine(F.col("__qv__"), F.col("__centroid__")))
-        .withColumn("__pr__", F.row_number().over(probe_w))
-        .where(F.col("__pr__") <= nprobe)
-        .select("query_id", "__qv__", F.col("__bucket__"))
-    )
+    if probes is None:
+        centroids = centroids.select(
+            F.col(bucket_col).alias("__bucket__"),
+            F.col("centroid").alias("__centroid__"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv__"),
+        )
+        probe_w = Window.partitionBy("query_id").orderBy(
+            F.col("__ccos__").desc(), F.col("__bucket__")
+        )
+        probes = (
+            q.crossJoin(F.broadcast(centroids))
+            .withColumn("__ccos__", cosine(F.col("__qv__"), F.col("__centroid__")))
+            .withColumn("__pr__", F.row_number().over(probe_w))
+            .where(F.col("__pr__") <= nprobe)
+            .select("query_id", "__qv__", F.col("__bucket__"))
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv__"),

@@ -139,6 +139,32 @@ def _parquet_segment_stats(fs: HadoopFS, uri: str, size: int) -> dict | None:
     }
 
 
+def _parquet_num_rows(fs: HadoopFS, uri: str, size: int) -> int | None:
+    """Row count from the Parquet footer — a KB-sized ranged read, no
+    Spark job. Returns None (conservative) when unreadable. Recorded in
+    every normal-table add entry so readers can answer count-shaped
+    questions (e.g. the ANN index's per-bucket sizes, which pair the
+    count with the ``ivf_bucket=`` partition value in the path) from
+    the commit log alone — zero jobs, zero file scans."""
+    import pyarrow.parquet as pq
+
+    stream = None
+    try:
+        if uri.startswith("file:"):
+            from urllib.parse import urlparse
+
+            pf = pq.ParquetFile(urlparse(uri).path)
+        else:
+            stream = fs.open_seekable(uri, size)
+            pf = pq.ParquetFile(stream)
+        return int(pf.metadata.num_rows)
+    except Exception:
+        return None
+    finally:
+        if stream is not None:
+            stream.close()
+
+
 class DataFolder:
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
@@ -207,7 +233,16 @@ class DataFolder:
         the centroids in the meta; if a rebuild swaps them mid-flight
         the staged rows belong to a geometry that no longer exists, so
         the commit must abort and the caller re-derive). Checked on
-        every optimistic-retry snapshot, like ``replace_expected``."""
+        every optimistic-retry snapshot, like ``replace_expected``.
+
+        ``commit_meta`` may be a CALLABLE: it is invoked once with the
+        staged ADD-ENTRY list (paths, sizes, and — for normal tables —
+        per-file ``num_rows``), after the staged write job has run and
+        before the commit, and must return the meta dict. This is the
+        hook that lets a meta payload incorporate statistics of the
+        write itself: the ANN builds derive their per-bucket counts
+        from the entries' ``num_rows`` + ``ivf_bucket=`` path values,
+        saving the separate counts pass the eager form required."""
         table = self.table_path(name)
         staged_rel = f"txn={uuid.uuid4().hex[:16]}"
         staged = self.fs.join(table, staged_rel)
@@ -252,6 +287,27 @@ class DataFolder:
                 if st.get("total_points") is not None:
                     entry["fast_points"] = st["fast_points"]
                     entry["total_points"] = st["total_points"]
+        elif add:
+            # normal tables: record each file's row count (one footer
+            # ranged read per file, threaded — same flat-commit-latency
+            # contract as the segment stats above)
+            def rows_of(entry: dict):
+                return _parquet_num_rows(
+                    self.fs, self.fs.join(table, entry["path"]), entry["size"]
+                )
+
+            if len(add) == 1:
+                n_rows = [rows_of(add[0])]
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(min(16, len(add))) as pool:
+                    n_rows = list(pool.map(rows_of, add))
+            for entry, n in zip(add, n_rows):
+                if n is not None:
+                    entry["num_rows"] = n
+        if callable(commit_meta):
+            commit_meta = commit_meta(add)
         remove_set = set(remove or [])
         expected_set = set(replace_expected) if replace_expected is not None else None
 

@@ -73,10 +73,12 @@ def test_incremental_append(engine, emb):
 
 
 def test_append_counts_without_recomputing_lineage(engine, spark, emb):
-    # `appended` is reported via an Observation riding the write job, so
-    # a caller with expensive upstream lineage pays for the lineage ONCE.
-    # A per-row accumulator in the input plan detects re-execution: the
-    # old write-then-count shape evaluated every row twice.
+    # `appended` is derived from the commit's own add entries (per-file
+    # num_rows footer stats), so a caller with expensive upstream
+    # lineage pays for the lineage ONCE — the write job is the only
+    # execution. A per-row accumulator in the input plan detects
+    # re-execution: the old write-then-count shape evaluated every row
+    # twice.
     from pyspark.sql.types import LongType
 
     first = emb.where(F.col("vec_id") < 400)
@@ -97,6 +99,38 @@ def test_append_counts_without_recomputing_lineage(engine, spark, emb):
     # speculative/retried tasks could legitimately add a few extra ticks;
     # a full second evaluation would land at exactly 2x
     assert acc.value < 2 * n_batch
+
+
+def test_append_empty_batch_reports_zero(engine, emb):
+    # An EMPTY micro-batch must commit cleanly and report appended=0.
+    # This is the case that broke the former Observation form: AQE's
+    # empty-relation propagation eliminates the CollectMetrics node and
+    # the metrics never materialize; the commit-stats derivation has no
+    # such failure mode (no add entries -> 0).
+    first = emb.where(F.col("vec_id") < 400)
+    ann_index.build_ivf_index(engine, "emptyidx", first, bucket_col="label")
+    empty = emb.where(F.col("vec_id") < 0)
+    stats = ann_index.append_to_ivf_index(engine, "emptyidx", empty)
+    assert stats == {"appended": 0, "replayed": False}
+    assert engine.table("emptyidx__vectors").count() == first.count()
+
+
+def test_commit_entries_carry_num_rows(engine, emb):
+    # Every normal-table add entry records the file's parquet num_rows
+    # (footer ranged read at stage time): per-bucket histograms
+    # (ivf_index_stats, the builds' commit_meta counts) come straight
+    # from the log — zero Spark jobs, any bucket count.
+    ann_index.build_ivf_index(engine, "nridx", emb, bucket_col="label")
+    snap = engine.folder.log("nridx__vectors").snapshot()
+    assert snap.files and all("num_rows" in f for f in snap.files)
+    assert sum(f["num_rows"] for f in snap.files) == emb.count()
+    # and the meta centroids' n_vectors agree with the file stats
+    by_bucket: dict[int, int] = {}
+    for f in snap.files:
+        b = int(f["path"].split("ivf_bucket=")[1].split("/")[0])
+        by_bucket[b] = by_bucket.get(b, 0) + f["num_rows"]
+    meta = {int(b): int(n) for b, _, n in (snap.meta or {})["ann_centroids"]}
+    assert meta == by_bucket
 
 
 def test_append_txn_replay_is_exactly_once(engine, emb):
