@@ -126,47 +126,30 @@ def ngram_jaccard_pairs(
     is small enough that the exploded index safely fits an executor.
 
     Output: (id_a, id_b, jaccard rounded to 6) with jaccard >= threshold.
-
-    Plan shape (round-13 optimization, guide §2.3/§2.4): each side's
-    per-doc shingle count rides the exploded rows (+8 bytes per row),
-    so the Jaccard denominator needs NO separate corpus pass and NO
-    join back to a sizes table — the former shape scanned and shingled
-    the corpus four times (two explodes + two sizes scans,
-    plans/r13/dedup_ngram_jaccard_before.txt) and re-attached the
-    counts with two extra joins; this one shingles twice and joins
-    once. The count is F.size over the SAME materialized shingle array
-    the explode consumes, so the HOF runs once per side."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    base = df.repartition(parallelism, F.col(id_col)).select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("__sh__")
+    """
+    ex = explode_shingles(df, text_col, id_col, n).alias("l")
+    # Per-doc shingle counts straight from the array length — no second
+    # explode+groupBy pass (and small enough to broadcast into the join).
+    sizes = df.select(
+        F.col(id_col), F.size(shingles(F.col(text_col), n)).alias("n_shingles")
     )
-
-    def exploded(count_alias: str):
-        return base.select(
-            F.col(id_col),
-            F.size("__sh__").alias(count_alias),
-            F.explode("__sh__").alias("shingle"),
-        )
-
-    ex = exploded("na").alias("l")
     if broadcast_index is None:
         broadcast_index = _plan_size_bytes(df) < _BROADCAST_SOURCE_LIMIT
-    rhs = exploded("nb").alias("r")
+    rhs = explode_shingles(df, text_col, id_col, n).alias("r")
     if broadcast_index:
         rhs = F.broadcast(rhs)
     pairs = (
         ex.join(rhs, F.col("l.shingle") == F.col("r.shingle"))
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .agg(
-            F.count("*").alias("inter"),
-            # na/nb are functionally determined by the group key
-            F.first(F.col("l.na")).alias("na"),
-            F.first(F.col("r.nb")).alias("nb"),
-        )
+        .agg(F.count("*").alias("inter"))
     )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_shingles", "na")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_shingles", "nb")
     return (
-        pairs.withColumn(
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
         )
