@@ -1900,12 +1900,27 @@ def doc_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle reproduces the ENTIRE chain in one SQL statement and the
     final text is md5-pinned per document — any drift in any stage, or
     in how the stages compose, breaks the hash."""
+    from pyspark import StorageLevel
+
     from modelardb_rs_spark.operators.spans import remove_duplicated_spans
 
     (docs,) = _prep(spark, sf_dir, "documents")
     staged = _pii_corpus(_lined_corpus(docs))
     lined = line_ops.remove_common_lines(staged, min_docs=2)
-    red = pii_ops.redact_documents(lined)
+    # Persist the redacted corpus (two thin columns): the span stage
+    # references its input THREE times (two gram-occurrence branches +
+    # the token rebuild), so without the cache the whole lined->pii
+    # chain — including the collect_list line rebuild — executed three
+    # times per action (14 parquet scans in
+    # plans/r13/doc_clean_pipeline_before.txt). Same
+    # persist-the-thin-columns discipline as the doc_train chains.
+    # The span operator's internal occ duplication stays: re-running a
+    # map-only tokenize over cached text beats writing a corpus-sized
+    # occ copy to storage at scale (A/B: 3.51 vs 3.76 s at sf0.1 —
+    # inside noise, and strictly worse on storage).
+    red = pii_ops.redact_documents(lined).select("doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cleaned = remove_duplicated_spans(red, span=10, min_dups=2)
     kept = cleaned.where(F.col("n_tokens_kept") >= 30)
     return kept.join(docs.select("doc_id", "lang"), "doc_id").select(
