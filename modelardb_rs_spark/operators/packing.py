@@ -115,7 +115,7 @@ def pack_documents(
     )
     slice_lo = F.greatest(F.col("seq_id") * L, F.col("__start__"))
     slice_hi = F.least((F.col("seq_id") + 1) * L, F.col("__start__") + F.col("__n__"))
-    return out.select(
+    result = out.select(
         id_col,
         "seq_id",
         (slice_lo - F.col("__start__")).alias("doc_token_start"),
@@ -123,6 +123,17 @@ def pack_documents(
         (slice_lo - F.col("seq_id") * L).alias("seq_token_start"),
         (slice_hi - slice_lo).alias("n_tokens"),
     )
+    # The grand token total is already on the driver (pass 1's collect),
+    # so the sequence count N = maxSeqId+1 is known WITHOUT another
+    # corpus pass. Stash it on the returned frame: downstream consumers
+    # that need N (export_training_shards' shard arithmetic) read the
+    # attribute instead of re-executing the whole span chain for one
+    # max() — at scale that pass is a full window+explode+distinct over
+    # the pack input. Purely advisory metadata derived from the same
+    # plan; absent after further transformations, in which case
+    # consumers fall back to the aggregate.
+    result.n_sequences = (acc - 1) // seq_len + 1 if acc > 0 else 0
+    return result
 
 
 def materialize_sequences(
@@ -151,7 +162,7 @@ def materialize_sequences(
             F.col(ids_col), F.col("doc_token_start") + 1, F.col("n_tokens")
         ).alias("__span__"),
     )
-    return (
+    result = (
         spans.groupBy("seq_id")
         .agg(
             F.array_sort(
@@ -166,6 +177,13 @@ def materialize_sequences(
         )
         .withColumn("seq_len", F.size("token_ids"))
     )
+    # propagate pack_documents' driver-known sequence count (see there):
+    # every packed seq_id survives materialization (the join keys exist
+    # by construction in any well-formed token table), so N is unchanged
+    n = getattr(packed, "n_sequences", None)
+    if n is not None:
+        result.n_sequences = n
+    return result
 
 
 def export_training_shards(
@@ -227,10 +245,19 @@ def export_training_shards(
     if rows_per_file is not None and rows_per_file <= 0:
         raise ValueError(f"rows_per_file must be positive, got {rows_per_file}")
     spark = sequences.sparkSession
-    n = sequences.agg(F.max(seq_col)).first()[0]
-    if n is None:
+    # pack_documents/materialize_sequences stash the driver-known
+    # sequence count on the frame (attribute, see pack_documents) —
+    # when present it IS max(seq_id)+1 and the aggregate below would
+    # re-execute the whole span chain just to recompute it
+    n = getattr(sequences, "n_sequences", None)
+    if n == 0:
         raise ValueError("export_training_shards: no sequences to export")
-    n = int(n) + 1
+    if n is None:
+        n = sequences.agg(F.max(seq_col)).first()[0]
+        if n is None:
+            raise ValueError("export_training_shards: no sequences to export")
+        n = int(n) + 1
+    n = int(n)
     # more shards than sequences would leave EMPTY shard ids with no
     # directory on disk — a reader iterating shard=0..W-1 would fail on
     # the gaps; clamp so every exported shard directory exists

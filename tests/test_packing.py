@@ -383,3 +383,43 @@ def test_pack_documents_property(spark):
             map(tuple, pack_documents(df, L, token_count_col="n_tok").collect())
         )
         assert got == _reference_pack(counts, L), f"trial={trial} L={L} {counts}"
+
+
+def test_export_uses_driver_known_sequence_count(spark, tmp_path):
+    """pack_documents stashes the driver-known sequence count on its
+    output; materialize_sequences propagates it; export_training_shards
+    reads it instead of re-executing the span chain for max(seq_id) —
+    and the exported manifest is identical either way."""
+    from modelardb_rs_spark.operators.packing import (
+        export_training_shards,
+        materialize_sequences,
+    )
+
+    docs = spark.range(9).select(
+        F.col("id").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), (F.col("id") % 4) + 2),
+            lambda i: (F.col("id") * 100 + i).cast("int"),
+        ).alias("token_ids"),
+    )
+    counted = docs.withColumn("n_tok", F.size("token_ids").cast("long"))
+    packed = pack_documents(counted, 7, id_col="doc_id", token_count_col="n_tok")
+    assert isinstance(getattr(packed, "n_sequences", None), int)
+    seqs = materialize_sequences(packed, docs, id_col="doc_id")
+    n_attr = getattr(seqs, "n_sequences", None)
+    assert n_attr == packed.n_sequences
+    # the attribute equals the aggregate-derived count
+    assert n_attr == seqs.agg(F.max("seq_id")).first()[0] + 1
+    out_a = str(tmp_path / "with_attr")
+    man_a = sorted(
+        tuple(r) for r in export_training_shards(seqs, out_a, 3, rows_per_file=2).collect()
+    )
+    # strip the attribute (what any post-transformation frame looks
+    # like) -> the fallback aggregate path must produce the same export
+    seqs_plain = seqs.select("seq_id", "token_ids", "seq_len")
+    assert getattr(seqs_plain, "n_sequences", None) is None
+    out_b = str(tmp_path / "without_attr")
+    man_b = sorted(
+        tuple(r) for r in export_training_shards(seqs_plain, out_b, 3, rows_per_file=2).collect()
+    )
+    assert man_a == man_b
