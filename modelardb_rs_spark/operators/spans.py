@@ -79,12 +79,25 @@ def duplicated_spans(
     if span < 1:
         raise ValueError(f"span must be >= 1, got {span}")
     occ = _gram_occurrences(df, span, text_col, id_col)
-    dup_grams = (
-        occ.groupBy("gram")
-        .agg(F.count_distinct(id_col).alias("nd"))
-        .where(F.col("nd") >= min_dups)
-        .select("gram")
-    )
+    if min_dups == 2:
+        # nd >= 2 is exactly min(id) != max(id), and min/max get true
+        # map-side partial aggregation in ONE exchange on gram; the
+        # count_distinct form plans as a distinct-pair aggregate whose
+        # first exchange ships every (gram, id) pair — a second
+        # data-sized shuffle this branch removes outright
+        dup_grams = (
+            occ.groupBy("gram")
+            .agg(F.min(id_col).alias("__mn__"), F.max(id_col).alias("__mx__"))
+            .where(F.col("__mn__") != F.col("__mx__"))
+            .select("gram")
+        )
+    else:
+        dup_grams = (
+            occ.groupBy("gram")
+            .agg(F.count_distinct(id_col).alias("nd"))
+            .where(F.col("nd") >= min_dups)
+            .select("gram")
+        )
     hits = occ.join(dup_grams, "gram").select(
         id_col, F.col("pos").alias("lo"), (F.col("pos") + span).alias("hi")
     )
