@@ -53,6 +53,17 @@ def _vectors_table(index_name: str) -> str:
     return f"{index_name}__vectors"
 
 
+def _round6_half_away(x):
+    """Round to 6 decimals HALF-AWAY-FROM-ZERO, matching Spark's
+    F.round and DuckDB's round() — the one cross-engine rounding rule
+    (similarity.mmr_rerank uses the same form). numpy's np.round is
+    half-to-even and would diverge from the SQL oracles exactly on the
+    .5 boundaries a low-entropy corpus can hit."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 def _entry_bucket_counts(add_entries: list[dict]) -> dict[int, int] | None:
     """Per-bucket row counts straight from a commit's staged add
     entries: each normal-table entry records its parquet ``num_rows``
@@ -647,6 +658,12 @@ def build_ivfpq_index(
             resid, m=m, ks=ks, vec_col="__resid__", id_col=id_col,
             sample=sample, iters=iters, seed=seed,
         )
+        # same float32 round-trip as the OPQ branch: the stored pqbooks
+        # table is ARRAY<FLOAT>, so appends/rebuild re-encodes read
+        # float32-rounded books — encoding the build with float64-trained
+        # books would let a tie-adjacent residual code differently across
+        # the build/append boundary
+        books = [b.astype(np.float32).astype(np.float64) for b in books]
     # exact reconstructed-vector norm |c_b + dec(codes)| computed in the
     # SAME numpy encode pass (encode_pq's default pq_norm is the
     # RESIDUAL's norm — not what cosine ranking needs here)
@@ -1155,8 +1172,8 @@ def semantic_dedup_check(
         bs = max(1, (1 << 22) // max(len(Q), 1))
         with np.errstate(divide="ignore", invalid="ignore"):
             for s in range(0, len(Q), bs):
-                cos = np.round(
-                    (Q[s : s + bs] @ Q.T) / (qn[s : s + bs, None] * qn[None, :]), 6
+                cos = _round6_half_away(
+                    (Q[s : s + bs] @ Q.T) / (qn[s : s + bs, None] * qn[None, :])
                 )
                 cos = np.where(np.isnan(cos), -np.inf, cos)
                 # only strictly-smaller ids are admissible representatives
@@ -1196,8 +1213,8 @@ def semantic_dedup_check(
         bs = max(1, (1 << 22) // max(len(Xn), 1))
         with np.errstate(divide="ignore", invalid="ignore"):
             for s in range(0, len(Q), bs):
-                cos = np.round(
-                    (Q[s : s + bs] @ Xn.T) / (qn[s : s + bs, None] * nn[None, :]), 6
+                cos = _round6_half_away(
+                    (Q[s : s + bs] @ Xn.T) / (qn[s : s + bs, None] * nn[None, :])
                 )
                 # NaN (degenerate vectors) and self-id pairs never match
                 cos = np.where(np.isnan(cos), -np.inf, cos)
@@ -1251,7 +1268,7 @@ def semantic_dedup_check(
                 for s in range(len(books)):
                     lut_s = QRb[:, s * sub_d : (s + 1) * sub_d] @ books[s].T
                     acc += lut_s[:, codes[:, s]]
-                adc = np.round(acc / (qn[st : st + bs, None] * pqn[None, :]), 6)
+                adc = _round6_half_away(acc / (qn[st : st + bs, None] * pqn[None, :]))
                 adc = np.where(np.isnan(adc), -np.inf, adc)
                 adc = np.where(nids[None, :] == qids[st : st + bs, None], -np.inf, adc)
                 if s_eff >= n_c:
@@ -1637,22 +1654,51 @@ def ivf_index_maintenance(
         # rebuild, which installs a consistent meta itself.
         vt_stamp = engine.last_txn_version(vt, rebuild_app)
         ct_stamp = engine.last_txn_version(ct, rebuild_app)
-        if vt_stamp == ct_stamp:
-            upgrade_rows = [
-                (
-                    int(r["ivf_bucket"]),
-                    [float(x) for x in r["centroid"]],
-                    int(r["n_vectors"]),
-                )
-                for r in engine.table(ct)
-                .select("ivf_bucket", "centroid", "n_vectors")
-                .collect()
-            ]
+        # equal stamps include the None==None case of a never-rebuilt
+        # legacy index — where a legacy BUILD that crashed between its
+        # vectors and mirror commits also shows equal (None) stamps with
+        # a missing or geometry-stale mirror. Sanity-check the mirror
+        # before blessing it: it must exist and cover every bucket the
+        # vectors table actually has partitions for (parsed from the
+        # commit log's paths — zero jobs; empty buckets legitimately
+        # appear only in the mirror). Anything else falls through to the
+        # healing rebuild, which installs a consistent meta itself.
+        mirror_ok = vt_stamp == ct_stamp
+        upgrade_rows: list = []
+        if mirror_ok:
+            if ct not in engine.tables():
+                mirror_ok = False
+            else:
+                upgrade_rows = [
+                    (
+                        int(r["ivf_bucket"]),
+                        [float(x) for x in r["centroid"]],
+                        int(r["n_vectors"]),
+                    )
+                    for r in engine.table(ct)
+                    .select("ivf_bucket", "centroid", "n_vectors")
+                    .collect()
+                ]
+                vec_buckets = set()
+                for p in engine.folder.log(vt).snapshot().paths:
+                    for seg in str(p).split("/"):
+                        if seg.startswith("ivf_bucket="):
+                            vec_buckets.add(int(seg.split("=", 1)[1]))
+                mirror_ok = bool(upgrade_rows) and vec_buckets <= {
+                    b for b, _, _ in upgrade_rows
+                }
+        if mirror_ok:
             upgrade_meta = _centroids_meta(upgrade_rows, gen=int(vt_stamp or 0))
             engine.folder.log(vt).commit(
                 lambda snap: ("append", [], [], upgrade_meta)
             )
             vt_meta = engine.folder.log(vt).snapshot().meta or {}
+        elif vt_stamp == ct_stamp:
+            reasons.append(
+                "legacy mirror missing or not covering the vectors table's"
+                " buckets (crashed legacy build?) — rebuilding to heal and"
+                " upgrade to the atomic commit-meta layout"
+            )
         else:
             reasons.append(
                 f"crashed pre-meta rebuild detected (vectors stamp {vt_stamp}"

@@ -156,9 +156,15 @@ def temperature_weights(
     and domain_mix's keep-decision boundary is exact."""
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
+    # NULL strata are dropped, matching domain_mix's drop-unknown-strata
+    # behavior (and a None key would make the sorted-key association
+    # order below raise an opaque TypeError against str keys)
     counts = {
         r[0]: int(r[1])
-        for r in df.groupBy(strata_col).agg(F.count("*").alias("c")).collect()
+        for r in df.where(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(F.count("*").alias("c"))
+        .collect()
     }
     if not counts:
         raise ValueError("corpus has no strata")

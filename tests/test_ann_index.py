@@ -620,10 +620,7 @@ def test_ivf_rebuild_is_one_atomic_commit_and_mirror_resyncs(engine, emb):
     # simulate the crash: the authoritative vectors+meta commit landed
     # (here with a freshly-fitted 8-bucket geometry) but the process
     # died before the mirror commit
-    from modelardb_rs_spark.operators.ann_index import (
-        _centroids_meta,
-        _fitted_cent_rows,
-    )
+    from modelardb_rs_spark.operators.ann_index import _fitted_meta_fn
     from modelardb_rs_spark.operators.similarity import numpy_kmeans_buckets
 
     corpus = engine.table(vt).select("vec_id", "embedding")
@@ -634,11 +631,11 @@ def test_ivf_rebuild_is_one_atomic_commit_and_mirror_resyncs(engine, emb):
     vectors = bucketed.select(
         "vec_id", "embedding", F.col("ivf_bucket").cast("int").alias("ivf_bucket")
     )
-    cent_rows = _fitted_cent_rows(vectors, fitted_C)
+    cent_rows: list = []
     gen = int(engine.folder.log(vt).snapshot().version) + 1
     engine.overwrite(
         vt, vectors, partition_by=["ivf_bucket"],
-        commit_meta=_centroids_meta(cent_rows, gen=gen),
+        commit_meta=_fitted_meta_fn(engine, vectors, fitted_C, cent_rows, gen=gen),
     )
     # probes are consistent IMMEDIATELY — the 8-bucket centroids come
     # from the same snapshot as the 8-bucket vectors, even though the
@@ -789,10 +786,7 @@ def test_ivf_maintenance_trips_on_drift_and_imbalance(engine, spark, emb):
 def _swap_geometry(engine, vt, k, seed=7):
     """Replace the vectors table with a freshly-fitted k-bucket geometry
     carried in the commit meta — the state a maintenance rebuild leaves."""
-    from modelardb_rs_spark.operators.ann_index import (
-        _centroids_meta,
-        _fitted_cent_rows,
-    )
+    from modelardb_rs_spark.operators.ann_index import _fitted_meta_fn
     from modelardb_rs_spark.operators.similarity import numpy_kmeans_buckets
 
     corpus = engine.table(vt).select("vec_id", "embedding")
@@ -803,11 +797,11 @@ def _swap_geometry(engine, vt, k, seed=7):
     vectors = bucketed.select(
         "vec_id", "embedding", F.col("ivf_bucket").cast("int").alias("ivf_bucket")
     )
-    cent_rows = _fitted_cent_rows(vectors, fitted_C)
+    cent_rows: list = []
     gen = int(engine.folder.log(vt).snapshot().version) + 1
     engine.overwrite(
         vt, vectors, partition_by=["ivf_bucket"],
-        commit_meta=_centroids_meta(cent_rows, gen=gen),
+        commit_meta=_fitted_meta_fn(engine, vectors, fitted_C, cent_rows, gen=gen),
     )
 
 
