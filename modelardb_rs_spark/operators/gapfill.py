@@ -112,28 +112,48 @@ def gapfill(
     ``buckets``: one row per observed (series, bucket); ``bucket_col``
     must be TimestampType bucket starts aligned to ``bucket_us``.
     Output: (*series_cols, bucket, <value_col> filled, was_gap).
+
+    Shape: the gap slots come from a per-series ``lead`` window — each
+    observed bucket explodes into itself plus the empty slots up to
+    (exclusive) the next observed bucket — NOT from a separate
+    min/max-spine aggregate left-joined back. The spine-join form
+    executed the ENTIRE upstream (for the engine path: segment scan +
+    model decode + resample aggregation) twice, once per join side,
+    because the two sides' pruned column sets defeat Spark's exchange
+    reuse (guide §2.4); the lead window keys by the same series columns
+    as the fill windows below, so the upstream runs once and all three
+    windows share one exchange. Under the aligned-buckets contract the
+    emitted slot set is identical: consecutive observed buckets sit on
+    the same B-grid, so sequence(b_i, b_{i+1} - B, B) tiles exactly the
+    closed spine sequence(min, max, B).
     """
     from pyspark.sql import Window
 
     if method not in ("locf", "linear"):
         raise ValueError(f"unknown gapfill method: {method}")
     B = int(bucket_us)
-    spine = (
-        buckets.groupBy(*series_cols)
-        .agg(F.min(bucket_col).alias("__mn__"), F.max(bucket_col).alias("__mx__"))
-        .select(
-            *series_cols,
-            F.explode(
-                F.expr(f"sequence(__mn__, __mx__, interval {B} microsecond)")
-            ).alias(bucket_col),
-        )
+    w_lead = Window.partitionBy(*series_cols).orderBy("__obs__")
+    stepped = buckets.select(
+        *series_cols, F.col(bucket_col).alias("__obs__"), F.col(value_col)
+    ).withColumn("__nxt__", F.lead("__obs__").over(w_lead))
+    j = stepped.select(
+        *series_cols,
+        "__obs__",
+        value_col,
+        # greatest(): a duplicate (series, bucket) input row (out of
+        # contract) has __nxt__ == __obs__; clamping the stop to __obs__
+        # emits the slot once per duplicate instead of raising on a
+        # negative sequence range
+        F.explode(
+            F.expr(
+                f"sequence(__obs__, coalesce(greatest(__nxt__ - interval {B}"
+                f" microsecond, __obs__), __obs__), interval {B} microsecond)"
+            )
+        ).alias(bucket_col),
     )
-    j = spine.join(
-        buckets.select(*series_cols, bucket_col, value_col),
-        series_cols + [bucket_col],
-        "left",
-    )
-    v = F.col(value_col)
+    # NULL on every generated gap slot (and on an observed-but-NULL row,
+    # matching the spine-join form's left-join semantics)
+    v = F.when(F.col(bucket_col) == F.col("__obs__"), F.col(value_col))
     b_us = F.unix_micros(F.col(bucket_col))
     w_p = (
         Window.partitionBy(*series_cols)

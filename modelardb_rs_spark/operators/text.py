@@ -371,7 +371,19 @@ def unigram_lm_scores(
     Output: (id_col, n_tokens, avg_logprob) — one row per document with
     at least one token.
     """
-    ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    # The explicit NULL filters make the three consumers' subtrees
+    # CANONICALLY IDENTICAL so Spark's ReuseExchange actually fires:
+    # without them, the scoring join infers isnotnull(id)/isnotnull(tok)
+    # on its dtc branch only, the freq/totals branches stay unfiltered,
+    # and the corpus tokenizes THREE times (three Generate chains, zero
+    # ReusedExchange in the plan — guide §2.4). The tok filter is a
+    # no-op (explode(tokens(...)) never yields NULL). The id filter
+    # makes the former inferred-filter behavior uniform: NULL-id rows —
+    # which never received a score — now also stay out of the corpus
+    # frequency model instead of feeding it silently.
+    ex = df.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).where(F.col("tok").isNotNull())
     dtc = ex.groupBy(id_col, "tok").agg(F.count("*").alias("__c__"))
     freq = dtc.groupBy("tok").agg(F.sum("__c__").alias("__cnt__"))
     totals = freq.agg(
