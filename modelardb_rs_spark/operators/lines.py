@@ -87,7 +87,21 @@ def remove_common_lines(
     drop husks).
     """
     ex = explode_lines(df, text_col, id_col)
-    common = common_lines(df, min_docs, text_col, id_col).select("norm")
+    # The common set derives from the SAME exploded frame — not from a
+    # second explode_lines(df) — with an explicit isnotnull(id) filter
+    # that mirrors the filter a caller's join on id_col infers onto the
+    # reconstruction branch. Both branches' subtrees then canonicalize
+    # identically and AQE's runtime stage reuse runs the scan + doc-keyed
+    # exchange ONCE (guide §2.4; before: two full corpus scans+shuffles,
+    # zero ReusedExchange). count_distinct already ignores NULL ids, so
+    # the filter cannot change which lines clear min_docs.
+    common = (
+        ex.where((F.col("norm") != "") & F.col(id_col).isNotNull())
+        .groupBy("norm")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("norm")
+    )
     marked = ex.join(common.withColumn("__common__", F.lit(True)), "norm", "left")
     kept = F.filter(
         F.array_sort(
