@@ -210,11 +210,36 @@ def main() -> None:
     # q3 is the first heavy multi-join line in the suite and absorbed
     # one-time shuffle warmup in cold sessions twice (r5, r6 — both
     # adjudicated as noise): best-of pins it to compute cost too.
-    best_of = {"ts_correlation": 3, "q3_shipping_priority": 3}
+    # Round-13 (VERDICT r12 task 1): the three composite doc_* pipeline
+    # lines join the best-of map — every round-12 flagged-then-closed
+    # line was a single-shot composite absorbing position noise, and
+    # the round-7/9/10/12 adjudications all traced their swings to
+    # ambient load, not code. Same timed action (.count()), same plans;
+    # the recorded number becomes the best of 3 runs. Documented in
+    # OPTIMIZATION_r13.md ("Bench methodology change").
+    best_of = {
+        "ts_correlation": 3,
+        "q3_shipping_priority": 3,
+        "doc_clean_pipeline": 3,
+        "doc_train_pipeline": 3,
+        "doc_train_export": 3,
+    }
+    # Between-rep cache hygiene for the composite lines: their internal
+    # persist() calls register CacheManager entries that a repeat
+    # invocation's canonically-identical plan would silently read — a
+    # best-of over cached reps would time cache hits, not the chain.
+    # Clearing BETWEEN reps (never before the first, which keeps the
+    # r12-comparable suite-order warm state) makes every rep compute
+    # from the parquet inputs; doc_train_export additionally re-exports
+    # (its marker cache is cleared so reps don't time a marker check).
+    clear_between = {"doc_clean_pipeline", "doc_train_pipeline", "doc_train_export"}
     for name in HEADLINE:
         fn = qs[name]
         runs = []
-        for _ in range(best_of.get(name, 1)):
+        for i in range(best_of.get(name, 1)):
+            if i > 0 and name in clear_between:
+                spark.catalog.clearCache()
+                entry.clear_caches(kinds=("trainexport",))
             t0 = time.time()
             fn(spark, sf_dir).count()
             runs.append(time.time() - t0)

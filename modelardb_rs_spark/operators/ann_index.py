@@ -971,9 +971,11 @@ def semantic_dedup_check(
     output is local-checkpointed, so the probed-bucket collect, the
     cogrouped verify, and everything upstream (e.g. the ingest path's
     exact-collapse groupBy) read the materialized blocks instead of
-    re-running the lineage; the blocks are freed by the ContextCleaner
-    when the returned plan is garbage-collected, so long-running ingest
-    sessions accumulate no persisted state. The batch then COGROUPS
+    re-running the lineage; call ``free_gate_blocks`` on the returned
+    frame once every consumer has materialized to release the blocks
+    deterministically (the streaming ingest path does, per epoch) —
+    otherwise the ContextCleaner frees them when the returned plan is
+    garbage-collected. The batch then COGROUPS
     with the probed bucket slices of the vectors table and each
     bucket's bipartite cosine block runs as chunked numpy matmul —
     candidate pairs never exist as rows, only per-(query, bucket) bests
@@ -1110,6 +1112,19 @@ def semantic_dedup_check(
         if s_short < 1:
             raise ValueError(f"prescreen must be >= 1, got {prescreen}")
         books, pq_rotation = _cached_pq_books(engine, index_name)
+        # large OPQ rotations ship as a broadcast, not in every task's
+        # pickled cogroup closure (pq._ship_rotation; guide §4.1) —
+        # resolved lazily ONCE per task via the memo list, not per group
+        from modelardb_rs_spark.operators.pq import _rotation_value, _ship_rotation
+
+        rot_local, rot_bc = _ship_rotation(engine.spark, pq_rotation)
+        _rot_memo: list = []
+
+        def _pq_rot():
+            if not _rot_memo:
+                _rot_memo.append(_rotation_value(rot_local, rot_bc))
+            return _rot_memo[0]
+
         sub_d = books[0].shape[1]
         # column pruning is the point: codes + norm, never raw vectors
         corpus = base.select(
@@ -1246,7 +1261,8 @@ def semantic_dedup_check(
         qn = np.sqrt((Q * Q).sum(axis=1))
         # OPQ index: codes live in the rotated residual space, so the
         # LUT side reads Q @ R; the bucket scalar and norms stay raw
-        QR = Q if pq_rotation is None else Q @ pq_rotation
+        _R = _pq_rot()
+        QR = Q if _R is None else Q @ _R
         cvec = cent_map[int(bucket)]
         nids = right_pdf["__nid__"].to_numpy()
         codes = np.stack(right_pdf["pq_codes"].to_numpy()).astype(np.int64, copy=False)
@@ -1372,7 +1388,40 @@ def semantic_dedup_check(
         )
     # no broadcast hint: hits is |batch|-bounded and AQE broadcasts it
     # when small — no need to force what the planner already picks
-    return new_vectors.join(hits, id_col, "left")
+    out = new_vectors.join(hits, id_col, "left")
+    # handle for free_gate_blocks: deterministic cleanup of the probe's
+    # local-checkpoint blocks once the caller is done with the verdicts
+    # (advisory Python attribute; lost by further transformations, in
+    # which case cleanup falls back to the ContextCleaner as before)
+    out._gate_probe = probed
+    return out
+
+
+def free_gate_blocks(checked) -> bool:
+    """Free the local-checkpointed probe blocks behind a
+    ``semantic_dedup_check`` result, DETERMINISTICALLY — the blocks are
+    otherwise released only when the ContextCleaner notices the plan is
+    garbage (guide §5: unpersist when done); a long-lived ingest session
+    holding epoch results could accumulate them. Call AFTER every
+    consumer of the returned frame has materialized (the frame is not
+    re-executable afterwards). Returns True when blocks were freed;
+    False (and a no-op) for frames that lost the probe handle or never
+    had one."""
+    probed = getattr(checked, "_gate_probe", None)
+    if probed is None:
+        return False
+    try:
+        leaves = probed._jdf.queryExecution().analyzed().collectLeaves()
+        it = leaves.iterator()
+        freed = False
+        while it.hasNext():
+            leaf = it.next()
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+                freed = True
+        return freed
+    except Exception:
+        return False
 
 
 def ivf_index_stats(engine, index_name: str, drift: bool = True) -> dict:

@@ -169,11 +169,14 @@ def train_opq(
     numpy ops are deterministic for a fixed seed, so the same corpus
     always yields the same (R, books).
 
-    Scale envelope: the rotation ships to executors inside the encode
-    closure at D^2 floats — negligible to D~1k (64-dim: 32 KB; 1024-dim:
-    8 MB), and at embedding dims (4k-8k) pass ``R.astype(np.float32)``
-    (128-512 MB float32) or train at a reduced ``sample``; the
-    alternation itself is sample x D and never touches the corpus."""
+    Scale envelope: the rotation's executor-ship cost is handled —
+    below 8 MB it rides the encode closure (64-dim: 32 KB); above,
+    ``_ship_rotation`` moves it to a Spark broadcast, as float32 when
+    the round-trip is lossless (it is, for every consumer that stores R
+    in the ARRAY<FLOAT> pqbooks table), so a 4k-8k-dim rotation costs
+    one 64-256 MB per-executor fetch instead of a per-task closure
+    copy. The alternation itself is sample x D and never touches the
+    corpus."""
     X = _driver_sample(corpus, id_col, vec_col, sample, seed)
     d = X.shape[1]
     if d % m:
@@ -195,6 +198,43 @@ def train_opq(
         R = U @ Vt
     books = _fit_books(X @ R, m, ks, iters, rng, books)
     return R, books
+
+
+# Rotation matrices above this many bytes ship to executors as a Spark
+# broadcast (fetched once per executor, torrent-distributed) instead of
+# riding every task's pickled closure; see _ship_rotation.
+_ROTATION_SHIP_CAP = 8 << 20
+
+
+def _ship_rotation(spark, R64: "np.ndarray | None"):
+    """Bound the executor-ship cost of an OPQ rotation (guide §4.1: you
+    control how many bytes cross to the workers). Returns
+    ``(local, broadcast)`` — exactly one is non-None when a rotation
+    exists. Small rotations stay in the closure (``local``); above
+    ``_ROTATION_SHIP_CAP`` the matrix ships as a Spark broadcast, and —
+    when the float32 round-trip is lossless, which it always is for
+    rotations from ``build_ivfpq_index``/``train_opq`` consumers since
+    those round-trip R through the ARRAY<FLOAT> storage contract before
+    any encode — it ships as float32, halving the bytes. A rotation
+    whose float64 values do NOT survive the round-trip broadcasts at
+    float64: value identity is never traded for ship size. Workers
+    upcast back to float64 before use, so results are bit-identical to
+    the closure path either way. At D=8192 this turns a 512 MB
+    per-closure copy into one 256 MB per-executor fetch."""
+    if R64 is None:
+        return None, None
+    if R64.nbytes <= _ROTATION_SHIP_CAP:
+        return R64, None
+    R32 = R64.astype(np.float32)
+    ship = R32 if np.array_equal(R32.astype(np.float64), R64) else R64
+    return None, spark.sparkContext.broadcast(ship)
+
+
+def _rotation_value(R_local, R_bc):
+    """The float64 rotation inside a worker, whichever way it shipped."""
+    if R_bc is not None:
+        return np.asarray(R_bc.value, dtype=np.float64)
+    return R_local
 
 
 def encode_pq(
@@ -239,15 +279,19 @@ def encode_pq(
     ``v`` — the OPQ path. The base column rotates too when
     ``recon_norm_base`` is set, so the reconstructed norm stays the
     ORIGINAL-space estimate (orthonormal R preserves norms:
-    ``|base + r| = |base @ R + r @ R|``). R rides the closure at D^2
-    floats (see train_opq's scale envelope)."""
+    ``|base + r| = |base @ R + r @ R|``). Small R rides the closure;
+    above 8 MB it ships via ``_ship_rotation`` as a (float32, when
+    lossless) Spark broadcast — bit-identical codes either way (see
+    train_opq's scale envelope)."""
     import pandas as pd
 
     from pyspark.sql import types as T
 
     m = len(books)
     books64 = [np.asarray(b, dtype=np.float64) for b in books]
-    R64 = None if rotate is None else np.asarray(rotate, dtype=np.float64)
+    R_local, R_bc = _ship_rotation(
+        corpus.sparkSession, None if rotate is None else np.asarray(rotate, dtype=np.float64)
+    )
     cent_norms_sq = [(b ** 2).sum(axis=1) for b in books64]
     out_schema = T.StructType(
         list(corpus.schema.fields)
@@ -258,6 +302,7 @@ def encode_pq(
     )
 
     def fn(batches):
+        R64 = _rotation_value(R_local, R_bc)
         for pdf in batches:
             if not len(pdf):
                 continue

@@ -592,6 +592,7 @@ def vector_ingest_batch(
         collapsed_exact = total - n_checked
         if admitted == 0:
             checked.unpersist()
+            ann.free_gate_blocks(checked)
             # commit an empty-epoch marker so the replay gate still
             # advances: without it a restart would re-probe this epoch
             engine.folder.log(_vectors_table(index_name)).commit(
@@ -613,6 +614,9 @@ def vector_ingest_batch(
     finally:
         if dedup is not None:
             checked.unpersist()
+            # deterministic release of the gate's local-checkpointed
+            # probe blocks — the epoch is over, nothing re-reads them
+            ann.free_gate_blocks(checked)
     if dedup is not None:
         out["deduped"] = deduped
         out["collapsed_exact"] = collapsed_exact

@@ -962,6 +962,59 @@ def test_opq_reduces_quantization_error_on_anisotropic_data(spark):
     assert e_opq < 0.8 * e_pq, (e_pq, e_opq)
 
 
+def test_large_opq_rotation_ships_bounded_and_value_identical(spark):
+    """Above the 8 MB cap the rotation must leave the task closure for a
+    Spark broadcast — float32 when the ARRAY<FLOAT> round-trip is
+    lossless — and the codes must be bit-identical to the closure path
+    (VERDICT r12 item 3: the library handles the D^2 ship cost, the
+    caller no longer downcasts by hand)."""
+    from modelardb_rs_spark.operators import pq as pq_ops
+
+    rng = np.random.default_rng(7)
+    d, m, ks = 1152, 4, 8  # d^2 float64 = 10.1 MB > the 8 MB cap
+    # storage-contract rotation: float32-representable values
+    R = (
+        np.linalg.qr(rng.normal(size=(d, d)))[0]
+        .astype(np.float32)
+        .astype(np.float64)
+    )
+    local, bc = pq_ops._ship_rotation(spark, R)
+    assert local is None and bc is not None
+    assert bc.value.dtype == np.float32  # lossless downcast: half the bytes
+    assert bc.value.nbytes == R.nbytes // 2
+    assert np.array_equal(pq_ops._rotation_value(local, bc), R)
+    # a rotation that does NOT survive float32 must broadcast at float64
+    R_hi = R.copy()
+    R_hi[0, 0] += 1e-12
+    _, bc_hi = pq_ops._ship_rotation(spark, R_hi)
+    assert bc_hi.value.dtype == np.float64
+    # below the cap: stays local, no broadcast
+    small = np.eye(16)
+    loc_s, bc_s = pq_ops._ship_rotation(spark, small)
+    assert bc_s is None and loc_s is small
+    # end-to-end value identity: broadcast path == forced-closure path
+    books = [
+        rng.normal(size=(ks, d // m)).astype(np.float32).astype(np.float64)
+        for _ in range(m)
+    ]
+    rows = [(i, [float(x) for x in rng.normal(size=d)]) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    enc_bc = {
+        r["vec_id"]: (r["pq_codes"], r["pq_norm"])
+        for r in pq_ops.encode_pq(df, books, rotate=R).collect()
+    }
+    cap = pq_ops._ROTATION_SHIP_CAP
+    try:
+        pq_ops._ROTATION_SHIP_CAP = 1 << 62  # force the closure path
+        enc_cl = {
+            r["vec_id"]: (r["pq_codes"], r["pq_norm"])
+            for r in pq_ops.encode_pq(df, books, rotate=R).collect()
+        }
+    finally:
+        pq_ops._ROTATION_SHIP_CAP = cap
+    assert enc_bc == enc_cl
+
+
 def test_opq_topk_recall_with_rerank(spark):
     """OPQ ADC + exact re-rank recovers true neighbors; plain OPQ ADC
     returns valid ranked rows. Mirrors test_pq_topk_recall_with_rerank

@@ -651,3 +651,46 @@ def test_vector_ingest_dedup_gate(spark, engine):
     out3 = vector_ingest_batch(engine, "dgidx", fresh3, 3, dedup=dd3)
     assert out3["appended"] == 2
     assert engine.table("dgidx__vectors").count() == 305
+
+
+def test_gate_probe_blocks_freed_after_ingest_epoch(spark, engine):
+    """Every ingest epoch must leave ZERO new persisted/checkpointed
+    RDDs behind (VERDICT r12 item 4): the gate's local-checkpointed
+    probe is released deterministically via ann_index.free_gate_blocks
+    when the epoch finishes — both on the append path and on the
+    all-duplicates early return — instead of waiting for the
+    ContextCleaner to notice the plan is garbage."""
+    from modelardb_rs_spark.operators import ann_index
+    from modelardb_rs_spark.sources.testdata import load_table
+    from modelardb_rs_spark.streaming.ingest import vector_ingest_batch
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.where(F.col("vec_id") < 200).select("vec_id", "embedding")
+    ann_index.build_ivf_index(engine, "fbidx", first, bucket_col=None, n_buckets=4)
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()
+    # epoch with admissions (append path's finally-block cleanup)
+    fresh = emb.where(F.col("vec_id").isin(201, 202)).select("vec_id", "embedding")
+    out = vector_ingest_batch(
+        engine, "fbidx", fresh, 1, dedup={"threshold": 0.999, "nprobe": 4}
+    )
+    assert out["appended"] == 2
+    assert jsc.getPersistentRDDs().size() == baseline
+    # all-duplicate epoch (early-return path's cleanup)
+    dup = emb.where(F.col("vec_id").isin(201, 202)).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding"
+    )
+    out2 = vector_ingest_batch(
+        engine, "fbidx", dup, 2, dedup={"threshold": 0.999, "nprobe": 4}
+    )
+    assert out2["appended"] == 0 and out2["deduped"] == 2
+    assert jsc.getPersistentRDDs().size() == baseline
+    # a bare gate call still cleans up when the caller asks explicitly
+    chk = ann_index.semantic_dedup_check(
+        engine, "fbidx", dup, threshold=0.999, nprobe=4
+    )
+    chk.count()
+    assert ann_index.free_gate_blocks(chk) is True
+    assert jsc.getPersistentRDDs().size() == baseline
+    # idempotent-ish: a frame without the handle is a no-op
+    assert ann_index.free_gate_blocks(fresh) is False
