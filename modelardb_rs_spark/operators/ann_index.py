@@ -957,13 +957,17 @@ def semantic_dedup_check(
     ``within_batch=True`` closes the co-admission hole a pure
     index-probe gate has: a burst of near-identical (not
     byte-identical) vectors arriving in ONE batch admits exactly its
-    minimum-id member. The rule is pairwise, not transitive: a row is
-    flagged when ANY smaller-id batch peer in a shared probed bucket
-    clears the threshold, whether or not that peer is itself admitted
-    (the peer's own duplicate is within ``threshold`` of it, so the
-    flagged row is near the index anyway up to the usual non-transitive
-    slack; the corpus-level ``semantic_dedup`` remains the exhaustive
-    backstop). Batch ids must be unique, share the index id column's
+    minimum-id member. The rule is pairwise, not transitive — DECIDED
+    and test-pinned (round 13): a row is flagged when ANY smaller-id
+    batch peer in a shared probed bucket clears the threshold, whether
+    or not that peer is itself admitted. In a chain A≈B≈C (with
+    cos(A,C) below threshold) this admits ONLY A — C flags against the
+    also-flagged B — i.e. the gate is stricter than a fixpoint
+    iteration (which would re-admit C). Rationale: the flagged row is
+    near the index up to the usual non-transitive slack, admission
+    errs toward dropping, and the corpus-level ``semantic_dedup``
+    remains the exhaustive backstop
+    (test_within_batch_chain_pins_pairwise_rule). Batch ids must be unique, share the index id column's
     type, and not collide with indexed ids.
 
     Scale shape: the probe (a map-side numpy coarse assignment with the

@@ -968,6 +968,41 @@ def test_semantic_dedup_check_within_batch_near_dups(engine, emb):
     assert legacy[700_001]["dup_of"] is None and legacy[700_002]["dup_of"] is None
 
 
+def test_within_batch_chain_pins_pairwise_rule(engine, spark):
+    """The transitive-chain decision (VERDICT r12 task 6), pinned: with
+    A-B-C arriving together where cos(A,B) and cos(B,C) clear the
+    threshold but cos(A,C) does not, the PAIRWISE smaller-id rule flags
+    a row against ANY smaller-id peer clearing the threshold — whether
+    or not that peer is itself admitted. So only A admits: B flags
+    dup_of=A, and C flags dup_of=B (the stricter-than-transitive
+    SemDeDup behavior; a fixpoint iteration would re-admit C). The
+    docstring documents this as the contract."""
+    import math
+
+    def vec(a):
+        return [float(math.cos(a)), float(math.sin(a))]
+
+    th = math.acos(0.98)  # cos(A,B)=cos(B,C)=0.98; cos(A,C)=0.9208
+    corpus = spark.createDataFrame(
+        [(i, vec(math.pi + i * 0.1)) for i in range(20)],  # far from A/B/C
+        "vec_id long, embedding array<float>",
+    )
+    ann_index.build_ivf_index(engine, "chaini", corpus, bucket_col=None, n_buckets=2)
+    batch = spark.createDataFrame(
+        [(100, vec(0.0)), (101, vec(th)), (102, vec(2 * th))],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        int(r["vec_id"]): r
+        for r in ann_index.semantic_dedup_check(
+            engine, "chaini", batch, threshold=0.95, nprobe=2
+        ).collect()
+    }
+    assert out[100]["dup_of"] is None
+    assert out[101]["dup_of"] == 100 and out[101]["dup_cos"] >= 0.95
+    assert out[102]["dup_of"] == 101 and out[102]["dup_cos"] >= 0.95
+
+
 def test_vector_ingest_gate_admits_one_of_in_batch_near_dups(engine, emb):
     """End-to-end through the ingest path: a burst of near-identical
     (non-exact) vectors in one micro-batch appends exactly one row."""
