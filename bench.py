@@ -245,6 +245,16 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
 
+    # Close-of-suite canary (round 13): the open/mid pair cannot see a
+    # wave that arrives AFTER the mid probe — this round's only
+    # canary-clean run (c11, factors 1.182/1.222) still had its last
+    # five lines inflated 1.6-2.1x by exactly such a tail wave, visible
+    # only in the 15-min loadavg. Reading rule extends: all THREE
+    # factors agreeing certifies the whole suite; an elevated close
+    # factor flags the tail lines specifically. Untimed, additive key —
+    # `value`/`queries` stay comparable.
+    calibration_close = calibrate(spark)
+
     total = round(sum(timings.values()), 3)
     factor = calibration["factor"] or 1.0
     calibrated = {k: round(v / factor, 3) for k, v in timings.items()}
@@ -258,6 +268,7 @@ def main() -> None:
                 "sf": sf,
                 "calibration": calibration,
                 "calibration_mid": calibration_mid,
+                "calibration_close": calibration_close,
                 "value_calibrated": round(total / factor, 3),
                 "queries_calibrated": calibrated,
             }
