@@ -44,6 +44,7 @@ def train_pq_codebooks(
     sample: int = 4096,
     iters: int = 10,
     seed: int = 7,
+    sample_X: "np.ndarray | None" = None,
 ) -> list[np.ndarray]:
     """Per-subspace codebooks: ``m`` arrays of shape (ks, D/m).
 
@@ -52,8 +53,17 @@ def train_pq_codebooks(
     same books — rather than the lowest ids, which correlate with
     content whenever ids are assigned in time/source order (a drifting
     corpus would train books on its oldest slice only). Ties on the
-    hash break by id so duplicate hash values stay deterministic."""
-    X = _driver_sample(corpus, id_col, vec_col, sample, seed)
+    hash break by id so duplicate hash values stay deterministic.
+
+    ``sample_X`` supplies the training matrix directly (float64, rows
+    in the ``_driver_sample`` hash order) and skips the Spark TopK
+    collect — callers that already hold the sample (an IVF-PQ build's
+    coarse-fit sample covers the codebook sample as a prefix) save a
+    full corpus pass. Values must be BIT-IDENTICAL to what
+    ``_driver_sample`` would return: the fit is exactness-pinned."""
+    X = sample_X if sample_X is not None else _driver_sample(
+        corpus, id_col, vec_col, sample, seed
+    )
     if X.shape[1] % m:
         raise ValueError(f"dimension {X.shape[1]} not divisible by m={m}")
     rng = np.random.default_rng(seed)
@@ -140,6 +150,7 @@ def train_opq(
     lloyd_iters: int = 4,
     iters: int = 10,
     seed: int = 7,
+    sample_X: "np.ndarray | None" = None,
 ) -> tuple[np.ndarray, list[np.ndarray]]:
     """Optimized product quantization (Ge, He, Ke, Sun: "Optimized
     Product Quantization", CVPR 2013 — the FAISS ``OPQMatrix`` shape):
@@ -176,8 +187,16 @@ def train_opq(
     in the ARRAY<FLOAT> pqbooks table), so a 4k-8k-dim rotation costs
     one 64-256 MB per-executor fetch instead of a per-task closure
     copy. The alternation itself is sample x D and never touches the
-    corpus."""
-    X = _driver_sample(corpus, id_col, vec_col, sample, seed)
+    corpus.
+
+    ``sample_X`` supplies the training matrix directly (same contract
+    as ``train_pq_codebooks``): bit-identical to the ``_driver_sample``
+    rows, in hash order — the IVF-PQ build derives the residual sample
+    from its coarse-fit sample driver-side and skips this function's
+    corpus TopK pass entirely."""
+    X = sample_X if sample_X is not None else _driver_sample(
+        corpus, id_col, vec_col, sample, seed
+    )
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dimension {d} not divisible by m={m}")

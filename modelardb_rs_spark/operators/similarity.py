@@ -600,6 +600,7 @@ def numpy_kmeans_buckets(
     fit_sample: int = 4096,
     iters: int = 10,
     return_centroids: bool = False,
+    return_sample: bool = False,
 ):
     """``kmeans_buckets`` without the MLlib job overhead: Lloyd's
     iterations run in numpy on a bounded seeded hash-ordered sample
@@ -619,7 +620,13 @@ def numpy_kmeans_buckets(
     ``return_centroids=True`` also returns the fitted k x dim float64
     centroid matrix so index builds can store the quantizer centroids
     directly (the FAISS convention) instead of re-scanning the corpus
-    for posterior bucket means."""
+    for posterior bucket means. ``return_sample=True`` additionally
+    returns the collected hash-ordered sample matrix itself (float64,
+    in ``xxhash64(id, seed), id`` order): a PQ/OPQ codebook fit over
+    the SAME (corpus, seed) samples a PREFIX of exactly these rows
+    (``pq._driver_sample`` shares the ordering contract), so index
+    builds can derive their codebook training set driver-side instead
+    of paying a second full-corpus TopK collect."""
     import numpy as np
 
     rows = (
@@ -639,6 +646,8 @@ def numpy_kmeans_buckets(
             if len(pts):
                 C[j] = pts.mean(0)
     assigned = _numpy_centroid_assign(corpus, C, vec_col, nprobe=1)
+    if return_centroids and return_sample:
+        return assigned, C, X
     return (assigned, C) if return_centroids else assigned
 
 

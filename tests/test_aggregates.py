@@ -13,8 +13,14 @@ from pyspark.sql import functions as F
 TS0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
 
 
-@pytest.fixture()
-def lossy_engine(engine, spark):
+@pytest.fixture(scope="module")
+def lossy_engine(spark, tmp_path_factory):
+    # module-scoped: every consumer is read-only on table m, so the
+    # 3000-point ingest is paid once instead of once per (parametrized)
+    # test — the suite must stay inside the driver's pytest budget
+    from modelardb_rs_spark.engine import Engine
+
+    engine = Engine(spark, str(tmp_path_factory.mktemp("lossy") / "data_folder"))
     engine.read_sql(
         "CREATE TIME SERIES TABLE m(timestamp TIMESTAMP, f FIELD(0.5), tag TAG)"
     )
@@ -245,13 +251,17 @@ def test_sql_two_sided_range_uses_partial_pushdown(lossy_engine):
 # --------------------------------------------------------------- resample
 
 
-@pytest.fixture()
-def resample_engine(engine, spark):
+@pytest.fixture(scope="module")
+def resample_engine(spark, tmp_path_factory):
     """Mixed table: a piecewise-constant regular series (-> PMC closed
-    form) and a noisy series (-> Gorilla decode path)."""
+    form) and a noisy series (-> Gorilla decode path). Module-scoped:
+    consumers are read-only on table r."""
     import numpy as np
     import pandas as pd
 
+    from modelardb_rs_spark.engine import Engine
+
+    engine = Engine(spark, str(tmp_path_factory.mktemp("resample") / "data_folder"))
     engine.read_sql(
         "CREATE TIME SERIES TABLE r(timestamp TIMESTAMP, value FIELD(1.0), sensor TAG)"
     )

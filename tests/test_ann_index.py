@@ -1235,3 +1235,74 @@ def test_crashed_legacy_rebuild_still_heals_by_rebuilding(engine, emb):
     assert any("crashed pre-meta rebuild" in r for r in out["reasons"])
     # the healing rebuild installed the meta: upgraded, consistent
     assert "ann_centroids" in (engine.folder.log(vt).snapshot().meta or {})
+
+
+def test_driver_side_codebook_sample_matches_spark_sample(engine, emb):
+    """The IVF-PQ build derives its PQ/OPQ training residuals from the
+    coarse-fit sample DRIVER-SIDE (round 14): the derivation — hash-
+    order prefix, _numpy_centroid_assign replay, float32 residual
+    subtraction — must be BIT-IDENTICAL to pq._driver_sample over the
+    distributed residual frame, or the trained books (and every stored
+    code) would silently diverge from the former Spark-sample path."""
+    import numpy as np
+
+    from modelardb_rs_spark.operators import pq as pq_ops
+    from modelardb_rs_spark.operators.similarity import numpy_kmeans_buckets
+
+    bucketed, C, X = numpy_kmeans_buckets(
+        emb, k=4, fit_sample=65536, return_centroids=True, return_sample=True
+    )
+    vectors = bucketed.select(
+        "vec_id", "embedding", F.col("ivf_bucket").cast("int").alias("ivf_bucket")
+    )
+    cent_pairs = [(b, [float(x) for x in C[b]]) for b in range(len(C))]
+    cent_df = emb.sparkSession.createDataFrame(
+        cent_pairs, "ivf_bucket INT, __c__ ARRAY<FLOAT>"
+    )
+    resid = vectors.join(F.broadcast(cent_df), "ivf_bucket").withColumn(
+        "__resid__",
+        F.zip_with(F.col("embedding"), F.col("__c__"), lambda x, y: (x - y).cast("float")),
+    )
+    spark_sample = pq_ops._driver_sample(resid, "vec_id", "__resid__", 4096, 42)
+    # the build's driver-side replay
+    Xs = X[:4096]
+    C64 = np.asarray(C, dtype=np.float64)
+    d2 = ((Xs[:, None, :] - C64[None, :, :]) ** 2).sum(-1)
+    assign = np.argsort(d2, axis=1, kind="stable")[:, 0]
+    derived = (Xs.astype(np.float32) - C64.astype(np.float32)[assign]).astype(
+        np.float64
+    )
+    assert spark_sample.shape == derived.shape
+    assert np.array_equal(spark_sample, derived)
+
+
+def test_fitted_counts_fallback_reads_staged_files_only(engine, emb, monkeypatch, caplog):
+    """When staged footers are unreadable the fitted build's bucket
+    counts must come from ONE bounded scan of the staged files — never
+    a re-execution of the build's input lineage (the round-13 hazard:
+    the fused build had dropped its persist, so the old vectors-frame
+    fallback silently re-ran the whole Python assign/encode pass). The
+    fallback is loud (warning log) and surfaced in the returned stats."""
+    import logging
+
+    from modelardb_rs_spark.sources import datafolder as dfm
+
+    monkeypatch.setattr(dfm, "_parquet_num_rows", lambda *a, **k: None)
+    with caplog.at_level(logging.WARNING):
+        stats = ann_index.build_ivfpq_index(
+            engine, "fbidx", emb, bucket_col=None, n_buckets=4, m=8, ks=16
+        )
+    assert stats["counts_fallback"] is True
+    assert any("falling back" in r.message for r in caplog.records)
+    assert stats["n_vectors"] == emb.count()
+    # the fallback counts are the real per-bucket histogram: the stats
+    # view (commit-log meta) must agree with a direct table count
+    got = {
+        r["ivf_bucket"]: r["n"]
+        for r in engine.table("fbidx__vectors")
+        .groupBy("ivf_bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    meta = engine.folder.log("fbidx__vectors").snapshot().meta
+    assert {b: n for b, _, n in meta["ann_centroids"]} == got

@@ -45,14 +45,14 @@ def test_streaming_ingest_incremental(engine, spark, tmp_path):
     engine.read_sql("CREATE TIME SERIES TABLE st(timestamp TIMESTAMP, f FIELD, tag TAG)")
     src = str(tmp_path / "incoming")
     os.makedirs(src)
-    batch_rows(spark, 0, 100).write.mode("append").parquet(src)
+    batch_rows(spark, 0, 100).repartition(1).write.mode("append").parquet(src)
 
     stream = spark.readStream.schema(INPUT_SCHEMA).parquet(src)
     q = start_ingest(engine, "st", stream, str(tmp_path / "ckpt"))
     try:
         q.processAllAvailable()
         assert engine.table("st").count() == 100
-        batch_rows(spark, 100, 50).write.mode("append").parquet(src)
+        batch_rows(spark, 100, 50).repartition(1).write.mode("append").parquet(src)
         q.processAllAvailable()
         assert engine.table("st").count() == 150
     finally:
@@ -87,8 +87,8 @@ def test_stateful_ingest_no_batch_boundary_splits(engine, spark, tmp_path):
     # one file per write: with maxFilesPerTrigger=1 each file IS a
     # micro-batch, and file order = event-time order so the 0-second
     # watermark drops nothing
-    constant_rows(spark, 0, 50).coalesce(1).write.mode("append").parquet(src)
-    constant_rows(spark, 50, 50).coalesce(1).write.mode("append").parquet(src)
+    constant_rows(spark, 0, 50).repartition(1).write.mode("append").parquet(src)
+    constant_rows(spark, 50, 50).repartition(1).write.mode("append").parquet(src)
 
     stream = (
         spark.readStream.schema(INPUT_SCHEMA)
@@ -104,7 +104,7 @@ def test_stateful_ingest_no_batch_boundary_splits(engine, spark, tmp_path):
         assert engine.table("sst").count() == 0
         # a later point for another series advances the watermark past
         # tag=a's last point + flush_idle → its held tail flushes
-        constant_rows(spark, 120, 1, tag="other").coalesce(1).write.mode("append").parquet(src)
+        constant_rows(spark, 120, 1, tag="other").repartition(1).write.mode("append").parquet(src)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -121,7 +121,7 @@ def test_stateful_ingest_no_batch_boundary_splits(engine, spark, tmp_path):
 def test_windowed_rollup(spark, tmp_path):
     src = str(tmp_path / "win_in")
     os.makedirs(src)
-    batch_rows(spark, 0, 600).write.mode("append").parquet(src)
+    batch_rows(spark, 0, 600).repartition(1).write.mode("append").parquet(src)
     stream = spark.readStream.schema(INPUT_SCHEMA).parquet(src)
     agg = windowed_rollup(stream, "timestamp", "f", ["tag"], window="5 minutes")
     q = (
@@ -149,7 +149,7 @@ def test_stateful_ingest_recovers_tail_across_restart(engine, spark, tmp_path):
     engine.read_sql("CREATE TIME SERIES TABLE rst(timestamp TIMESTAMP, f FIELD, tag TAG)")
     src = str(tmp_path / "rst_in")
     os.makedirs(src)
-    constant_rows(spark, 0, 80).coalesce(1).write.mode("append").parquet(src)
+    constant_rows(spark, 0, 80).repartition(1).write.mode("append").parquet(src)
 
     def start():
         stream = (
@@ -170,7 +170,7 @@ def test_stateful_ingest_recovers_tail_across_restart(engine, spark, tmp_path):
 
     q = start()  # same checkpoint: state store restores the held tail
     try:
-        constant_rows(spark, 100, 1, tag="other").coalesce(1).write.mode("append").parquet(src)
+        constant_rows(spark, 100, 1, tag="other").repartition(1).write.mode("append").parquet(src)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -283,7 +283,7 @@ def test_streaming_near_dup_ingest(spark, engine, tmp_path):
             (12, other + " tweak"),
         ],
         "doc_id long, text string",
-    ).coalesce(1).write.mode("append").parquet(src)
+    ).repartition(1).write.mode("append").parquet(src)
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
     q = start_near_dup_ingest(
         engine, "sndi", "docs_clean", stream, str(tmp_path / "nd_ckpt")
@@ -296,7 +296,7 @@ def test_streaming_near_dup_ingest(spark, engine, tmp_path):
         spark.createDataFrame(
             [(20, other + " second tweak"), (21, "entirely novel words here " * 8)],
             "doc_id long, text string",
-        ).coalesce(1).write.mode("append").parquet(src)
+        ).repartition(1).write.mode("append").parquet(src)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -411,7 +411,7 @@ def test_auto_optimize_keeps_streaming_file_count_flat(engine, spark, tmp_path):
     q = start_ingest(engine, "ao", stream, str(tmp_path / "ao_ckpt"))
     try:
         for b in range(12):  # 12 commits, threshold 6: compaction fires
-            batch_rows(spark, b * 50, 50).write.mode("append").parquet(src)
+            batch_rows(spark, b * 50, 50).repartition(1).write.mode("append").parquet(src)
             q.processAllAvailable()
     finally:
         q.stop()
@@ -452,7 +452,7 @@ def test_streaming_vector_ingest(spark, engine, tmp_path):
     os.makedirs(src)
     emb.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)).select(
         "vec_id", "embedding"
-    ).coalesce(1).write.mode("append").parquet(src)
+    ).repartition(1).write.mode("append").parquet(src)
     stream = spark.readStream.schema(
         "vec_id long, embedding array<float>"
     ).parquet(src)
@@ -462,7 +462,7 @@ def test_streaming_vector_ingest(spark, engine, tmp_path):
         assert engine.table("svidx__vectors").count() == 450
         emb.where((F.col("vec_id") >= 450) & (F.col("vec_id") < 500)).select(
             "vec_id", "embedding"
-        ).coalesce(1).write.mode("append").parquet(src)
+        ).repartition(1).write.mode("append").parquet(src)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -516,7 +516,7 @@ def test_streaming_vector_ingest_auto_maintenance(spark, engine, tmp_path):
     # wave 1: 200 appends onto 300 built = 40% appended -> trips 0.25
     emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 500)).select(
         "vec_id", "embedding"
-    ).coalesce(1).write.mode("append").parquet(src)
+    ).repartition(1).write.mode("append").parquet(src)
     stream = spark.readStream.schema(
         "vec_id long, embedding array<float>"
     ).parquet(src)
@@ -533,7 +533,7 @@ def test_streaming_vector_ingest_auto_maintenance(spark, engine, tmp_path):
         # against the rebuilt centroids
         emb.where(F.col("vec_id") >= 480).select(
             (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
-        ).coalesce(1).write.mode("append").parquet(src)
+        ).repartition(1).write.mode("append").parquet(src)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -565,7 +565,7 @@ def test_streaming_vector_ingest_zero_drift_threshold(spark, engine, tmp_path):
     os.makedirs(src)
     emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 360)).select(
         "vec_id", "embedding"
-    ).coalesce(1).write.mode("append").parquet(src)
+    ).repartition(1).write.mode("append").parquet(src)
     stream = spark.readStream.schema(
         "vec_id long, embedding array<float>"
     ).parquet(src)
