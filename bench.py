@@ -168,9 +168,19 @@ def main() -> None:
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
 
+    # Per-line finish clocks (monotonic within the run): each timed
+    # line records WHEN it finished so queries_calibrated can
+    # interpolate the host-speed factor between the three canary
+    # probes instead of dividing everything by the OPEN factor — the
+    # round-13 driver run's open factor (4.574, vs mid/close ~1.2)
+    # deflated every mid-suite line ~3.7x (VERDICT r13 item 3).
+    run_t0 = time.time()
+    finish_at: dict[str, float] = {}
+
     t0 = time.time()
     eng = entry._ts_engine(spark, sf_dir)  # compression ingest path
     timings["ts_ingest"] = round(time.time() - t0, 3)
+    finish_at["ts_ingest"] = time.time() - run_t0
 
     # ANN index build is once-per-corpus in serving reality: build it
     # outside the timed loop (fresh dir each bench run), so the
@@ -185,9 +195,11 @@ def main() -> None:
     t0 = time.time()
     qs["sim_ivf_index"](spark, sf_dir).count()
     timings["ann_index_build"] = round(time.time() - t0, 3)
+    finish_at["ann_index_build"] = time.time() - run_t0
     t0 = time.time()
     qs["sim_ivfpq_topk"](spark, sf_dir).count()
     timings["ivfpq_index_build"] = round(time.time() - t0, 3)
+    finish_at["ivfpq_index_build"] = time.time() - run_t0
 
     # Mid-suite canary RE-PROBE (BASELINE.md "Bench normalization"): the
     # opening canary pins host speed at t=0, but ambient load can swing
@@ -200,6 +212,21 @@ def main() -> None:
     # certify a quiet host. Reading rule: compare the two factors
     # before trusting any calibrated ratio.
     calibration_mid = calibrate(spark)
+    t_mid = time.time() - run_t0
+
+    # Fixed-overhead anchor (round 14, VERDICT r13 item 9): a timed
+    # line of pure per-query overhead — one trivial count job and one
+    # tiny parquet scan, no engine code, no data-sized work — so the
+    # scaling block's low/high-core ratio for sub-2 s lines can be read
+    # against the session's irreducible per-action latency instead of
+    # being misread as a serial operator. ADDED line (never renames or
+    # removes existing ones).
+    t0 = time.time()
+    spark.range(10).count()
+    anchor_dir = os.path.join(tempfile.gettempdir(), "sparkmodelar_cal_parquet")
+    spark.read.parquet(anchor_dir).limit(10).count()
+    timings["anchor_fixed_overhead"] = round(time.time() - t0, 3)
+    finish_at["anchor_fixed_overhead"] = time.time() - run_t0
 
     # ts_correlation carried a documented 1.17-1.27x run-to-run jitter
     # across rounds 2-4 with UNTOUCHED operator code: at sf0.1 its plan
@@ -235,6 +262,17 @@ def main() -> None:
     clear_between = {"doc_clean_pipeline", "doc_train_pipeline", "doc_train_export"}
     for name in HEADLINE:
         fn = qs[name]
+        # Cache hygiene BETWEEN lines (round 14, VERDICT r13 item 4):
+        # entry functions persist intermediates and never unpersist, and
+        # canonically-identical subtrees (doc_train_export vs
+        # doc_train_sequences) would silently serve one line's rep 1
+        # from another line's cached blocks — the suite total was honest
+        # but per-line attribution leaked through the CacheManager.
+        # Clearing before every line makes each number the cost of its
+        # own chain from the parquet inputs. Documented methodology
+        # change in OPTIMIZATION_r14.md (with the r13-comparable
+        # warm-state semantics recorded there).
+        spark.catalog.clearCache()
         runs = []
         for i in range(best_of.get(name, 1)):
             if i > 0 and name in clear_between:
@@ -244,6 +282,7 @@ def main() -> None:
             fn(spark, sf_dir).count()
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
+        finish_at[name] = time.time() - run_t0
 
     # Close-of-suite canary (round 13): the open/mid pair cannot see a
     # wave that arrives AFTER the mid probe — this round's only
@@ -254,26 +293,58 @@ def main() -> None:
     # factor flags the tail lines specifically. Untimed, additive key —
     # `value`/`queries` stay comparable.
     calibration_close = calibrate(spark)
+    t_close = time.time() - run_t0
 
     total = round(sum(timings.values()), 3)
-    factor = calibration["factor"] or 1.0
-    calibrated = {k: round(v / factor, 3) for k, v in timings.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time (ingest + query set)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "calibration": calibration,
-                "calibration_mid": calibration_mid,
-                "calibration_close": calibration_close,
-                "value_calibrated": round(total / factor, 3),
-                "queries_calibrated": calibrated,
-            }
-        )
+    # Per-line calibration (round 14, VERDICT r13 item 3): the factor
+    # applied to each line INTERPOLATES between the probe that ran
+    # before it and the probe that ran after it, keyed on the line's
+    # finish clock — dividing every line by the OPEN factor alone let
+    # one slow opening probe deflate the whole suite (r13: open 4.574
+    # vs mid/close ~1.2 → a fictitious 2.09x calibrated geomean). The
+    # open probe runs at t≈0; clamp outside the probe span. Raw
+    # `value`/`queries` remain the primary record; the three factors
+    # disagreeing still means: distrust calibrated figures.
+    probes = [
+        (0.0, calibration["factor"] or 1.0),
+        (t_mid, calibration_mid["factor"] or 1.0),
+        (t_close, calibration_close["factor"] or 1.0),
+    ]
+
+    def factor_at(t: float) -> float:
+        if t <= probes[0][0]:
+            return probes[0][1]
+        for (t0p, f0), (t1p, f1) in zip(probes, probes[1:]):
+            if t <= t1p:
+                w = (t - t0p) / (t1p - t0p) if t1p > t0p else 1.0
+                return f0 + w * (f1 - f0)
+        return probes[-1][1]
+
+    calibrated = {
+        k: round(v / (factor_at(finish_at.get(k, 0.0)) or 1.0), 3)
+        for k, v in timings.items()
+    }
+    out_line = json.dumps(
+        {
+            "metric": "headline-suite wall time (ingest + query set)",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "calibration": calibration,
+            "calibration_mid": calibration_mid,
+            "calibration_close": calibration_close,
+            "value_calibrated": round(sum(calibrated.values()), 3),
+            "queries_calibrated": calibrated,
+        }
     )
+    # Self-check (round 14, VERDICT r13 item 2): the emitted line MUST
+    # round-trip json.loads and be the LAST stdout line — BENCH_r12's
+    # unparseable tail cost round 13 its entire driver round-over-round
+    # comparison. Parse before printing; flush so nothing interleaves.
+    json.loads(out_line)
+    sys.stdout.flush()
+    print(out_line, flush=True)
 
 
 if __name__ == "__main__":

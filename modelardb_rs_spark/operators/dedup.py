@@ -390,10 +390,25 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     lost executor makes the truncated lineage unrecoverable). Engine
     init sets a default checkpoint dir under the data folder whenever
     that is safe (durable scheme, or local master), so the reliable
-    path is the default, not opt-in — see Engine._ensure_checkpoint_dir."""
+    path is the default, not opt-in — see Engine._ensure_checkpoint_dir.
+
+    The reliable path persists the frame around the checkpoint: an
+    eager reliable checkpoint runs TWO jobs (the action, then the
+    checkpoint-file write re-executing the unpersisted lineage — the
+    classic persist-before-checkpoint rule), so without the wrap every
+    caller paid its full upstream twice; pack_documents' upstream is a
+    whole-corpus tokenize (guide §5: cache when recomputing costs more
+    than the memory). The cache entry is dropped as soon as the
+    checkpoint files exist — the returned frame reads those."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return df.checkpoint(eager=True)
+        finally:
+            df.unpersist()
     return df.localCheckpoint(eager=True)
 
 
