@@ -2671,6 +2671,14 @@ def doc_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -> mix -> shard-window chain (the round-12 plan ran that chain
     # ~4x per action; plans/r13/doc_train_pipeline_before.txt). Same
     # persist-the-thin-columns discipline as doc_train_pipeline_bpe.
+    # INVARIANT (here and at every entry-function persist): these
+    # cache entries assume the source parquet under sf_dir is
+    # IMMUTABLE for the session — a repeat invocation hits the
+    # CacheManager on the canonically-identical plan and would serve
+    # stale results if the files changed. bench.py clears the Spark
+    # cache before every headline line (round 14), which also bounds
+    # accumulation; a long-lived non-bench session should clearCache()
+    # after consuming the result if its inputs can change.
     packed_in = (
         sharded.withColumn(
             "pack_id",

@@ -54,9 +54,14 @@ def _vectors_table(index_name: str) -> str:
 
 
 def _round6_half_away(x):
-    """Round to 6 decimals HALF-AWAY-FROM-ZERO, matching Spark's
-    F.round and DuckDB's round() — the one cross-engine rounding rule
-    (similarity.mmr_rerank uses the same form). numpy's np.round is
+    """Round to 6 decimals HALF-AWAY-FROM-ZERO: matches DuckDB's
+    round(), and approximates Spark's F.round — Spark rounds the
+    double's SHORTEST-DECIMAL representation (BigDecimal HALF_UP)
+    while this rounds the binary value via floor(|x|*1e6+0.5), so the
+    two can disagree for values whose binary form sits just below a .5
+    decimal boundary (e.g. 0.1234565). Good enough for the numpy gate
+    paths whose oracles are DuckDB; Column-side F.round stays the rule
+    where exact Spark parity is needed. numpy's np.round is
     half-to-even and would diverge from the SQL oracles exactly on the
     .5 boundaries a low-entropy corpus can hit."""
     import numpy as np
@@ -1492,8 +1497,26 @@ def free_gate_blocks(checked) -> bool:
             if leaf.getClass().getSimpleName() == "LogicalRDD":
                 leaf.rdd().unpersist(False)
                 freed = True
+        if not freed:
+            # the Catalyst internals this walks (LogicalRDD class name,
+            # rdd() accessor) are private: if a Spark upgrade changes
+            # them the checkpoint-block leak this function fixes
+            # silently reappears — make the miss visible so CI notices
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "free_gate_blocks: no LogicalRDD leaf found behind the "
+                "gate probe; checkpoint blocks were NOT freed (Catalyst "
+                "internals drifted?)"
+            )
         return freed
     except Exception:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "free_gate_blocks: leaf walk failed; checkpoint blocks were "
+            "NOT freed (Catalyst internals drifted?)", exc_info=True
+        )
         return False
 
 

@@ -392,7 +392,15 @@ def bpe_encode_udf(deterministic: bool = False):
     restores the unfenced form for contexts that REQUIRE it — the
     analyzer rejects non-deterministic expressions inside aggregate
     arguments, so the SQL registration (where users write arbitrary
-    ``sum(bpe_count(text))``) uses it."""
+    ``sum(bpe_count(text))``) uses it.
+
+    BREAKING-DEFAULT NOTE (round 13): the non-deterministic default is
+    a public-surface behavior change — a DataFrame-API caller nesting
+    the returned UDF directly inside an aggregate argument (e.g.
+    ``F.sum(bpe_count_udf()(col))``) or another nondeterminism-
+    restricted context now raises AnalysisException; pass
+    ``deterministic=True`` there (results are identical — the
+    tokenizer is pure)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<int>")

@@ -292,6 +292,36 @@ def export_training_shards(
             .parquet(path)
         )
         back = spark.read.parquet(path)
+    # Guard the n_sequences ATTRIBUTE path (advisory metadata — see
+    # pack_documents): if the attribute overstated N (a token table
+    # silently missing docs makes materialize_sequences' inner join
+    # lossy), the empty-shard clamp above under-clamped and the write
+    # just produced shard ids with NO directory — the exact gap a
+    # dataloader iterating shard=0..W-1 trips on. One driver-side
+    # listing (no job) catches it loudly instead of exporting a
+    # corrupt layout.
+    import os
+    import re as _re
+
+    try:
+        from urllib.parse import urlparse
+
+        local = urlparse(path).path if path.startswith("file:") else path
+        present = {
+            int(m.group(1))
+            for d in (os.listdir(local) if os.path.isdir(local) else [])
+            for m in [_re.match(r"shard=(\d+)$", d)]
+            if m
+        }
+    except OSError:
+        present = None  # non-local path: listing handled by the manifest
+    if present is not None and present and present != set(range(n_shards)):
+        raise ValueError(
+            f"export_training_shards: wrote shards {sorted(present)} but "
+            f"expected 0..{n_shards - 1} — the driver-known sequence "
+            "count overstated max(seq_id)+1 (token table missing "
+            "documents?); re-export with a trusted count"
+        )
     back = back.select(
         "shard",
         F.col("file_seq").cast("int").alias("file_seq"),
