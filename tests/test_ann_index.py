@@ -669,59 +669,6 @@ def test_ivf_rebuild_is_one_atomic_commit_and_mirror_resyncs(engine, emb):
     again = ann_index.ivf_index_maintenance(engine, "chidx", max_appended_fraction=0.9)
     assert again["rebuilt"] is False
     assert engine.table(vt).count() == emb.count()
-
-
-def test_ivf_probe_consistent_under_concurrent_rebuilds(engine, emb):
-    """Chaos: probes racing rebuilds must ALWAYS read a consistent
-    vectors/centroids pair. Rebuilds alternate 4- and 8-bucket
-    geometries while a probe loop looks up a vector that is IN the
-    corpus with nprobe covering EVERY bucket — under any consistent
-    snapshot the identical twin is always found at cosine ~1; a torn
-    read pairing the 4-bucket centroids with the 8-bucket vectors
-    exposes only bucket ids 0-3 to the scan filter, so a twin living
-    in buckets 4-7 vanishes and the probe misses (the pre-meta design
-    had exactly this window between its two commits)."""
-    import threading
-
-    ann_index.build_ivf_index(engine, "czidx", emb, bucket_col=None, n_buckets=4)
-    # fresh query id: probe_topk excludes the query's own id, so the
-    # exact-match hit must be the STORED row 17
-    q = emb.where(F.col("vec_id") == 17).select(
-        F.lit(888_888).alias("vec_id"), "embedding"
-    )
-    stop = threading.Event()
-    errors: list = []
-
-    def rebuilder():
-        try:
-            for i in range(4):
-                ann_index.ivf_index_maintenance(
-                    engine, "czidx",
-                    max_appended_fraction=-1.0,  # always trips
-                    n_buckets=8 if i % 2 == 0 else 4,
-                )
-        except Exception as e:  # pragma: no cover - surfaced below
-            errors.append(e)
-        finally:
-            stop.set()
-
-    t = threading.Thread(target=rebuilder)
-    t.start()
-    probes = 0
-    try:
-        while not stop.is_set():
-            out = ann_index.ivf_index_topk(
-                engine, "czidx", q, k=1, nprobe=8
-            ).collect()
-            assert out and out[0]["neighbor_id"] == 17, out
-            assert abs(out[0]["cos"] - 1.0) < 1e-5, out
-            probes += 1
-    finally:
-        t.join()
-    assert not errors, errors
-    assert probes >= 3  # the loop genuinely overlapped the rebuilds
-
-
 def test_ivf_maintenance_trips_on_drift_and_imbalance(engine, spark, emb):
     """The other two policy levers: a skewed append wave (many copies
     of one far-offset vector) drags one bucket's mean and size, so

@@ -241,39 +241,6 @@ def test_duplicate_clusters(spark):
     )
     out = {r.doc_id: r.cluster_id for r in dedup_ops.duplicate_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8}
-
-
-def test_duplicate_clusters_survive_block_loss(spark):
-    """With a checkpoint directory configured, label propagation uses
-    RELIABLE checkpoints: dropping every cached block mid-lifetime
-    (simulated executor loss — the failure mode that kills
-    localCheckpoint on preemptible clusters) must not lose the result."""
-    import glob
-    import tempfile
-
-    sc = spark.sparkContext
-    ckpt = tempfile.mkdtemp(prefix="smdl_ckpt_")
-    sc.setCheckpointDir(ckpt)
-    try:
-        pairs = spark.createDataFrame(
-            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
-            "id_a long, id_b long",
-        )
-        labels = dedup_ops.duplicate_clusters(pairs)
-        expected = sorted(map(tuple, labels.collect()))
-        assert glob.glob(ckpt + "/*/rdd-*")  # reliable checkpoints written
-        # simulated loss: every persistent/localCheckpoint block dropped
-        for rdd in list(sc._jsc.getPersistentRDDs().values()):
-            rdd.unpersist(True)
-        spark.catalog.clearCache()
-        got = sorted(map(tuple, labels.collect()))
-        assert got == expected
-        assert {c for _, c in got} == {1, 10, 20}
-    finally:
-        # no unset API: point later tests at a throwaway shared-tmp dir
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="smdl_ckpt_"))
-
-
 def test_language_id(docs):
     pred = {r.doc_id: r.predicted_lang for r in text_ops.language_id(docs).collect()}
     assert pred[0] == "en"
@@ -1064,55 +1031,6 @@ def test_null_embeddings_never_pair_or_rank(vectors):
     assert thr.where("id_a IN (7777, 7778) OR id_b IN (7777, 7778)").count() == 0
     # NULL queries return no rows rather than crashing
     assert sim_ops.brute_force_topk(corpus, bad, k=3).count() == 0
-
-
-def test_semantic_near_pairs_chunked_matches_single_task(vectors):
-    """max_bucket_rows distributes a hot bucket's quadratic verify
-    across (chunk_i, chunk_j) tasks — the output must be bit-identical
-    to the single-task path (every unordered pair lands in exactly one
-    task), including under multi-probe assignment and through
-    semantic_dedup's survivor semantics."""
-    single = {
-        (r.id_a, r.id_b)
-        for r in sim_ops.semantic_near_pairs(
-            vectors, threshold=0.9, n_clusters=2
-        ).collect()
-    }
-    assert single  # the fixture's tight clusters produce pairs
-    for m in (1, 7, 10_000):  # 1 = max chunking, 10k = no bucket splits
-        chunked = {
-            (r.id_a, r.id_b)
-            for r in sim_ops.semantic_near_pairs(
-                vectors, threshold=0.9, n_clusters=2, max_bucket_rows=m
-            ).collect()
-        }
-        assert chunked == single, f"max_bucket_rows={m}"
-    multi_single = {
-        (r.id_a, r.id_b)
-        for r in sim_ops.semantic_near_pairs(
-            vectors, threshold=0.9, n_clusters=4, nprobe=2
-        ).collect()
-    }
-    multi_chunked = {
-        (r.id_a, r.id_b)
-        for r in sim_ops.semantic_near_pairs(
-            vectors, threshold=0.9, n_clusters=4, nprobe=2, max_bucket_rows=9
-        ).collect()
-    }
-    assert multi_chunked == multi_single
-    kept_single = {
-        r.vec_id
-        for r in sim_ops.semantic_dedup(vectors, threshold=0.9, n_clusters=2).collect()
-    }
-    kept_chunked = {
-        r.vec_id
-        for r in sim_ops.semantic_dedup(
-            vectors, threshold=0.9, n_clusters=2, max_bucket_rows=8
-        ).collect()
-    }
-    assert kept_chunked == kept_single
-
-
 def test_chunk_pair_fn_duplicate_ids_never_self_pair():
     """The cross-chunk block must mirror the diagonal's STRICT id
     compare: a duplicated id straddling two chunks (possible under any

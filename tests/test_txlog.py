@@ -793,118 +793,6 @@ def test_delta_mirror_disable_warns_and_surfaces(spark, tmp_path, monkeypatch, c
     snap = log2.snapshot()
     assert snap.version == 19
     assert "txn=a/f19.parquet" in snap.paths
-
-
-def test_chaos_concurrent_writes_optimize_vacuum_time_travel(engine, spark):
-    """Adversarial storm on one normal table: concurrent batch writers,
-    a compactor (OPTIMIZE: remove+add commits), a zero-retention VACUUM
-    loop, and racing readers. The snapshot-isolation contract under
-    aggressive vacuum (reference mod.rs:582-686): every read either
-    returns a fully COMMITTED state — all-or-nothing batches, never a
-    torn one — or fails cleanly because vacuum already deleted a
-    superseded file the resolved snapshot referenced (the documented
-    retain=0 hazard, same as Delta's); it must never return partial or
-    wrong data. Afterwards the live table holds every batch exactly
-    once and every still-readable historical version is also
-    batch-consistent."""
-    import threading
-
-    engine.create_table("chaos", "w INT, b INT, v BIGINT")
-    N_W, N_B, ROWS = 3, 6, 20
-    stop = threading.Event()
-    errors: list = []
-    consistent_reads = [0]
-    clean_failures = [0]
-
-    def batch(w, b):
-        return spark.range(ROWS).selectExpr(
-            f"CAST({w} AS INT) AS w", f"CAST({b} AS INT) AS b", "id AS v"
-        )
-
-    def writer(w):
-        try:
-            for b in range(N_B):
-                engine.write("chaos", batch(w, b))
-        except Exception as exc:
-            errors.append(("writer", exc))
-
-    def compactor():
-        try:
-            while not stop.is_set():
-                engine.folder.optimize("chaos")
-                time.sleep(0.05)
-        except Exception as exc:
-            errors.append(("compactor", exc))
-
-    def vacuumer():
-        try:
-            while not stop.is_set():
-                engine.folder.vacuum("chaos", retain_seconds=0)
-                time.sleep(0.03)
-        except Exception as exc:
-            errors.append(("vacuum", exc))
-
-    def check_consistent(df):
-        counts = df.groupBy("w", "b").count().collect()
-        for r in counts:
-            assert r["count"] == ROWS, f"torn batch ({r['w']},{r['b']}): {r['count']}"
-        return len(counts)
-
-    def reader():
-        while not stop.is_set():
-            try:
-                check_consistent(engine.table("chaos"))
-                consistent_reads[0] += 1
-            except AssertionError as exc:
-                errors.append(("reader", exc))
-                return
-            except Exception:
-                # resolved snapshot raced a remove+vacuum: clean failure
-                clean_failures[0] += 1
-            time.sleep(0.02)
-
-    threads = [threading.Thread(target=writer, args=(w,)) for w in range(N_W)]
-    threads += [
-        threading.Thread(target=compactor),
-        threading.Thread(target=vacuumer),
-        threading.Thread(target=reader),
-        threading.Thread(target=reader),
-    ]
-    for t in threads:
-        t.start()
-    for t in threads[:N_W]:
-        t.join()
-    stop.set()
-    for t in threads[N_W:]:
-        t.join()
-    assert not errors, errors[:3]
-    assert consistent_reads[0] > 0  # the storm didn't just fail every read
-
-    # final state: every batch exactly once, nothing lost or duplicated
-    final = engine.table("chaos")
-    assert check_consistent(final) == N_W * N_B
-    assert final.count() == N_W * N_B * ROWS
-
-    # time travel across the whole history: every version that is still
-    # materially readable is batch-consistent; vacuumed ones fail
-    # cleanly (missing file), never partially
-    schema = final.schema
-    history = engine.folder.history("chaos")
-    readable = 0
-    for h in history:
-        try:
-            old = engine.folder.read_normal("chaos", schema, version=h["version"])
-            n = old.count()
-            check_consistent(old)
-            assert n % ROWS == 0
-            readable += 1
-        except AssertionError:
-            raise
-        except Exception:
-            pass  # vacuumed history: clean failure is the contract
-    assert readable > 0  # at least the latest version reads back
-
-
 def test_commit_meta_payload_flows_through_snapshots(engine, spark):
     """A commit may carry an application metadata payload (the Delta
     metaData-action analog, used by the ANN index to flip vectors and
